@@ -1,0 +1,74 @@
+"""Aggregation operators (SURVEY.md §2.6, A1-A7) and set ops (§2.8).
+
+All are single-shuffle hash aggregates with map-side partial combine;
+``collect_set`` results are always ``array_sort``-ed because set order
+is nondeterministic across partitionings and the reference's outputs
+are sorted files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(
+    df: DataFrame, keys: Sequence[str], explode_col: str | None = None
+) -> DataFrame:
+    """A1: count per key; with ``explode_col`` counts array memberships
+    (reference: collection -> #records, sources/crossref.py:296-330)."""
+    if explode_col is not None:
+        df = df.select(*keys, F.explode(explode_col).alias(explode_col)) \
+            if explode_col not in keys else df
+    return df.groupBy(*keys).agg(F.count("*").alias("n")).orderBy(*keys)
+
+
+def collect_to_map(
+    df: DataFrame, key: str, value: str
+) -> DataFrame:
+    """A7: key -> sorted distinct value list (reference: ISSN->names,
+    sources/jstor.py:586-612; ISIL->collections, sources/amsl.py:432-456)."""
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_set(value)).alias("values")
+    )
+
+
+def set_algebra(
+    a: DataFrame, b: DataFrame, col: str
+) -> dict[str, DataFrame]:
+    """A4: A-B, B-A, A∩B over distinct values
+    (reference: workflows/adhoc.py:77-103)."""
+    da = a.select(col).filter(F.col(col).isNotNull()).distinct()
+    db = b.select(col).filter(F.col(col).isNotNull()).distinct()
+    return {
+        "a_minus_b": da.exceptAll(db),
+        "b_minus_a": db.exceptAll(da),
+        "a_and_b": da.intersect(db),
+    }
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """A6: grouped concat with schema union (reference: cat of per-source
+    intermediate-schema files, workflows/ai.py:116-165)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def distinct_union(dfs: Sequence[DataFrame], col: str) -> DataFrame:
+    """§2.8: distinct union of value lists (reference: citing+cited DOI
+    union, sources/oci.py:176-196)."""
+    out = union_all([df.select(col) for df in dfs])
+    return out.filter(F.col(col).isNotNull()).distinct().orderBy(col)
+
+
+def error_counters(df: DataFrame, class_col: str) -> DataFrame:
+    """A5: quality-counter tallies (reference: collections.Counter over
+    error classes, sources/base.py:172-215). As a DataFrame so it scales;
+    accumulators only count within one action."""
+    return df.groupBy(class_col).agg(F.count("*").alias("n")).orderBy(
+        F.desc("n"), class_col
+    )

@@ -1,0 +1,197 @@
+"""Deduplication / argmax / snapshot operators (SURVEY.md §2.5, D1-D6).
+
+The reference's signature moves, re-expressed as Spark window / aggregate
+plans instead of external sorts:
+
+- D1 ``snapshot_latest``      — latest record per key from an append-only
+  feed (reference: span-crossref-snapshot, sources/crossref.py:136-214;
+  131-179M keys over 600M-1B rows).
+- D2 ``argmax_dedup``         — keep the row with the max ordering value
+  per group, then optionally semi-join survivors back
+  (reference: sources/doaj.py:143-217, `sort -k3,3 -k2,2 | tac | sort -u`).
+- D4 ``drop_exact_duplicates`` — `sort -u` over rows
+  (reference: sources/ios.py:118-137).
+- D5 ``groupcover``           — preference-based label reassignment per
+  DOI group (reference: workflows/ai.py:250-342, Go `groupcover`).
+- D6 ``distinct_sorted``      — distinct value lists
+  (reference: sources/crossref.py:419-505).
+
+Scale notes: all of these shuffle exactly once on the dedup key.
+``snapshot_latest`` uses `max_by(struct(*), ord)` per key — a hash
+aggregate with map-side partial combine — instead of a window, because
+a window (rank + filter) materializes and sorts every version of every
+key while the aggregate keeps one winner per key per map task. At the
+reference's 1B-rows/150M-keys shape, partial aggregation cuts shuffle
+volume ~6x. AQE skew-join/agg handles hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """D1: keep the newest row per key (append-only feed -> snapshot).
+
+    ``order_by`` columns rank versions; the lexicographically greatest
+    tuple wins. Pass a unique tiebreaker (e.g. an id) as the last column
+    to make the winner deterministic — the reference relies on feed
+    position, which has no Spark equivalent, so an explicit tiebreak is
+    the correct re-expression.
+
+    Implemented as ``groupBy(keys).agg(max_by(struct(cols), ord))`` so the
+    partial (map-side) aggregation keeps one candidate per key per
+    partition before the shuffle.
+    """
+    cols = df.columns
+    ord_expr = F.struct(*[c if isinstance(c, Column) else F.col(c) for c in order_by])
+    winner = F.max_by(F.struct(*[F.col(c) for c in cols]), ord_expr).alias("_w")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return out.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+
+def snapshot_earliest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """D1 dual: keep the smallest-ordered row per key (deterministic
+    `sort -u`-style representative: e.g. min id per duplicate text)."""
+    cols = df.columns
+    ord_expr = F.struct(*[c if isinstance(c, Column) else F.col(c) for c in order_by])
+    winner = F.min_by(F.struct(*[F.col(c) for c in cols]), ord_expr).alias("_w")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return out.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+
+def snapshot_latest_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """D1 via window row_number — reference plan shape, kept for parity
+    testing and for when the full sorted-runs-per-key order matters.
+    Prefer :func:`snapshot_latest` (cheaper shuffle) in pipelines.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def argmax_dedup(
+    df: DataFrame,
+    group: Sequence[str],
+    order_by: Sequence[str | Column],
+    keep: Sequence[str] | None = None,
+) -> DataFrame:
+    """D2: per group keep the row with the greatest ``order_by`` tuple,
+    optionally projecting only ``keep`` columns (the reference projects
+    to the kept id list and semi-joins back — with Catalyst column
+    pruning the single-pass form is equivalent and cheaper).
+    """
+    out = snapshot_latest(df, group, order_by)
+    if keep is not None:
+        out = out.select(*keep)
+    return out
+
+
+def semi_join_back(full: DataFrame, kept_ids: DataFrame, key: str) -> DataFrame:
+    """D2 second half: restrict ``full`` to ids surviving dedup
+    (reference: grep -Ff kept-ids, sources/doaj.py:190-217)."""
+    return full.join(kept_ids.select(key).distinct(), on=key, how="left_semi")
+
+
+def drop_exact_duplicates(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """D4: `sort -u` equivalent. With ``subset``, keeps an arbitrary row
+    per duplicate group — for deterministic results use
+    :func:`argmax_dedup` with an explicit tiebreaker instead.
+    """
+    return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """D6: distinct non-null values of one column, ordered (byte order;
+    reference: LC_ALL=C sort -u)."""
+    return df.select(col).filter(F.col(col).isNotNull()).distinct().orderBy(col)
+
+
+def groupcover(
+    df: DataFrame,
+    id_col: str = "finc_id",
+    source_col: str = "finc_source_id",
+    key_col: str = "doi",
+    labels_col: str = "labels",
+    preferences: Sequence[str] = (
+        "85", "55", "89", "60", "50", "105", "101", "53", "49", "28", "48", "121",
+    ),
+    lower_key: bool = True,
+) -> DataFrame:
+    """D5: preference-based group cover (reference: workflows/ai.py:250-342,
+    preference list at ai.py:300, `groupcover -prefs '85 55 ...' -lower`).
+
+    Semantics: rows are (id, source, doi, labels[]). Group rows by DOI
+    (case-insensitive when ``lower_key``). Within a group, when the same
+    label (ISIL) occurs on rows from multiple sources, only the row whose
+    source ranks best in ``preferences`` keeps that label; the others
+    lose it. Unranked sources rank below all ranked ones (ties broken by
+    source id, then row id, for determinism). Rows with a null/empty key
+    are left untouched. Returns (id, labels) with the updated label sets
+    — feed to :func:`siskin_spark.operators.joins.update_labels` (M10/J3)
+    to apply to the full records.
+
+    Plan: explode labels -> rank winner per (key, label) via min_by hash
+    aggregate (one shuffle on the narrow table) -> regroup winners per id.
+    No UDFs; preference ranking is ``array_position`` against a literal.
+    """
+    prefs = F.array(*[F.lit(p) for p in preferences])
+    key = F.lower(F.col(key_col)) if lower_key else F.col(key_col)
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src"),
+        key.alias("_key"),
+        F.col(labels_col).alias("_labels"),
+    )
+    grouped = keyed.filter(F.col("_key").isNotNull() & (F.col("_key") != ""))
+    passthrough = keyed.filter(F.col("_key").isNull() | (F.col("_key") == "")).select(
+        F.col("_id"), F.col("_labels")
+    )
+
+    # rank: position in the preference list, unranked -> +inf bucket
+    pos = F.array_position(prefs, F.col("_src"))
+    rank = F.when(pos > 0, pos).otherwise(F.lit(1_000_000)).alias("_rank")
+
+    exploded = grouped.select(
+        "_id", "_src", "_key", rank, F.explode("_labels").alias("_label")
+    )
+    # winner id per (key, label): best (rank, src, id) tuple
+    winners = exploded.groupBy("_key", "_label").agg(
+        F.min_by(F.col("_id"), F.struct(F.col("_rank"), F.col("_src"), F.col("_id"))).alias(
+            "_winner"
+        )
+    )
+    kept = (
+        exploded.join(winners, on=["_key", "_label"], how="inner")
+        .filter(F.col("_id") == F.col("_winner"))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("_label")).alias("_labels"))
+    )
+    # rows that lost every label come back with an empty array
+    all_ids = grouped.select("_id").distinct()
+    covered = all_ids.join(kept, on="_id", how="left").select(
+        "_id",
+        F.coalesce(F.col("_labels"), F.array().cast("array<string>")).alias("_labels"),
+    )
+    return covered.unionByName(passthrough).select(
+        F.col("_id").alias(id_col), F.col("_labels").alias(labels_col)
+    )

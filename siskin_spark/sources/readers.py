@@ -1,0 +1,50 @@
+"""Parquet/ndjson/TSV readers with schema normalization.
+
+The driver's synthetic ``events`` table stores TIMESTAMP(NANOS) which
+the Spark parquet reader rejects; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long
+(nanos since epoch). :func:`read_table` restores a proper
+``TimestampType`` (microsecond truncation — exactly what DuckDB's
+TIMESTAMP_NS -> TIMESTAMP cast does, keeping oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# columns known to be nanosecond timestamps in the driver's testdata
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing nano-timestamp columns."""
+    if name in _NANO_TS_COLS:
+        # runtime-settable SQL conf; needed whatever session the caller built
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def read_ndjson(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Newline-delimited JSON reader (the reference's wire format;
+    zstd-compressed ndjson reads transparently via the codec)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_tsv(
+    spark: SparkSession, path: str, schema=None, header: bool = False
+) -> DataFrame:
+    """TSV reader (gluish TSV format / KBART files)."""
+    reader = spark.read.option("sep", "\t").option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
