@@ -288,6 +288,472 @@ def whitelist_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D5 groupcover — preference-based label dedup
+
+
+@_q(
+    "groupcover_preferences",
+    """
+    WITH local AS (
+      SELECT o_orderkey AS id,
+             CAST(o_custkey % 7 AS VARCHAR) AS src,
+             (CASE WHEN o_orderkey % 2 = 0 THEN 'K' ELSE 'k' END
+              || CAST(o_custkey % 50 AS VARCHAR)) AS key,
+             ['L' || CAST(o_orderkey % 3 AS VARCHAR),
+              'L' || CAST(o_custkey % 3 AS VARCHAR)] AS labels
+      FROM orders
+    ),
+    exploded AS (
+      SELECT DISTINCT id, src, lower(key) AS k, unnest(labels) AS label,
+             CASE src WHEN '3' THEN 1 WHEN '1' THEN 2 WHEN '5' THEN 3
+                      WHEN '0' THEN 4 WHEN '2' THEN 5 WHEN '4' THEN 6
+                      ELSE 1000000 END AS rank
+      FROM local
+    ),
+    winners AS (
+      SELECT k, label, id AS winner FROM (
+        SELECT k, label, id,
+               row_number() OVER (PARTITION BY k, label ORDER BY rank, src, id) AS rn
+        FROM exploded) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT e.id, e.label
+      FROM exploded e JOIN winners w
+        ON e.k = w.k AND e.label = w.label AND e.id = w.winner
+    )
+    SELECT l.id, coalesce(array_to_string(list_sort(list(DISTINCT k2.label)), '|'), '') AS labels
+    FROM (SELECT DISTINCT id FROM local) l
+    LEFT JOIN kept k2 ON l.id = k2.id
+    GROUP BY l.id ORDER BY l.id
+    """,
+)
+def groupcover_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 groupcover (reference: workflows/ai.py:250-342, Go groupcover
+    with preference list ai.py:300 and -lower). Synthetic local-data
+    table derived from orders: id/source/case-mixed key/label set;
+    preference order '3','1','5','0','2','4' ('6' unranked)."""
+    orders = _t(spark, sf_dir, "orders")
+    local = orders.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_custkey") % 7).cast("string").alias("src"),
+        F.concat(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("K")).otherwise(F.lit("k")),
+            (F.col("o_custkey") % 50).cast("string"),
+        ).alias("key"),
+        F.array(
+            F.concat(F.lit("L"), (F.col("o_orderkey") % 3).cast("string")),
+            F.concat(F.lit("L"), (F.col("o_custkey") % 3).cast("string")),
+        ).alias("labels"),
+    )
+    from siskin_spark.operators.dedup import groupcover
+
+    out = groupcover(
+        local,
+        id_col="id",
+        source_col="src",
+        key_col="key",
+        labels_col="labels",
+        preferences=("3", "1", "5", "0", "2", "4"),
+        lower_key=True,
+    )
+    return out.select(
+        "id", F.array_join("labels", "|").alias("labels")
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# J4/J5 reports
+
+
+@_q(
+    "orphan_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 anti-join diff report (reference: Crossref collections not in
+    AMSL, sources/crossref.py:333-416)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return joins.anti_report(cust, orders, on="c_custkey").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "membership_matrix",
+    """
+    WITH t AS (
+      SELECT DISTINCT l_partkey AS k, 'bulk' AS tag FROM lineitem WHERE l_quantity > 30
+      UNION ALL
+      SELECT DISTINCT l_partkey, 'cheap' FROM lineitem WHERE l_extendedprice < 5000
+      UNION ALL
+      SELECT DISTINCT l_partkey, 'returned' FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list(tag) FILTER (WHERE tag IS NOT NULL)), '|'),
+                    'NOT_FOUND') AS found_in
+    FROM part LEFT JOIN t ON p_partkey = k
+    GROUP BY p_partkey ORDER BY p_partkey
+    """,
+)
+def membership_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 multi-set membership matrix (reference: ISSN coverage report
+    'crossref|doaj|...' or NOT_FOUND, workflows/ai.py:571-645).
+    One union + one aggregation, not N sequential joins."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    out = joins.membership_matrix(
+        part.withColumnRenamed("p_partkey", "k"),
+        "k",
+        {
+            "bulk": li.filter(F.col("l_quantity") > 30).select(F.col("l_partkey").alias("k")),
+            "cheap": li.filter(F.col("l_extendedprice") < 5000).select(
+                F.col("l_partkey").alias("k")
+            ),
+            "returned": li.filter(F.col("l_returnflag") == "R").select(
+                F.col("l_partkey").alias("k")
+            ),
+        },
+    )
+    return out.select(F.col("k").alias("p_partkey"), "found_in").orderBy("p_partkey")
+
+
+@_q(
+    "pairwise_overlap",
+    """
+    WITH tagged AS (
+      SELECT DISTINCT o_custkey AS k, 'all_orders' AS tag FROM orders
+      UNION ALL
+      SELECT DISTINCT o_custkey, 'f_orders' FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT DISTINCT c_custkey, 'building' FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    sizes AS (SELECT tag, count(*) AS n FROM tagged GROUP BY tag)
+    SELECT a.tag AS tag_a, b.tag AS tag_b, min(sa.n) AS n_a, min(sb.n) AS n_b,
+           count(*) AS n_common
+    FROM tagged a JOIN tagged b ON a.k = b.k AND a.tag < b.tag
+    JOIN sizes sa ON sa.tag = a.tag
+    JOIN sizes sb ON sb.tag = b.tag
+    GROUP BY a.tag, b.tag ORDER BY tag_a, tag_b
+    """,
+)
+def pairwise_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 pairwise set-overlap stats (reference: DOI/ISSN overlap per
+    source pair, workflows/ai.py:432-486)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = joins.pairwise_overlap(
+        {
+            "all_orders": orders.select(F.col("o_custkey").alias("k")),
+            "f_orders": orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("k")
+            ),
+            "building": cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                F.col("c_custkey").alias("k")
+            ),
+        },
+        "k",
+    )
+    return out.orderBy("tag_a", "tag_b")
+
+
+@_q(
+    "set_algebra",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'a_minus_b' AS op, v FROM (SELECT v FROM a EXCEPT SELECT v FROM b)
+    UNION ALL
+    SELECT 'b_minus_a', v FROM (SELECT v FROM b EXCEPT SELECT v FROM a)
+    UNION ALL
+    SELECT 'a_and_b', v FROM (SELECT v FROM a INTERSECT SELECT v FROM b)
+    ORDER BY op, v
+    """,
+)
+def set_algebra_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 set-algebra report (reference: AMSL-vs-Crossref collection
+    diff, workflows/adhoc.py:77-103)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("v")
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("v")
+    )
+    parts = aggregates.set_algebra(a, b, "v")
+    out = aggregates.union_all(
+        [
+            parts["a_minus_b"].withColumn("op", F.lit("a_minus_b")),
+            parts["b_minus_a"].withColumn("op", F.lit("b_minus_a")),
+            parts["a_and_b"].withColumn("op", F.lit("a_and_b")),
+        ]
+    )
+    return out.select("op", "v").orderBy("op", "v")
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 broadcast enrichment + J6/J7 coverage
+
+
+@_q(
+    "brand_revenue",
+    """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 broadcast dimension enrichment + aggregation (reference:
+    ISSN->collection and DOI-prefix->publisher joins,
+    sources/jstor.py:618-788, crossref.py:578-653). The fact->dim join
+    broadcasts the small side; no shuffle of lineitem for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        joins.enrich_lookup(li, part, on="l_partkey", how="inner")
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_q(
+    "coverage_interval",
+    """
+    WITH holdings(ident, d_from, d_to) AS (
+      VALUES ('1-URGENT', DATE '1996-01-01', DATE '1998-12-31'),
+             ('1-URGENT', DATE '2000-01-01', NULL),
+             ('3-MEDIUM', NULL, DATE '1997-06-30'),
+             ('5-LOW',    DATE '1995-06-01', DATE '1999-01-15')
+    )
+    SELECT o_orderpriority,
+           SUM(CASE WHEN EXISTS (
+                 SELECT 1 FROM holdings h
+                 WHERE h.ident = o_orderpriority
+                   AND (h.d_from IS NULL OR o_orderdate >= h.d_from)
+                   AND (h.d_to   IS NULL OR o_orderdate <= CAST(h.d_to AS TIMESTAMP))
+               ) THEN 1 ELSE 0 END) AS n_covered,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def coverage_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7 KBART-style holdings coverage join (reference: span-tag
+    holdings predicate over [date_first_issue, date_last_issue] with
+    open bounds, sources/jstor.py:546-580, SURVEY §7.4). Equi-join on
+    identifier with date bounds as join residuals, aggregated back to a
+    per-record boolean."""
+    import datetime
+
+    orders = _t(spark, sf_dir, "orders")
+    holdings = spark.createDataFrame(
+        [
+            ("1-URGENT", datetime.date(1996, 1, 1), datetime.date(1998, 12, 31)),
+            ("1-URGENT", datetime.date(2000, 1, 1), None),
+            ("3-MEDIUM", None, datetime.date(1997, 6, 30)),
+            ("5-LOW", datetime.date(1995, 6, 1), datetime.date(1999, 1, 15)),
+        ],
+        "issn string, date_first_issue_online date, date_last_issue_online date",
+    )
+    rec = orders.withColumn("idents", F.array(F.col("o_orderpriority")))
+    covered = joins.coverage_interval_join(
+        rec,
+        holdings,
+        record_key="o_orderkey",
+        record_keys_col="idents",
+        date_col="o_orderdate",
+    )
+    return (
+        covered.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("covered").cast("long")).alias("n_covered"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "update_labels",
+    """
+    WITH records AS (
+      SELECT c_custkey, [c_mktsegment] AS labels FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, list_sort(['VIP', c_mktsegment]) AS labels
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT r.c_custkey,
+           array_to_string(coalesce(c.labels, r.labels), '|') AS labels
+    FROM records r LEFT JOIN changes c ON r.c_custkey = c.c_custkey
+    ORDER BY r.c_custkey
+    """,
+)
+def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/J3 label update join (reference: span-update-labels,
+    workflows/ai.py:310-342): replace label sets by id from a narrow
+    change table, keep old labels on misses."""
+    cust = _t(spark, sf_dir, "customer")
+    records = cust.select("c_custkey", F.array("c_mktsegment").alias("x_labels"))
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.array_sort(F.array(F.lit("VIP"), F.col("c_mktsegment"))).alias("labels"),
+    )
+    out = joins.update_labels(
+        records, changes, id_col="c_custkey", labels_col="x_labels", new_labels_col="labels"
+    )
+    return out.select(
+        "c_custkey", F.array_join("x_labels", "|").alias("labels")
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar function surface (M7/M8/M11/M13 flavored)
+
+
+@_q(
+    "string_functions",
+    """
+    SELECT doc_id,
+           str_split(text, ' ')[1] AS first_word,
+           len(str_split(text, ' ')) AS n_tokens,
+           upper(substring(text, 1, 3)) AS head3,
+           substring(text, 1, 50) AS truncated,
+           length(text) AS n_chars_computed,
+           md5(text) AS text_md5,
+           CASE WHEN position('spark' IN text) > 0 THEN true ELSE false END AS has_spark,
+           regexp_replace(text, 'slow', 'fast', 'g') LIKE '%fast%' AS replaced_has_fast
+    FROM documents ORDER BY doc_id
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string surface: split/first-of-array (M14 de_listify),
+    truncation (M7), case mapping, hashing, containment, regex replace
+    (reference citations in SURVEY §2.9)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_word"),
+        F.size(toks).alias("n_tokens"),
+        F.upper(F.substring("text", 1, 3)).alias("head3"),
+        transforms_truncate("text", 50).alias("truncated"),
+        F.length("text").alias("n_chars_computed"),
+        F.md5("text").alias("text_md5"),
+        (F.instr("text", "spark") > 0).alias("has_spark"),
+        F.regexp_replace("text", "slow", "fast").contains("fast").alias(
+            "replaced_has_fast"
+        ),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(month FROM o_orderdate) AS m,
+           CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE)::VARCHAR AS week_start,
+           CAST(CASE WHEN EXTRACT(day FROM o_orderdate) < 15
+                 THEN make_date(EXTRACT(year FROM o_orderdate - INTERVAL 1 MONTH)::INT,
+                                EXTRACT(month FROM o_orderdate - INTERVAL 1 MONTH)::INT, 15)
+                 ELSE make_date(EXTRACT(year FROM o_orderdate)::INT,
+                                EXTRACT(month FROM o_orderdate)::INT, 15)
+            END AS VARCHAR) AS jour_fixe,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date surface: year/month extraction, monthly/weekly snapping
+    (gluish ClosestDateParameter, sources/crossref.py:84-88), the
+    jour-fixe 15th-of-month rule (workflows/ai.py:213-219), day
+    arithmetic."""
+    from siskin_spark.operators import transforms as T
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        T.snap_monthly("o_orderdate").cast("string").alias("month_start"),
+        T.snap_weekly("o_orderdate").cast("string").alias("week_start"),
+        T.jour_fixe("o_orderdate").cast("string").alias("jour_fixe"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "json_extraction",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_value
+    FROM events ORDER BY event_id
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 jq-style field extraction from JSON payloads (reference: jq
+    projections, sources/crossref.py:287,316; ubiquitous)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "id_builder",
+    """
+    SELECT doc_id,
+           'ai-' || source || '-' ||
+           replace(replace(rtrim(to_base64(encode(CAST(doc_id AS VARCHAR))), '='),
+                   '+', '-'), '/', '_') AS finc_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def id_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 deterministic global id: ai-<sid>-<urlsafe_b64(record_id)>
+    without padding (reference: conversions.py:538-540)."""
+    from siskin_spark.operators import transforms as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.finc_id(F.col("source"), F.col("doc_id").cast("string")).alias("finc_id"),
+    ).orderBy("doc_id")
+
+
+def transforms_truncate(col: str, n: int):
+    from siskin_spark.operators import transforms as T
+
+    return T.truncate_str(col, n)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
