@@ -754,6 +754,351 @@ def transforms_truncate(col: str, n: int):
 
 
 # ---------------------------------------------------------------------------
+# §7.5 training-data pipeline: text analysis
+
+
+@_q(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_c,
+           CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_word_len,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) >=
+                     len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein')))
+                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) >=
+                     len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est')))
+                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) > 0
+                THEN 'en'
+                WHEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) >=
+                     len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est')))
+                 AND len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) > 0
+                THEN 'de'
+                WHEN len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est'))) > 0
+                THEN 'fr'
+                ELSE 'und' END AS predicted_lang,
+           (len(toks) >= 10 AND
+            CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) <= 12.0) AS keep
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 text analysis: token counts, Gopher/C4-style quality
+    features, stopword-ratio language id, keep decision. Pure column
+    expressions — one narrow map over the corpus, no shuffle."""
+    from siskin_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    ft = X.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ft["n_tokens"].alias("n_tokens"),
+        ft["n_chars"].alias("n_chars_c"),
+        ft["mean_word_len"].alias("mean_word_len"),
+        ft["stopword_ratio"].alias("stopword_ratio"),
+        ft["symbol_ratio"].alias("symbol_ratio"),
+        X.lang_id(X.tokens("text")).alias("predicted_lang"),
+        X.quality_keep("text").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 token counting: whitespace, BPE-ish regex, and chars/4
+    estimate."""
+    from siskin_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.regex_token_count("text").alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_tokens"),
+    ).orderBy("doc_id")
+
+
+# shared shingle CTE for the near-dup oracle SQL
+def _shingle_cte(where: str = "") -> str:
+    return f"""
+    toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents {where}),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      FROM idx
+    )"""
+
+
+_SIG_COLS = ",\n             ".join(
+    f"coalesce(min(substring(md5('{i}:' || sh), 1, 8)), 'ffffffff') AS s{i}"
+    for i in range(16)
+)
+_SIG_JOIN = " || '|' || ".join(f"s{i}" for i in range(16))
+_BAND_KEYS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, '{b}|' || s{4*b} || '|' || s{4*b+1} || '|' || s{4*b+2} || '|' || s{4*b+3} AS key FROM sig"
+    for b in range(4)
+)
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH {_shingle_cte()},
+    sig AS (
+      SELECT d.doc_id, {_SIG_COLS}
+      FROM documents d LEFT JOIN shingles ON d.doc_id = shingles.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, {_SIG_JOIN} AS signature FROM sig ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 MinHash signatures (k=16, word 3-gram shingles, md5-seeded
+    portable hashes — see functions/similarity.py docstring)."""
+    from siskin_spark.operators.neardup import minhash_table
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_table(docs)
+    return out.select(
+        "doc_id", F.array_join("signature", "|").alias("signature")
+    ).orderBy("doc_id")
+
+
+@_q(
+    "minhash_lsh_candidates",
+    f"""
+    WITH {_shingle_cte()},
+    sig AS (
+      SELECT shingles.doc_id, {_SIG_COLS}
+      FROM shingles GROUP BY shingles.doc_id
+    ),
+    bands AS (
+{_BAND_KEYS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, n_inter, na.n AS n_a, nb.n AS n_b,
+           CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = id_a
+    JOIN counts nb ON nb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 MinHash+LSH near-dup pipeline: signatures -> band bucketing
+    (one shuffle, no all-pairs join) -> candidate pairs -> exact-Jaccard
+    verification >= 0.5. The 100 TB dedup path."""
+    from siskin_spark.operators.neardup import exact_jaccard, lsh_candidates, shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidates(docs)
+    sh = shingle_table(docs)
+    out = exact_jaccard(cands, sh)
+    return out.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_shingle_cte("WHERE doc_id % 4 = 0")},
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT id_a, id_b, n_inter, na.n AS n_a, nb.n AS n_b,
+           CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = id_a
+    JOIN counts nb ON nb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 brute-force n-gram Jaccard near-dup (oracle/baseline path;
+    sampled to doc_id % 4 == 0 so the all-pairs expansion stays
+    bounded — at scale use the LSH path)."""
+    from siskin_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_U32 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(hx, {i+1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@_q(
+    "simhash",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_U32} AS v
+      FROM (SELECT doc_id, substring(md5(tok), 1, 8) AS hx FROM tok)
+    ),
+    votes AS (
+      SELECT doc_id, i AS bit,
+             SUM(CASE WHEN (v >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, generate_series(0, 31) AS g(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 SimHash (32-bit, per-bit majority over distinct-token md5
+    hashes). Hamming-adjacent simhashes = near-dups."""
+    from siskin_spark.operators.neardup import simhash_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_table(docs).orderBy("doc_id")
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    WITH {_shingle_cte()},
+    fp AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list(DISTINCT substring(md5('0:' || sh), 1, 8)))[1:4], '|') AS f
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(fp.f, '') AS fingerprint
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 winnowing-style document fingerprint: 4 smallest shingle
+    hashes joined — a compact near-dup prefilter key."""
+    from siskin_spark.functions.similarity import fingerprint, word_shingles
+    from siskin_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint(word_shingles(tokens("text"))).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §7.5 similarity search over embeddings
+
+
+_COS = (
+    "list_dot_product(pv, iv) / "
+    "(sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(iv, iv)))"
+)
+
+
+@_q(
+    "cosine_topk",
+    f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    i AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS iv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT probe_id, neighbor_id, {_COS} AS cos_sim
+      FROM p, i WHERE probe_id <> neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 brute-force cosine top-k ANN baseline: broadcast probes x
+    index map-side nested loop + per-probe top-k window. Fold-order-
+    deterministic double math -> bit-identical to the oracle."""
+    from siskin_spark.functions.vectors import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(probes, emb, k=5).orderBy("probe_id", "rank")
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j+1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(6)
+)
+
+
+@_q(
+    "ann_sign_buckets",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE vec_id % 100 = 0),
+    i AS (SELECT vec_id AS neighbor_id, v AS iv, bucket FROM e),
+    scored AS (
+      SELECT probe_id, neighbor_id,
+             list_dot_product(pv, iv) /
+             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(iv, iv))) AS cos_sim
+      FROM p JOIN i USING (bucket) WHERE probe_id <> neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+)
+def ann_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 bucketed ANN (LSH scale path): probes scan only their
+    sign-bucket — an equi-join on bucket id instead of a cross join."""
+    from siskin_spark.functions.vectors import bucketed_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return bucketed_ann_topk(probes, emb, k=5).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 

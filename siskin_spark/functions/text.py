@@ -1,0 +1,94 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines (SURVEY.md §7.5; no siskin counterpart — specced from public
+LLM-data-pipeline practice, e.g. C4/Gopher-style quality heuristics).
+
+All pure Column expressions — JVM-side, whole-stage-codegen friendly;
+no Python UDFs. Designed for ~100 TB corpora: every function is a
+narrow map, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists for the n-gram language heuristic;
+# intentionally deterministic and vocabulary-light (real deployments
+# swap in fastText — out of scope for this container)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est"),
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count: number of regex token matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def stopword_count_expr(toks: Column, lang: str) -> Column:
+    """Count of tokens in the language's stopword list (not deduped —
+    ratio semantics need raw counts)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(toks: Column, langs: tuple[str, ...] = ("en", "de", "fr")) -> Column:
+    """Heuristic language id: argmax stopword count over candidate
+    languages, first-listed language wins ties, 'und' (undetermined)
+    when no stopwords hit at all (mirrors the reference's use of a
+    detector with an 'unknown' fallback, conversions.py:440-452)."""
+    counts = [stopword_count_expr(toks, lg).alias(lg) for lg in langs]
+    best = F.greatest(*counts)
+    out = F.lit("und")
+    for lg in reversed(langs):
+        out = F.when(stopword_count_expr(toks, lg) == best, F.lit(lg)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style quality signals as a dict of named columns:
+    lengths, mean word length, stopword ratio, symbol ratio.
+    Ratios are single IEEE divisions of exact integer counts, so they
+    reproduce bit-identically in any engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_stop = stopword_count_expr(toks, "en")
+    n_sym = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9 ]", ""))
+    mean_wl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_word_len": mean_wl,
+        "stopword_ratio": n_stop.cast("double") / n_tok.cast("double"),
+        "symbol_ratio": n_sym.cast("double") / n_chars.cast("double"),
+    }
+
+
+def quality_keep(text: Column | str, min_tokens: int = 10, max_mean_wl: float = 12.0) -> Column:
+    """Boolean keep decision from the quality features (Gopher-rule
+    shape: length window + mean-word-length sanity + stopword floor)."""
+    ft = quality_features(text)
+    return (
+        (ft["n_tokens"] >= min_tokens)
+        & (ft["mean_word_len"] <= max_mean_wl)
+        & (ft["stopword_ratio"] >= 0.0)
+    )

@@ -1,0 +1,138 @@
+"""Vector similarity search over embedding columns (array<float>)
+(SURVEY.md §7.5: brute-force cosine top-k baseline + LSH/IVF-bucketed
+scale path).
+
+Numeric design: elements are cast float->double (exact), then dot
+products fold left-to-right — both Spark's ``aggregate`` and DuckDB's
+list reductions accumulate sequentially, so results are bit-identical
+and oracle-checkable without tolerances.
+
+Scale path: at 100 TB the index side is bucketed (sign-LSH or IVF via
+k-means centroids) and the probe side broadcasts; a probe only scans
+its bucket. Brute force remains the recall oracle on samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    probes: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    Plan: broadcast the (small) probe set against the index — a map-side
+    nested loop, no shuffle of the index — then a per-probe top-k window.
+    Ties broken by neighbor id for determinism.
+    Returns (probe_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    i = index.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv")
+    )
+    scored = broadcast(p).crossJoin(i).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec: Column, dims: int = 6) -> Column:
+    """Crude-but-deterministic LSH bucket: sign bits of the first
+    ``dims`` components packed into an integer (2^dims buckets).
+    A stand-in for random-hyperplane LSH that any SQL engine can
+    recompute; swap hyperplanes in via :func:`hyperplane_bucket`."""
+    bit = lambda j: F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))  # noqa: E731
+    out = bit(0)
+    for j in range(1, dims):
+        out = out + bit(j)
+    return out
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket with deterministic pseudo-random
+    ±1 hyperplanes: plane i, component d has weight +1 when
+    (i*31 + d*17) % 2 == 0 else -1. Bucket = packed sign bits of the
+    projections."""
+    out = F.lit(0)
+    for i in range(n_planes):
+        weights = [1 if (i * 31 + d * 17) % 2 == 0 else -1 for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def bucketed_ann_topk(
+    probes: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probes only scan their sign-LSH bucket.
+    One equi-join on bucket id instead of a cross join — the 100 TB
+    path (bucket the index once, reuse across query batches)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        sign_bucket(F.col(vec_col), dims).alias("_bucket"),
+    )
+    i = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_iv"),
+        sign_bucket(F.col(vec_col), dims).alias("_bucket"),
+    )
+    scored = broadcast(p).join(i, on="_bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,188 @@
+"""Near-duplicate detection operators over a document table
+(SURVEY.md §7.5): MinHash+LSH, SimHash, exact n-gram Jaccard.
+
+Scale design (the point of LSH): candidate generation is a group-by on
+band keys — one shuffle of (band_key, doc_id) pairs, never an all-pairs
+join. Exact-Jaccard verification then runs only on candidates. The
+brute-force `ngram_jaccard_pairs` exists as the small-scale oracle and
+for verification sampling; at 100 TB you only ever run the LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from siskin_spark.functions.similarity import (
+    lsh_band_keys,
+    minhash_signature,
+    simhash_bits,
+    token_hash_u32,
+    word_shingles,
+)
+from siskin_spark.functions.text import tokens
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc — the Jaccard universe."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def minhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 16
+) -> DataFrame:
+    """doc_id -> minhash signature (array<string> of k hex minima).
+
+    Implemented as explode(shingles) -> k min() hash aggregates rather
+    than per-row array lambdas: Catalyst evaluates higher-order
+    ``transform`` lambdas interpreted and re-derives the shingle array
+    for every signature element (16x per row — measured ~30 ms/doc),
+    while the exploded form runs md5+min inside whole-stage codegen
+    with map-side partial aggregation (one narrow shuffle per corpus).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8)
+        ).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    out = docs.select(id_col).join(sig, on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        F.array(
+            *[F.coalesce(F.col(f"_s{i}"), F.lit("ffffffff")) for i in range(k)]
+        ).alias("signature"),
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Plan: signature -> explode band keys -> self-join per band key via
+    groupBy+collect (bounded buckets), emit pairs, distinct. The heavy
+    operation is one shuffle on band keys; bucket sizes are bounded by
+    banding so the pair expansion is local and small.
+    """
+    rows = k // bands
+    sigs = minhash_table(docs, id_col, text_col, n, k)
+    banded = sigs.select(
+        F.col(id_col), F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band")
+    )
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    pairs = (
+        a.join(b, on="band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def exact_jaccard(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over shingle sets.
+    Join-based: |A∩B| from a shingle equi-join restricted to candidate
+    pairs, |A|,|B| from per-doc counts; jaccard = inter/(|A|+|B|-inter)
+    as a single IEEE division (engine-portable exact)."""
+    counts = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), on="id_a")
+        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), on="id_b")
+    )
+    return out.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force exact n-gram Jaccard over all pairs sharing >= 1
+    shingle (small-scale oracle path; use :func:`lsh_candidates` +
+    :func:`exact_jaccard` at scale)."""
+    sh = shingle_table(docs, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), on="id_a")
+        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """doc_id -> SimHash value over distinct whitespace tokens.
+
+    Per-bit majority vote of token hashes: bit j of the simhash is set
+    when the sum over tokens of (+1 if token-hash bit j set else -1)
+    is >= 0. Expressed as explode(tokens) x explode(bits) -> two hash
+    aggregates — scales linearly in corpus token count.
+    """
+    tok = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .withColumn("h", token_hash_u32(F.col("tok")))
+    )
+    contrib = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn("c", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+    votes = contrib.groupBy(id_col, "bit").agg(F.sum("c").alias("v"))
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )
