@@ -1099,6 +1099,122 @@ def ann_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6 licensing engine + windowed aggregation on the synthetic tables
+
+
+@_q(
+    "licensing_tag",
+    """
+    WITH holdings(ident, d_from, d_to) AS (
+      VALUES ('3',  DATE '1996-01-01', DATE '1999-12-31'),
+             ('7',  NULL,              DATE '1997-06-30'),
+             ('11', DATE '1995-06-01', NULL)
+    ),
+    rec AS (
+      SELECT o_orderkey, o_orderpriority AS src, o_orderstatus AS coll,
+             CAST(o_custkey % 20 AS VARCHAR) AS issn,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    flags AS (
+      SELECT o_orderkey,
+             ((src IN ('1-URGENT','2-HIGH') AND coll = 'F')
+              OR (src = '5-LOW' AND EXISTS (
+                    SELECT 1 FROM holdings h WHERE h.ident = rec.issn
+                      AND (h.d_from IS NULL OR rec.d >= h.d_from)
+                      AND (h.d_to   IS NULL OR rec.d <= h.d_to)))) AS isil_a,
+             (issn IN ('3','7','11')) AS isil_b,
+             (src = '3-MEDIUM' AND NOT coll = 'O') AS isil_c
+      FROM rec
+    )
+    SELECT o_orderkey,
+           coalesce(array_to_string(list_sort(list_filter(
+             [CASE WHEN isil_a THEN 'ISIL-A' END,
+              CASE WHEN isil_b THEN 'ISIL-B' END,
+              CASE WHEN isil_c THEN 'ISIL-C' END], x -> x IS NOT NULL)), '|'), '') AS labels
+    FROM flags ORDER BY o_orderkey
+    """,
+)
+def licensing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 span-tag centerpiece (SURVEY §7.4) run through the real
+    licensing compiler: orders mapped to the IS record shape
+    (source/collection/ISSN/date), a 3-ISIL config with OR/AND/NOT,
+    literal predicates and a KBART-style holdings interval join."""
+    import datetime
+
+    from siskin_spark.operators.licensing import attach_labels
+
+    orders = _t(spark, sf_dir, "orders")
+    rec = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("finc_source_id"),
+        F.array(F.col("o_orderstatus")).alias("finc_mega_collection"),
+        F.array((F.col("o_custkey") % 20).cast("string")).alias("rft_issn"),
+        F.lit(None).cast("array<string>").alias("rft_eissn"),
+        F.lit(None).cast("array<string>").alias("subjects"),
+        F.lit(None).cast("array<string>").alias("rft_isbn"),
+        F.col("o_orderkey").cast("string").alias("finc_record_id"),
+        F.col("o_orderdate").alias("x_date"),
+    )
+    holdings = spark.createDataFrame(
+        [
+            ("f1", "3", None, datetime.date(1996, 1, 1), datetime.date(1999, 12, 31)),
+            ("f1", "7", None, None, datetime.date(1997, 6, 30)),
+            ("f1", "11", None, datetime.date(1995, 6, 1), None),
+        ],
+        "file_uri string, print_identifier string, online_identifier string,"
+        "date_first_issue_online date, date_last_issue_online date",
+    )
+    config = {
+        "ISIL-A": {
+            "or": [
+                {"and": [{"source": ["1-URGENT", "2-HIGH"]}, {"collection": ["F"]}]},
+                {"and": [{"source": ["5-LOW"]}, {"holdings": {"files": ["f1"]}}]},
+            ]
+        },
+        "ISIL-B": {"issn": {"list": ["3", "7", "11"]}},
+        "ISIL-C": {"and": [{"source": ["3-MEDIUM"]}, {"not": {"collection": ["O"]}}]},
+    }
+    out = attach_labels(rec, config, holdings=holdings, id_col="o_orderkey")
+    return out.select(
+        "o_orderkey", F.array_join("x_labels", "|").alias("labels")
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "windowed_events",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental-batch shape: tumbling 1-day event windows via
+    F.window (the exact groupBy a Structured Streaming job would run;
+    batch and stream share this plan — see siskin_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 

@@ -1,0 +1,106 @@
+"""Export projections (SURVEY.md §2.1 K-sinks, §2.2 M12): the
+solr5vu3-shaped discovery projection and the OpenURL context-object
+builder, as pure ``select`` expression bundles.
+
+Field surface per reference sources/base.py:174-213 (solr) and
+openurl.py:31-172 (OpenURL); cited there, re-derived for Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def solr_export(df: DataFrame, fullrecord: bool = False) -> DataFrame:
+    """Project intermediate-schema records to the discovery (solr5vu3)
+    document shape (reference: span-export -o solr5vu3; field surface
+    sources/base.py:174-213). Pure projection — stays in codegen."""
+    first_author = F.element_at(F.col("authors"), 1)
+    author_name = F.coalesce(
+        first_author.getField("rft_au"),
+        F.concat_ws(
+            ", ",
+            first_author.getField("rft_aulast"),
+            first_author.getField("rft_aufirst"),
+        ),
+    )
+    cols = [
+        F.col("finc_id").alias("id"),
+        F.lit("is").alias("recordtype"),
+        F.coalesce(F.col("rft_atitle"), F.col("rft_btitle"), F.col("rft_jtitle")).alias(
+            "title"
+        ),
+        F.coalesce(F.col("rft_atitle"), F.col("rft_btitle"), F.col("rft_jtitle")).alias(
+            "title_full"
+        ),
+        F.substring(
+            F.coalesce(F.col("rft_atitle"), F.col("rft_btitle"), F.col("rft_jtitle")),
+            1,
+            255,
+        ).alias("title_short"),
+        F.lower(
+            F.coalesce(F.col("rft_atitle"), F.col("rft_btitle"), F.col("rft_jtitle"))
+        ).alias("title_sort"),
+        F.transform(
+            F.coalesce(F.col("authors"), F.array().cast(df.schema["authors"].dataType)),
+            lambda a: F.coalesce(
+                a.getField("rft_au"),
+                F.concat_ws(", ", a.getField("rft_aulast"), a.getField("rft_aufirst")),
+            ),
+        ).alias("author"),
+        author_name.alias("author_sort"),
+        F.regexp_extract(F.col("rft_date"), r"(\d{4})", 1).alias("publishDate"),
+        F.col("x_labels").alias("institution"),
+        F.col("finc_mega_collection").alias("mega_collection"),
+        F.col("finc_source_id").alias("source_id"),
+        F.col("finc_format").alias("format"),
+        F.col("languages").alias("language"),
+        F.col("url"),
+        F.col("doi"),
+    ]
+    if fullrecord:
+        cols.append(F.to_json(F.struct(*df.columns)).alias("fullrecord"))
+    return df.select(*cols)
+
+
+def openurl_params(genre_col: str = "rft_genre") -> Column:
+    """M12: IS record -> Z39.88 OpenURL key/value context object as a
+    map<string,string> (reference: openurl.py:31-172). Genre-dependent
+    field sets: journal/article vs book; first author only; DOI as
+    rft_id=info:doi/...; url_ver/url_ctx_fmt constants."""
+    genre = F.coalesce(F.col(genre_col), F.lit("article"))
+    is_book = genre.isin("book", "bookitem", "conference", "proceeding", "report")
+    first_author = F.element_at(F.col("authors"), 1)
+
+    def entry(k: str, v: Column) -> Column:
+        return F.when(v.isNotNull() & (v != ""), F.struct(F.lit(k).alias("key"), v.alias("value")))
+
+    pairs = [
+        entry("url_ver", F.lit("Z39.88-2004")),
+        entry("ctx_ver", F.lit("Z39.88-2004")),
+        entry(
+            "rft_val_fmt",
+            F.when(is_book, F.lit("info:ofi/fmt:kev:mtx:book")).otherwise(
+                F.lit("info:ofi/fmt:kev:mtx:journal")
+            ),
+        ),
+        entry("rft.genre", genre),
+        entry("rft.atitle", F.col("rft_atitle")),
+        entry("rft.btitle", F.when(is_book, F.col("rft_btitle"))),
+        entry("rft.jtitle", F.when(~is_book, F.col("rft_jtitle"))),
+        entry("rft.date", F.col("rft_date")),
+        entry("rft.volume", F.col("rft_volume")),
+        entry("rft.issue", F.col("rft_issue")),
+        entry("rft.spage", F.col("rft_spage")),
+        entry("rft.epage", F.col("rft_epage")),
+        entry("rft.pages", F.col("rft_pages")),
+        entry("rft.issn", F.element_at(F.col("rft_issn"), 1)),
+        entry("rft.isbn", F.element_at(F.col("rft_isbn"), 1)),
+        entry("rft.aulast", first_author.getField("rft_aulast")),
+        entry("rft.aufirst", first_author.getField("rft_aufirst")),
+        entry("rft.au", first_author.getField("rft_au")),
+        entry("rft_id", F.when(F.col("doi").isNotNull(), F.concat(F.lit("info:doi/"), F.col("doi")))),
+    ]
+    kvs = F.array_compact(F.array(*pairs))
+    return F.map_from_entries(kvs)

@@ -1,0 +1,122 @@
+"""Canonical intermediate-schema StructType and field-name bijection
+(SURVEY.md §1).
+
+The reference's wire format is one JSON object per line with dotted
+field names (``finc.id``, ``rft.atitle``, ``x.labels``); the engine
+normalizes them to underscore names with a documented bijection
+(dots -> underscores on the known-field list only, so round-tripping is
+exact). Persisted as Parquet(zstd) instead of ndjson+zstd.
+
+Field surface per reference conversions.py:310-335,477-511,542-572 and
+openurl.py:64-162; see FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AUTHOR_TYPE = T.StructType(
+    [
+        T.StructField("rft_au", T.StringType()),
+        T.StructField("rft_aufirst", T.StringType()),
+        T.StructField("rft_aulast", T.StringType()),
+        T.StructField("rft_auinit", T.StringType()),
+        T.StructField("rft_aucorp", T.StringType()),
+        T.StructField("rft_ausuffix", T.StringType()),
+    ]
+)
+
+_S = T.StringType()
+_AS = T.ArrayType(T.StringType())
+
+INTERMEDIATE_SCHEMA = T.StructType(
+    [
+        T.StructField("finc_id", _S),
+        T.StructField("finc_record_id", _S),
+        T.StructField("finc_source_id", _S),
+        T.StructField("finc_mega_collection", _AS),
+        T.StructField("finc_format", _S),
+        T.StructField("rft_atitle", _S),
+        T.StructField("rft_jtitle", _S),
+        T.StructField("rft_btitle", _S),
+        T.StructField("rft_stitle", _S),
+        T.StructField("rft_date", _S),
+        T.StructField("x_date", T.TimestampType()),
+        T.StructField("rft_volume", _S),
+        T.StructField("rft_issue", _S),
+        T.StructField("rft_pages", _S),
+        T.StructField("rft_spage", _S),
+        T.StructField("rft_epage", _S),
+        T.StructField("rft_tpages", _S),
+        T.StructField("rft_genre", _S),
+        T.StructField("rft_series", _S),
+        T.StructField("rft_edition", _S),
+        T.StructField("rft_artnum", _S),
+        T.StructField("rft_issn", _AS),
+        T.StructField("rft_eissn", _AS),
+        T.StructField("rft_isbn", _AS),
+        T.StructField("rft_pub", _AS),
+        T.StructField("rft_place", _AS),
+        T.StructField("authors", T.ArrayType(AUTHOR_TYPE)),
+        T.StructField("doi", _S),
+        T.StructField("url", _AS),
+        T.StructField("abstract", _S),
+        T.StructField("languages", _AS),
+        T.StructField("subjects", _AS),
+        T.StructField("x_labels", _AS),
+        T.StructField("x_oa", T.BooleanType()),
+        T.StructField("x_fulltext", _S),
+        T.StructField("x_subtitle", _S),
+        T.StructField("version", _S),
+    ]
+)
+
+# wire-name bijection: dotted JSON keys <-> underscore column names
+WIRE_TO_COL = {
+    f.name.replace("finc_", "finc.", 1)
+    .replace("rft_", "rft.", 1)
+    .replace("x_", "x.", 1): f.name
+    for f in INTERMEDIATE_SCHEMA.fields
+    if f.name != "authors" and f.name != "doi" and f.name != "url"
+    and f.name not in ("abstract", "languages", "subjects", "version")
+}
+WIRE_TO_COL.update(
+    {n: n for n in ("authors", "doi", "url", "abstract", "languages", "subjects", "version")}
+)
+COL_TO_WIRE = {v: k for k, v in WIRE_TO_COL.items()}
+
+
+def issns_all(df_or_none=None) -> F.Column:
+    """Union of print + e-ISSNs as one array (null-safe) — the join key
+    shape used by holdings evaluation (reference: jstor.py:628-640)."""
+    return F.array_union(
+        F.coalesce(F.col("rft_issn"), F.array().cast("array<string>")),
+        F.coalesce(F.col("rft_eissn"), F.array().cast("array<string>")),
+    )
+
+
+def read_is_ndjson(spark, path: str) -> DataFrame:
+    """Read wire-format ndjson (dotted keys) into the canonical frame."""
+    raw = spark.read.schema(_wire_schema()).json(path)
+    return raw.select(
+        *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
+    )
+
+
+def write_is_ndjson(df: DataFrame, path: str) -> None:
+    """Write the canonical frame back to wire-format ndjson."""
+    out = df.select(
+        *[F.col(c).alias(w) for c, w in COL_TO_WIRE.items() if c in df.columns]
+    )
+    out.write.mode("overwrite").json(path, compression="gzip")
+
+
+def _wire_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(COL_TO_WIRE[f.name], f.dataType)
+            for f in INTERMEDIATE_SCHEMA.fields
+        ]
+    )

@@ -1,0 +1,118 @@
+"""Golden tests for the licensing engine (J6/J7), OA flagger, dedup and
+export operators over FIXTURES.md-shaped domain data — the reference's
+table-driven golden-test style (test_conversions.py / test_openurl.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from siskin_spark.operators import dedup
+from siskin_spark.operators.export import openurl_params, solr_export
+from siskin_spark.operators.licensing import apply_oa_flag, attach_labels
+from siskin_spark.operators.transforms import redact
+from tests.fixtures import FILTER_CONFIG, is_records, kbart_holdings
+
+
+def _labels(spark):
+    recs = is_records(spark)
+    out = attach_labels(recs, FILTER_CONFIG, holdings=kbart_holdings(spark))
+    return {r["finc_id"]: list(r["x_labels"]) for r in out.collect()}
+
+
+def test_attach_labels_golden(spark):
+    got = _labels(spark)
+    assert got["ai-55-c1"] == ["DE-15", "FID-BBI-DE-23"]  # holdings window hit + subject
+    assert got["ai-55-c2"] == ["FID-BBI-DE-23"]  # 2024 outside 1950-2000 window
+    assert got["ai-28-b1"] == ["DE-15", "FID-BBI-DE-23"]  # DOAJ branch + subject
+    assert got["ai-49-a1"] == ["DE-14"]  # eissn list hit
+    assert got["ai-49-a2"] == []  # no eissn -> no match
+
+
+def test_attach_labels_drop_unlabeled(spark):
+    recs = is_records(spark)
+    out = attach_labels(
+        recs, FILTER_CONFIG, holdings=kbart_holdings(spark), drop_unlabeled=True
+    )
+    assert sorted(r["finc_id"] for r in out.collect()) == [
+        "ai-28-b1", "ai-49-a1", "ai-55-c1", "ai-55-c2",
+    ]
+
+
+def test_oa_flag(spark):
+    recs = is_records(spark)
+    oa_issns = spark.createDataFrame([("5555-6666",)], "issn string")
+    out = apply_oa_flag(
+        recs,
+        oa_issns=oa_issns,
+        free_collections=["Crossref General"],
+        oa_source_ids=["105"],
+        excluded_source_ids=["55"],
+    )
+    got = {r["finc_id"]: r["x_oa"] for r in out.collect()}
+    assert got == {
+        "ai-49-a1": True,   # free collection
+        "ai-49-a2": True,   # free collection
+        "ai-28-b1": True,   # OA ISSN
+        "ai-55-c1": False,  # excluded source
+        "ai-55-c2": False,
+    }
+
+
+def test_doi_groupcover_chain(spark):
+    """D5+J3 over domain rows: case-insensitive DOI grouping, preferred
+    source keeps the label."""
+    recs = is_records(spark)
+    labeled = attach_labels(recs, FILTER_CONFIG, holdings=kbart_holdings(spark))
+    local = labeled.select(
+        F.col("finc_id"), F.col("finc_source_id"), F.col("doi"),
+        F.col("x_labels").alias("labels"),
+    ).filter(F.size("x_labels") > 0)
+    covered = dedup.groupcover(local, key_col="doi", labels_col="labels")
+    got = {r["finc_id"]: list(r["labels"]) for r in covered.collect()}
+    # 10.1000/a1 vs 10.1000/A1 group: only a1 had labels -> keeps them
+    assert got["ai-49-a1"] == ["DE-14"]
+
+
+def test_redact(spark):
+    recs = is_records(spark)
+    out = redact(recs)
+    assert "x_fulltext" not in out.columns
+
+
+def test_solr_export_golden(spark):
+    recs = is_records(spark)
+    out = solr_export(recs)
+    row = {r["id"]: r for r in out.collect()}["ai-49-a1"]
+    assert row["title"] == "On Sorting Networks"
+    assert row["publishDate"] == "1996"
+    assert row["author"] == ["Doe, J."]
+    assert row["recordtype"] == "is"
+    book = {r["id"]: r for r in out.collect()}["ai-55-c1"]
+    assert book["title"] == "The Baroque Violin"
+    assert book["author"] == ["Smith, A."]
+
+
+def test_openurl_golden(spark):
+    recs = is_records(spark)
+    out = recs.select("finc_id", openurl_params().alias("p"))
+    p = {r["finc_id"]: r["p"] for r in out.collect()}
+    a1 = p["ai-49-a1"]
+    assert a1["rft.genre"] == "article"
+    assert a1["rft.jtitle"] == "J Algo"
+    assert a1["rft.issn"] == "1111-2222"
+    assert a1["rft_id"] == "info:doi/10.1000/a1"
+    assert a1["rft.aulast"] == "Doe"
+    assert "rft.btitle" not in a1
+    c1 = p["ai-55-c1"]
+    assert c1["rft_val_fmt"] == "info:ofi/fmt:kev:mtx:book"
+    assert c1["rft.btitle"] == "The Baroque Violin"
+    assert "rft.jtitle" not in c1
+
+
+def test_snapshot_latest_doi(spark):
+    """D1 over domain rows: newest x_date per lowercased DOI."""
+    recs = is_records(spark).filter(F.col("doi").isNotNull())
+    keyed = recs.withColumn("_doi", F.lower(F.col("doi")))
+    snap = dedup.snapshot_latest(keyed, ["_doi"], ["x_date", "finc_id"])
+    got = sorted(r["finc_id"] for r in snap.collect())
+    assert got == ["ai-28-b1", "ai-49-a2", "ai-55-c2"]
