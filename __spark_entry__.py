@@ -1214,6 +1214,63 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "normalize_mapping",
+    """
+    SELECT 'ai-doc-' ||
+             replace(replace(rtrim(to_base64(encode(CAST(doc_id AS VARCHAR))), '='),
+                     '+', '-'), '/', '_') AS finc_id,
+           CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                     WHEN 'fr' THEN 'French' ELSE 'Other' END AS language_name,
+           substring(text, 1, 40) AS abstract,
+           CASE WHEN regexp_extract(source, '([0-9]+)', 1) = ''
+                THEN NULL ELSE regexp_extract(source, '([0-9]+)', 1) END AS source_num
+    FROM documents ORDER BY finc_id
+    """,
+)
+def normalize_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M6: declarative mapping-spec normalizer (the Metafacture-morph
+    equivalent, assets/arxiv/121_morph.xml) — lookup table, id builder,
+    truncation, regex extraction compiled to one projection."""
+    from siskin_spark.operators.normalize import apply_mapping
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = {
+        "finc_id": {"finc_id": {"source_id": "doc", "record_col": "_rid"}},
+        "language_name": {
+            "map": {
+                "from": "lang",
+                "table": {"en": "English", "de": "German", "fr": "French"},
+                "default": "Other",
+            }
+        },
+        "abstract": {"truncate": {"from": "text", "len": 40}},
+        "source_num": {"regex": {"from": "source", "pattern": "([0-9]+)"}},
+    }
+    return (
+        apply_mapping(docs.withColumn("_rid", F.col("doc_id").cast("string")), spec)
+        .orderBy("finc_id")
+    )
+
+
+@_q("multimodal_features")  # no SQL oracle: mapInPandas decode plumbing
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 multimodal: binary media column -> mapInPandas feature
+    extraction (deterministic stub decoder; see operators/multimodal.py
+    — rows-only driver check, the decode itself is not SQL-expressible)."""
+    from siskin_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_features(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
