@@ -1271,6 +1271,194 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).orderBy("media_id")
 
 
+@_q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 top-k with deterministic tie-break (the reference's
+    head/limit inspection + external sorts; Spark plans this as
+    TakeOrderedAndProject — no full sort, no full shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(25)
+
+
+@_q(
+    "overlap_enumeration",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY k
+    """,
+)
+def overlap_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 overlap enumeration: list the common keys for one source pair
+    (reference: common ISSNs per pair, workflows/ai.py:488-513)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+@_q(
+    "checksums",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           rtrim(to_base64(encode(substring(text, 1, 12))), '=') AS head_b64,
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+    FROM documents ORDER BY doc_id
+    """,
+)
+def checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 checksum/encoding surface (reference: sha1 artifact
+    checksums common.py:89-96, base64 ids, hex dumps)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.regexp_replace(
+            F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")), "=+$", ""
+        ).alias("head_b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sessionization: F.session_window with a 30-minute gap —
+    the Structured Streaming session operator run in batch (same plan
+    streams with a watermark; oracle = gap-and-cumsum window SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@_q(
+    "embedding_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 embedding-cosine near-duplicate detection: pairs above a
+    0.95 cosine threshold (sampled; at scale, prefilter pairs through
+    sign_bucket LSH so only bucket-mates are compared)."""
+    from siskin_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.95).orderBy("id_a", "id_b")
+
+
+@_q(
+    "ann_ivf",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv, cid FROM assigned WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT probe_id, i.vec_id AS neighbor_id,
+             list_dot_product(pv, i.v) /
+             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(i.v, i.v))) AS cos_sim
+      FROM p JOIN assigned i USING (cid)
+      WHERE probe_id <> i.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 IVF-flat ANN: assign every vector to its nearest of 8 fixed
+    centroids (IVF cells), probes search only their cell (nprobe=1).
+    Centroids here are seed vectors for oracle determinism; at scale
+    they come from a k-means sample fit, and the cell assignment is the
+    same one equi-join."""
+    from siskin_spark.functions.vectors import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(emb, centroids)
+    probes = assigned.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(probes, assigned, k=5).orderBy("probe_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 

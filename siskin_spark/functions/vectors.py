@@ -104,6 +104,64 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return out
 
 
+def ivf_assign(
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF cell) by cosine.
+
+    ``centroids`` is (cid, cv) — small (k-means fit on a sample at
+    scale), so it broadcasts; the index never shuffles for assignment.
+    Ties broken by cid. Returns the index columns plus ``cid``.
+    """
+    from pyspark.sql import Window
+
+    scored = index.crossJoin(broadcast(centroids)).withColumn(
+        "_csim", cosine(F.col(vec_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim", "cv")
+    )
+
+
+def ivf_topk(
+    probes: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Per-probe top-k within the probe's IVF cell (nprobe=1): one
+    equi-join on cid replaces the cross join — the 100 TB path, since
+    each probe scans ~1/n_cells of the index. Returns
+    (probe_id, neighbor_id, cos_sim, rank); self-matches excluded."""
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"), "cid"
+    )
+    i = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), "cid"
+    )
+    scored = (
+        broadcast(p)
+        .join(i, on="cid")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def bucketed_ann_topk(
     probes: DataFrame,
     index: DataFrame,
