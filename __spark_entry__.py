@@ -1459,6 +1459,461 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(probes, assigned, k=5).orderBy("probe_id", "rank")
 
 
+@_q(
+    "asof_prior_purchase",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, CAST(c.ts AS VARCHAR) AS click_ts,
+           p.event_id AS prior_purchase_id, p.value AS prior_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (engine extension; no siskin counterpart):
+    each click gets the user's most recent purchase at-or-before it.
+    Union+window plan — one shuffle on user_id, no range cross-product
+    (oracle: DuckDB native ASOF JOIN)."""
+    from siskin_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("asof_event_id").alias("prior_purchase_id"),
+        F.col("asof_value").alias("prior_value"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "oa_flag",
+    """
+    SELECT o_orderkey,
+           ((CAST(o_custkey % 20 AS VARCHAR) IN ('3','7','25')
+             OR CAST(20 + o_custkey % 11 AS VARCHAR) IN ('3','7','25')
+             OR o_orderstatus = 'P'
+             OR o_orderpriority = '4-NOT SPECIFIED')
+            AND o_orderpriority <> '5-LOW') AS x_oa
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def oa_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span-oa-filter semantics (reference workflows/ai.py:758-798):
+    OA-ISSN broadcast join, free-content collection, whole-source
+    allow, exclude override — run through the real apply_oa_flag."""
+    from siskin_spark.operators.licensing import apply_oa_flag
+
+    orders = _t(spark, sf_dir, "orders")
+    rec = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").cast("string").alias("finc_id"),
+        F.col("o_orderpriority").alias("finc_source_id"),
+        F.array(F.col("o_orderstatus")).alias("finc_mega_collection"),
+        F.array((F.col("o_custkey") % 20).cast("string")).alias("rft_issn"),
+        F.array((F.col("o_custkey") % 11 + 20).cast("string")).alias("rft_eissn"),
+    )
+    oa_issns = spark.createDataFrame([("3",), ("7",), ("25",)], "issn string")
+    out = apply_oa_flag(
+        rec,
+        oa_issns=oa_issns,
+        free_collections=["P"],
+        oa_source_ids=["4-NOT SPECIFIED"],
+        excluded_source_ids=["5-LOW"],
+    )
+    return out.select("o_orderkey", "x_oa").orderBy("o_orderkey")
+
+
+@_q(
+    "solr_export_proj",
+    """
+    WITH rec AS (
+      SELECT 'rec-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS id,
+             CASE WHEN o_orderkey % 10 <> 0 THEN 'Order ' || o_orderkey END AS atitle,
+             CASE WHEN o_orderkey % 20 <> 0 THEN 'Book ' || o_orderstatus END AS btitle,
+             'Journal ' || o_orderpriority AS jtitle,
+             o_orderstatus || ', ' || o_orderpriority AS author1,
+             'Corp ' || o_custkey AS author2,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS rft_date,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'DE-15|DE-14' ELSE 'DE-15' END AS institution,
+             'Coll ' || o_orderstatus AS mega_collection,
+             o_orderkey
+      FROM orders
+    )
+    SELECT id, 'is' AS recordtype,
+           coalesce(atitle, btitle, jtitle) AS title,
+           coalesce(atitle, btitle, jtitle) AS title_short,
+           lower(coalesce(atitle, btitle, jtitle)) AS title_sort,
+           author1 || '|' || author2 AS author,
+           author1 AS author_sort,
+           substr(rft_date, 1, 4) AS publishDate,
+           institution, mega_collection,
+           '49' AS source_id, 'ElectronicArticle' AS format,
+           'eng' AS language,
+           'https://example.org/' || o_orderkey AS url,
+           '10.1000/o' || o_orderkey AS doi
+    FROM rec ORDER BY id
+    """,
+)
+def solr_export_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span-export -o solr5vu3 (reference field surface
+    sources/base.py:174-213) through the real solr_export projection:
+    title coalesce chain, author-name assembly from structs, year
+    extraction, label->institution mapping. Arrays joined with '|' for
+    the oracle compare."""
+    from siskin_spark.operators.export import solr_export
+
+    orders = _t(spark, sf_dir, "orders")
+    author_t = "struct<rft_au:string,rft_aufirst:string,rft_aulast:string>"
+    rec = orders.select(
+        F.concat(
+            F.lit("rec-"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+        ).alias("finc_id"),
+        F.when(
+            F.col("o_orderkey") % 10 != 0,
+            F.concat(F.lit("Order "), F.col("o_orderkey").cast("string")),
+        ).alias("rft_atitle"),
+        F.when(
+            F.col("o_orderkey") % 20 != 0,
+            F.concat(F.lit("Book "), F.col("o_orderstatus")),
+        ).alias("rft_btitle"),
+        F.concat(F.lit("Journal "), F.col("o_orderpriority")).alias("rft_jtitle"),
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("rft_au"),
+                F.col("o_orderpriority").alias("rft_aufirst"),
+                F.col("o_orderstatus").alias("rft_aulast"),
+            ),
+            F.struct(
+                F.concat(F.lit("Corp "), F.col("o_custkey").cast("string")).alias("rft_au"),
+                F.lit(None).cast("string").alias("rft_aufirst"),
+                F.lit(None).cast("string").alias("rft_aulast"),
+            ),
+        ).cast(f"array<{author_t}>").alias("authors"),
+        F.col("o_orderdate").cast("date").cast("string").alias("rft_date"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.array(F.lit("DE-15"), F.lit("DE-14"))
+        ).otherwise(F.array(F.lit("DE-15"))).alias("x_labels"),
+        F.array(F.concat(F.lit("Coll "), F.col("o_orderstatus"))).alias(
+            "finc_mega_collection"
+        ),
+        F.lit("49").alias("finc_source_id"),
+        F.lit("ElectronicArticle").alias("finc_format"),
+        F.array(F.lit("eng")).alias("languages"),
+        F.array(
+            F.concat(F.lit("https://example.org/"), F.col("o_orderkey").cast("string"))
+        ).alias("url"),
+        F.concat(F.lit("10.1000/o"), F.col("o_orderkey").cast("string")).alias("doi"),
+    )
+    out = solr_export(rec)
+    return out.select(
+        "id",
+        "recordtype",
+        "title",
+        "title_short",
+        "title_sort",
+        F.array_join("author", "|").alias("author"),
+        "author_sort",
+        "publishDate",
+        F.array_join("institution", "|").alias("institution"),
+        F.array_join("mega_collection", "|").alias("mega_collection"),
+        "source_id",
+        "format",
+        F.array_join("language", "|").alias("language"),
+        F.array_join("url", "|").alias("url"),
+        "doi",
+    ).orderBy("id")
+
+
+@_q(
+    "openurl_build",
+    """
+    SELECT o_orderkey,
+           array_to_string(list_sort(list_filter([
+             'url_ver=Z39.88-2004',
+             'ctx_ver=Z39.88-2004',
+             'rft_val_fmt=info:ofi/fmt:kev:mtx:' ||
+               CASE WHEN o_orderkey % 3 = 0 THEN 'book' ELSE 'journal' END,
+             'rft.genre=' || CASE WHEN o_orderkey % 3 = 0 THEN 'book' ELSE 'article' END,
+             'rft.atitle=Order ' || o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'rft.btitle=Proceedings ' || o_orderstatus END,
+             CASE WHEN o_orderkey % 3 <> 0 THEN 'rft.jtitle=Journal of ' || o_orderpriority END,
+             'rft.date=' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+             'rft.volume=' || (o_orderkey % 40 + 1),
+             'rft.issue=' || (o_orderkey % 12 + 1),
+             'rft.spage=' || (o_orderkey % 500 + 1),
+             'rft.issn=' || (o_custkey % 20),
+             'rft.isbn=978-' || o_orderkey,
+             'rft.aulast=' || o_orderstatus,
+             'rft.aufirst=' || o_orderpriority,
+             CASE WHEN o_orderkey % 5 <> 0
+                  THEN 'rft_id=info:doi/10.1000/order.' || o_orderkey END
+           ], x -> x IS NOT NULL)), '&') AS openurl
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 OpenURL context-object builder (reference openurl.py:31-172)
+    through the real openurl_params bundle: genre-dependent field sets
+    (book vs journal), first-author-only, DOI as rft_id. Serialized as
+    the key-sorted query string for the oracle compare."""
+    from siskin_spark.operators.export import openurl_params
+
+    orders = _t(spark, sf_dir, "orders")
+    author_t = "struct<rft_au:string,rft_aufirst:string,rft_aulast:string>"
+    rec = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("book"))
+        .otherwise(F.lit("article"))
+        .alias("rft_genre"),
+        F.concat(F.lit("Order "), F.col("o_orderkey").cast("string")).alias("rft_atitle"),
+        F.concat(F.lit("Proceedings "), F.col("o_orderstatus")).alias("rft_btitle"),
+        F.concat(F.lit("Journal of "), F.col("o_orderpriority")).alias("rft_jtitle"),
+        F.col("o_orderdate").cast("date").cast("string").alias("rft_date"),
+        (F.col("o_orderkey") % 40 + 1).cast("string").alias("rft_volume"),
+        (F.col("o_orderkey") % 12 + 1).cast("string").alias("rft_issue"),
+        (F.col("o_orderkey") % 500 + 1).cast("string").alias("rft_spage"),
+        F.lit(None).cast("string").alias("rft_epage"),
+        F.lit(None).cast("string").alias("rft_pages"),
+        F.array((F.col("o_custkey") % 20).cast("string")).alias("rft_issn"),
+        F.array(
+            F.concat(F.lit("978-"), F.col("o_orderkey").cast("string"))
+        ).alias("rft_isbn"),
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("rft_au"),
+                F.col("o_orderpriority").alias("rft_aufirst"),
+                F.col("o_orderstatus").alias("rft_aulast"),
+            )
+        ).cast(f"array<{author_t}>").alias("authors"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.concat(F.lit("10.1000/order."), F.col("o_orderkey").cast("string")),
+        ).alias("doi"),
+    )
+    params = rec.withColumn("_m", openurl_params())
+    serialized = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("_m"))),
+            lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+        ),
+        "&",
+    )
+    return params.select(
+        "o_orderkey", serialized.alias("openurl")
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "doi_sniff_docs",
+    """
+    WITH hay AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'no identifier here'
+                  ELSE 'see doi:10.' || (1000 + doc_id % 50) || '/j.' || source
+                       || '.' || doc_id || ' for details' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_extract(t, '(10[.][0-9]{2,8}/[^ "\t]+)', 1) <> ''
+                THEN regexp_extract(t, '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi
+    FROM hay ORDER BY doc_id
+    """,
+)
+def doi_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 span-doisniffer (reference sources/base.py:160-166): regex
+    DOI extraction over a text field, null when absent."""
+    from siskin_spark.operators.transforms import doi_sniff
+
+    docs = _t(spark, sf_dir, "documents")
+    hay = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("no identifier here"))
+        .otherwise(
+            F.concat(
+                F.lit("see doi:10."),
+                (F.col("doc_id") % 50 + 1000).cast("string"),
+                F.lit("/j."),
+                F.col("source"),
+                F.lit("."),
+                F.col("doc_id").cast("string"),
+                F.lit(" for details"),
+            )
+        )
+        .alias("t"),
+    )
+    return hay.select("doc_id", doi_sniff("t").alias("doi")).orderBy("doc_id")
+
+
+@_q(
+    "prefix_publisher",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             '10.' || (1000 + o_orderkey % 7) || '/order.' || o_orderkey AS doi,
+             '10.' || (1000 + o_orderkey % 7) AS prefix
+      FROM orders
+    )
+    SELECT o.o_orderkey, o.doi, o.prefix,
+           coalesce(m.publisher, 'UNKNOWN') AS publisher
+    FROM o LEFT JOIN (VALUES ('10.1000', 'Alpha Press'), ('10.1001', 'Beta Journals'),
+                             ('10.1002', 'Gamma'), ('10.1003', 'Delta'),
+                             ('10.1004', 'Epsilon')) AS m(prefix, publisher)
+      ON o.prefix = m.prefix
+    ORDER BY o.o_orderkey
+    """,
+)
+def prefix_publisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 DOI-prefix -> publisher enrichment (reference
+    sources/crossref.py:578-653): split the DOI, broadcast-join the
+    members dimension, misses surfaced as UNKNOWN (the reference
+    resolves misses driver-side — never HTTP in executors)."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("10."),
+            (F.col("o_orderkey") % 7 + 1000).cast("string"),
+            F.lit("/order."),
+            F.col("o_orderkey").cast("string"),
+        ).alias("doi"),
+    ).withColumn("prefix", F.substring_index("doi", "/", 1))
+    members = spark.createDataFrame(
+        [
+            ("10.1000", "Alpha Press"),
+            ("10.1001", "Beta Journals"),
+            ("10.1002", "Gamma"),
+            ("10.1003", "Delta"),
+            ("10.1004", "Epsilon"),
+        ],
+        "prefix string, publisher string",
+    )
+    out = o.join(F.broadcast(members), on="prefix", how="left")
+    return out.select(
+        "o_orderkey", "doi", "prefix",
+        F.coalesce("publisher", F.lit("UNKNOWN")).alias("publisher"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "title_argmax_dedup",
+    """
+    SELECT doc_id, source, lang, n_chars FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source, lang ORDER BY n_chars DESC, doc_id DESC) = 1
+    ORDER BY doc_id
+    """,
+)
+def title_argmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 DOAJ-style dedup chain (reference sources/doaj.py:143-217):
+    argmax per group on a narrow projection, then semi-join the kept
+    ids back against the full table — the reference's
+    sort|tac|sort-u pipeline as a window argmax + left-semi join."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.argmax_dedup(
+        docs, ["source", "lang"], ["n_chars", "doc_id"], keep=["doc_id"]
+    )
+    out = dedup.semi_join_back(docs, kept, "doc_id")
+    return out.select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
+
+
+@_q(
+    "rollup_report",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup report (engine extension generalizing the
+    reference's per-collection count reports, A1): subtotal rows per
+    status and a grand total in one pass — Spark plans ROLLUP as a
+    single Expand+partial-agg, no N-pass re-scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@_q(
+    "quality_counters",
+    """
+    SELECT CASE WHEN n_chars < 120 THEN 'too_short'
+                WHEN NOT regexp_matches(text, '[.!?]') THEN 'no_sentence_mark'
+                WHEN regexp_matches(text, '[0-9]{5,}') THEN 'digit_run'
+                ELSE 'ok' END AS error_class,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY error_class
+    """,
+)
+def quality_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 error-class counters (reference Counter tallies,
+    sources/base.py:172-215): classify then groupBy-count — the
+    distributed re-expression of driver-side Counter accumulation."""
+    docs = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("n_chars") < 120, F.lit("too_short"))
+        .when(~F.col("text").rlike("[.!?]"), F.lit("no_sentence_mark"))
+        .when(F.col("text").rlike("[0-9]{5,}"), F.lit("digit_run"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.groupBy(cls.alias("error_class"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("error_class")
+    )
+
+
+@_q(
+    "deterministic_sample",
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1')
+    ORDER BY doc_id
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (engine extension for training-data
+    pipelines): md5-keyed ~1/8 sample that is stable across engines,
+    runs, and partitionings — unlike rand()-based sampling, a rerun or
+    a different engine selects the identical rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin("0", "1")
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 

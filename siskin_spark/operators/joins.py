@@ -205,3 +205,54 @@ def pairwise_overlap(
         .withColumnRenamed("_n", "n_b")
     )
     return out.select("tag_a", "tag_b", "n_a", "n_b", "n_common")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (no reference counterpart; standard time-series primitive the
+    engine adds, cf. DuckDB/Pandas ASOF).
+
+    Plan: union both sides tagged, one window per key ordered by
+    (ts, side, right_ts) with ``last(..., ignorenulls)`` over preceding
+    rows. ONE shuffle on the key, no range cross-product — unlike the
+    naive theta-join, this survives 100 TB (cost is a sort within each
+    key partition, which Spark spills). Right rows at equal timestamps
+    resolve to the last by ``right_ts`` tuple order; right values
+    travel as one struct so all attached columns come from the SAME
+    right row. Left columns are preserved; attached columns are named
+    ``prefix + right_col`` (NULL when no prior right row exists).
+    """
+    from pyspark.sql import Window
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_rv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(prefix + c, F.col("_m").getField(c))
+    return out.drop("_ts", "_side", "_rv", "_m")
