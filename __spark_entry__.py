@@ -845,7 +845,7 @@ def _shingle_cte(where: str = "") -> str:
 
 
 _SIG_COLS = ",\n             ".join(
-    f"coalesce(min(substring(md5('{i}:' || sh), 1, 8)), 'ffffffff') AS s{i}"
+    f"coalesce(min(substring(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)), 'ffffffff') AS s{i}"
     for i in range(16)
 )
 _SIG_JOIN = " || '|' || ".join(f"s{i}" for i in range(16))
@@ -918,8 +918,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from siskin_spark.operators.neardup import exact_jaccard, lsh_candidates, shingle_table
 
     docs = _t(spark, sf_dir, "documents")
-    cands = lsh_candidates(docs)
     sh = shingle_table(docs)
+    cands = lsh_candidates(docs, shingles=sh)
     out = exact_jaccard(cands, sh)
     return out.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
@@ -1008,13 +1008,10 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 winnowing-style document fingerprint: 4 smallest shingle
     hashes joined — a compact near-dup prefilter key."""
-    from siskin_spark.functions.similarity import fingerprint, word_shingles
-    from siskin_spark.functions.text import tokens
+    from siskin_spark.operators.neardup import fingerprint_table
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", fingerprint(word_shingles(tokens("text"))).alias("fingerprint")
-    ).orderBy("doc_id")
+    return fingerprint_table(docs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1396,10 +1393,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 embedding-cosine near-duplicate detection: pairs above a
     0.95 cosine threshold (sampled; at scale, prefilter pairs through
     sign_bucket LSH so only bucket-mates are compared)."""
-    from siskin_spark.functions.vectors import cosine
+    from siskin_spark.functions.vectors import _parallel, cosine
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    a = _parallel(emb, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+    )
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     pairs = (
         a.crossJoin(b)

@@ -42,14 +42,23 @@ def seeded_hash(value: Column, seed: int, length: int = 8) -> Column:
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """MinHash signature: array of k minima of seeded hashes over the
     shingle set. Null-safe: empty shingle set -> array of 'ffffffff'
-    sentinels (matches nothing real)."""
+    sentinels (matches nothing real).
+
+    Hash family: the 128-bit md5 of '<i/4>:' || shingle is split into
+    four independent 8-hex-char chunks, so k=16 functions cost only 4
+    md5 evaluations per shingle (hashing dominated the signature stage
+    4x before this).
+
+    # NB: the factory matters — a `lambda s, i=i:` two-arg lambda would
+    # be interpreted by F.transform as an (element, index) function and
+    # the seed would silently become the array position.
+    """
     sentinel = F.lit("ffffffff")
 
-    # NB: the factory matters — a `lambda s, i=i:` two-arg lambda would be
-    # interpreted by F.transform as an (element, index) function and the
-    # seed would silently become the array position.
-    def hasher(seed: int):
-        return lambda s: seeded_hash(s, seed)
+    def hasher(i: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{i // 4}:"), s)), (i % 4) * 8 + 1, 8
+        )
 
     elems = [
         F.coalesce(F.array_min(F.transform(shingles, hasher(i))), sentinel)

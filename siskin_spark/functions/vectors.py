@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def _parallel(df: DataFrame, key: str) -> DataFrame:
+    """Vector scoring is CPU-bound (sequential-fold dot products); a
+    small parquet input arrives as one split and would pin the whole
+    scan side to one core. Repartition up to core count; no-op at real
+    scale where the scan already yields enough splits."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores, F.col(key))
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -50,7 +61,7 @@ def brute_force_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
-    i = index.select(
+    i = _parallel(index, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv")
     )
     scored = broadcast(p).crossJoin(i).filter(
@@ -118,7 +129,7 @@ def ivf_assign(
     """
     from pyspark.sql import Window
 
-    scored = index.crossJoin(broadcast(centroids)).withColumn(
+    scored = _parallel(index, id_col).crossJoin(broadcast(centroids)).withColumn(
         "_csim", cosine(F.col(vec_col), F.col("cv"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cid"))
@@ -145,7 +156,7 @@ def ivf_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"), "cid"
     )
-    i = assigned.select(
+    i = _parallel(assigned, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), "cid"
     )
     scored = (
@@ -178,7 +189,7 @@ def bucketed_ann_topk(
         F.col(vec_col).alias("_pv"),
         sign_bucket(F.col(vec_col), dims).alias("_bucket"),
     )
-    i = index.select(
+    i = _parallel(index, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_iv"),
         sign_bucket(F.col(vec_col), dims).alias("_bucket"),

@@ -26,17 +26,46 @@ from siskin_spark.functions.text import tokens
 def shingle_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) rows, distinct per doc — the Jaccard universe."""
-    return (
-        docs.select(
-            F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
-        )
-        .distinct()
+    """(doc_id, shingle) rows, distinct per doc — the Jaccard universe.
+
+    Overlapping word n-grams are extracted with a single
+    lookahead-capture regex pass (codegen'd JVM regex) instead of a
+    ``transform``/``slice`` higher-order lambda: Catalyst interprets
+    HOF lambdas per element, which measured ~3x slower, and the regex
+    form keeps the whole stage in one scan.
+    Equivalent to slicing ``split(text, ' ')`` for single-space-
+    separated text (normalize whitespace upstream if the corpus has
+    runs of spaces; :func:`word_shingles` remains the general path).
+
+    Per-doc distinctness comes from ``array_distinct`` BEFORE the
+    explode — shingles only ever repeat within a document, so this is
+    semantically identical to a global ``distinct()`` but needs NO
+    shuffle: the whole table is produced map-side.
+    """
+    pat = "(?=((" + r"\S+ " * (n - 1) + r"\S+)))\S+ ?"
+    # Shingling + hashing downstream is CPU-bound; a small input (one
+    # parquet row-group -> one split) would otherwise pin the whole
+    # pipeline to a single core. Repartition BEFORE the ~50x explode so
+    # the shuffle moves raw docs, not shingles. At 100 TB the scan
+    # already yields >= cores splits and this is a no-op.
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores:
+        docs = docs.repartition(cores, F.col(id_col))
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1))
+        ).alias("shingle"),
     )
 
 
 def minhash_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id -> minhash signature (array<string> of k hex minima).
 
@@ -47,10 +76,17 @@ def minhash_table(
     while the exploded form runs md5+min inside whole-stage codegen
     with map-side partial aggregation (one narrow shuffle per corpus).
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    sh = shingle_table(docs, id_col, text_col, n) if shingles is None else shingles
+    # k hash functions from k/4 md5 calls: each 128-bit md5 of
+    # '<i/4>:' || shingle yields four independent 8-hex-char chunks
+    # (hashing was 4x the signature-stage cost as k separate md5s).
     aggs = [
         F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8)
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                (i % 4) * 8 + 1,
+                8,
+            )
         ).alias(f"_s{i}")
         for i in range(k)
     ]
@@ -71,6 +107,7 @@ def lsh_candidates(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -80,7 +117,7 @@ def lsh_candidates(
     banding so the pair expansion is local and small.
     """
     rows = k // bands
-    sigs = minhash_table(docs, id_col, text_col, n, k)
+    sigs = minhash_table(docs, id_col, text_col, n, k, shingles=shingles)
     banded = sigs.select(
         F.col(id_col), F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band")
     )
@@ -185,4 +222,32 @@ def simhash_table(
         )
         .groupBy(id_col)
         .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def fingerprint_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprints: the k smallest distinct shingle
+    hashes per doc, sorted and '|'-joined ('' for shingle-less docs).
+
+    Exploded groupBy form of :func:`siskin_spark.functions.similarity.
+    fingerprint` — the per-row ``transform`` lambda is interpreted by
+    Catalyst and runs on however few splits the scan produced, while
+    this form hashes on the repartitioned shingle table and aggregates
+    with map-side partials."""
+    from siskin_spark.functions.similarity import seeded_hash
+
+    sh = shingle_table(docs, id_col, text_col, n)
+    fp = (
+        sh.select(F.col(id_col), seeded_hash(F.col("shingle"), 0).alias("_h"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("_h")), 1, k)
+            ).alias("fingerprint")
+        )
+    )
+    return docs.select(id_col).join(fp, on=id_col, how="left").select(
+        F.col(id_col), F.coalesce("fingerprint", F.lit("")).alias("fingerprint")
     )
