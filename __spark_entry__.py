@@ -1454,7 +1454,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     assigned = ivf_assign(emb, centroids)
-    probes = assigned.filter(F.col("vec_id") % 100 == 0)
+    # Probes are assigned independently (a few hundred cosines) so the
+    # full-index assignment subtree is not recomputed for the broadcast
+    # side of the cell join.
+    probes = ivf_assign(emb.filter(F.col("vec_id") % 100 == 0), centroids)
     return ivf_topk(probes, assigned, k=5).orderBy("probe_id", "rank")
 
 
@@ -1911,6 +1914,153 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "xml_extract",
+    """
+    WITH x AS (
+      SELECT o_orderkey,
+             '<rec id="' || o_orderkey || '"><t>Order ' || o_orderkey ||
+             '</t><s>' || o_orderstatus || '</s><p>' || o_totalprice || '</p></rec>' AS xml
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(xml, '<t>([^<]*)</t>', 1) AS title,
+           regexp_extract(xml, '<s>([^<]*)</s>', 1) AS status,
+           regexp_extract(xml, 'id="([^"]*)"', 1) AS rec_id
+    FROM x ORDER BY o_orderkey
+    """,
+)
+def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/S7 XML record extraction (reference: eastview batch XML
+    conversions.py:514-573, SRU MARCXML kxp.py:53-98): field pulls via
+    real XPath on an XML column (oracle mirrors with regex — same
+    values, different extraction engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit('<rec id="'), F.col("o_orderkey").cast("string"),
+            F.lit('"><t>Order '), F.col("o_orderkey").cast("string"),
+            F.lit("</t><s>"), F.col("o_orderstatus"),
+            F.lit("</s><p>"), F.col("o_totalprice").cast("string"),
+            F.lit("</p></rec>"),
+        ).alias("xml"),
+    )
+    return x.select(
+        "o_orderkey",
+        F.xpath_string("xml", F.lit("/rec/t")).alias("title"),
+        F.xpath_string("xml", F.lit("/rec/s")).alias("status"),
+        F.xpath_string("xml", F.lit("/rec/@id")).alias("rec_id"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "marc_field_filter",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             [{'tag': '084', 'code': 'a', 'val': CAST(o_custkey % 20 AS VARCHAR)},
+              {'tag': '084', 'code': '2', 'val': CASE WHEN o_orderkey % 3 = 0
+                                                      THEN 'ssgn' ELSE 'rvk' END},
+              {'tag': '912', 'code': 'a', 'val': CASE WHEN o_orderkey % 2 = 0
+                                                      THEN 'digit' ELSE 'print' END}
+             ] AS fields
+      FROM orders
+    )
+    SELECT o_orderkey FROM m
+    WHERE EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                  WHERE f.tag = '084' AND f.code = '2' AND f.val = 'ssgn')
+      AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                  WHERE f.tag = '084' AND f.code = 'a' AND f.val = '7')
+      AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                  WHERE f.tag = '912' AND f.code = 'a' AND f.val = 'digit')
+    ORDER BY o_orderkey
+    """,
+)
+def marc_field_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 MARC field/subfield predicate (reference sources/
+    b3kat.py:151-206: keep records where 084.2=='ssgn' AND '9,2' in
+    084.a AND 'digit' in 912.a): parsed-MARC modeled as an
+    array<struct<tag,code,val>> column, predicates via F.exists —
+    evaluated without exploding the record."""
+    orders = _t(spark, sf_dir, "orders")
+    field_t = "struct<tag:string,code:string,val:string>"
+
+    def mk(tag: str, code: str, val: Column) -> Column:
+        return F.struct(
+            F.lit(tag).alias("tag"), F.lit(code).alias("code"), val.alias("val")
+        )
+
+    m = orders.select(
+        "o_orderkey",
+        F.array(
+            mk("084", "a", (F.col("o_custkey") % 20).cast("string")),
+            mk("084", "2", F.when(F.col("o_orderkey") % 3 == 0, F.lit("ssgn")).otherwise(F.lit("rvk"))),
+            mk("912", "a", F.when(F.col("o_orderkey") % 2 == 0, F.lit("digit")).otherwise(F.lit("print"))),
+        ).cast(f"array<{field_t}>").alias("fields"),
+    )
+
+    def has(tag: str, code: str, val: str) -> Column:
+        return F.exists(
+            F.col("fields"),
+            lambda f: (f.getField("tag") == tag)
+            & (f.getField("code") == code)
+            & (f.getField("val") == val),
+        )
+
+    return (
+        m.filter(has("084", "2", "ssgn") & has("084", "a", "7") & has("912", "a", "digit"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "latest_file_per_member",
+    """
+    WITH listing AS (
+      SELECT 'shipment-' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+               || '/member_' || (o_orderkey % 500) || '.xml' AS path,
+             'member_' || (o_orderkey % 500) || '.xml' AS member,
+             CAST(o_orderdate AS DATE) AS ship_date,
+             CAST(floor(o_totalprice) AS BIGINT) AS size_bytes,
+             o_orderkey
+      FROM orders
+    )
+    SELECT member, path, CAST(ship_date AS VARCHAR) AS ship_date, size_bytes
+    FROM listing
+    WHERE size_bytes > 22
+    QUALIFY row_number() OVER (
+      PARTITION BY member ORDER BY ship_date DESC, o_orderkey DESC) = 1
+    ORDER BY member
+    """,
+)
+def latest_file_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 + F5 (reference sources/jstor.py:119-318): from an archive
+    file listing, drop corrupt/empty files (size <= 22 bytes), then
+    keep the newest shipment per member — the reference's
+    `tac | sort -u -k2,2` as a size guard + window argmax over the
+    file-metadata DataFrame."""
+    orders = _t(spark, sf_dir, "orders")
+    listing = orders.select(
+        F.concat(
+            F.lit("shipment-"), F.col("o_orderdate").cast("date").cast("string"),
+            F.lit("/member_"), (F.col("o_orderkey") % 500).cast("string"), F.lit(".xml"),
+        ).alias("path"),
+        F.concat(
+            F.lit("member_"), (F.col("o_orderkey") % 500).cast("string"), F.lit(".xml")
+        ).alias("member"),
+        F.col("o_orderdate").cast("date").alias("ship_date"),
+        F.floor("o_totalprice").cast("bigint").alias("size_bytes"),
+        "o_orderkey",
+    ).filter(F.col("size_bytes") > 22)
+    latest = dedup.snapshot_latest(listing, ["member"], ["ship_date", "o_orderkey"])
+    return latest.select(
+        "member", "path", F.col("ship_date").cast("string").alias("ship_date"),
+        "size_bytes",
+    ).orderBy("member")
 
 
 # ---------------------------------------------------------------------------

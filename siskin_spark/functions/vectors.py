@@ -126,18 +126,21 @@ def ivf_assign(
     ``centroids`` is (cid, cv) — small (k-means fit on a sample at
     scale), so it broadcasts; the index never shuffles for assignment.
     Ties broken by cid. Returns the index columns plus ``cid``.
-    """
-    from pyspark.sql import Window
 
+    Argmax via ``max_by`` (hash aggregate with map-side partials)
+    rather than a row_number window — no per-partition sort, and the
+    shuffle carries one pre-reduced row per vector.
+    """
+    cols = index.columns
     scored = _parallel(index, id_col).crossJoin(broadcast(centroids)).withColumn(
         "_csim", cosine(F.col(vec_col), F.col("cv"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_csim", "cv")
-    )
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in cols], F.col("cid")),
+        F.struct(F.col("_csim"), (-F.col("cid")).alias("_nc")),
+    ).alias("_w")
+    out = scored.groupBy(id_col).agg(winner)
+    return out.select(*[F.col(f"_w.{c}").alias(c) for c in [*cols, "cid"]])
 
 
 def ivf_topk(

@@ -104,3 +104,48 @@ def openurl_params(genre_col: str = "rft_genre") -> Column:
     ]
     kvs = F.array_compact(F.array(*pairs))
     return F.map_from_entries(kvs)
+
+
+def solr_bulk_sink(
+    df: DataFrame,
+    url: str,
+    batch_size: int = 1000,
+    transport=None,
+    commit: bool = True,
+) -> None:
+    """K1 Solr bulk indexer (reference: `solrbulk -w 8 -commit
+    20000000`, docs/ai-update/README.md:23): serialize each row to a
+    JSON doc and POST in batches from every partition concurrently —
+    writer parallelism IS the partition count (repartition upstream to
+    choose the equivalent of `-w`).
+
+    ``transport(url, payload: bytes) -> None`` is injectable for tests
+    and alternative wire protocols; the default POSTs
+    ``application/json`` arrays to ``<url>/update``. A final commit is
+    issued once from the driver (the reference's deferred-commit mode).
+    """
+    if transport is None:
+
+        def transport(u: str, payload: bytes) -> None:  # pragma: no cover
+            import urllib.request
+
+            req = urllib.request.Request(
+                u, data=payload, headers={"Content-Type": "application/json"}
+            )
+            urllib.request.urlopen(req).read()
+
+    docs = df.select(F.to_json(F.struct(*df.columns)).alias("doc"))
+
+    def post_partition(rows) -> None:
+        batch: list[str] = []
+        for row in rows:
+            batch.append(row.doc)
+            if len(batch) >= batch_size:
+                transport(url + "/update", ("[" + ",".join(batch) + "]").encode())
+                batch = []
+        if batch:
+            transport(url + "/update", ("[" + ",".join(batch) + "]").encode())
+
+    docs.foreachPartition(post_partition)
+    if commit:
+        transport(url + "/update?commit=true", b"[]")
