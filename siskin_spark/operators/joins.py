@@ -256,3 +256,38 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(prefix + c, F.col("_m").getField(c))
     return out.drop("_ts", "_side", "_rv", "_m")
+
+
+def enrich_lookup_with_resolver(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    resolver,
+    max_misses: int = 100_000,
+) -> DataFrame:
+    """J2 memoized-enrichment pattern (reference sources/
+    crossref.py:578-653: DOI-prefix -> publisher, cache misses resolved
+    by a live API call): join misses are collected DRIVER-side, handed
+    to ``resolver(keys) -> [(key, value...), ...]``, and the resolved
+    rows are unioned into the dimension for one final broadcast join.
+    HTTP never runs in executors — per-record calls from tasks is the
+    one pattern the reference explicitly engineered around (URL caches,
+    utils.py:262-371) and it gets catastrophically worse at 1000
+    executors.
+
+    ``max_misses`` guards the driver collect; at scale a miss list
+    larger than that should be written out and resolved by a batch job
+    instead.
+    """
+    misses = (
+        df.select(on).distinct().join(broadcast(dim.select(on)), on=on, how="left_anti")
+    )
+    keys = [r[0] for r in misses.limit(max_misses + 1).collect()]
+    if len(keys) > max_misses:
+        raise RuntimeError(
+            f"more than {max_misses} unresolved keys; resolve via a batch job"
+        )
+    if keys:
+        resolved = df.sparkSession.createDataFrame(resolver(keys), dim.schema)
+        dim = dim.unionByName(resolved)
+    return df.join(broadcast(dim), on=on, how="left")

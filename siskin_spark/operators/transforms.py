@@ -81,3 +81,54 @@ def snap_monthly(date_col: Column | str) -> Column:
     """gluish ``monthly`` snapping -> first of month."""
     d = (F.col(date_col) if isinstance(date_col, str) else date_col)
     return F.date_trunc("month", d).cast("date")
+
+
+def convert_with_budget(
+    df: DataFrame,
+    convert,
+    out_schema,
+    max_failures: int = 0,
+    failure_counter=None,
+):
+    """M5 converter harness with a max-failure budget (reference
+    conversions.py:117-123: imslp XML->MARC hard-fails the run when
+    more than N records are unconvertible, instead of silently
+    dropping them).
+
+    ``convert(row: dict) -> dict`` may raise; failing rows are dropped
+    and counted in a Spark accumulator. Returns ``(out_df,
+    check_budget)`` — call ``check_budget()`` AFTER an action on
+    ``out_df``; it raises RuntimeError when failures exceed the budget
+    (accumulators only have defined values post-action).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    acc = failure_counter if failure_counter is not None else sc.accumulator(0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            good = []
+            for row in pdf.to_dict("records"):
+                try:
+                    good.append(convert(row))
+                except Exception:
+                    acc.add(1)
+            yield pd.DataFrame(good) if good else pd.DataFrame(
+                columns=[f.name for f in out_schema.fields]
+                if hasattr(out_schema, "fields")
+                else None
+            )
+
+    out = df.mapInPandas(run, out_schema)
+
+    def check_budget() -> int:
+        if acc.value > max_failures:
+            raise RuntimeError(
+                f"conversion failures {acc.value} exceed budget {max_failures}"
+            )
+        return acc.value
+
+    return out, check_budget

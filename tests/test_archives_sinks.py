@@ -1,0 +1,151 @@
+"""Tests: zip member scan chain (S9: listing -> D3 selection ->
+selective extraction), MARC binary roundtrip (K5), RDF/Turtle sink
+(K4), Excel gate (K3), failure-budget converter (M5), miss-resolving
+enrichment (J2)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from siskin_spark.operators.joins import enrich_lookup_with_resolver
+from siskin_spark.operators.sinks import (
+    marc_record_bytes,
+    marc_sink,
+    parse_marc_bytes,
+    triples_frame,
+    turtle_lines,
+)
+from siskin_spark.operators.transforms import convert_with_budget
+from siskin_spark.sources.archives import (
+    extract_members,
+    latest_member_selection,
+    read_archives,
+    zip_member_listing,
+)
+
+
+def _make_zip(path, members, date_time=(2024, 1, 15, 12, 0, 0)):
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in members.items():
+            info = zipfile.ZipInfo(name, date_time=date_time)
+            zf.writestr(info, content)
+
+
+def test_zip_member_scan_chain(tmp_path, spark):
+    d = tmp_path / "arch"
+    d.mkdir()
+    # shipment 1: a, b; shipment 2 (newer): b (updated), c
+    _make_zip(d / "ship1.zip", {"a.xml": "A1", "b.xml": "B1"}, (2024, 1, 1, 0, 0, 0))
+    _make_zip(d / "ship2.zip", {"b.xml": "B2", "c.xml": "C1"}, (2024, 2, 1, 0, 0, 0))
+    (d / "empty.zip").write_bytes(b"PK\x05\x06" + b"\x00" * 18)  # 22-byte empty zip
+
+    archives = read_archives(spark, str(d / "*.zip"))
+    assert archives.count() == 2  # F5 guard drops the empty one
+
+    listing = zip_member_listing(archives)
+    assert listing.count() == 4
+
+    sel = latest_member_selection(listing)
+    picked = {(r.member, r.archive) for r in sel.collect()}
+    assert picked == {
+        ("a.xml", "ship1.zip"),
+        ("b.xml", "ship2.zip"),  # newest shipment wins
+        ("c.xml", "ship2.zip"),
+    }
+
+    extracted = extract_members(archives, sel)
+    got = {(r.member, bytes(r.content).decode()) for r in extracted.collect()}
+    assert got == {("a.xml", "A1"), ("b.xml", "B2"), ("c.xml", "C1")}
+
+
+def test_marc_roundtrip_bytes():
+    fields = [
+        ("001", "", [("", "rec-42")]),
+        ("245", "10", [("a", "Ein Titel"), ("b", "mit Umlauten äöü")]),
+        ("084", "  ", [("a", "9,2"), ("2", "ssgn")]),
+    ]
+    raw = marc_record_bytes(fields)
+    assert raw[:5].decode().isdigit() and raw.endswith(b"\x1d")
+    assert int(raw[:5]) == len(raw)  # leader length matches
+    assert parse_marc_bytes(raw) == fields
+
+
+def test_marc_sink_distributed(spark):
+    sub_t = "array<struct<code:string,val:string>>"
+    field_t = f"struct<tag:string,indicators:string,subfields:{sub_t}>"
+    df = spark.createDataFrame(
+        [(1, [("245", "10", [("a", "T1")])]), (2, [("245", "10", [("a", "T2")])])],
+        f"id int, marc_fields array<{field_t}>",
+    )
+    out = marc_sink(df).collect()
+    titles = {parse_marc_bytes(bytes(r.marc))[0][2][0][1] for r in out}
+    assert titles == {"T1", "T2"}
+
+
+def test_turtle_sink(spark):
+    df = spark.createDataFrame(
+        [("urn:c:1", "Coll A", '19"99'), ("urn:c:2", None, "2000")],
+        "id string, name string, issn string",
+    )
+    t = triples_frame(df, "id", {"name": "dc:title", "issn": "bibo:issn"})
+    assert t.count() == 3  # null object dropped
+    lines = {r.line for r in turtle_lines(t).collect()}
+    assert '<urn:c:1> <dc:title> "Coll A" .' in lines
+    assert '<urn:c:1> <bibo:issn> "19\\"99" .' in lines  # escaped quote
+
+
+def test_excel_sink_gated(tmp_path, spark):
+    from siskin_spark.operators.sinks import excel_sink
+
+    df = spark.range(3).select(F.col("id"))
+    try:
+        excel_sink({"s1": df}, str(tmp_path / "r.xlsx"))
+    except (ImportError, ModuleNotFoundError):
+        pytest.skip("no xlsx engine in container (expected)")
+    assert os.path.getsize(tmp_path / "r.xlsx") > 0
+
+
+def test_convert_with_budget(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+
+    def convert(row):
+        if row["id"] % 4 == 0:
+            raise ValueError("bad record")
+        return {"id2": row["id"] * 2}
+
+    schema = T.StructType([T.StructField("id2", T.IntegerType())])
+    out, check = convert_with_budget(df, convert, schema, max_failures=5)
+    assert out.count() == 7  # 0,4,8 fail
+    assert check() == 3
+
+    out2, check2 = convert_with_budget(df, convert, schema, max_failures=2)
+    out2.count()
+    with pytest.raises(RuntimeError, match="exceed budget"):
+        check2()
+
+
+def test_enrich_lookup_with_resolver(spark):
+    df = spark.createDataFrame(
+        [("10.1000", 1), ("10.1001", 2), ("10.9999", 3), ("10.9999", 4)],
+        "prefix string, n int",
+    )
+    dim = spark.createDataFrame([("10.1000", "Alpha")], "prefix string, publisher string")
+    calls = []
+
+    def resolver(keys):
+        calls.append(sorted(keys))
+        return [(k, f"resolved-{k}") for k in keys]
+
+    out = enrich_lookup_with_resolver(df, dim, "prefix", resolver)
+    got = {(r.prefix, r.publisher) for r in out.collect()}
+    assert got == {
+        ("10.1000", "Alpha"),
+        ("10.1001", "resolved-10.1001"),
+        ("10.9999", "resolved-10.9999"),
+    }
+    assert calls == [["10.1001", "10.9999"]]  # one driver-side call, misses only
