@@ -29,6 +29,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a single-split scan before a CPU-heavy projection.
+
+    Parquet splits at row-group granularity, so a small test file scans
+    as ONE task and pins expression-heavy projections (XML parse,
+    OpenURL/solr serialization) to one core. A blanket repartition in
+    the reader measured strictly worse — it taxes every cheap scan-agg
+    query with an extra 32-task stage — so only the few
+    projection-bound queries opt in. No-op when the scan already
+    splits >= min(cores, 8) ways (always true at real scale).
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(cores, 8):
+        return df.repartition(cores, F.col(key))
+    return df
+
+
 def _dsum(col: Column | str, alias: str) -> Column:
     """Exact decimal sum, rounded to scale 2, surfaced as double.
 
@@ -1579,7 +1596,7 @@ def solr_export_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle compare."""
     from siskin_spark.operators.export import solr_export
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     author_t = "struct<rft_au:string,rft_aufirst:string,rft_aulast:string>"
     rec = orders.select(
         F.concat(
@@ -1673,9 +1690,9 @@ def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the real openurl_params bundle: genre-dependent field sets
     (book vs journal), first-author-only, DOI as rft_id. Serialized as
     the key-sorted query string for the oracle compare."""
-    from siskin_spark.operators.export import openurl_params
+    from siskin_spark.operators.export import openurl_query_string
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     author_t = "struct<rft_au:string,rft_aufirst:string,rft_aulast:string>"
     rec = orders.select(
         "o_orderkey",
@@ -1707,16 +1724,8 @@ def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("10.1000/order."), F.col("o_orderkey").cast("string")),
         ).alias("doi"),
     )
-    params = rec.withColumn("_m", openurl_params())
-    serialized = F.array_join(
-        F.transform(
-            F.array_sort(F.map_entries(F.col("_m"))),
-            lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
-        ),
-        "&",
-    )
-    return params.select(
-        "o_orderkey", serialized.alias("openurl")
+    return rec.select(
+        "o_orderkey", openurl_query_string().alias("openurl")
     ).orderBy("o_orderkey")
 
 
@@ -1937,7 +1946,7 @@ def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversions.py:514-573, SRU MARCXML kxp.py:53-98): field pulls via
     real XPath on an XML column (oracle mirrors with regex — same
     values, different extraction engine)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     x = orders.select(
         "o_orderkey",
         F.concat(
@@ -1948,11 +1957,18 @@ def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</p></rec>"),
         ).alias("xml"),
     )
-    return x.select(
+    # from_xml parses each document ONCE into a struct; the xpath_*
+    # functions re-build a DOM per call (3 calls/row measured ~50x
+    # slower on 150K rows). Attributes surface with the '_' prefix.
+    parsed = x.select(
         "o_orderkey",
-        F.xpath_string("xml", F.lit("/rec/t")).alias("title"),
-        F.xpath_string("xml", F.lit("/rec/s")).alias("status"),
-        F.xpath_string("xml", F.lit("/rec/@id")).alias("rec_id"),
+        F.from_xml("xml", "struct<_id:string,t:string,s:string,p:string>").alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r.t").alias("title"),
+        F.col("r.s").alias("status"),
+        F.col("r._id").alias("rec_id"),
     ).orderBy("o_orderkey")
 
 

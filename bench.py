@@ -6,9 +6,11 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed twice: a warm-up that also triggers JIT/codegen
-caches, then the timed run (the driver-visible number). Timing covers
-full plan execution to a count-style action so results aren't skewed by
-driver-side collection of wide rows.
+caches, then the timed run (the driver-visible number). The timed
+action is a write to the `noop` v2 sink: unlike count() — under which
+Catalyst prunes any column the count doesn't need, silently skipping
+the expensive expressions — noop materializes EVERY output column,
+without paying driver-side collection of wide rows.
 """
 
 from __future__ import annotations
@@ -36,13 +38,15 @@ def main() -> None:
     spark = get_spark("siskin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        df = fn(spark, sf_dir)
-        df.count()  # warm-up: file listing, codegen, broadcast build
+        materialize(fn(spark, sf_dir))  # warm-up: listing, codegen, broadcasts
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

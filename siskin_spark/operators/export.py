@@ -106,6 +106,56 @@ def openurl_params(genre_col: str = "rft_genre") -> Column:
     return F.map_from_entries(kvs)
 
 
+def openurl_query_string(genre_col: str = "rft_genre") -> Column:
+    """M12 serialized form: the context object as a canonical
+    key-sorted query string. Built directly as an array of 'k=v'
+    strings -> sort_array -> concat_ws. All three are lambda-free
+    codegen expressions: array_sort/array_compact/transform plan as
+    HOFs with INTERPRETED lambda comparators (measured ~10x slower on
+    150K rows); sort_array's null-first ordering plus concat_ws's
+    null-skipping compose to the same compact-sort-join. Key order ==
+    string order because no key is a prefix of another."""
+    genre = F.coalesce(F.col(genre_col), F.lit("article"))
+    is_book = genre.isin("book", "bookitem", "conference", "proceeding", "report")
+    first_author = F.element_at(F.col("authors"), 1)
+
+    def entry(k: str, v: Column) -> Column:
+        return F.when(v.isNotNull() & (v != ""), F.concat(F.lit(k + "="), v))
+
+    pairs = [
+        entry("url_ver", F.lit("Z39.88-2004")),
+        entry("ctx_ver", F.lit("Z39.88-2004")),
+        entry(
+            "rft_val_fmt",
+            F.when(is_book, F.lit("info:ofi/fmt:kev:mtx:book")).otherwise(
+                F.lit("info:ofi/fmt:kev:mtx:journal")
+            ),
+        ),
+        entry("rft.genre", genre),
+        entry("rft.atitle", F.col("rft_atitle")),
+        entry("rft.btitle", F.when(is_book, F.col("rft_btitle"))),
+        entry("rft.jtitle", F.when(~is_book, F.col("rft_jtitle"))),
+        entry("rft.date", F.col("rft_date")),
+        entry("rft.volume", F.col("rft_volume")),
+        entry("rft.issue", F.col("rft_issue")),
+        entry("rft.spage", F.col("rft_spage")),
+        entry("rft.epage", F.col("rft_epage")),
+        entry("rft.pages", F.col("rft_pages")),
+        entry("rft.issn", F.element_at(F.col("rft_issn"), 1)),
+        entry("rft.isbn", F.element_at(F.col("rft_isbn"), 1)),
+        entry("rft.aulast", first_author.getField("rft_aulast")),
+        entry("rft.aufirst", first_author.getField("rft_aufirst")),
+        entry("rft.au", first_author.getField("rft_au")),
+        entry(
+            "rft_id",
+            F.when(
+                F.col("doi").isNotNull(), F.concat(F.lit("info:doi/"), F.col("doi"))
+            ),
+        ),
+    ]
+    return F.concat_ws("&", F.sort_array(F.array(*pairs)))
+
+
 def solr_bulk_sink(
     df: DataFrame,
     url: str,
