@@ -2079,6 +2079,155 @@ def latest_file_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("member")
 
 
+@_q(
+    "running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 ordered-window surface (running aggregate + lag) — decimal
+    accumulation inside the window frame keeps values engine-exact."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(run), 2)
+        .cast("double")
+        .alias("running_revenue"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@_q(
+    "pivot_status_matrix",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot report (generalizes the reference's per-pair membership
+    matrices, J5/A2): one groupBy with an explicit pivot value list —
+    values pinned so the plan is a single pass, no distinct-scan."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "priority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    ).orderBy("priority")
+
+
+@_q(
+    "percentile_prices",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (engine extension for
+    quality-score thresholds in training-data pipelines; verified
+    bit-identical to DuckDB quantile_cont). At 100 TB swap in
+    approx_percentile (t-digest) — same call shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q("approx_distinct_sketch")
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct sketches (A2's estimation path at 100 TB, where
+    exact pairwise set intersection is a full shuffle of every key:
+    approx_count_distinct is one pass, mergeable, no key shuffle).
+    rows-only check: sketch estimates are engine-specific by nature;
+    the exact counterparts are oracle-checked in pairwise_overlap."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "union_mixed_schemas",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, 'order' AS kind, o_orderstatus AS status,
+             NULL AS segment
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    b AS (
+      SELECT c_custkey AS k, 'customer' AS kind, NULL AS status,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT k, kind, status, segment FROM a
+    UNION ALL
+    SELECT k, kind, status, segment FROM b
+    ORDER BY kind, k
+    """,
+)
+def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouped concat of heterogeneous per-source tables
+    (reference: cat of per-source exports, workflows/ai.py:375-408):
+    unionByName(allowMissingColumns=True) aligns by name and
+    null-fills — the schema-drift-safe union."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("order").alias("kind"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = a.unionByName(b, allowMissingColumns=True)
+    return out.select("k", "kind", "status", "segment").orderBy("kind", "k")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
