@@ -72,3 +72,48 @@ def error_counters(df: DataFrame, class_col: str) -> DataFrame:
     return df.groupBy(class_col).agg(F.count("*").alias("n")).orderBy(
         F.desc("n"), class_col
     )
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: salt -> partial agg -> merge.
+
+    For heavy-hitter keys (one DOI/collection with 10^7 records — the
+    shape of the reference's Crossref feed), a plain groupBy sends the
+    whole hot key to ONE reducer. Salting splits each key across
+    ``salt_buckets`` reducers for the expensive first pass; the second
+    pass merges at most ``salt_buckets`` pre-reduced rows per key.
+
+    ``aggs`` maps output column -> 'sum:col' | 'count' | 'min:col' |
+    'max:col' (the decomposable aggregates; avg = sum+count composed by
+    the caller). Results are identical to the direct groupBy — use only
+    when a key histogram says skew exists; for joins AQE skew-split
+    already handles it (session.py).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    phase1 = []
+    phase2 = []
+    for out, spec in aggs.items():
+        op, _, col = spec.partition(":")
+        if op == "count":
+            phase1.append(F.count("*").alias(out))
+            phase2.append(F.sum(out).alias(out))
+        elif op == "sum":
+            phase1.append(F.sum(col).alias(out))
+            phase2.append(F.sum(out).alias(out))
+        elif op == "min":
+            phase1.append(F.min(col).alias(out))
+            phase2.append(F.min(out).alias(out))
+        elif op == "max":
+            phase1.append(F.max(col).alias(out))
+            phase2.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {spec!r}")
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)

@@ -48,3 +48,26 @@ def read_tsv(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — the co-located
+    join layout (SURVEY.md §4: 'bucketing for co-located joins').
+
+    Two tables bucketed the same way join with NO exchange: the scan
+    itself satisfies the join's hashpartitioning requirement, so the
+    shuffle cost is paid once at write time and amortized over every
+    downstream join/aggregation on the bucket keys. The big-fact /
+    big-fact joins of the reference (records x holdings, records x
+    label-updates) are exactly this shape at 100 TB.
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
