@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — the verification style the
+reference lacks entirely (SURVEY.md §5): operators checked against
+naive in-Python reference implementations over adversarial small
+inputs (duplicate timestamps, empty sides, single-row groups)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from siskin_spark.operators.dedup import groupcover, snapshot_latest
+from siskin_spark.operators.joins import asof_join
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, payload) rows; small domains force collisions
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 9),  # ts
+        st.integers(0, 99),  # payload / id-ish
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_slow
+@given(left=_rows, right=_rows)
+def test_asof_join_matches_naive(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i, p) for i, (k, t, p) in enumerate(left)],
+        "k int, ts int, lid int, lp int",
+    ) if left else spark.createDataFrame([], "k int, ts int, lid int, lp int")
+    # dedupe right per (k, ts): keep max (rid, rp) — the documented
+    # equal-timestamp resolution (greatest value-struct wins)
+    rmap = {}
+    for i, (k, t, p) in enumerate(right):
+        rmap[(k, t, i)] = (k, t, i, p)
+    rrows = list(rmap.values())
+    rdf = spark.createDataFrame(
+        rrows, "k int, ts int, rid int, rp int"
+    ) if rrows else spark.createDataFrame([], "k int, ts int, rid int, rp int")
+
+    got = {
+        r.lid: (r.asof_rid, r.asof_rp)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_cols=["rid", "rp"]
+        ).collect()
+    }
+
+    for lid, (k, t, _p) in enumerate(left):
+        cands = [(rt, rid, rp) for (rk, rt, rid, rp) in rrows if rk == k and rt <= t]
+        want = (None, None)
+        if cands:
+            # greatest ts; among equal ts the greatest (rid, rp) struct
+            best = max(cands, key=lambda c: (c[0], (c[1], c[2])))
+            want = (best[1], best[2])
+        assert got[lid] == want, (lid, k, t, cands)
+
+
+@_slow
+@given(rows=_rows)
+def test_snapshot_latest_is_argmax(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, ts int, p int")
+    got = {(r.k, r.ts, r.p) for r in snapshot_latest(df, ["k"], ["ts", "p"]).collect()}
+    want = set()
+    for k in {r[0] for r in rows}:
+        want.add(max((r for r in rows if r[0] == k), key=lambda r: (r[1], r[2])))
+    assert got == want
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # id
+            st.sampled_from(["49", "55", "85", "121"]),  # source (pref order exists)
+            st.sampled_from(["10.1/a", "10.1/b", None]),  # doi
+            st.lists(st.sampled_from(["DE-14", "DE-15"]), max_size=2, unique=True),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_groupcover_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "id int, src string, doi string, labels array<string>")
+    prefs = ["85", "55", "49", "121"]
+    out = groupcover(df, id_col="id", source_col="src", key_col="doi",
+                     labels_col="labels", preferences=prefs)
+    got = {r.id: set(r.labels) for r in out.collect()}
+    base = {r[0]: (r[1], r[2], set(r[3])) for r in rows}
+    # invariant 1: ids without a DOI pass through with labels untouched
+    for i, (src, doi, labels) in base.items():
+        if doi is None:
+            assert got[i] == labels
+    # invariant 2: per (doi, label) exactly ONE holder keeps the label —
+    # the min (pref-rank, src, id); everyone else loses it
+    for doi in {r[2] for r in rows if r[2]}:
+        members = [(i, s, ls) for i, (s, d, ls) in base.items() if d == doi]
+        for label in {lb for _, _, ls in members for lb in ls}:
+            holders = [(i, s) for i, s, ls in members if label in ls]
+            rank = lambda s: prefs.index(s) + 1 if s in prefs else 1_000_000  # noqa: E731
+            winner = min(holders, key=lambda h: (rank(h[1]), h[1], h[0]))[0]
+            for i, _s in holders:
+                assert (label in got[i]) == (i == winner), (doi, label, i, winner, got)
