@@ -1,0 +1,80 @@
+"""CLI parity with the reference's inspection surface (SURVEY.md §3:
+`siskin run/cat/head/wc/deps/status`, reference cli.py).
+
+Usage:  python -m siskin_spark.cli <cmd> ...
+
+  cat  PATH [-n N]          show rows of a parquet/ndjson artifact
+  wc   PATH                 row count
+  schema PATH               printSchema + dtypes
+  explain QUERY [SF_DIR]    formatted physical plan of a registered query
+  queries                   list registered queries from __spark_entry__
+  bench [SF_DIR]            delegate to bench.py
+
+The pipeline-graph commands (`deps`, `status`, `run`) live on
+``plans.pipeline.Pipeline`` instances — they are API, not global state,
+because unlike Luigi there is no process-wide task registry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from siskin_spark.session import get_spark
+
+    s = get_spark("siskin-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _read(spark, path: str):
+    if path.endswith((".json", ".ndjson", ".ldj")):
+        return spark.read.json(path)
+    return spark.read.parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="siskin-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_cat = sub.add_parser("cat")
+    p_cat.add_argument("path")
+    p_cat.add_argument("-n", type=int, default=20)
+    p_wc = sub.add_parser("wc")
+    p_wc.add_argument("path")
+    p_schema = sub.add_parser("schema")
+    p_schema.add_argument("path")
+    p_explain = sub.add_parser("explain")
+    p_explain.add_argument("query")
+    p_explain.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    sub.add_parser("queries")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "queries":
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entry
+
+        oracles = entry.oracle_sql()
+        for name in sorted(entry.queries()):
+            print(name, "(oracle)" if name in oracles else "(rows-only)")
+        return 0
+
+    spark = _spark()
+    if args.cmd == "cat":
+        _read(spark, args.path).show(args.n, truncate=False)
+    elif args.cmd == "wc":
+        print(_read(spark, args.path).count())
+    elif args.cmd == "schema":
+        _read(spark, args.path).printSchema()
+    elif args.cmd == "explain":
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entry
+
+        entry.queries()[args.query](spark, args.sf_dir).explain("formatted")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Tests: OAI resumption-token loop, paged REST retry budget, CLI."""
+
+from __future__ import annotations
+
+import pytest
+
+from siskin_spark.sources.harvest import oai_harvest, paged_rest_harvest
+
+
+def test_oai_harvest_follows_resumption_tokens():
+    pages = {
+        "http://x/oai?verb=ListRecords&metadataPrefix=oai_dc&set=s1&from=2024-01-01": (
+            "<r>p1</r><resumptionToken cursor='0'>tokA</resumptionToken>"
+        ),
+        "http://x/oai?verb=ListRecords&resumptionToken=tokA": (
+            "<r>p2</r><resumptionToken>tokB</resumptionToken>"
+        ),
+        "http://x/oai?verb=ListRecords&resumptionToken=tokB": "<r>p3</r>",
+    }
+    fetched = []
+
+    def fetch(url):
+        fetched.append(url)
+        return pages[url]
+
+    got = list(
+        oai_harvest(fetch, "http://x/oai", set_spec="s1", from_date="2024-01-01")
+    )
+    assert [g[3:5] for g in got] == ["p1", "p2", "p3"]
+    assert len(fetched) == 3
+
+
+def test_oai_harvest_empty_token_terminates():
+    def fetch(url):
+        return "<r>only</r><resumptionToken></resumptionToken>"
+
+    assert len(list(oai_harvest(fetch, "http://x/oai"))) == 1
+
+
+def test_paged_rest_retry_budget():
+    calls = {"n": 0, "fails": 0}
+
+    def fetch(url):
+        calls["n"] += 1
+        # page 1 fails twice before succeeding
+        if url.endswith("page=1") and calls["fails"] < 2:
+            calls["fails"] += 1
+            raise OSError("rate limited")
+        return f"body:{url}"
+
+    slept = []
+    got = list(
+        paged_rest_harvest(
+            fetch,
+            url_for_page=lambda p: f"http://api?page={p}",
+            is_last_page=lambda body: body.endswith("page=2"),
+            sleep=slept.append,
+        )
+    )
+    assert len(got) == 3
+    assert slept == [1.0, 2.0]  # exponential backoff
+
+
+def test_paged_rest_budget_exhausted():
+    def fetch(url):
+        raise OSError("down")
+
+    with pytest.raises(OSError):
+        list(
+            paged_rest_harvest(
+                fetch,
+                url_for_page=lambda p: f"http://api?page={p}",
+                is_last_page=lambda b: True,
+                max_retries=2,
+                sleep=lambda s: None,
+            )
+        )
+
+
+def test_cli_queries_and_wc(capsys, sf_dir):
+    from siskin_spark.cli import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary (oracle)" in out
+    assert "multimodal_features (rows-only)" in out
+
+    assert main(["wc", f"{sf_dir}/region.parquet"]) == 0
+    assert capsys.readouterr().out.strip() == "5"
