@@ -2169,6 +2169,48 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skew_safe_agg",
+    """
+    SELECT l_suppkey,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           MIN(l_orderkey) AS first_order,
+           MAX(l_orderkey) AS last_order
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (scale path for heavy-hitter keys,
+    e.g. one publisher with 10^7 records): salt -> partial agg ->
+    merge. The oracle is the PLAIN single-phase GROUP BY — identical
+    results is the contract; the salted plan just bounds any one
+    reducer's share of a hot key to 1/salt_buckets."""
+    from siskin_spark.operators.aggregates import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_price_dec", F.col("l_extendedprice").cast("decimal(18,6)")
+    )
+    out = two_phase_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "n": "count",
+            "revenue": "sum:_price_dec",
+            "first_order": "min:l_orderkey",
+            "last_order": "max:l_orderkey",
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n",
+        F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+        "first_order",
+        "last_order",
+    ).orderBy("l_suppkey")
+
+
 @_q("approx_distinct_sketch")
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct sketches (A2's estimation path at 100 TB, where
