@@ -2270,6 +2270,96 @@ def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("k", "kind", "status", "segment").orderBy("kind", "k")
 
 
+@_q(
+    "ai_doi_list",
+    """
+    WITH a AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS record_id,
+             '10.1/' || CAST(o_orderkey % 1000 AS VARCHAR) AS doi,
+             o_orderkey AS seq,
+             '49' AS src,
+             o_orderstatus AS coll,
+             CAST(o_custkey % 20 AS VARCHAR) AS issn
+      FROM orders
+    ),
+    b AS (
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS record_id,
+             '10.1/' || CAST(doc_id % 1000 AS VARCHAR) AS doi,
+             10000000 + doc_id AS seq,
+             '28' AS src,
+             source AS coll,
+             CAST(doc_id % 20 AS VARCHAR) AS issn
+      FROM documents
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    latest AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY doi ORDER BY seq DESC) AS rn
+        FROM u) WHERE rn = 1
+    )
+    SELECT doi, record_id, src FROM latest
+    WHERE (src = '49' AND coll IN ('F', 'O'))
+       OR (src = '28' AND issn IN ('3', '7', '11'))
+    ORDER BY doi
+    """,
+)
+def ai_doi_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.2 minimum end-to-end slice (reference AIDOIList,
+    workflows/ai.py:801-826): normalize two heterogeneous sources into
+    the IS shape (M1), schema-drift union (A6), snapshot-dedup latest
+    version per DOI (D1), attach licensing labels via the compiled
+    filter tree (J6), filter to one ISIL (F4), project the DOI list —
+    one of every major operator family in a single Catalyst plan."""
+    from siskin_spark.operators.licensing import attach_labels
+
+    orders = _t(spark, sf_dir, "orders")
+    docs = _t(spark, sf_dir, "documents")
+    a = orders.select(
+        F.col("o_orderkey").cast("string").alias("finc_record_id"),
+        F.concat(F.lit("10.1/"), (F.col("o_orderkey") % 1000).cast("string")).alias("doi"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit("49").alias("finc_source_id"),
+        F.array(F.col("o_orderstatus")).alias("finc_mega_collection"),
+        F.array((F.col("o_custkey") % 20).cast("string")).alias("rft_issn"),
+        F.col("o_orderdate").alias("x_date"),
+    )
+    b = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("finc_record_id"),
+        F.concat(F.lit("10.1/"), (F.col("doc_id") % 1000).cast("string")).alias("doi"),
+        (F.col("doc_id") + 10_000_000).alias("seq"),
+        F.lit("28").alias("finc_source_id"),
+        F.array(F.col("source")).alias("finc_mega_collection"),
+        F.array((F.col("doc_id") % 20).cast("string")).alias("rft_issn"),
+        F.col("lang"),  # drift column: absent from source A
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    latest = dedup.snapshot_latest(u, ["doi"], ["seq"])
+    rec = latest.select(
+        "*",
+        F.lit(None).cast("array<string>").alias("rft_eissn"),
+        F.lit(None).cast("array<string>").alias("subjects"),
+        F.lit(None).cast("array<string>").alias("rft_isbn"),
+    )
+    config = {
+        "DE-15": {
+            "or": [
+                {"and": [{"source": ["49"]}, {"collection": ["F", "O"]}]},
+                {"and": [{"source": ["28"]}, {"issn": {"list": ["3", "7", "11"]}}]},
+            ]
+        },
+    }
+    tagged = attach_labels(rec, config, id_col="finc_record_id")
+    return (
+        tagged.filter(F.array_contains("x_labels", "DE-15"))
+        .select(
+            "doi",
+            F.col("finc_record_id").alias("record_id"),
+            F.col("finc_source_id").alias("src"),
+        )
+        .orderBy("doi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 

@@ -150,7 +150,9 @@ def groupcover(
     to apply to the full records.
 
     Plan: explode labels -> rank winner per (key, label) via min_by hash
-    aggregate (one shuffle on the narrow table) -> regroup winners per id.
+    aggregate (one shuffle on the narrow table) -> regroup winners per id
+    directly from the winners table (no join back against the exploded
+    table: winners already carries the winning id per (key, label)).
     No UDFs; preference ranking is ``array_position`` against a literal.
     """
     prefs = F.array(*[F.lit(p) for p in preferences])
@@ -181,9 +183,7 @@ def groupcover(
         )
     )
     kept = (
-        exploded.join(winners, on=["_key", "_label"], how="inner")
-        .filter(F.col("_id") == F.col("_winner"))
-        .groupBy("_id")
+        winners.groupBy(F.col("_winner").alias("_id"))
         .agg(F.array_sort(F.collect_set("_label")).alias("_labels"))
     )
     # rows that lost every label come back with an empty array
