@@ -1410,17 +1410,29 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 embedding-cosine near-duplicate detection: pairs above a
     0.95 cosine threshold (sampled; at scale, prefilter pairs through
     sign_bucket LSH so only bucket-mates are compared)."""
-    from siskin_spark.functions.vectors import _parallel, cosine
+    from siskin_spark.functions.vectors import _cosine_prenormed, _parallel, norm
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     a = _parallel(emb, "vec_id").select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        norm(F.col("embedding")).alias("_na"),
     )
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_prenormed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= 0.95).orderBy("id_a", "id_b")
 

@@ -44,6 +44,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed once per row instead of once per
+    pair: a pair costs one fold (the dot) instead of three. Same fold
+    order and operations as :func:`cosine`, so results are
+    bit-identical — the oracle contract is unchanged."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     probes: DataFrame,
     index: DataFrame,
@@ -59,17 +67,23 @@ def brute_force_topk(
     Returns (probe_id, neighbor_id, cos_sim, rank); self-matches excluded.
     """
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        norm(F.col(vec_col)).alias("_pn"),
     )
     i = _parallel(index, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_iv"),
+        norm(F.col(vec_col)).alias("_in"),
     )
     scored = broadcast(p).crossJoin(i).filter(
         F.col("probe_id") != F.col("neighbor_id")
     ).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+        _cosine_prenormed(
+            F.col("_pv"), F.col("_iv"), F.col("_pn"), F.col("_in")
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -132,8 +146,17 @@ def ivf_assign(
     shuffle carries one pre-reduced row per vector.
     """
     cols = index.columns
-    scored = _parallel(index, id_col).crossJoin(broadcast(centroids)).withColumn(
-        "_csim", cosine(F.col(vec_col), F.col("cv"))
+    normed_centroids = centroids.withColumn("_cn", norm(F.col("cv")))
+    scored = (
+        _parallel(index, id_col)
+        .withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(broadcast(normed_centroids))
+        .withColumn(
+            "_csim",
+            _cosine_prenormed(
+                F.col(vec_col), F.col("cv"), F.col("_vn"), F.col("_cn")
+            ),
+        )
     )
     winner = F.max_by(
         F.struct(*[F.col(c) for c in cols], F.col("cid")),
@@ -157,10 +180,16 @@ def ivf_topk(
     from pyspark.sql import Window
 
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"), "cid"
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        norm(F.col(vec_col)).alias("_pn"),
+        "cid",
     )
     i = _parallel(assigned, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), "cid"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_iv"),
+        norm(F.col(vec_col)).alias("_in"),
+        "cid",
     )
     scored = (
         broadcast(p)
@@ -169,7 +198,9 @@ def ivf_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+            _cosine_prenormed(
+                F.col("_pv"), F.col("_iv"), F.col("_pn"), F.col("_in")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -190,11 +221,13 @@ def bucketed_ann_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
+        norm(F.col(vec_col)).alias("_pn"),
         sign_bucket(F.col(vec_col), dims).alias("_bucket"),
     )
     i = _parallel(index, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_iv"),
+        norm(F.col(vec_col)).alias("_in"),
         sign_bucket(F.col(vec_col), dims).alias("_bucket"),
     )
     scored = broadcast(p).join(i, on="_bucket").filter(
@@ -202,7 +235,9 @@ def bucketed_ann_topk(
     ).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("_pv"), F.col("_iv")).alias("cos_sim"),
+        _cosine_prenormed(
+            F.col("_pv"), F.col("_iv"), F.col("_pn"), F.col("_in")
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
