@@ -944,6 +944,61 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "neardup_keep_canonical",
+    f"""
+    WITH {_shingle_cte()},
+    sig AS (
+      SELECT shingles.doc_id, {_SIG_COLS}
+      FROM shingles GROUP BY shingles.doc_id
+    ),
+    bands AS (
+{_BAND_KEYS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN counts na ON na.doc_id = i.id_a
+      JOIN counts nb ON nb.doc_id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY d.doc_id
+    """,
+)
+def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 near-dup dedup END of the pipeline: MinHash+LSH candidates
+    -> exact-Jaccard verification >= 0.5 -> keep-first collapse (drop
+    any doc with a verified smaller-id duplicate, one broadcast
+    anti-join). The complete 100 TB document-dedup path, not just
+    candidate generation."""
+    from siskin_spark.operators.neardup import (
+        exact_jaccard,
+        keep_canonical,
+        lsh_candidates,
+        shingle_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    cands = lsh_candidates(docs, shingles=sh)
+    verified = exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.5)
+    return keep_canonical(docs, verified).select("doc_id", "source").orderBy("doc_id")
+
+
+@_q(
     "ngram_jaccard_pairs",
     f"""
     WITH {_shingle_cte("WHERE doc_id % 4 = 0")},

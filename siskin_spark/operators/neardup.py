@@ -251,3 +251,21 @@ def fingerprint_table(
     return docs.select(id_col).join(fp, on=id_col, how="left").select(
         F.col(id_col), F.coalesce("fingerprint", F.lit("")).alias("fingerprint")
     )
+
+
+def keep_canonical(
+    docs: DataFrame, verified_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse verified near-duplicate pairs into a kept set: a doc is
+    dropped when any verified duplicate with a smaller id exists (the
+    standard keep-first rule over (id_a < id_b) pairs — deterministic,
+    one anti-join, no iterative connected components).
+
+    ``verified_pairs`` is (id_a, id_b) with id_a < id_b, e.g. the
+    thresholded output of :func:`exact_jaccard` over
+    :func:`lsh_candidates`. Returns the ``docs`` rows that survive.
+    At 100 TB the duplicate-id side is a small fraction of the corpus,
+    so the anti-join broadcasts it; the corpus itself never shuffles.
+    """
+    dropped = verified_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(dropped, on=id_col, how="left_anti")
