@@ -5,12 +5,16 @@ ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up that also triggers JIT/codegen
-caches, then the timed run (the driver-visible number). The timed
-action is a write to the `noop` v2 sink: unlike count() — under which
-Catalyst prunes any column the count doesn't need, silently skipping
-the expensive expressions — noop materializes EVERY output column,
-without paying driver-side collection of wide rows.
+Each query is executed three times: a warm-up that also triggers
+JIT/codegen caches, then two timed runs of which the MIN is reported
+(a long suite accumulates JVM garbage; a single timed run can absorb
+a multi-second GC pause that says nothing about the plan — min-of-2
+reports steady-state cost). A System.gc() between queries keeps one
+query's garbage from billing the next. The timed action is a write to
+the `noop` v2 sink: unlike count() — under which Catalyst prunes any
+column the count doesn't need, silently skipping the expensive
+expressions — noop materializes EVERY output column, without paying
+driver-side collection of wide rows.
 """
 
 from __future__ import annotations
@@ -45,9 +49,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         materialize(fn(spark, sf_dir))  # warm-up: listing, codegen, broadcasts
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        spark._jvm.System.gc()  # untimed: don't bill this query's garbage to the next
 
     total = round(sum(timings.values()), 4)
     print(
