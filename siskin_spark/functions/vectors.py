@@ -14,6 +14,8 @@ its bucket. Brute force remains the recall oracle on samples.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -23,9 +25,23 @@ def _parallel(df: DataFrame, key: str) -> DataFrame:
     """Vector scoring is CPU-bound (sequential-fold dot products); a
     small parquet input arrives as one split and would pin the whole
     scan side to one core. Repartition up to core count; no-op at real
-    scale where the scan already yields enough splits."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    scale where the scan already yields enough splits.
+
+    The small/large decision uses Catalyst's optimized-plan size
+    estimate — a driver-only lookup. (``df.rdd.getNumPartitions()``
+    would answer exactly, but under AQE converting to an RDD
+    materializes upstream shuffle stages: a hidden 1-2 s job per
+    call.) If the estimate is at least cores x maxPartitionBytes the
+    scan already splits to core count and the shuffle is skipped;
+    below that a repartition of so little data costs microseconds."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw.strip().lower())
+    max_split = int(m.group(1)) * units.get(m.group(2), 1) if m else 128 << 20
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < cores * max_split:
         return df.repartition(cores, F.col(key))
     return df
 

@@ -47,10 +47,13 @@ def shingle_table(
     # parquet row-group -> one split) would otherwise pin the whole
     # pipeline to a single core. Repartition BEFORE the ~50x explode so
     # the shuffle moves raw docs, not shingles. At 100 TB the scan
-    # already yields >= cores splits and this is a no-op.
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
-        docs = docs.repartition(cores, F.col(id_col))
+    # already yields >= cores splits and this is a no-op. The
+    # small/large decision reads Catalyst's size estimate (driver-only;
+    # an rdd.getNumPartitions() probe would run upstream stages under
+    # AQE — a hidden job per call).
+    from siskin_spark.functions.vectors import _parallel
+
+    docs = _parallel(docs, id_col)
     return docs.select(
         F.col(id_col),
         F.explode(
