@@ -141,7 +141,14 @@ def exact_jaccard(
     """Verify candidate pairs with exact Jaccard over shingle sets.
     Join-based: |A∩B| from a shingle equi-join restricted to candidate
     pairs, |A|,|B| from per-doc counts; jaccard = inter/(|A|+|B|-inter)
-    as a single IEEE division (engine-portable exact)."""
+    as a single IEEE division (engine-portable exact).
+
+    The count-only aggregate here is deliberately NOT fused into the
+    minhash signature aggregate: fusing (count alongside the 16 min()
+    hashes, counts branch reusing that exchange) was measured ~25%
+    SLOWER end-to-end — the reused exchange carries 16 hex partials
+    per row where this one shuffles bare counts, and the signature's
+    join-back to ``docs`` rides along. Cheap separate pass wins."""
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
