@@ -565,12 +565,12 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('5-LOW',    DATE '1995-06-01', DATE '1999-01-15')
     )
     SELECT o_orderpriority,
-           SUM(CASE WHEN EXISTS (
+           CAST(SUM(CASE WHEN EXISTS (
                  SELECT 1 FROM holdings h
                  WHERE h.ident = o_orderpriority
-                   AND (h.d_from IS NULL OR o_orderdate >= h.d_from)
-                   AND (h.d_to   IS NULL OR o_orderdate <= CAST(h.d_to AS TIMESTAMP))
-               ) THEN 1 ELSE 0 END) AS n_covered,
+                   AND (h.d_from IS NULL OR CAST(o_orderdate AS DATE) >= h.d_from)
+                   AND (h.d_to   IS NULL OR CAST(o_orderdate AS DATE) <= h.d_to)
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
            COUNT(*) AS n_total
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -1050,7 +1050,7 @@ _U32 = " + ".join(
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -1322,11 +1322,49 @@ def normalize_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_features")  # no SQL oracle: mapInPandas decode plumbing
+def _hexbyte(k: int) -> str:
+    """DuckDB expr for byte k (0-indexed) of an md5 hex string ``m``."""
+    c = "strpos('0123456789abcdef', substring(m, {p}, 1)) - 1"
+    return f"(({c.format(p=2 * k + 1)}) * 16 + ({c.format(p=2 * k + 2)}))"
+
+
+_MM_RAW = ",\n         ".join(f"{_hexbyte(i + 2)} - 127.5 AS r{i}" for i in range(8))
+_MM_NORM = " + ".join(f"r{i}*r{i}" for i in range(8))
+_MM_F = ",\n       ".join(f"CAST(r{i} / nrm AS REAL) AS f{i}" for i in range(8))
+
+
+@_q(
+    "multimodal_features",
+    f"""
+    WITH b AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS m
+      FROM documents
+    ),
+    r AS (
+      SELECT media_id, kind, n_bytes,
+             CAST(64 + {_hexbyte(0)} % 192 AS INT) AS width,
+             CAST(64 + {_hexbyte(1)} % 192 AS INT) AS height,
+         {_MM_RAW}
+      FROM b
+    ),
+    n AS (SELECT *, sqrt({_MM_NORM}) AS nrm FROM r)
+    SELECT media_id, kind, n_bytes, width, height,
+       {_MM_F}
+    FROM n ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 multimodal: binary media column -> mapInPandas feature
-    extraction (deterministic stub decoder; see operators/multimodal.py
-    — rows-only driver check, the decode itself is not SQL-expressible)."""
+    extraction (see operators/multimodal.py; decoder is the declared
+    md5-derived stub, so the whole pipeline IS SQL-expressible and the
+    oracle recomputes it from md5 hex — bit-identical float32 because
+    every intermediate (half-integer raws, exact squares, IEEE sqrt &
+    divide) is exactly representable before the final REAL cast.
+    The array column is surfaced as scalar f0..f7 so the driver's
+    row canonicalizer can sort/hash it; sha1 (no DuckDB counterpart)
+    is covered by pytest instead."""
     from siskin_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -1337,7 +1375,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/png").alias("mime"),
         F.create_map().cast("map<string,string>").alias("meta"),
     )
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
 
 
 @_q(

@@ -63,6 +63,17 @@ def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     if len(got) != len(want):
         return [f"row count differs: spark={len(got)} oracle={len(want)}"]
 
+    # The external driver hashes raw pandas values, so a dtype skew that
+    # changes the printed value (e.g. DuckDB HUGEINT -> float64 `2088.0`
+    # vs Spark int64 `2088`) fails there even when == succeeds here.
+    # Mirror that: dtypes must agree up to nullable-int vs int.
+    for c in got.columns:
+        da, db = str(got[c].dtype), str(want[c].dtype)
+        if da.lower().lstrip("u") != db.lower().lstrip("u"):
+            issues.append(f"col {c}: dtype skew spark={da} oracle={db}")
+    if issues:
+        return issues
+
     for c in got.columns:
         a, b = got[c], want[c]
         for i in range(len(a)):
