@@ -38,12 +38,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     the reader measured strictly worse — it taxes every cheap scan-agg
     query with an extra 32-task stage — so only the few
     projection-bound queries opt in. No-op when the scan already
-    splits >= min(cores, 8) ways (always true at real scale).
+    splits to core count (always true at real scale). Small/large
+    decided from the Catalyst size estimate, not
+    ``df.rdd.getNumPartitions()`` — converting to an RDD under AQE
+    materializes upstream stages as hidden jobs.
     """
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(cores, 8):
-        return df.repartition(cores, F.col(key))
-    return df
+    from siskin_spark.functions.vectors import _parallel
+
+    return _parallel(df, key)
 
 
 def _dsum(col: Column | str, alias: str) -> Column:
@@ -120,18 +122,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
-
-
-@_q(
-    "group_count_events",
-    """
-    SELECT event_type, COUNT(*) AS n
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
-def group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 group-count (reference: collection -> #records)."""
-    return aggregates.group_count(_t(spark, sf_dir, "events"), ["event_type"])
 
 
 @_q(
@@ -223,31 +213,32 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "distinct_brands",
-    "SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL ORDER BY p_brand",
-)
-def distinct_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D6 distinct sorted list (reference: DOI lists,
-    sources/crossref.py:419-505)."""
-    return dedup.distinct_sorted(_t(spark, sf_dir, "part"), "p_brand")
-
-
-@_q(
-    "distinct_union_keys",
+    "distinct_lists",
     """
-    SELECT k FROM (
+    SELECT 'brand' AS part, p_brand AS val
+    FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
+    UNION ALL
+    SELECT 'union_key', CAST(k AS VARCHAR) FROM (
       SELECT o_custkey AS k FROM orders
       UNION
       SELECT c_custkey AS k FROM customer
-    ) WHERE k IS NOT NULL ORDER BY k
+    ) WHERE k IS NOT NULL
+    ORDER BY part, val
     """,
 )
-def distinct_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 distinct union (reference: citing+cited DOI union,
-    sources/oci.py:176-196)."""
+def distinct_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 distinct sorted list (reference: DOI lists,
+    sources/crossref.py:419-505) + §2.8 distinct union (citing+cited
+    DOI union, sources/oci.py:176-196), tagged into one report."""
+    brands = dedup.distinct_sorted(_t(spark, sf_dir, "part"), "p_brand").select(
+        F.lit("brand").alias("part"), F.col("p_brand").alias("val")
+    )
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    return aggregates.distinct_union([orders, cust], "k")
+    ukeys = aggregates.distinct_union([orders, cust], "k").select(
+        F.lit("union_key").alias("part"), F.col("k").cast("string").alias("val")
+    )
+    return brands.unionByName(ukeys).orderBy("part", "val")
 
 
 # ---------------------------------------------------------------------------
@@ -255,53 +246,54 @@ def distinct_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "blacklist_anti_filter",
+    "list_filters",
     """
-    SELECT l_returnflag, COUNT(*) AS n
+    SELECT 'blacklist' AS part, l_returnflag AS key, COUNT(*) AS n
     FROM lineitem
     WHERE NOT EXISTS (
       SELECT 1 FROM part
       WHERE p_partkey = l_partkey AND p_brand IN ('Brand#1','Brand#2','Brand#3')
     )
-    GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def blacklist_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 blacklist anti-filter (reference: grep -vf issn-blacklist,
-    sources/doaj.py:128-137). Broadcast anti join on the small list."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    bl = part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")).select(
-        F.col("p_partkey").alias("l_partkey")
-    )
-    kept = joins.blacklist_filter(li, bl, on="l_partkey")
-    return kept.groupBy("l_returnflag").agg(F.count("*").alias("n")).orderBy("l_returnflag")
-
-
-@_q(
-    "whitelist_semi_join",
-    """
-    SELECT o_orderpriority, COUNT(*) AS n
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'whitelist', o_orderpriority, COUNT(*)
     FROM orders
     WHERE EXISTS (
       SELECT 1 FROM customer
       WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
     )
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    GROUP BY o_orderpriority
+    ORDER BY part, key
     """,
 )
-def whitelist_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 whitelist semi-filter (reference: grep -Ff id-whitelist,
-    sources/doaj.py:190-217). Broadcast left-semi join."""
+def list_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 blacklist anti-filter (reference: grep -vf issn-blacklist,
+    sources/doaj.py:128-137) + F2 whitelist semi-filter (grep -Ff
+    id-whitelist, doaj.py:190-217), both broadcast one-sided joins,
+    tagged into one count report."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bl = part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    black = (
+        joins.blacklist_filter(li, bl, on="l_partkey")
+        .groupBy(F.col("l_returnflag").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("blacklist").alias("part"), "key", "n")
+    )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     wl = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    kept = joins.whitelist_filter(orders, wl, on="o_custkey")
-    return kept.groupBy("o_orderpriority").agg(F.count("*").alias("n")).orderBy(
-        "o_orderpriority"
+    white = (
+        joins.whitelist_filter(orders, wl, on="o_custkey")
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("whitelist").alias("part"), "key", "n")
     )
+    return black.unionByName(white).orderBy("part", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +432,7 @@ def membership_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "pairwise_overlap",
+    "overlap_report",
     """
     WITH tagged AS (
       SELECT DISTINCT o_custkey AS k, 'all_orders' AS tag FROM orders
@@ -450,32 +442,62 @@ def membership_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT c_custkey, 'building' FROM customer WHERE c_mktsegment = 'BUILDING'
     ),
     sizes AS (SELECT tag, count(*) AS n FROM tagged GROUP BY tag)
-    SELECT a.tag AS tag_a, b.tag AS tag_b, min(sa.n) AS n_a, min(sb.n) AS n_b,
-           count(*) AS n_common
+    SELECT 'stats' AS part, a.tag AS tag_a, b.tag AS tag_b,
+           CAST(NULL AS BIGINT) AS k,
+           min(sa.n) AS n_a, min(sb.n) AS n_b, count(*) AS n_common
     FROM tagged a JOIN tagged b ON a.k = b.k AND a.tag < b.tag
     JOIN sizes sa ON sa.tag = a.tag
     JOIN sizes sb ON sb.tag = b.tag
-    GROUP BY a.tag, b.tag ORDER BY tag_a, tag_b
+    GROUP BY a.tag, b.tag
+    UNION ALL
+    SELECT 'enum', 'f_orders', 'building', k,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    ORDER BY part, tag_a, tag_b, k
     """,
 )
-def pairwise_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 pairwise set-overlap stats (reference: DOI/ISSN overlap per
-    source pair, workflows/ai.py:432-486)."""
+    source pair, workflows/ai.py:432-486) + A3 overlap enumeration
+    (common keys for one pair, ai.py:488-513) in one tagged report."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    out = joins.pairwise_overlap(
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    stats = joins.pairwise_overlap(
         {
             "all_orders": orders.select(F.col("o_custkey").alias("k")),
-            "f_orders": orders.filter(F.col("o_orderstatus") == "F").select(
-                F.col("o_custkey").alias("k")
-            ),
-            "building": cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-                F.col("c_custkey").alias("k")
-            ),
+            "f_orders": f_orders,
+            "building": building,
         },
         "k",
+    ).select(
+        F.lit("stats").alias("part"),
+        "tag_a",
+        "tag_b",
+        F.lit(None).cast("long").alias("k"),
+        "n_a",
+        "n_b",
+        "n_common",
     )
-    return out.orderBy("tag_a", "tag_b")
+    enum = f_orders.intersect(building).select(
+        F.lit("enum").alias("part"),
+        F.lit("f_orders").alias("tag_a"),
+        F.lit("building").alias("tag_b"),
+        "k",
+        F.lit(None).cast("long").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("long").alias("n_common"),
+    )
+    return stats.unionByName(enum).orderBy("part", "tag_a", "tag_b", "k")
 
 
 @_q(
@@ -650,7 +672,7 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "string_functions",
+    "scalar_functions",
     """
     SELECT doc_id,
            str_split(text, ' ')[1] AS first_word,
@@ -658,16 +680,30 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substring(text, 1, 3)) AS head3,
            substring(text, 1, 50) AS truncated,
            length(text) AS n_chars_computed,
-           md5(text) AS text_md5,
            CASE WHEN position('spark' IN text) > 0 THEN true ELSE false END AS has_spark,
-           regexp_replace(text, 'slow', 'fast', 'g') LIKE '%fast%' AS replaced_has_fast
+           regexp_replace(text, 'slow', 'fast', 'g') LIKE '%fast%' AS replaced_has_fast,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           rtrim(to_base64(encode(substring(text, 1, 12))), '=') AS head_b64,
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+           'ai-' || source || '-' ||
+             replace(replace(rtrim(to_base64(encode(CAST(doc_id AS VARCHAR))), '='),
+                     '+', '-'), '/', '_') AS finc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1') AS in_sample
     FROM documents ORDER BY doc_id
     """,
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 string surface: split/first-of-array (M14 de_listify),
-    truncation (M7), case mapping, hashing, containment, regex replace
-    (reference citations in SURVEY §2.9)."""
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar surface in one projection: split/first-of-array (M14
+    de_listify), truncation (M7), case mapping, containment, regex
+    replace; checksum/encoding functions (reference: sha1 artifact
+    checksums common.py:89-96, base64 ids, hex dumps); the §1.3
+    deterministic global id ai-<sid>-<urlsafe_b64(record_id)>
+    (conversions.py:538-540); and the md5-keyed deterministic ~1/8
+    sample flag (training-data engine extension — stable across
+    engines, runs, and partitionings, unlike rand() sampling)."""
+    from siskin_spark.operators import transforms as T
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
@@ -677,18 +713,27 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring("text", 1, 3)).alias("head3"),
         transforms_truncate("text", 50).alias("truncated"),
         F.length("text").alias("n_chars_computed"),
-        F.md5("text").alias("text_md5"),
         (F.instr("text", "spark") > 0).alias("has_spark"),
         F.regexp_replace("text", "slow", "fast").contains("fast").alias(
             "replaced_has_fast"
         ),
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.regexp_replace(
+            F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")), "=+$", ""
+        ).alias("head_b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
+        T.finc_id(F.col("source"), F.col("doc_id").cast("string")).alias("finc_id"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+        .isin("0", "1")
+        .alias("in_sample"),
     ).orderBy("doc_id")
 
 
 @_q(
-    "date_functions",
+    "date_windows",
     """
-    SELECT o_orderkey,
+    SELECT o_orderkey, o_custkey,
            EXTRACT(year FROM o_orderdate) AS y,
            EXTRACT(month FROM o_orderdate) AS m,
            CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month_start,
@@ -699,20 +744,31 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE make_date(EXTRACT(year FROM o_orderdate)::INT,
                                 EXTRACT(month FROM o_orderdate)::INT, 15)
             END AS VARCHAR) AS jour_fixe,
-           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
     FROM orders ORDER BY o_orderkey
     """,
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 date surface: year/month extraction, monthly/weekly snapping
-    (gluish ClosestDateParameter, sources/crossref.py:84-88), the
-    jour-fixe 15th-of-month rule (workflows/ai.py:213-219), day
-    arithmetic."""
+def date_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date surface — year/month extraction, monthly/weekly
+    snapping (gluish ClosestDateParameter, sources/crossref.py:84-88),
+    the jour-fixe 15th-of-month rule (workflows/ai.py:213-219), day
+    arithmetic — plus the §2.7 ordered-window surface (running decimal
+    aggregate + lag) over the same per-order grain."""
+    from pyspark.sql import Window
+
     from siskin_spark.operators import transforms as T
 
     orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_orderkey",
+        "o_custkey",
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
         T.snap_monthly("o_orderdate").cast("string").alias("month_start"),
@@ -721,6 +777,10 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(run), 2)
+        .cast("double")
+        .alias("running_revenue"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     ).orderBy("o_orderkey")
 
 
@@ -740,28 +800,6 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     ).orderBy("event_id")
-
-
-@_q(
-    "id_builder",
-    """
-    SELECT doc_id,
-           'ai-' || source || '-' ||
-           replace(replace(rtrim(to_base64(encode(CAST(doc_id AS VARCHAR))), '='),
-                   '+', '-'), '/', '_') AS finc_id
-    FROM documents ORDER BY doc_id
-    """,
-)
-def id_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§1.3 deterministic global id: ai-<sid>-<urlsafe_b64(record_id)>
-    without padding (reference: conversions.py:538-540)."""
-    from siskin_spark.operators import transforms as T
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.finc_id(F.col("source"), F.col("doc_id").cast("string")).alias("finc_id"),
-    ).orderBy("doc_id")
 
 
 def transforms_truncate(col: str, n: int):
@@ -800,14 +838,18 @@ def transforms_truncate(col: str, n: int):
                 THEN 'fr'
                 ELSE 'und' END AS predicted_lang,
            (len(toks) >= 10 AND
-            CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) <= 12.0) AS keep
+            CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) <= 12.0) AS keep,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
     FROM t ORDER BY doc_id
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 text analysis: token counts, Gopher/C4-style quality
-    features, stopword-ratio language id, keep decision. Pure column
-    expressions — one narrow map over the corpus, no shuffle."""
+    """§7.5 text analysis: Gopher/C4-style quality features,
+    stopword-ratio language id, keep decision, and the token-counting
+    family (whitespace inside quality_features, BPE-ish regex, chars/4
+    estimate). Pure column expressions — one narrow map over the
+    corpus, no shuffle."""
     from siskin_spark.functions import text as X
 
     docs = _t(spark, sf_dir, "documents")
@@ -821,28 +863,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ft["symbol_ratio"].alias("symbol_ratio"),
         X.lang_id(X.tokens("text")).alias("predicted_lang"),
         X.quality_keep("text").alias("keep"),
-    ).orderBy("doc_id")
-
-
-@_q(
-    "token_count_bpe",
-    r"""
-    SELECT doc_id,
-           len(str_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
-    FROM documents ORDER BY doc_id
-    """,
-)
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 token counting: whitespace, BPE-ish regex, and chars/4
-    estimate."""
-    from siskin_spark.functions import text as X
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count("text").alias("n_ws_tokens"),
         X.regex_token_count("text").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_tokens"),
     ).orderBy("doc_id")
@@ -1034,7 +1054,7 @@ _U32 = " + ".join(
 
 
 @_q(
-    "simhash",
+    "doc_signatures",
     f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
@@ -1048,42 +1068,39 @@ _U32 = " + ".join(
              SUM(CASE WHEN (v >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM h, generate_series(0, 31) AS g(i)
       GROUP BY doc_id, i
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 SimHash (32-bit, per-bit majority over distinct-token md5
-    hashes). Hamming-adjacent simhashes = near-dups."""
-    from siskin_spark.operators.neardup import simhash_table
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_table(docs).orderBy("doc_id")
-
-
-@_q(
-    "doc_fingerprint",
-    f"""
-    WITH {_shingle_cte()},
+    ),
+    simh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    {_shingle_cte()},
     fp AS (
       SELECT doc_id,
              array_to_string(list_sort(list(DISTINCT substring(md5('0:' || sh), 1, 8)))[1:4], '|') AS f
       FROM shingles GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(fp.f, '') AS fingerprint
-    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    SELECT d.doc_id, simh.simhash, coalesce(fp.f, '') AS fingerprint
+    FROM documents d
+    LEFT JOIN simh ON d.doc_id = simh.doc_id
+    LEFT JOIN fp ON d.doc_id = fp.doc_id
     ORDER BY d.doc_id
     """,
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 winnowing-style document fingerprint: 4 smallest shingle
-    hashes joined — a compact near-dup prefilter key."""
-    from siskin_spark.operators.neardup import fingerprint_table
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 per-document near-dup signatures in one pass: 32-bit
+    SimHash (per-bit majority over distinct-token md5 hashes;
+    Hamming-adjacent simhashes = near-dups) + winnowing-style
+    fingerprint (4 smallest shingle hashes joined — a compact
+    prefilter key)."""
+    from siskin_spark.operators.neardup import fingerprint_table, simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint_table(docs).orderBy("doc_id")
+    return (
+        simhash_table(docs)
+        .join(fingerprint_table(docs), on="doc_id", how="left")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1096,75 +1113,117 @@ _COS = (
 )
 
 
-@_q(
-    "cosine_topk",
-    f"""
-    WITH p AS (
-      SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
-      FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    i AS (
-      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS iv
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT probe_id, neighbor_id, {_COS} AS cos_sim
-      FROM p, i WHERE probe_id <> neighbor_id
-    )
-    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5 ORDER BY probe_id, rank
-    """,
-)
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 brute-force cosine top-k ANN baseline: broadcast probes x
-    index map-side nested loop + per-probe top-k window. Fold-order-
-    deterministic double math -> bit-identical to the oracle."""
-    from siskin_spark.functions.vectors import brute_force_topk
+def _hp_bucket_sql(n_planes: int, first_plane: int = 0, vec: str = "v") -> str:
+    """DuckDB expr for the hyperplane-LSH bucket of a double-list column,
+    inlining the same md5-derived ±1 weights the Spark side uses."""
+    from siskin_spark.functions.vectors import plane_weights
 
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return brute_force_topk(probes, emb, k=5).orderBy("probe_id", "rank")
-
-
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{j+1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(6)
-)
+    terms = []
+    for j in range(n_planes):
+        w = plane_weights(first_plane + j, 64)
+        arr = "[" + ", ".join(str(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 @_q(
-    "ann_sign_buckets",
+    "similarity_topk",
     f"""
     WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_BUCKET_SQL} AS bucket
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE vec_id % 100 = 0),
-    i AS (SELECT vec_id AS neighbor_id, v AS iv, bucket FROM e),
-    scored AS (
-      SELECT probe_id, neighbor_id,
-             list_dot_product(pv, iv) /
-             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(iv, iv))) AS cos_sim
-      FROM p JOIN i USING (bucket) WHERE probe_id <> neighbor_id
+    p0 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 100 = 0),
+    brute AS (
+      SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT probe_id, i.vec_id AS neighbor_id, {_COS.replace('iv', 'i.v')} AS cos_sim
+          FROM p0, e i WHERE probe_id <> i.vec_id
+        )
+      ) WHERE rank <= 5
+    ),
+    hb AS (SELECT vec_id, v, {_hp_bucket_sql(6)} AS bucket FROM e),
+    hp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM hb WHERE vec_id % 100 = 0),
+    lsh AS (
+      SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT probe_id, i.vec_id AS neighbor_id, {_COS.replace('iv', 'i.v')} AS cos_sim
+          FROM hp JOIN hb i USING (bucket) WHERE probe_id <> i.vec_id
+        )
+      ) WHERE rank <= 5
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ),
+    ip AS (SELECT vec_id AS probe_id, v AS pv, cid FROM assigned WHERE vec_id % 100 = 0),
+    ivf AS (
+      SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT probe_id, i.vec_id AS neighbor_id, {_COS.replace('iv', 'i.v')} AS cos_sim
+          FROM ip JOIN assigned i USING (cid) WHERE probe_id <> i.vec_id
+        )
+      ) WHERE rank <= 5
     )
-    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5 ORDER BY probe_id, rank
+    SELECT 'brute' AS part, * FROM brute
+    UNION ALL SELECT 'lsh', * FROM lsh
+    UNION ALL SELECT 'ivf', * FROM ivf
+    ORDER BY part, probe_id, rank
     """,
 )
-def ann_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 bucketed ANN (LSH scale path): probes scan only their
-    sign-bucket — an equi-join on bucket id instead of a cross join."""
-    from siskin_spark.functions.vectors import bucketed_ann_topk
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.5 similarity search, all three strategies over one probe set,
+    tagged: 'brute' exact top-k (broadcast probes x index — the recall
+    oracle), 'lsh' hyperplane-LSH buckets (md5-derived ±1 planes,
+    equi-join on bucket — the 100 TB path), 'ivf' IVF-flat (nearest of
+    8 centroid cells, nprobe=1 equi-join). Fold-order-deterministic
+    double math -> bit-identical to the oracle."""
+    from siskin_spark.functions.vectors import (
+        brute_force_topk,
+        bucketed_ann_topk,
+        ivf_assign,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return bucketed_ann_topk(probes, emb, k=5).orderBy("probe_id", "rank")
+    brute = brute_force_topk(probes, emb, k=5).select(
+        F.lit("brute").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+    )
+    lsh = bucketed_ann_topk(probes, emb, k=5, dims=6).select(
+        F.lit("lsh").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(emb, centroids)
+    # Probes are assigned independently (a few hundred cosines) so the
+    # full-index assignment subtree is not recomputed for the broadcast
+    # side of the cell join.
+    probes_ivf = ivf_assign(probes, centroids)
+    ivf = ivf_topk(probes_ivf, assigned, k=5).select(
+        F.lit("ivf").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+    )
+    return (
+        brute.unionByName(lsh)
+        .unionByName(ivf)
+        .orderBy("part", "probe_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1251,21 +1310,27 @@ def licensing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "windowed_events",
+    "event_windows",
     """
     SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
            event_type,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'ALL', event_type, COUNT(*), CAST(NULL AS DOUBLE)
+    FROM events GROUP BY event_type
+    ORDER BY day, event_type
     """,
 )
-def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 incremental-batch shape: tumbling 1-day event windows via
+def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental-batch shape — tumbling 1-day event windows via
     F.window (the exact groupBy a Structured Streaming job would run;
-    batch and stream share this plan — see siskin_spark.streaming)."""
+    batch and stream share this plan, see siskin_spark.streaming) —
+    plus the A1 group-count family (reference: collection -> #records)
+    as the day='ALL' rollup rows."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    windowed = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -1279,8 +1344,14 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
-        .orderBy("day", "event_type")
     )
+    totals = aggregates.group_count(ev, ["event_type"]).select(
+        F.lit("ALL").alias("day"),
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return windowed.unionByName(totals).orderBy("day", "event_type")
 
 
 @_q(
@@ -1404,51 +1475,6 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "overlap_enumeration",
-    """
-    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    ORDER BY k
-    """,
-)
-def overlap_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 overlap enumeration: list the common keys for one source pair
-    (reference: common ISSNs per pair, workflows/ai.py:488-513)."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
-    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
-    return a.intersect(b).orderBy("k")
-
-
-@_q(
-    "checksums",
-    """
-    SELECT doc_id,
-           md5(text) AS md5_hex,
-           sha256(text) AS sha256_hex,
-           rtrim(to_base64(encode(substring(text, 1, 12))), '=') AS head_b64,
-           lower(hex(encode(substring(text, 1, 8)))) AS head_hex
-    FROM documents ORDER BY doc_id
-    """,
-)
-def checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 checksum/encoding surface (reference: sha1 artifact
-    checksums common.py:89-96, base64 ids, hex dumps)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.md5("text").alias("md5_hex"),
-        F.sha2(F.col("text"), 256).alias("sha256_hex"),
-        F.regexp_replace(
-            F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")), "=+$", ""
-        ).alias("head_b64"),
-        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
-    ).orderBy("doc_id")
-
-
-@_q(
     "session_windows",
     """
     WITH d AS (
@@ -1490,6 +1516,11 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ND_BANDS = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {{k{b}}} AS key FROM e" for b in range(4)
+)
+
+
 @_q(
     "embedding_neardup",
     f"""
@@ -1497,98 +1528,36 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings WHERE vec_id % 5 = 0
     ),
+    k AS (
+      {_ND_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      SELECT id_a, id_b,
+             list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+      FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
     )
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
     ORDER BY id_a, id_b
-    """,
+    """.format(**{f"k{b}": _hp_bucket_sql(4, first_plane=4 * b) for b in range(4)}),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 embedding-cosine near-duplicate detection: pairs above a
-    0.95 cosine threshold (sampled; at scale, prefilter pairs through
-    sign_bucket LSH so only bucket-mates are compared)."""
-    from siskin_spark.functions.vectors import _cosine_prenormed, _parallel, norm
+    """§7.5 embedding-cosine near-duplicate detection at scale: banded
+    sign-LSH prefilter (4 bands x 4 md5-seeded hyperplanes, ~98.5%
+    recall at cos 0.95) -> exact cosine on bucket-mates only. Key-based
+    join, never an all-pairs product — the plan-audit test enforces
+    that. Brute force survives as the recall oracle inside
+    similarity_topk's 'brute' leg."""
+    from siskin_spark.functions.vectors import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = _parallel(emb, "vec_id").select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        norm(F.col("embedding")).alias("_na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        norm(F.col("embedding")).alias("_nb"),
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            _cosine_prenormed(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
-            ).alias("cos_sim"),
-        )
-    )
-    return pairs.filter(F.col("cos_sim") >= 0.95).orderBy("id_a", "id_b")
-
-
-@_q(
-    "ann_ivf",
-    f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-    assigned AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, cent.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, cent.cv) /
-                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
-                 DESC, cent.cid) AS rn
-        FROM e, cent
-      ) WHERE rn = 1
-    ),
-    p AS (SELECT vec_id AS probe_id, v AS pv, cid FROM assigned WHERE vec_id % 100 = 0),
-    scored AS (
-      SELECT probe_id, i.vec_id AS neighbor_id,
-             list_dot_product(pv, i.v) /
-             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(i.v, i.v))) AS cos_sim
-      FROM p JOIN assigned i USING (cid)
-      WHERE probe_id <> i.vec_id
-    )
-    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5 ORDER BY probe_id, rank
-    """,
-)
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 IVF-flat ANN: assign every vector to its nearest of 8 fixed
-    centroids (IVF cells), probes search only their cell (nprobe=1).
-    Centroids here are seed vectors for oracle determinism; at scale
-    they come from a k-means sample fit, and the cell assignment is the
-    same one equi-join."""
-    from siskin_spark.functions.vectors import ivf_assign, ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    assigned = ivf_assign(emb, centroids)
-    # Probes are assigned independently (a few hundred cosines) so the
-    # full-index assignment subtree is not recomputed for the broadcast
-    # side of the cell join.
-    probes = ivf_assign(emb.filter(F.col("vec_id") % 100 == 0), centroids)
-    return ivf_topk(probes, assigned, k=5).orderBy("probe_id", "rank")
+    return embedding_neardup_pairs(
+        emb, threshold=0.95, n_bands=4, band_bits=4
+    ).orderBy("id_a", "id_b")
 
 
 @_q(
@@ -2016,50 +1985,50 @@ def quality_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "deterministic_sample",
-    """
-    SELECT doc_id, source, n_chars FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1')
-    ORDER BY doc_id
-    """,
-)
-def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash sampling (engine extension for training-data
-    pipelines): md5-keyed ~1/8 sample that is stable across engines,
-    runs, and partitionings — unlike rand()-based sampling, a rerun or
-    a different engine selects the identical rows."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.filter(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin("0", "1")
-        )
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
-    )
-
-
-@_q(
-    "xml_extract",
+    "xml_marc_extract",
     """
     WITH x AS (
       SELECT o_orderkey,
              '<rec id="' || o_orderkey || '"><t>Order ' || o_orderkey ||
-             '</t><s>' || o_orderstatus || '</s><p>' || o_totalprice || '</p></rec>' AS xml
+             '</t><s>' || o_orderstatus || '</s><p>' || o_totalprice || '</p></rec>' AS xml,
+             [{'tag': '084', 'code': 'a', 'val': CAST(o_custkey % 20 AS VARCHAR)},
+              {'tag': '084', 'code': '2', 'val': CASE WHEN o_orderkey % 3 = 0
+                                                      THEN 'ssgn' ELSE 'rvk' END},
+              {'tag': '912', 'code': 'a', 'val': CASE WHEN o_orderkey % 2 = 0
+                                                      THEN 'digit' ELSE 'print' END}
+             ] AS fields
       FROM orders
     )
     SELECT o_orderkey,
            regexp_extract(xml, '<t>([^<]*)</t>', 1) AS title,
            regexp_extract(xml, '<s>([^<]*)</s>', 1) AS status,
-           regexp_extract(xml, 'id="([^"]*)"', 1) AS rec_id
+           regexp_extract(xml, 'id="([^"]*)"', 1) AS rec_id,
+           (EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                    WHERE f.tag = '084' AND f.code = '2' AND f.val = 'ssgn')
+            AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                        WHERE f.tag = '084' AND f.code = 'a' AND f.val = '7')
+            AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
+                        WHERE f.tag = '912' AND f.code = 'a' AND f.val = 'digit')) AS marc_hit
     FROM x ORDER BY o_orderkey
     """,
 )
-def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def xml_marc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4/S7 XML record extraction (reference: eastview batch XML
     conversions.py:514-573, SRU MARCXML kxp.py:53-98): field pulls via
     real XPath on an XML column (oracle mirrors with regex — same
-    values, different extraction engine)."""
+    values, different extraction engine). Plus F3, the MARC
+    field/subfield predicate (b3kat.py:151-206: 084.2=='ssgn' AND '7'
+    in 084.a AND 'digit' in 912.a): parsed-MARC modeled as an
+    array<struct<tag,code,val>> column, evaluated via F.exists without
+    exploding the record — surfaced as the marc_hit column."""
     orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
+    field_t = "struct<tag:string,code:string,val:string>"
+
+    def mk(tag: str, code: str, val: Column) -> Column:
+        return F.struct(
+            F.lit(tag).alias("tag"), F.lit(code).alias("code"), val.alias("val")
+        )
+
     x = orders.select(
         "o_orderkey",
         F.concat(
@@ -2069,61 +2038,6 @@ def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</s><p>"), F.col("o_totalprice").cast("string"),
             F.lit("</p></rec>"),
         ).alias("xml"),
-    )
-    # from_xml parses each document ONCE into a struct; the xpath_*
-    # functions re-build a DOM per call (3 calls/row measured ~50x
-    # slower on 150K rows). Attributes surface with the '_' prefix.
-    parsed = x.select(
-        "o_orderkey",
-        F.from_xml("xml", "struct<_id:string,t:string,s:string,p:string>").alias("r"),
-    )
-    return parsed.select(
-        "o_orderkey",
-        F.col("r.t").alias("title"),
-        F.col("r.s").alias("status"),
-        F.col("r._id").alias("rec_id"),
-    ).orderBy("o_orderkey")
-
-
-@_q(
-    "marc_field_filter",
-    """
-    WITH m AS (
-      SELECT o_orderkey,
-             [{'tag': '084', 'code': 'a', 'val': CAST(o_custkey % 20 AS VARCHAR)},
-              {'tag': '084', 'code': '2', 'val': CASE WHEN o_orderkey % 3 = 0
-                                                      THEN 'ssgn' ELSE 'rvk' END},
-              {'tag': '912', 'code': 'a', 'val': CASE WHEN o_orderkey % 2 = 0
-                                                      THEN 'digit' ELSE 'print' END}
-             ] AS fields
-      FROM orders
-    )
-    SELECT o_orderkey FROM m
-    WHERE EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
-                  WHERE f.tag = '084' AND f.code = '2' AND f.val = 'ssgn')
-      AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
-                  WHERE f.tag = '084' AND f.code = 'a' AND f.val = '7')
-      AND EXISTS (SELECT 1 FROM unnest(fields) AS t(f)
-                  WHERE f.tag = '912' AND f.code = 'a' AND f.val = 'digit')
-    ORDER BY o_orderkey
-    """,
-)
-def marc_field_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 MARC field/subfield predicate (reference sources/
-    b3kat.py:151-206: keep records where 084.2=='ssgn' AND '9,2' in
-    084.a AND 'digit' in 912.a): parsed-MARC modeled as an
-    array<struct<tag,code,val>> column, predicates via F.exists —
-    evaluated without exploding the record."""
-    orders = _t(spark, sf_dir, "orders")
-    field_t = "struct<tag:string,code:string,val:string>"
-
-    def mk(tag: str, code: str, val: Column) -> Column:
-        return F.struct(
-            F.lit(tag).alias("tag"), F.lit(code).alias("code"), val.alias("val")
-        )
-
-    m = orders.select(
-        "o_orderkey",
         F.array(
             mk("084", "a", (F.col("o_custkey") % 20).cast("string")),
             mk("084", "2", F.when(F.col("o_orderkey") % 3 == 0, F.lit("ssgn")).otherwise(F.lit("rvk"))),
@@ -2139,11 +2053,23 @@ def marc_field_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (f.getField("val") == val),
         )
 
-    return (
-        m.filter(has("084", "2", "ssgn") & has("084", "a", "7") & has("912", "a", "digit"))
-        .select("o_orderkey")
-        .orderBy("o_orderkey")
+    # from_xml parses each document ONCE into a struct; the xpath_*
+    # functions re-build a DOM per call (3 calls/row measured ~50x
+    # slower on 150K rows). Attributes surface with the '_' prefix.
+    parsed = x.select(
+        "o_orderkey",
+        F.from_xml("xml", "struct<_id:string,t:string,s:string,p:string>").alias("r"),
+        (has("084", "2", "ssgn") & has("084", "a", "7") & has("912", "a", "digit")).alias(
+            "marc_hit"
+        ),
     )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r.t").alias("title"),
+        F.col("r.s").alias("status"),
+        F.col("r._id").alias("rec_id"),
+        "marc_hit",
+    ).orderBy("o_orderkey")
 
 
 @_q(
@@ -2193,93 +2119,58 @@ def latest_file_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "running_totals",
+    "order_stats",
     """
-    SELECT o_custkey, o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue,
-           lag(o_orderkey) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
-    FROM orders ORDER BY o_custkey, o_orderkey
+    SELECT 'pct' AS part, o_orderstatus AS key,
+           quantile_cont(o_totalprice, 0.25) AS v1,
+           quantile_cont(o_totalprice, 0.50) AS v2,
+           quantile_cont(o_totalprice, 0.75) AS v3,
+           quantile_cont(o_totalprice, 0.99) AS v4
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'pivot', o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY part, key
     """,
 )
-def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 ordered-window surface (running aggregate + lag) — decimal
-    accumulation inside the window frame keeps values engine-exact."""
-    from pyspark.sql import Window
-
+def order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-aggregate report family, tagged: 'pct' rows are exact
+    linear-interpolation percentiles p25/p50/p75/p99 (quality-score
+    thresholds for training-data pipelines; at 100 TB swap in
+    approx_percentile (t-digest) — same call shape); 'pivot' rows are
+    the status x priority matrix via groupBy().pivot() with a pinned
+    value list — single pass, no distinct-scan (generalizes the
+    reference's per-pair membership matrices, J5/A2)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.col("o_orderdate").cast("date").cast("string").alias("d"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(run), 2)
-        .cast("double")
-        .alias("running_revenue"),
-        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-    ).orderBy("o_custkey", "o_orderkey")
-
-
-@_q(
-    "pivot_status_matrix",
-    """
-    SELECT o_orderpriority AS priority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-    FROM orders GROUP BY 1 ORDER BY priority
-    """,
-)
-def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot report (generalizes the reference's per-pair membership
-    matrices, J5/A2): one groupBy with an explicit pivot value list —
-    values pinned so the plan is a single pass, no distinct-scan."""
-    orders = _t(spark, sf_dir, "orders")
-    out = (
-        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+    pct = (
+        orders.groupBy(F.col("o_orderstatus").alias("key"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("v1"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("v2"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("v3"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("v4"),
+        )
+        .select(F.lit("pct").alias("part"), "key", "v1", "v2", "v3", "v4")
+    )
+    pivot = (
+        orders.groupBy(F.col("o_orderpriority").alias("key"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
         .na.fill(0)
-    )
-    return out.select(
-        "priority",
-        F.col("F").alias("n_f"),
-        F.col("O").alias("n_o"),
-        F.col("P").alias("n_p"),
-    ).orderBy("priority")
-
-
-@_q(
-    "percentile_prices",
-    """
-    SELECT o_orderstatus,
-           quantile_cont(o_totalprice, 0.25) AS p25,
-           quantile_cont(o_totalprice, 0.50) AS p50,
-           quantile_cont(o_totalprice, 0.75) AS p75,
-           quantile_cont(o_totalprice, 0.99) AS p99
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles (engine extension for
-    quality-score thresholds in training-data pipelines; verified
-    bit-identical to DuckDB quantile_cont). At 100 TB swap in
-    approx_percentile (t-digest) — same call shape."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
-            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
-            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        .select(
+            F.lit("pivot").alias("part"),
+            "key",
+            F.col("F").cast("double").alias("v1"),
+            F.col("O").cast("double").alias("v2"),
+            F.col("P").cast("double").alias("v3"),
+            F.lit(None).cast("double").alias("v4"),
         )
-        .orderBy("o_orderstatus")
     )
+    return pct.unionByName(pivot).orderBy("part", "key")
 
 
 @_q(

@@ -124,25 +124,123 @@ def sign_bucket(vec: Column, dims: int = 6) -> Column:
     return out
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket with deterministic pseudo-random
-    ±1 hyperplanes: plane i, component d has weight +1 when
-    (i*31 + d*17) % 2 == 0 else -1. Bucket = packed sign bits of the
-    projections."""
+def plane_weights(plane: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane, md5-seeded per plane.
+
+    Shared by the Spark expressions AND the generated oracle SQL (both
+    inline these as literal constants), so the two engines always agree.
+    md5 rather than an affine parity: ``(i*a + d*b) % 2`` with odd a, b
+    degenerates to ``(i+d) % 2`` — every plane a copy or negation of
+    plane 0 — whereas independent hash bits give genuinely independent
+    hyperplanes (the recall math of sign-LSH assumes that)."""
+    import hashlib
+
+    h = hashlib.md5(f"plane:{plane}".encode()).digest()
+    need = (dim + 7) // 8
+    while len(h) < need:
+        h += hashlib.md5(h).digest()
+    return [1.0 if (h[d // 8] >> (d % 8)) & 1 else -1.0 for d in range(dim)]
+
+
+def _projection(vec: Column, weights: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(w) for w in weights]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, first_plane: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket: packed sign bits of ``n_planes``
+    deterministic ±1 projections (:func:`plane_weights`). Collision
+    probability for vectors at angle θ is (1 - θ/π)^n_planes — the
+    knob that trades bucket size against recall."""
     out = F.lit(0)
     for i in range(n_planes):
-        weights = [1 if (i * 31 + d * 17) % 2 == 0 else -1 for d in range(dim)]
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in weights]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _projection(vec, plane_weights(first_plane + i, dim))
         out = out + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
+
+
+def lsh_band_keys(
+    vec: Column, n_bands: int = 4, band_bits: int = 4, dim: int = 64
+) -> Column:
+    """Banded sign-LSH keys: array of ``n_bands`` bucket ids, band b
+    built from planes [b*band_bits, (b+1)*band_bits). Two vectors are
+    near-dup CANDIDATES when any band matches (OR-amplification):
+    recall at angle θ is 1 - (1 - (1-θ/π)^band_bits)^n_bands, e.g.
+    ~0.985 at cos 0.95 with 4x4 — versus 0.43 for one 16-bit bucket."""
+    return F.array(
+        *[
+            hyperplane_bucket(
+                vec, n_planes=band_bits, dim=dim, first_plane=b * band_bits
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, at scale.
+
+    Plan: (1) each vector emits ``n_bands`` (band, key) rows — a narrow
+    explode, ids only; (2) self-equi-join on (band, key) + id_a < id_b
+    yields candidates, deduped across bands; (3) vectors join back and
+    the exact cosine filters. Never an all-pairs product: the join is
+    key-based, so cost scales with bucket occupancy, not corpus².
+    Returns (id_a, id_b, cos_sim).
+    """
+    keyed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lsh_band_keys(F.col(vec_col), n_bands, band_bits, dim)).alias(
+            "_band", "_key"
+        ),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            on=[
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._key") == F.col("b._key"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    v = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    scored = (
+        cand.join(v.withColumnRenamed("_vid", "id_a"), on="id_a")
+        .withColumnsRenamed({"_v": "_va", "_n": "_na"})
+        .join(v.withColumnRenamed("_vid", "id_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_prenormed(
+                F.col("_va"), F.col("_v"), F.col("_na"), F.col("_n")
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def ivf_assign(
@@ -230,21 +328,23 @@ def bucketed_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dims: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: probes only scan their sign-LSH bucket.
-    One equi-join on bucket id instead of a cross join — the 100 TB
-    path (bucket the index once, reuse across query batches)."""
+    """Approximate top-k: probes only scan their hyperplane-LSH bucket
+    (``dims`` planes -> 2^dims buckets). One equi-join on bucket id
+    instead of a cross join — the 100 TB path (bucket the index once,
+    reuse across query batches)."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
         norm(F.col(vec_col)).alias("_pn"),
-        sign_bucket(F.col(vec_col), dims).alias("_bucket"),
+        hyperplane_bucket(F.col(vec_col), dims, dim).alias("_bucket"),
     )
     i = _parallel(index, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_iv"),
         norm(F.col(vec_col)).alias("_in"),
-        sign_bucket(F.col(vec_col), dims).alias("_bucket"),
+        hyperplane_bucket(F.col(vec_col), dims, dim).alias("_bucket"),
     )
     scored = broadcast(p).join(i, on="_bucket").filter(
         F.col("probe_id") != F.col("neighbor_id")

@@ -83,7 +83,7 @@ def test_cli_queries_and_wc(capsys, sf_dir):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary (oracle)" in out
-    assert "multimodal_features (rows-only)" in out
+    assert "approx_distinct_sketch (rows-only)" in out
 
     assert main(["wc", f"{sf_dir}/region.parquet"]) == 0
     assert capsys.readouterr().out.strip() == "5"

@@ -24,14 +24,12 @@ QUERIES = _entry.queries()
 
 # Brute-force similarity scoring joins every probe against the full
 # index on purpose; the probe side is tiny and broadcast, which Spark
-# plans as BroadcastNestedLoopJoin. Everything else must be key-based.
+# plans as BroadcastNestedLoopJoin. Everything else must be key-based —
+# including embedding_neardup, whose banded-LSH rewrite made it
+# key-joined and earned its removal from this list.
 NESTED_LOOP_OK = {
-    "cosine_topk",
-    "embedding_neardup",
-    "ann_sign_buckets",  # centroid/probe broadcast
-    "ann_ivf",
-    "pairwise_overlap",  # source-pair matrix: |sources|^2 tiny side
-    "overlap_enumeration",
+    "similarity_topk",  # brute recall-oracle leg + centroid broadcast
+    "overlap_report",  # source-pair matrix: |sources|^2 tiny side
     "membership_matrix",
 }
 
@@ -61,7 +59,8 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
 
 
 def test_scans_prune_columns(spark, sf_dir):
-    # a 2-column projection must not read the whole lineitem schema
-    df = QUERIES["distinct_brands"](spark, sf_dir)
+    # narrow projections must not read the full table schemas
+    df = QUERIES["distinct_lists"](spark, sf_dir)
     scan = df._jdf.queryExecution().executedPlan().toString()
-    assert "l_extendedprice" not in scan, scan
+    assert "p_retailprice" not in scan, scan
+    assert "o_totalprice" not in scan, scan
