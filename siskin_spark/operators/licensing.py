@@ -39,6 +39,71 @@ from pyspark.sql.functions import broadcast
 from siskin_spark.schema import issns_all
 
 HOLDINGS_FLAG_PREFIX = "_hold_"
+CONTENT_FLAG_PREFIX = "_cont_"
+
+# Above this many entries a content whitelist compiles to a broadcast
+# semi-join flag instead of a literal isin() — reference content files
+# run 10-50K ids (amsl.py:1174-1203) and a 50K-element isin builds a
+# huge expression tree.
+CONTENT_ISIN_MAX = 1000
+
+_EMBARGO_RE = r"^\s*([RP])([0-9]+)([DMY])\s*$"
+
+
+def kbart_embargo_ok(embargo: Column, rdate: Column, now: Column) -> Column:
+    """NISO KBART ``embargo_info`` predicate (format ``{R|P}{n}{D|M|Y}``).
+
+    R = the most recent n units are NOT available (the JSTOR-style
+    moving wall, e.g. ``R1Y``); P = ONLY the most recent n units are
+    available. Null/empty/unparseable embargo = no restriction.
+    ``now`` is an explicit column/date — wall-clock-relative semantics
+    must never capture the cluster clock inside the plan (SURVEY §7.4;
+    reference consumes these via span-tag per sources/amsl.py:459-521).
+    """
+    etype = F.regexp_extract(embargo, _EMBARGO_RE, 1)
+    n = F.regexp_extract(embargo, _EMBARGO_RE, 2).cast("int")
+    unit = F.regexp_extract(embargo, _EMBARGO_RE, 3)
+    cutoff = (
+        F.when(unit == "D", F.date_sub(now, n))
+        .when(unit == "M", F.add_months(now, -n))
+        .when(unit == "Y", F.add_months(now, -12 * n))
+    )
+    return (
+        F.when(etype == "R", rdate <= cutoff)
+        .when(etype == "P", rdate > cutoff)
+        .otherwise(F.lit(True))
+    )
+
+
+def kbart_volume_issue_ok(
+    rvol: Column,
+    rissue: Column,
+    first_vol: Column,
+    first_issue: Column,
+    last_vol: Column,
+    last_issue: Column,
+) -> Column:
+    """KBART volume/issue bounds (``num_first_vol_online`` etc.,
+    jstor.py:546-580): lexicographic (volume, issue) containment with
+    null-permissive sides — a record with no volume, or a holdings row
+    with no bound, passes that comparison (matching the reference's
+    behavior of only constraining on data both sides have)."""
+
+    def _ge(v: Column, i: Column, bv: Column, bi: Column) -> Column:
+        issue_ok = F.when(bi.isNull() | i.isNull(), F.lit(True)).otherwise(i >= bi)
+        return F.when(bv.isNull() | v.isNull(), F.lit(True)).otherwise(
+            (v > bv) | ((v == bv) & issue_ok)
+        )
+
+    def _le(v: Column, i: Column, bv: Column, bi: Column) -> Column:
+        issue_ok = F.when(bi.isNull() | i.isNull(), F.lit(True)).otherwise(i <= bi)
+        return F.when(bv.isNull() | v.isNull(), F.lit(True)).otherwise(
+            (v < bv) | ((v == bv) & issue_ok)
+        )
+
+    return _ge(rvol, rissue, first_vol, first_issue) & _le(
+        rvol, rissue, last_vol, last_issue
+    )
 
 
 def _overlap(col: Column, values: list[str]) -> Column:
@@ -56,13 +121,21 @@ class LicensingCompiler:
         holdings: DataFrame | None = None,
         date_col: str = "x_date",
         record_id_col: str = "finc_record_id",
+        now: Any = None,
+        volume_col: str = "rft_volume",
+        issue_col: str = "rft_issue",
     ):
         self.holdings = holdings
         self.date_col = date_col
         self.record_id_col = record_id_col
+        self.now = now
+        self.volume_col = volume_col
+        self.issue_col = issue_col
         self._holdings_leaves: dict[tuple[str, ...], str] = {}
+        self._content_leaves: dict[tuple[str, ...], str] = {}
 
-    # -- pass 1: find holdings leaves so their joins can be planned ----
+    # -- pass 1: find join-backed leaves so their one fused join can be
+    # planned ---------------------------------------------------------
     def _collect_holdings(self, tree: dict[str, Any]) -> None:
         for op, arg in tree.items():
             if op in ("or", "and"):
@@ -75,6 +148,12 @@ class LicensingCompiler:
                 if key not in self._holdings_leaves:
                     self._holdings_leaves[key] = (
                         f"{HOLDINGS_FLAG_PREFIX}{len(self._holdings_leaves)}"
+                    )
+            elif op == "content" and len(arg["list"]) > CONTENT_ISIN_MAX:
+                key = tuple(sorted(arg["list"]))
+                if key not in self._content_leaves:
+                    self._content_leaves[key] = (
+                        f"{CONTENT_FLAG_PREFIX}{len(self._content_leaves)}"
                     )
 
     # -- pass 2: tree -> Column --------------------------------------
@@ -109,56 +188,136 @@ class LicensingCompiler:
         if op == "isbn":
             return _overlap(F.col("rft_isbn"), list(arg["list"]))
         if op == "content":
-            return F.col(self.record_id_col).isin(list(arg["list"]))
+            ids = arg["list"]
+            if len(ids) > CONTENT_ISIN_MAX:
+                return F.col(self._content_leaves[tuple(sorted(ids))])
+            return F.col(self.record_id_col).isin(list(ids))
         if op == "holdings":
             key = tuple(sorted(arg.get("files", arg.get("urls", []))))
             return F.col(self._holdings_leaves[key])
         raise ValueError(f"unknown filter node: {op}")
 
-    def _attach_holdings_flags(self, records: DataFrame, id_col: str) -> DataFrame:
-        if not self._holdings_leaves:
-            return records
-        if self.holdings is None:
-            raise ValueError("config has holdings leaves but no holdings table given")
-        for files, flag in self._holdings_leaves.items():
-            h = self.holdings
-            if files:
-                h = h.filter(F.col("file_uri").isin(list(files)))
-            h = h.select(
-                F.explode(
-                    F.array_distinct(
-                        F.array_compact(
-                            F.array(
-                                F.col("print_identifier"), F.col("online_identifier")
-                            )
-                        )
+    def _tagged_holdings(self) -> DataFrame:
+        """Every holdings leaf's KBART rows, tagged with the leaf's flag
+        name, in ONE small frame (the broadcast side). N leaves means N
+        filters of the dimension table — never N passes over records."""
+        h = self.holdings
+        cols = set(h.columns)
+        opt = lambda name: (  # noqa: E731
+            F.col(name) if name in cols else F.lit(None).cast("string")
+        )
+        base = h.select(
+            F.explode(
+                F.array_distinct(
+                    F.array_compact(
+                        F.array(F.col("print_identifier"), F.col("online_identifier"))
                     )
-                ).alias("_ident"),
-                F.col("date_first_issue_online").alias("_from"),
-                F.col("date_last_issue_online").alias("_to"),
-            )
+                )
+            ).alias("_ident"),
+            F.col("date_first_issue_online").alias("_from"),
+            F.col("date_last_issue_online").alias("_to"),
+            opt("embargo_info").alias("_embargo"),
+            opt("num_first_vol_online").cast("int").alias("_fvol"),
+            opt("num_first_issue_online").cast("int").alias("_fiss"),
+            opt("num_last_vol_online").cast("int").alias("_lvol"),
+            opt("num_last_issue_online").cast("int").alias("_liss"),
+            *([F.col("file_uri")] if "file_uri" in cols else []),
+        )
+        tagged = None
+        for files, flag in self._holdings_leaves.items():
+            t = base
+            if files:
+                t = t.filter(F.col("file_uri").isin(list(files)))
+            t = t.withColumn("_flag", F.lit(flag))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        return tagged.drop("file_uri") if "file_uri" in cols else tagged
+
+    def _attach_flags(self, records: DataFrame, id_col: str) -> DataFrame:
+        """Attach every holdings flag AND every large-content flag with
+        ONE join against the records (union of per-leaf matches on the
+        small side -> collect_set of flag names -> array_contains).
+        The reference runs ~30 holdings files; sequentially that was
+        ~30 full left joins of the corpus — this is one."""
+        if not self._holdings_leaves and not self._content_leaves:
+            return records
+        spark = records.sparkSession
+        rcols = set(records.columns)
+        matches = None  # (_rk, _flag) pairs, small/broadcastable side logic
+
+        if self._holdings_leaves:
+            if self.holdings is None:
+                raise ValueError(
+                    "config has holdings leaves but no holdings table given"
+                )
+            if "embargo_info" in self.holdings.columns and self.now is None:
+                raise ValueError(
+                    "holdings table has embargo_info but no `now` was given; "
+                    "embargo walls are wall-clock-relative and need an "
+                    "explicit evaluation date"
+                )
+            th = self._tagged_holdings()
             # coverage is date-granular (KBART bounds are dates); record
             # timestamps truncate to the day for the comparison
             ids = records.select(
                 F.col(id_col).alias("_rk"),
                 F.col(self.date_col).cast("date").alias("_rdate"),
+                (
+                    F.col(self.volume_col).cast("int")
+                    if self.volume_col in rcols
+                    else F.lit(None).cast("int")
+                ).alias("_rvol"),
+                (
+                    F.col(self.issue_col).cast("int")
+                    if self.issue_col in rcols
+                    else F.lit(None).cast("int")
+                ).alias("_riss"),
                 F.explode(issns_all()).alias("_ident"),
             )
             cond = (
-                F.col("_from").isNull() | (F.col("_rdate") >= F.col("_from"))
-            ) & (F.col("_to").isNull() | (F.col("_rdate") <= F.col("_to")))
-            matched = (
-                ids.join(broadcast(h), on="_ident")
+                (F.col("_from").isNull() | (F.col("_rdate") >= F.col("_from")))
+                & (F.col("_to").isNull() | (F.col("_rdate") <= F.col("_to")))
+                & kbart_volume_issue_ok(
+                    F.col("_rvol"),
+                    F.col("_riss"),
+                    F.col("_fvol"),
+                    F.col("_fiss"),
+                    F.col("_lvol"),
+                    F.col("_liss"),
+                )
+            )
+            if self.now is not None:
+                cond = cond & kbart_embargo_ok(
+                    F.col("_embargo"), F.col("_rdate"), F.lit(self.now)
+                )
+            matches = (
+                ids.join(broadcast(th), on="_ident")
                 .filter(cond)
-                .select("_rk")
-                .distinct()
-                .withColumn(flag, F.lit(True))
-                .withColumnRenamed("_rk", id_col)
+                .select("_rk", "_flag")
             )
-            records = records.join(matched, on=id_col, how="left").withColumn(
-                flag, F.coalesce(F.col(flag), F.lit(False))
+
+        id_type = records.schema[id_col].dataType.simpleString()
+        for content_ids, flag in self._content_leaves.items():
+            c = spark.createDataFrame(
+                [(str(i),) for i in content_ids], "_id string"
+            ).select(
+                F.col("_id").cast(id_type).alias("_rk"), F.lit(flag).alias("_flag")
             )
-        return records
+            # records ∩ whitelist resolved in the same single aggregate:
+            # semi-join happens implicitly when flags join back below
+            matches = c if matches is None else matches.unionByName(c)
+
+        flags_per_rec = matches.groupBy("_rk").agg(
+            F.collect_set("_flag").alias("_flags")
+        )
+        records = records.join(
+            flags_per_rec.withColumnRenamed("_rk", id_col), on=id_col, how="left"
+        )
+        for flag in [*self._holdings_leaves.values(), *self._content_leaves.values()]:
+            records = records.withColumn(
+                flag,
+                F.coalesce(F.array_contains(F.col("_flags"), flag), F.lit(False)),
+            )
+        return records.drop("_flags")
 
     def attach_labels(
         self,
@@ -172,9 +331,10 @@ class LicensingCompiler:
         to the sorted list of matching ISILs; optionally drop records
         with no label (span-tag -D, workflows/ai.py:232-237)."""
         self._holdings_leaves = {}
+        self._content_leaves = {}
         for tree in config.values():
             self._collect_holdings(tree)
-        work = self._attach_holdings_flags(records, id_col)
+        work = self._attach_flags(records, id_col)
         pairs = [
             F.when(self._compile(tree), F.lit(isil)) for isil, tree in config.items()
         ]
@@ -182,7 +342,11 @@ class LicensingCompiler:
             labels_col, F.array_sort(F.array_compact(F.array(*pairs)))
         )
         out = out.drop(
-            *[c for c in out.columns if c.startswith(HOLDINGS_FLAG_PREFIX)]
+            *[
+                c
+                for c in out.columns
+                if c.startswith((HOLDINGS_FLAG_PREFIX, CONTENT_FLAG_PREFIX))
+            ]
         )
         if drop_unlabeled:
             out = out.filter(F.size(labels_col) > 0)
@@ -193,10 +357,13 @@ def attach_labels(
     records: DataFrame,
     config: dict[str, dict[str, Any]],
     holdings: DataFrame | None = None,
+    now: Any = None,
     **kw: Any,
 ) -> DataFrame:
     """Functional entry point for the licensing engine (J6)."""
-    return LicensingCompiler(holdings=holdings).attach_labels(records, config, **kw)
+    return LicensingCompiler(holdings=holdings, now=now).attach_labels(
+        records, config, **kw
+    )
 
 
 def apply_oa_flag(
