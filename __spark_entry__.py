@@ -1747,12 +1747,13 @@ def solr_export_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(list_filter([
              'url_ver=Z39.88-2004',
              'ctx_ver=Z39.88-2004',
-             'rft_val_fmt=info:ofi/fmt:kev:mtx:' ||
+             'rft_val_fmt=info%3Aofi%2Ffmt%3Akev%3Amtx%3A' ||
                CASE WHEN o_orderkey % 3 = 0 THEN 'book' ELSE 'journal' END,
              'rft.genre=' || CASE WHEN o_orderkey % 3 = 0 THEN 'book' ELSE 'article' END,
-             'rft.atitle=Order ' || o_orderkey,
-             CASE WHEN o_orderkey % 3 = 0 THEN 'rft.btitle=Proceedings ' || o_orderstatus END,
-             CASE WHEN o_orderkey % 3 <> 0 THEN 'rft.jtitle=Journal of ' || o_orderpriority END,
+             'rft.atitle=Order%20' || o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'rft.btitle=Proceedings%20' || o_orderstatus END,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN 'rft.jtitle=Journal%20of%20' || replace(o_orderpriority, ' ', '%20') END,
              'rft.date=' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
              'rft.volume=' || (o_orderkey % 40 + 1),
              'rft.issue=' || (o_orderkey % 12 + 1),
@@ -1760,9 +1761,9 @@ def solr_export_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
              'rft.issn=' || (o_custkey % 20),
              'rft.isbn=978-' || o_orderkey,
              'rft.aulast=' || o_orderstatus,
-             'rft.aufirst=' || o_orderpriority,
+             'rft.aufirst=' || replace(o_orderpriority, ' ', '%20'),
              CASE WHEN o_orderkey % 5 <> 0
-                  THEN 'rft_id=info:doi/10.1000/order.' || o_orderkey END
+                  THEN 'rft_id=info%3Adoi%2F10.1000%2Forder.' || o_orderkey END
            ], x -> x IS NOT NULL)), '&') AS openurl
     FROM orders ORDER BY o_orderkey
     """,
@@ -1771,7 +1772,11 @@ def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12 OpenURL context-object builder (reference openurl.py:31-172)
     through the real openurl_params bundle: genre-dependent field sets
     (book vs journal), first-author-only, DOI as rft_id. Serialized as
-    the key-sorted query string for the oracle compare."""
+    the key-sorted query string with values percent-encoded (reference
+    ai.py:557-559). The oracle hardcodes the escapes in the static
+    literal prefixes — every dynamic suffix (keys, status, dates)
+    stays inside the unencoded-safe set [A-Za-z0-9._-] except
+    o_orderpriority's space, replace()d explicitly."""
     from siskin_spark.operators.export import openurl_query_string
 
     orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")

@@ -5,11 +5,12 @@ ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed three times: a warm-up that also triggers
-JIT/codegen caches, then two timed runs of which the MIN is reported
+Each query is executed four times: a warm-up that also triggers
+JIT/codegen caches, then three timed runs of which the MIN is reported
 (a long suite accumulates JVM garbage; a single timed run can absorb
-a multi-second GC pause that says nothing about the plan — min-of-2
-reports steady-state cost). A System.gc() between queries keeps one
+a multi-second GC pause that says nothing about the plan — min-of-3
+reports steady-state cost and stops one noisy run from masquerading
+as a plan regression). A System.gc() between queries keeps one
 query's garbage from billing the next. The timed action is a write to
 the `noop` v2 sink: unlike count() — under which Catalyst prunes any
 column the count doesn't need, silently skipping the expensive
@@ -50,7 +51,7 @@ def main() -> None:
     for name, fn in sorted(queries.items()):
         materialize(fn(spark, sf_dir))  # warm-up: listing, codegen, broadcasts
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

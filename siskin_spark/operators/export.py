@@ -64,17 +64,39 @@ def solr_export(df: DataFrame, fullrecord: bool = False) -> DataFrame:
     return df.select(*cols)
 
 
-def openurl_params(genre_col: str = "rft_genre") -> Column:
+def percent_encode(v: Column) -> Column:
+    """Percent-encode an OpenURL value (reference openurl.py:164-170 /
+    workflows/ai.py:557-559 urlencode the context object before
+    serializing; raw '&'/'=' in a title would otherwise corrupt the
+    k=v wire format).
+
+    Canonical form: ``url_encode`` (java.net.URLEncoder — every byte
+    outside [A-Za-z0-9._*-] escaped as uppercase %XX, UTF-8 for
+    non-ASCII) normalized to pure percent-escapes: the '+' URLEncoder
+    emits for space -> %20 (any literal '+' was already %2B by then)
+    and the '*' it leaves raw -> %2A. Three codegen'd expressions —
+    no UDF."""
+    return F.replace(
+        F.replace(F.url_encode(v), F.lit("+"), F.lit("%20")),
+        F.lit("*"),
+        F.lit("%2A"),
+    )
+
+
+def openurl_params(genre_col: str = "rft_genre", encode: bool = True) -> Column:
     """M12: IS record -> Z39.88 OpenURL key/value context object as a
     map<string,string> (reference: openurl.py:31-172). Genre-dependent
     field sets: journal/article vs book; first author only; DOI as
-    rft_id=info:doi/...; url_ver/url_ctx_fmt constants."""
+    rft_id=info:doi/...; url_ver/url_ctx_fmt constants. Values are
+    percent-encoded unless ``encode=False`` (the reference's raw
+    params dict; encoding happens at its serialization boundary)."""
     genre = F.coalesce(F.col(genre_col), F.lit("article"))
     is_book = genre.isin("book", "bookitem", "conference", "proceeding", "report")
     first_author = F.element_at(F.col("authors"), 1)
 
     def entry(k: str, v: Column) -> Column:
-        return F.when(v.isNotNull() & (v != ""), F.struct(F.lit(k).alias("key"), v.alias("value")))
+        out = percent_encode(v) if encode else v
+        return F.when(v.isNotNull() & (v != ""), F.struct(F.lit(k).alias("key"), out.alias("value")))
 
     pairs = [
         entry("url_ver", F.lit("Z39.88-2004")),
@@ -106,9 +128,10 @@ def openurl_params(genre_col: str = "rft_genre") -> Column:
     return F.map_from_entries(kvs)
 
 
-def openurl_query_string(genre_col: str = "rft_genre") -> Column:
+def openurl_query_string(genre_col: str = "rft_genre", encode: bool = True) -> Column:
     """M12 serialized form: the context object as a canonical
-    key-sorted query string. Built directly as an array of 'k=v'
+    key-sorted query string, values percent-encoded (reference
+    workflows/ai.py:557-559). Built directly as an array of 'k=v'
     strings -> sort_array -> concat_ws. All three are lambda-free
     codegen expressions: array_sort/array_compact/transform plan as
     HOFs with INTERPRETED lambda comparators (measured ~10x slower on
@@ -120,7 +143,8 @@ def openurl_query_string(genre_col: str = "rft_genre") -> Column:
     first_author = F.element_at(F.col("authors"), 1)
 
     def entry(k: str, v: Column) -> Column:
-        return F.when(v.isNotNull() & (v != ""), F.concat(F.lit(k + "="), v))
+        out = percent_encode(v) if encode else v
+        return F.when(v.isNotNull() & (v != ""), F.concat(F.lit(k + "="), out))
 
     pairs = [
         entry("url_ver", F.lit("Z39.88-2004")),

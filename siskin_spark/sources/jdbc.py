@@ -64,6 +64,11 @@ def read_jdbc_table(
                 probe = probe.option("driver", driver)
             # unquoted identifiers arrive upper-cased from Derby/Oracle
             d = {k.lower(): v for k, v in probe.load().first().asDict().items()}
+            if d["lo"] is None or d["hi"] is None:
+                # Empty table: MIN/MAX are NULL and "None" would reach
+                # the JVM as an unparseable lowerBound. One connection
+                # reading zero rows is the right plan anyway.
+                return reader.load()
             bounds = (d["lo"], d["hi"])
         reader = (
             reader.option("partitionColumn", partition_column)

@@ -68,12 +68,16 @@ def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     # `2088.0` vs Spark int64 `2088`) fails there even when == succeeds
     # here. Width differences (int32 vs int64) hash identically and are
     # fine — compare the dtype KIND (int/float/bool/object/datetime).
-    for c in got.columns:
-        ka, kb = got[c].dtype.kind, want[c].dtype.kind
-        if ka != kb and not (len(got) == 0):
-            issues.append(
-                f"col {c}: dtype kind skew spark={got[c].dtype} oracle={want[c].dtype}"
-            )
+    # Zero-row frames are skipped entirely: empty-frame dtype skew is
+    # intentionally ignored (both engines synthesize dtypes for empty
+    # results and the driver's value hash is over zero cells anyway).
+    if len(got):
+        for c in got.columns:
+            ka, kb = got[c].dtype.kind, want[c].dtype.kind
+            if ka != kb:
+                issues.append(
+                    f"col {c}: dtype kind skew spark={got[c].dtype} oracle={want[c].dtype}"
+                )
     if issues:
         return issues
 

@@ -35,6 +35,11 @@ def derby_url(spark, tmp_path_factory):
         ps.setInt(3, i * 10)
         ps.addBatch()
     ps.executeBatch()
+    st2 = conn.createStatement()
+    st2.executeUpdate(
+        "CREATE TABLE empty_records (id INT PRIMARY KEY, doi VARCHAR(64))"
+    )
+    st2.close()
     st.close()
     conn.close()
     yield url
@@ -60,6 +65,22 @@ def test_jdbc_partitioned_scan_with_probed_bounds(spark, derby_url):
     assert df.count() == 100
     total = df.selectExpr("sum(n) s").first()["s"]
     assert total == sum(i * 10 for i in range(1, 101))
+
+
+def test_jdbc_partitioned_scan_empty_table_falls_back(spark, derby_url):
+    # MIN/MAX probe returns NULLs on an empty table; the reader must
+    # fall back to a single-connection scan instead of feeding "None"
+    # into lowerBound (historical NumberFormatException).
+    df = read_jdbc_table(
+        spark,
+        derby_url,
+        "empty_records",
+        driver=DRIVER,
+        partition_column="id",
+        num_partitions=4,
+    )
+    assert df.count() == 0
+    assert {c.lower() for c in df.columns} == {"id", "doi"}
 
 
 def test_jdbc_filter_pushdown(spark, derby_url):

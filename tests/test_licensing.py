@@ -98,15 +98,51 @@ def test_openurl_golden(spark):
     p = {r["finc_id"]: r["p"] for r in out.collect()}
     a1 = p["ai-49-a1"]
     assert a1["rft.genre"] == "article"
-    assert a1["rft.jtitle"] == "J Algo"
+    assert a1["rft.jtitle"] == "J%20Algo"
     assert a1["rft.issn"] == "1111-2222"
-    assert a1["rft_id"] == "info:doi/10.1000/a1"
+    assert a1["rft_id"] == "info%3Adoi%2F10.1000%2Fa1"
     assert a1["rft.aulast"] == "Doe"
     assert "rft.btitle" not in a1
     c1 = p["ai-55-c1"]
-    assert c1["rft_val_fmt"] == "info:ofi/fmt:kev:mtx:book"
-    assert c1["rft.btitle"] == "The Baroque Violin"
+    assert c1["rft_val_fmt"] == "info%3Aofi%2Ffmt%3Akev%3Amtx%3Abook"
+    assert c1["rft.btitle"] == "The%20Baroque%20Violin"
     assert "rft.jtitle" not in c1
+    # raw context-object form (the reference's params dict) on request
+    raw = {
+        r["finc_id"]: r["p"]
+        for r in recs.select("finc_id", openurl_params(encode=False).alias("p")).collect()
+    }
+    assert raw["ai-49-a1"]["rft_id"] == "info:doi/10.1000/a1"
+    assert raw["ai-55-c1"]["rft.btitle"] == "The Baroque Violin"
+
+
+def test_openurl_percent_encoding_golden(spark):
+    """Reserved characters in values must not corrupt the k=v wire
+    format (reference openurl.py:164-170 urlencodes). Table-driven in
+    the reference's test_openurl.py style."""
+    from siskin_spark.operators.export import openurl_query_string
+
+    recs = is_records(spark).withColumn(
+        "rft_atitle",
+        F.when(F.col("finc_id") == "ai-49-a1", F.lit("Q&A: 50% of a=b, plus+tilde~"))
+        .otherwise(F.col("rft_atitle")),
+    )
+    out = {
+        r["finc_id"]: r["q"]
+        for r in recs.select(
+            "finc_id", openurl_query_string().alias("q")
+        ).collect()
+    }
+    q = out["ai-49-a1"]
+    assert "rft.atitle=Q%26A%3A%2050%25%20of%20a%3Db%2C%20plus%2Btilde%7E" in q
+    # the serialized string still splits cleanly on & and =
+    piece = [p for p in q.split("&") if p.startswith("rft.atitle=")]
+    assert len(piece) == 1 and piece[0].count("=") == 1
+    p = {
+        r["finc_id"]: r["p"]
+        for r in recs.select("finc_id", openurl_params().alias("p")).collect()
+    }
+    assert p["ai-49-a1"]["rft.atitle"] == "Q%26A%3A%2050%25%20of%20a%3Db%2C%20plus%2Btilde%7E"
 
 
 def test_snapshot_latest_doi(spark):
