@@ -2220,20 +2220,49 @@ def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_suppkey")
 
 
-@_q("approx_distinct_sketch")
+@_q(
+    "approx_distinct_sketch",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct sketches (A2's estimation path at 100 TB, where
     exact pairwise set intersection is a full shuffle of every key:
     approx_count_distinct is one pass, mergeable, no key shuffle).
-    rows-only check: sketch estimates are engine-specific by nature;
-    the exact counterparts are oracle-checked in pairwise_overlap."""
+
+    Raw HLL estimates are engine-specific, so the oracle-checked
+    contract is the sketch's ACCURACY BOUND: per group,
+    abs(approx - exact)/exact <= 0.05 must hold (DuckDB computes the
+    exact side and TRUE literals). Spark runs the sketch at rsd=0.01
+    so the 5% verdict is deterministic-stable, and the exact counts
+    ride along as directly value-checked columns."""
     li = _t(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.05
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            "n_rows",
+            within("_approx_orders", "exact_orders").alias("orders_within_5pct"),
+            within("_approx_parts", "exact_parts").alias("parts_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

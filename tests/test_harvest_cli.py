@@ -83,7 +83,9 @@ def test_cli_queries_and_wc(capsys, sf_dir):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary (oracle)" in out
-    assert "approx_distinct_sketch (rows-only)" in out
+    # every registered query carries an oracle since the sketch query
+    # moved to its error-bound contract (round 3)
+    assert "(rows-only)" not in out
 
     assert main(["wc", f"{sf_dir}/region.parquet"]) == 0
     assert capsys.readouterr().out.strip() == "5"
