@@ -1524,9 +1524,20 @@ _ND_BANDS = "\n    UNION ALL ".join(
 @_q(
     "embedding_neardup",
     f"""
-    WITH e AS (
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    allv AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS REAL))
+               AS embedding
+      FROM base WHERE vec_id % 25 = 0
+    ),
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id % 5 = 0
+      FROM allv
     ),
     k AS (
       {_ND_BANDS}
@@ -1551,12 +1562,31 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at cos 0.95) -> exact cosine on bucket-mates only. Key-based
     join, never an all-pairs product — the plan-audit test enforces
     that. Brute force survives as the recall oracle inside
-    similarity_topk's 'brute' leg."""
+    similarity_topk's 'brute' leg.
+
+    The synthetic embeddings contain no natural pair above cos 0.95,
+    which made this check vacuous (0 == 0) through round 2. Every 5th
+    kept vector now gets a PLANTED near-dup partner: an exactly-doubled
+    copy under id+1000000. Doubling a float is exact (exponent bump),
+    sign projections are scale-invariant (the pair collides in every
+    band), and cos == 1.0 bit-identically in both engines — so the LSH
+    band assembly, the join-back, and the cosine math all must produce
+    real rows that hash-match the oracle."""
     from siskin_spark.functions.vectors import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 2).cast("float")
+        ).alias("embedding"),
+    )
     return embedding_neardup_pairs(
-        emb, threshold=0.95, n_bands=4, band_bits=4
+        emb.unionByName(planted), threshold=0.95, n_bands=4, band_bits=4
     ).orderBy("id_a", "id_b")
 
 

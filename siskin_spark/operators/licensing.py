@@ -250,11 +250,28 @@ class LicensingCompiler:
                     "config has holdings leaves but no holdings table given"
                 )
             if "embargo_info" in self.holdings.columns and self.now is None:
-                raise ValueError(
-                    "holdings table has embargo_info but no `now` was given; "
-                    "embargo walls are wall-clock-relative and need an "
-                    "explicit evaluation date"
+                # Real KBART files always carry the embargo_info COLUMN
+                # (32-column standard) — only a parseable VALUE makes
+                # `now` mandatory. Holdings are config-sized, so this
+                # probe is one tiny scan of the broadcast side.
+                has_embargo = (
+                    self.holdings.filter(
+                        F.regexp_extract(
+                            F.col("embargo_info").cast("string"), _EMBARGO_RE, 1
+                        )
+                        != ""
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
                 )
+                if has_embargo:
+                    raise ValueError(
+                        "holdings table has embargo_info values but no `now` "
+                        "was given; embargo walls are wall-clock-relative and "
+                        "need an explicit evaluation date (attach_labels(..., "
+                        "now=date(...)))"
+                    )
             th = self._tagged_holdings()
             # coverage is date-granular (KBART bounds are dates); record
             # timestamps truncate to the day for the comparison

@@ -67,20 +67,47 @@ def is_records(spark):
     return spark.createDataFrame(rows, INTERMEDIATE_SCHEMA)
 
 
+_KBART_SCHEMA = (
+    "file_uri string, publication_title string, print_identifier string,"
+    "online_identifier string, date_first_issue_online date,"
+    "date_last_issue_online date, embargo_info string,"
+    "num_first_vol_online int, num_first_issue_online int,"
+    "num_last_vol_online int, num_last_issue_online int"
+)
+
+
 def kbart_holdings(spark):
+    # embargo_info column present-but-null everywhere, like a real
+    # 32-column KBART export with no walls — attach_labels must work
+    # WITHOUT `now` on this shape
     rows = [
         ("file:kbart_de15", "J Mus", "7777-8888", None,
-         datetime.date(1950, 1, 1), datetime.date(2000, 12, 31)),
+         datetime.date(1950, 1, 1), datetime.date(2000, 12, 31),
+         None, None, None, None, None),
         ("file:kbart_de15", "J Algo", "1111-2222", "3333-4444",
-         datetime.date(1990, 1, 1), None),
-        ("file:kbart_de14", "J Open", "5555-6666", None, None, None),
+         datetime.date(1990, 1, 1), None, None, None, None, None, None),
+        ("file:kbart_de14", "J Open", "5555-6666", None, None, None,
+         None, None, None, None, None),
     ]
-    return spark.createDataFrame(
-        rows,
-        "file_uri string, publication_title string, print_identifier string,"
-        "online_identifier string, date_first_issue_online date,"
-        "date_last_issue_online date",
-    )
+    return spark.createDataFrame(rows, _KBART_SCHEMA)
+
+
+def kbart_holdings_embargo(spark):
+    """Walls + volume/issue bounds (reference KBART semantics,
+    jstor.py:546-580): R1Y moving wall, P2Y only-recent, and a
+    (vol 5 iss 2) .. (vol 10 iss 3) window."""
+    rows = [
+        # R1Y: the most recent year is NOT available
+        ("file:kbart_emb", "J R", "1000-0001", None, None, None,
+         "R1Y", None, None, None, None),
+        # P2Y: ONLY the most recent two years are available
+        ("file:kbart_emb", "J P", "1000-0002", None, None, None,
+         "P2Y", None, None, None, None),
+        # volume/issue bounds, no dates, no embargo
+        ("file:kbart_emb", "J V", "1000-0003", None, None, None,
+         None, 5, 2, 10, 3),
+    ]
+    return spark.createDataFrame(rows, _KBART_SCHEMA)
 
 
 FILTER_CONFIG = {

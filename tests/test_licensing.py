@@ -10,7 +10,12 @@ from siskin_spark.operators import dedup
 from siskin_spark.operators.export import openurl_params, solr_export
 from siskin_spark.operators.licensing import apply_oa_flag, attach_labels
 from siskin_spark.operators.transforms import redact
-from tests.fixtures import FILTER_CONFIG, is_records, kbart_holdings
+from tests.fixtures import (
+    FILTER_CONFIG,
+    is_records,
+    kbart_holdings,
+    kbart_holdings_embargo,
+)
 
 
 def _labels(spark):
@@ -77,6 +82,95 @@ def test_redact(spark):
     recs = is_records(spark)
     out = redact(recs)
     assert "x_fulltext" not in out.columns
+
+
+# -- embargo / volume-issue walls (ADVICE r2: these predicates had no
+# coverage — every fixture value collapsed to the null-permissive True
+# branch) -------------------------------------------------------------
+
+_EMB_CONFIG = {"DE-EMB": {"holdings": {"files": ["file:kbart_emb"]}}}
+
+
+def _emb_records(spark):
+    import datetime
+
+    from tests.fixtures import _rec
+    from siskin_spark.schema import INTERMEDIATE_SCHEMA
+
+    def rec(rid, issn, when, vol=None, iss=None):
+        return _rec(
+            finc_id=f"ai-9-{rid}", finc_record_id=rid, finc_source_id="9",
+            rft_issn=[issn], x_date=when, x_labels=[],
+            rft_volume=vol, rft_issue=iss,
+        )
+
+    rows = [
+        # R1Y wall, now=2024-06-15 -> cutoff 2023-06-15
+        rec("r-old", "1000-0001", datetime.datetime(2020, 1, 1)),   # kept
+        rec("r-new", "1000-0001", datetime.datetime(2024, 1, 1)),   # walled
+        # P2Y, cutoff 2022-06-15 -> ONLY newer-than-cutoff kept
+        rec("p-old", "1000-0002", datetime.datetime(2020, 1, 1)),   # walled
+        rec("p-new", "1000-0002", datetime.datetime(2024, 1, 1)),   # kept
+        # (5,2)..(10,3) volume/issue window
+        rec("v-below", "1000-0003", datetime.datetime(2000, 1, 1), "5", "1"),
+        rec("v-first", "1000-0003", datetime.datetime(2000, 1, 1), "5", "2"),
+        rec("v-mid", "1000-0003", datetime.datetime(2000, 1, 1), "7", "9"),
+        rec("v-last", "1000-0003", datetime.datetime(2000, 1, 1), "10", "3"),
+        rec("v-above", "1000-0003", datetime.datetime(2000, 1, 1), "10", "4"),
+        rec("v-null", "1000-0003", datetime.datetime(2000, 1, 1)),  # permissive
+    ]
+    return spark.createDataFrame(rows, INTERMEDIATE_SCHEMA)
+
+
+def test_kbart_embargo_and_volume_issue_walls(spark):
+    import datetime
+
+    out = attach_labels(
+        _emb_records(spark),
+        _EMB_CONFIG,
+        holdings=kbart_holdings_embargo(spark),
+        now=datetime.date(2024, 6, 15),
+    )
+    got = {r["finc_record_id"]: list(r["x_labels"]) for r in out.collect()}
+    assert got == {
+        "r-old": ["DE-EMB"], "r-new": [],
+        "p-old": [], "p-new": ["DE-EMB"],
+        "v-below": [], "v-first": ["DE-EMB"], "v-mid": ["DE-EMB"],
+        "v-last": ["DE-EMB"], "v-above": [], "v-null": ["DE-EMB"],
+    }
+
+
+def test_embargo_values_require_now(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="now"):
+        attach_labels(
+            _emb_records(spark), _EMB_CONFIG,
+            holdings=kbart_holdings_embargo(spark),
+        )
+
+
+def test_embargo_column_all_null_needs_no_now(spark):
+    # real KBART always has the embargo_info COLUMN; only parseable
+    # VALUES make `now` mandatory
+    got = _labels(spark)  # kbart_holdings: embargo_info all-null, no now
+    assert got["ai-55-c1"] == ["DE-15", "FID-BBI-DE-23"]
+
+
+def test_large_content_list_uses_broadcast_flag(spark):
+    from siskin_spark.operators.licensing import LicensingCompiler
+
+    ids = [f"pad-{i}" for i in range(1500)] + ["a1"]
+    config = {"DE-CT": {"content": {"list": ids}}}
+    comp = LicensingCompiler()
+    out = comp.attach_labels(
+        is_records(spark), config, id_col="finc_record_id"
+    )
+    # >1000 entries compiled to the join-backed flag, not a literal isin
+    assert len(comp._content_leaves) == 1
+    got = {r["finc_record_id"]: list(r["x_labels"]) for r in out.collect()}
+    assert got["a1"] == ["DE-CT"]
+    assert got["a2"] == []
 
 
 def test_solr_export_golden(spark):

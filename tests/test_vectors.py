@@ -1,0 +1,79 @@
+"""§7.5 embedding near-dup: planted-pair recall tests for the banded
+sign-LSH prefilter + exact-cosine pipeline (ADVICE r2: the driver-side
+oracle check was vacuous on fixture data — these tests feed vectors
+with KNOWN near-dup pairs above and decoys below the threshold)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from siskin_spark.functions.vectors import embedding_neardup_pairs, lsh_band_keys
+
+DIM = 64
+
+
+def _mk_embeddings(spark):
+    """40 base vectors; ids 1000+i are near-dups of i for i < 10
+    (cos ~0.999); ids 2000+i are decoys of i for i < 5 (cos well
+    below 0.95). Deterministic seed — the test is stable."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    expected = set()
+    for i in range(10):
+        near = base[i] + 0.01 * rng.normal(size=DIM)  # cos ≈ 0.997
+        cos = float(
+            near @ base[i] / (np.linalg.norm(near) * np.linalg.norm(base[i]))
+        )
+        assert cos > 0.99
+        rows.append((1000 + i, [float(x) for x in near]))
+        expected.add((i, 1000 + i))
+    decoys = set()
+    for i in range(5):
+        far = base[i] + 1.2 * rng.normal(size=DIM)  # cos ≈ 0.5-0.7
+        cos = float(far @ base[i] / (np.linalg.norm(far) * np.linalg.norm(base[i])))
+        assert cos < 0.9
+        rows.append((2000 + i, [float(x) for x in far]))
+        decoys.add((i, 2000 + i))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    return df, expected, decoys
+
+
+def test_neardup_planted_pair_recall(spark):
+    emb, expected, decoys = _mk_embeddings(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    # every planted near-dup pair survives the LSH prefilter AND the
+    # exact cosine — this is the recall the driver check can't see
+    missing = expected - got
+    assert not missing, f"LSH missed planted pairs: {missing}"
+    assert not (decoys & got), "below-threshold decoys leaked through"
+
+
+def test_neardup_threshold_is_exact_not_lsh(spark):
+    """Candidates that collide in a band but sit below the cosine
+    threshold must be filtered by the exact check."""
+    emb, _, _ = _mk_embeddings(spark)
+    loose = embedding_neardup_pairs(emb, threshold=-1.0)  # every band-mate
+    strict = embedding_neardup_pairs(emb, threshold=0.95)
+    n_loose, n_strict = loose.count(), strict.count()
+    assert n_loose > n_strict  # the threshold does real work
+    assert strict.filter(F.col("cos_sim") < 0.95).count() == 0
+
+
+def test_band_keys_scale_invariant(spark):
+    """Sign projections are invariant under positive scaling — the
+    property the driver-side planted pairs rely on."""
+    emb, _, _ = _mk_embeddings(spark)
+    keys = emb.select(
+        "vec_id",
+        lsh_band_keys(F.col("embedding")).alias("k1"),
+        lsh_band_keys(
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0))
+        ).alias("k2"),
+    )
+    assert keys.filter(F.col("k1") != F.col("k2")).count() == 0
