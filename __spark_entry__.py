@@ -1393,6 +1393,122 @@ def normalize_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "normalize_olc",
+    """
+    SELECT 'ai-68-olc-' || doc_id AS finc_id,
+           'olc-' || doc_id AS finc_record_id,
+           '68' AS finc_source_id,
+           CASE doc_id % 5 WHEN 0 THEN 'Journal' WHEN 1 THEN 'Article'
+                           WHEN 2 THEN 'Book' WHEN 3 THEN NULL
+                           ELSE 'Article' END AS finc_format,
+           CASE doc_id % 4
+             WHEN 0 THEN 'OLC SSG Mathematik und Informatik'
+             WHEN 1 THEN 'OLC SSG Physik'
+             WHEN 2 THEN 'OLC SSG Mathematik|OLC SSG Mathematik und Informatik'
+             ELSE '' END AS mega,
+           substring(text, 1, 80) AS abstract,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Author ' || (doc_id % 7) || '|Zweitautor, B.'
+                ELSE 'Author ' || (doc_id % 7) END AS authors,
+           lang AS languages,
+           substring(text, 1, 60) AS atitle,
+           CASE WHEN doc_id % 3 = 0 THEN 'Sub ' || doc_id END AS subtitle,
+           lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || '-443X' AS issn,
+           CAST(doc_id % 12 + 1 AS VARCHAR) AS issue,
+           'Journal of ' || source AS jtitle,
+           CAST(doc_id % 40 + 1 AS VARCHAR) AS volume,
+           source AS pub,
+           'https://olc.example.org/' || doc_id AS url,
+           CASE doc_id % 3 WHEN 0 THEN '1999'
+                WHEN 1 THEN '20' || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+                END AS rft_date,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(TIMESTAMP '1999-01-01' AS VARCHAR)
+             WHEN 1 THEN CAST(CAST('20' || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+                               || '-01-01 00:00:00' AS TIMESTAMP) AS VARCHAR)
+             END AS x_date
+    FROM documents ORDER BY finc_id
+    """,
+)
+def normalize_olc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 olc->IS through the SHIPPED spec file (specs/olc.json — the
+    reference's olc_to_intermediate_schema, conversions.py:213-335, as
+    pure data): SSG code filtering + lookup + 'OLC SSG ' templating with
+    unknown-code skip and sorted dedup, de_listify with format default,
+    the 4-digit-year date guard, and the ai-68-<id> identity — all
+    end-to-end over OLC-shaped raw docs synthesized from `documents`.
+    The oracle hand-evaluates the same spec semantics in SQL."""
+    from siskin_spark.operators.normalize import normalize_source
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw = docs.select(
+        F.concat(F.lit("olc-"), ds).alias("id"),
+        F.array(F.substring("text", 1, 60)).alias("title"),
+        F.when(d % 3 == 0, F.array(F.concat(F.lit("Sub "), ds))).alias("title_sub"),
+        F.array(F.substring("text", 1, 80), F.lit("second abstract")).alias("abstract"),
+        F.when(
+            d % 2 == 0,
+            F.array(
+                F.concat(F.lit("Author "), (d % 7).cast("string")),
+                F.lit("Zweitautor, B."),
+            ),
+        )
+        .otherwise(F.array(F.concat(F.lit("Author "), (d % 7).cast("string"))))
+        .alias("author2"),
+        F.when(d % 5 == 0, F.array(F.lit("Journal")))
+        .when(d % 5 == 1, F.array(F.lit("electronic Article")))
+        .when(d % 5 == 2, F.array(F.lit("Serial Volume")))
+        .when(d % 5 == 3, F.array(F.lit("Mystery Object")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("format"),
+        F.when(d % 4 == 0, F.array(F.lit("SSG-OLC-MAT"), F.lit("misc")))
+        .when(d % 4 == 1, F.array(F.lit("SSG-OLC-PHY"), F.lit("SSG-OLC-XXX")))
+        .when(d % 4 == 2, F.array(F.lit("SSG-OPC-MAT"), F.lit("SSG-OLC-MAT")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("collection_details"),
+        F.array(F.col("lang")).alias("lang_code"),
+        F.array(
+            F.concat(F.lpad((d % 100).cast("string"), 4, "0"), F.lit("-443X"))
+        ).alias("issn"),
+        (d % 12 + 1).cast("string").alias("container_issue"),
+        F.concat(F.lit("Journal of "), F.col("source")).alias("container_title"),
+        (d % 40 + 1).cast("string").alias("container_volume"),
+        F.array(F.col("source")).alias("publisher"),
+        F.array(F.lit("Leipzig")).alias("place"),
+        F.array(F.concat(F.lit("https://olc.example.org/"), ds)).alias("url"),
+        F.when(d % 3 == 0, F.lit("1999"))
+        .when(d % 3 == 1, F.concat(F.lit("20"), F.lpad((d % 25).cast("string"), 2, "0")))
+        .otherwise(F.lit("20010"))  # 5 digits: the len-4 guard drops it
+        .alias("publishDateSort"),
+    )
+    out = normalize_source(raw, "olc")
+    return out.select(
+        "finc_id",
+        "finc_record_id",
+        "finc_source_id",
+        "finc_format",
+        F.array_join("finc_mega_collection", "|").alias("mega"),
+        "abstract",
+        F.array_join(
+            F.transform("authors", lambda a: a.getField("rft_au")), "|"
+        ).alias("authors"),
+        F.array_join("languages", "|").alias("languages"),
+        F.col("rft_atitle").alias("atitle"),
+        F.col("x_subtitle").alias("subtitle"),
+        F.array_join("rft_issn", "|").alias("issn"),
+        F.col("rft_issue").alias("issue"),
+        F.col("rft_jtitle").alias("jtitle"),
+        F.col("rft_volume").alias("volume"),
+        F.array_join("rft_pub", "|").alias("pub"),
+        F.array_join("url", "|").alias("url"),
+        "rft_date",
+        F.col("x_date").cast("string").alias("x_date"),
+    ).orderBy("finc_id")
+
+
 def _hexbyte(k: int) -> str:
     """DuckDB expr for byte k (0-indexed) of an md5 hex string ``m``."""
     c = "strpos('0123456789abcdef', substring(m, {p}, 1)) - 1"

@@ -24,12 +24,44 @@ reference's static TSV maps, assets/maps/*.tsv).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siskin_spark.operators.transforms import finc_id as _finc_id
+from siskin_spark.schema import AUTHOR_TYPE, INTERMEDIATE_SCHEMA
+
+SPEC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "specs")
+
+# heuristic lang-id 2-letter -> ISO639-3 (the reference returns
+# iso_code_639_3 from its detector, conversions.py:440-452)
+_ISO3 = {"en": "eng", "de": "deu", "fr": "fra"}
+
+
+def _src(arg: dict[str, Any]) -> Column:
+    """A rule's input: a raw column (``from``) or a nested rule
+    (``from_rule``) — composition keeps the rule set small (e.g. olc's
+    'synthesize x.date only from an exactly-4-digit year' is date_synth
+    over a regex rule)."""
+    if "from_rule" in arg:
+        return _compile_rule(arg["from_rule"])
+    return F.col(arg["from"])
+
+
+def _template(template: str, inner: Column) -> Column:
+    """'ai-68-{}'-style single-hole template. concat's null propagation
+    gives presence-conditional output for free (null in -> null out)."""
+    pre, _, suf = template.partition("{}")
+    parts: list[Column] = []
+    if pre:
+        parts.append(F.lit(pre))
+    parts.append(inner)
+    if suf:
+        parts.append(F.lit(suf))
+    return F.concat(*parts)
 
 
 def _compile_rule(rule: dict[str, Any]) -> Column:
@@ -43,28 +75,132 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
     if kind == "map":
         table = arg["table"]
         m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
-        out = m[F.col(arg["from"])]
+        out = m[_src(arg)]
+        if "default_template" in arg:
+            # miss -> synthesized value (reference: osf provider->tcid
+            # fallback 'sid-179-col-<provider>', conversions.py:374-388)
+            out = F.coalesce(out, _template(arg["default_template"], _src(arg)))
         if "default" in arg:
             out = F.coalesce(out, F.lit(arg["default"]))
         return out
+    if kind == "map_array":
+        # array -> filtered+mapped+templated distinct array (reference:
+        # olc collection_details -> 'OLC SSG <name>' set, skipping
+        # non-'SSG-' entries and unknown codes, conversions.py:302-311).
+        # The reference iterates a Python set (unspecified order); we
+        # sort for determinism.
+        table = arg["table"]
+        m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
+        arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
+        mapped = F.transform(
+            arr,
+            lambda x: F.when(
+                x.startswith(arg["require_prefix"]) if "require_prefix" in arg else F.lit(True),
+                _template(arg.get("template", "{}"), m[x]),
+            ),
+        )
+        return F.array_sort(F.array_distinct(F.array_compact(mapped)))
     if kind == "regex":
-        hit = F.regexp_extract(F.col(arg["from"]), arg["pattern"], arg.get("group", 1))
+        hit = F.regexp_extract(_src(arg), arg["pattern"], arg.get("group", 1))
         return F.when(hit != "", hit)
     if kind == "truncate":
-        return F.substring(F.col(arg["from"]), 1, int(arg["len"]))
+        out = F.substring(_src(arg), 1, int(arg["len"]))
+        if "suffix" in arg:
+            # reference eastview: content[:500] + '...' only when
+            # content is present (conversions.py:560-561); concat's
+            # null propagation implements the presence guard
+            out = F.concat(out, F.lit(arg["suffix"]))
+        return out
     if kind == "split":
         return F.transform(
-            F.split(F.col(arg["from"]), arg.get("sep", ",")), lambda s: F.trim(s)
+            F.split(_src(arg), arg.get("sep", ",")), lambda s: F.trim(s)
         )
     if kind == "first":
-        return F.element_at(F.col(arg["from"]), 1)  # de_listify, conversions.py:338-360
+        # de_listify (conversions.py:338-360): first element; null or
+        # empty-string resolves to the default when one is given.
+        # try_: ANSI mode throws on empty arrays, de_listify([]) is None
+        e = F.try_element_at(_src(arg), F.lit(1))
+        if "default" in arg:
+            return F.when(e.isNull() | (e == ""), F.lit(arg["default"])).otherwise(e)
+        return e
     if kind == "concat":
         return F.concat_ws(arg.get("sep", ""), *[F.col(c) for c in arg["cols"]])
+    if kind == "template":
+        return _template(arg["template"], _src(arg))
+    if kind == "strip_prefix":
+        # reference uses str.replace (all occurrences), e.g. the osf
+        # DOI 'https://doi.org/' strip (conversions.py:496)
+        return F.replace(_src(arg), F.lit(arg["prefix"]), F.lit(""))
+    if kind == "null_if":
+        v = _src(arg)
+        return F.when(v.isin(*arg["values"]), F.lit(None)).otherwise(v)
+    if kind == "array_wrap":
+        # scalar -> 1-element array, absent/empty stays null (the
+        # reference only sets these keys when the value is truthy)
+        v = _src(arg)
+        return F.when(v.isNotNull() & (v != ""), F.array(v))
+    if kind == "array_of":
+        return F.array(*[_compile_rule(r) for r in arg["rules"]])
+    if kind == "capitalize":
+        # Python str.capitalize: first char upper, rest LOWER
+        v = _src(arg)
+        return F.concat(
+            F.upper(F.substring(v, 1, 1)), F.lower(F.substring(v, 2, 2**31 - 1))
+        )
+    if kind == "lang_id":
+        # heuristic stopword lang-id over the abstract (reference uses
+        # a lingua detector, conversions.py:396-416; the container has
+        # no lingua — the declared heuristic stand-in lives in
+        # functions/text.py and maps to ISO639-3 with a default)
+        from siskin_spark.functions.text import lang_id, tokens
+
+        v = _src(arg)
+        default = arg.get("default", "eng")
+        code2 = lang_id(tokens(v))
+        m = F.create_map(*[F.lit(x) for kv in _ISO3.items() for x in kv])
+        return F.when(
+            v.isNull() | (v == ""), F.lit(default)
+        ).otherwise(F.coalesce(m[code2], F.lit(default)))
+    if kind == "to_ts":
+        return _src(arg).cast("timestamp")
     if kind == "date_synth":
         # YYYY -> ISO instant (reference: olc date synthesis,
         # conversions.py:332-334)
-        y = F.col(arg["from"])
+        y = _src(arg)
         return F.to_timestamp(F.concat(y, F.lit("-01-01 00:00:00")))
+    if kind == "authors_au":
+        # names -> [{rft.au: name}, ...] (olc conversions.py:315,
+        # eastview :543 with a no-trim comma split dropping empties)
+        v = _src(arg)
+        if "split" in arg:
+            v = F.filter(F.split(v, arg["split"]), lambda s: s != "")
+        return F.transform(
+            F.coalesce(v, F.array().cast("array<string>")),
+            lambda name: F.struct(
+                *[
+                    (name if f.name == "rft_au" else F.lit(None).cast("string")).alias(
+                        f.name
+                    )
+                    for f in AUTHOR_TYPE.fields
+                ]
+            ),
+        )
+    if kind == "authors_struct":
+        # pre-joined author dimension (the osf per-record HTTP fetch,
+        # conversions.py:420-474, hoisted to ingestion per SURVEY M3)
+        # cast up to the full author struct
+        return F.transform(
+            _src(arg),
+            lambda a: F.struct(
+                *[
+                    (
+                        a.getField(f.name) if f.name in arg.get("fields", ["rft_aufirst", "rft_aulast"])
+                        else F.lit(None).cast("string")
+                    ).alias(f.name)
+                    for f in AUTHOR_TYPE.fields
+                ]
+            ),
+        )
     if kind == "finc_id":
         return _finc_id(F.lit(str(arg["source_id"])), F.col(arg["record_col"]))
     raise ValueError(f"unknown mapping rule: {kind}")
@@ -79,3 +215,31 @@ def apply_mapping(df: DataFrame, spec: dict[str, dict[str, Any]]) -> DataFrame:
     """M1/M6: normalize a raw source frame into target columns in one
     projection (whole-stage codegen; lookup tables are literals)."""
     return df.select(*compile_mapping(spec))
+
+
+def load_spec(name: str) -> dict[str, Any]:
+    """Load a shipped per-source spec (siskin_spark/specs/<name>.json).
+    Specs are pure data — the reference's per-source converter code
+    (conversions.py) re-expressed for collaborative editing, which its
+    own TODO asks for (conversions.py:217)."""
+    with open(os.path.join(SPEC_DIR, f"{name}.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def normalize_source(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
+    """M1-M4: run a per-source spec end-to-end — skip-rule filters
+    (``require``: null/empty drops the record, the reference's
+    'if not dd.get("title") ... continue'), the mapping projection, and
+    conformance to the full intermediate schema (missing fields become
+    typed nulls so heterogeneous sources union cleanly)."""
+    if isinstance(spec, str):
+        spec = load_spec(spec)
+    for col in spec.get("require", []):
+        df = df.filter(F.col(col).isNotNull() & (F.col(col) != ""))
+    out = apply_mapping(df, spec["mapping"])
+    have = set(out.columns)
+    full = [
+        F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in INTERMEDIATE_SCHEMA.fields
+    ]
+    return out.select(*full)

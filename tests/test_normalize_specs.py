@@ -1,0 +1,195 @@
+"""Golden tests for the shipped per-source normalizer specs
+(olc/osf/eastview — reference conversions.py:213-335, 363-511, 514-573),
+table-driven in the reference's test_conversions.py style. These pin the
+spec DATA, not just the compiler machinery."""
+
+from __future__ import annotations
+
+import datetime
+
+from siskin_spark.operators.normalize import load_spec, normalize_source
+
+
+def _row(out, key="finc_id"):
+    return {r[key]: r.asDict() for r in out.collect()}
+
+
+# -- olc --------------------------------------------------------------
+
+
+def _olc_raw(spark):
+    spec = load_spec("olc")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # full record: SSG filter + unknown-code skip + dedup, list
+        # fields de-listified, 4-digit year
+        (
+            "123", ["On Sorting"], ["A subtitle"], ["An abstract", "second"],
+            ["Doe, J.", "Roe, R."], ["electronic Article"],
+            ["SSG-OLC-MAT", "SSG-OPC-MAT", "SSG-OLC-UNKNOWN", "not-ssg"],
+            ["ger"], ["1111-2222"], "4", "J Algo", "12", ["Pub A"],
+            ["Leipzig"], ["https://example.org/123"], "1999",
+        ),
+        # empty format -> de_listify default 'Article'; 6-digit
+        # publishDateSort -> no dates; duplicate mapped collections
+        (
+            "124", ["Title B"], None, None, None, [],
+            ["SSG-OLC-ANG", "SSG-OPC-ANG"],
+            [], [], "", "", "", [], [], ["https://example.org/124"], "199901",
+        ),
+        # unmapped format -> null finc_format
+        (
+            "125", ["Title C"], None, None, None, ["Mystery Object"],
+            [], [], [], "", "", "", [], [], [], None,
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_olc_spec_golden(spark):
+    out = normalize_source(_olc_raw(spark), "olc")
+    got = _row(out)
+    a = got["ai-68-123"]
+    assert a["finc_source_id"] == "68"
+    assert a["finc_format"] == "Article"  # electronic Article ->
+    # SSG-OLC-MAT + SSG-OPC-MAT mapped, unknown code and non-SSG
+    # entry skipped, sorted output
+    assert a["finc_mega_collection"] == [
+        "OLC SSG Mathematik",
+        "OLC SSG Mathematik und Informatik",
+    ]
+    assert a["abstract"] == "An abstract"  # de_listify
+    assert [au["rft_au"] for au in a["authors"]] == ["Doe, J.", "Roe, R."]
+    assert a["rft_atitle"] == "On Sorting"
+    assert a["x_subtitle"] == "A subtitle"
+    assert a["rft_genre"] == "article"
+    assert a["rft_date"] == "1999"
+    assert a["x_date"] == datetime.datetime(1999, 1, 1)
+    b = got["ai-68-124"]
+    assert b["finc_format"] == "Article"  # empty list -> default
+    # two codes mapping to the same name dedup to one entry
+    assert b["finc_mega_collection"] == [
+        "OLC SSG Anglistik",
+        "OLC SSG Anglo-American Culture",
+    ]
+    assert b["rft_date"] is None and b["x_date"] is None  # not a 4-digit year
+    c = got["ai-68-125"]
+    assert c["finc_format"] is None  # unknown format maps to nothing
+    assert c["finc_mega_collection"] == []
+
+
+def test_olc_collection_map_completeness():
+    # the shipped table covers the reference's full SSG code list
+    # (conversions.py:220-291): 51 OLC + 11 OPC codes
+    table = load_spec("olc")["mapping"]["finc_mega_collection"]["map_array"]["table"]
+    assert len(table) == 62
+    assert table["SSG-OLC-FTH"] == "Film / Theater"  # refs #16279 variant
+    assert table["SSG-OPC-GEO"] == "Fachkatalog Geophysik"
+
+
+# -- osf --------------------------------------------------------------
+
+
+def _osf_raw(spark):
+    spec = load_spec("osf")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # the reference's own golden case (test_conversions.py:59-275),
+        # authors pre-joined instead of HTTP-fetched
+        (
+            "egcsk", "Konsep Allah Dalam Teologi Proses", "",
+            ["Gambar", "Respon", "Teologi Proses", "Tuhan"], "osf",
+            "https://doi.org/10.31219/osf.io/egcsk", "2021-07-19T07:42:12.695116",
+            [("Ceria", "Ceria")],
+        ),
+        # mapped provider + English abstract for the heuristic detector
+        (
+            "ab12x", "A Title", "the quick brown fox is a fox and the dog",
+            [], "psyarxiv",
+            "https://doi.org/10.31219/osf.io/ab12x", "2020-01-05T00:00:00",
+            [],
+        ),
+        (None, "skipped: no id", None, [], "osf", None, None, []),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_osf_spec_golden(spark):
+    out = normalize_source(_osf_raw(spark), "osf")
+    got = _row(out)
+    assert set(got) == {"ai-179-egcsk", "ai-179-ab12x"}  # no-id row skipped
+    e = got["ai-179-egcsk"]
+    assert e["finc_source_id"] == "179"
+    assert e["finc_format"] == "Preprint"
+    # unmapped provider falls back to the template + capitalize
+    assert e["finc_mega_collection"] == ["sid-179-col-osf", "Osf"]
+    assert e["doi"] == "10.31219/osf.io/egcsk"
+    assert e["rft_atitle"] == "Konsep Allah Dalam Teologi Proses"
+    assert e["rft_jtitle"] == "osf"
+    assert e["rft_pub"] == ["OSF Preprints"]
+    assert e["rft_date"] == "2021-07-19"
+    assert e["x_date"] == datetime.datetime(2021, 7, 19, 7, 42, 12, 695116)
+    assert e["url"] == ["https://doi.org/10.31219/osf.io/egcsk"]
+    assert e["subjects"] == ["Gambar", "Respon", "Teologi Proses", "Tuhan"]
+    assert [(a["rft_aufirst"], a["rft_aulast"]) for a in e["authors"]] == [
+        ("Ceria", "Ceria")
+    ]
+    assert e["languages"] == ["eng"]  # empty abstract -> default
+    p = got["ai-179-ab12x"]
+    assert p["finc_mega_collection"] == ["sid-179-col-psy", "Psyarxiv"]
+    assert p["languages"] == ["eng"]  # heuristic detector: English hit
+
+
+# -- eastview ---------------------------------------------------------
+
+
+def _eastview_raw(spark):
+    spec = load_spec("eastview")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    long_content = "x" * 600
+    rows = [
+        (
+            "ev1", "Статья один", "Иванов И., Petrov P.", "Журнал А", "2015",
+            "3", "Москва", long_content, "7", "12-19", "rus",
+            "https://example.org/ev1",
+        ),
+        # pages '-' dropped; no optional fields
+        (
+            "ev2", "Title two", "", "", None, None, None, None, None, "-",
+            None, "https://example.org/ev2",
+        ),
+        # skip rules: no title / no url
+        (None, None, None, None, None, None, None, "c", None, None, None, "https://x"),
+        ("ev4", "Title four", None, None, None, None, None, None, None, None, None, ""),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_eastview_spec_golden(spark):
+    out = normalize_source(_eastview_raw(spark), "eastview")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"ev1", "ev2"}  # title+url skip rules
+    a = got["ev1"]
+    assert a["finc_source_id"] == "210"
+    # ai-210-<b64 sans padding> ('ev1' -> ZXYx)
+    assert a["finc_id"] == "ai-210-ZXYx"
+    assert a["version"] == "0.9"
+    assert a["finc_mega_collection"] == [
+        "Universal Database of Social Sciences & Humanities (UDB-EDU)",
+        "sid-210-col-udbedu",
+    ]
+    # comma split WITHOUT trim (reference conversions.py:543)
+    assert [au["rft_au"] for au in a["authors"]] == ["Иванов И.", " Petrov P."]
+    assert a["abstract"] == "x" * 500 + "..."
+    assert a["rft_pages"] == "12-19"
+    assert a["rft_volume"] == "7"
+    assert a["rft_issue"] == "3"
+    assert a["rft_place"] == ["Москва"]
+    assert a["languages"] == ["rus"]
+    assert a["rft_date"] == "2015"
+    assert a["x_date"] == datetime.datetime(2015, 1, 1)
+    b = got["ev2"]
+    assert b["rft_pages"] is None  # '-' dropped
+    assert b["abstract"] is None  # no content -> no '...' suffix
+    assert b["authors"] == []  # empty author string -> no authors
+    assert b["x_date"] is None
