@@ -378,16 +378,26 @@ def groupcover_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orphan_customers",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
 def orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 anti-join diff report (reference: Crossref collections not in
-    AMSL, sources/crossref.py:333-416)."""
+    AMSL, sources/crossref.py:333-416). The right side is the URGENT
+    order subset — in the synthetic data every customer has SOME order,
+    so the unrestricted anti join returned 0 rows in both engines and
+    verified nothing (r2 verdict); against the subset the report is
+    non-empty and the anti-join semantics actually get hash-checked."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
-    return joins.anti_report(cust, orders, on="c_custkey").select(
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return joins.anti_report(cust, urgent, on="c_custkey").select(
         "c_custkey", "c_name"
     ).orderBy("c_custkey")
 
@@ -1504,6 +1514,151 @@ def normalize_olc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rft_volume").alias("volume"),
         F.array_join("rft_pub", "|").alias("pub"),
         F.array_join("url", "|").alias("url"),
+        "rft_date",
+        F.col("x_date").cast("string").alias("x_date"),
+    ).orderBy("finc_id")
+
+
+@_q(
+    "normalize_crossref",
+    """
+    WITH raw AS (
+      SELECT '10.1000/o' || o_orderkey AS doi,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'journal-issue'
+                  WHEN o_orderkey % 7 = 1 THEN 'book-chapter'
+                  ELSE 'journal-article' END AS type,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE 'Order &amp; Title ' || o_orderkey || ' ' END AS title1,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Part ' || o_orderstatus END AS subtitle1,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE 'J ' || o_orderpriority END AS container_title1,
+             CASE WHEN o_orderkey % 5 = 0 THEN '  '
+                  ELSE ' Pub ' || o_orderstatus || ' ' END AS publisher,
+             CAST(o_custkey % 500 AS VARCHAR) AS member,
+             CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 50 + 1 AS VARCHAR)
+                       || '-' || CAST(o_orderkey % 50 + 20 AS VARCHAR)
+                  WHEN o_orderkey % 4 = 1 THEN CAST(o_orderkey % 50 + 1 AS VARCHAR)
+                  END AS page,
+             EXTRACT(year FROM CAST(o_orderdate AS DATE))
+               + CASE WHEN o_orderkey % 17 = 0 THEN 10 ELSE 0 END AS issued_year,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN EXTRACT(month FROM CAST(o_orderdate AS DATE)) END AS issued_month,
+             CASE WHEN o_orderkey % 6 = 0
+                  THEN EXTRACT(day FROM CAST(o_orderdate AS DATE)) END AS issued_day,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || 'T08:30:00' AS created,
+             o_orderkey
+      FROM orders
+    ),
+    kept AS (
+      SELECT *,
+             concat_ws(' : ',
+               nullif(trim(replace(title1, '&amp;', '&')), ''),
+               nullif(trim(subtitle1), '')) AS atitle
+      FROM raw
+      WHERE type <> 'journal-issue'
+        AND container_title1 IS NOT NULL
+        AND concat_ws(' : ', nullif(trim(replace(title1, '&amp;', '&')), ''),
+                      nullif(trim(subtitle1), '')) <> ''
+        AND issued_year <= 2028
+    )
+    SELECT 'ai-49-' ||
+             replace(replace(rtrim(to_base64(encode(doi)), '='), '+', '-'), '/', '_')
+             AS finc_id,
+           doi AS finc_record_id,
+           '49' AS finc_source_id,
+           CASE type WHEN 'book-chapter' THEN 'ElectronicBookPart'
+                     ELSE 'ElectronicArticle' END AS finc_format,
+           'Crossref (member ' || member || ')' AS mega,
+           atitle,
+           trim(container_title1) AS jtitle,
+           CASE type WHEN 'book-chapter' THEN 'bookitem' ELSE 'article' END AS genre,
+           coalesce(nullif(trim(publisher), ''), 'X-U (Crossref)') AS pub,
+           CASE WHEN page IS NULL THEN NULL
+                ELSE regexp_extract(page, '^([^-]+)', 1) END AS spage,
+           CASE WHEN page LIKE '%-%'
+                THEN regexp_extract(page, '-(.+)$', 1) END AS epage,
+           concat_ws('-', lpad(CAST(issued_year AS VARCHAR), 4, '0'),
+                     CASE WHEN issued_month IS NOT NULL
+                          THEN lpad(CAST(issued_month AS VARCHAR), 2, '0') END,
+                     CASE WHEN issued_day IS NOT NULL
+                          THEN lpad(CAST(issued_day AS VARCHAR), 2, '0') END)
+             AS rft_date,
+           CAST(CAST(created AS TIMESTAMP) AS VARCHAR) AS x_date
+    FROM kept ORDER BY finc_id
+    """,
+)
+def normalize_crossref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 crossref->IS through the SHIPPED spec (specs/crossref.json —
+    span-import -i crossref semantics per the public Quality.md #49):
+    skip-entirely guards (journal-issue, no container, no title, future
+    date), unescape+trim, title:subtitle combination, publisher
+    fallback, page-range split, date-parts rendering — end-to-end over
+    crossref-message-shaped raw rows synthesized from `orders`. The
+    future-date guard runs against an explicit now (2026-08-13), so
+    issued_year <= 2028 in the oracle."""
+    import datetime
+
+    from siskin_spark.operators.normalize import normalize_source
+
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
+    k = F.col("o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+    author_raw = "array<struct<given:string,family:string>>"
+    raw = orders.select(
+        F.concat(F.lit("10.1000/o"), k.cast("string")).alias("doi"),
+        F.when(k % 7 == 0, F.lit("journal-issue"))
+        .when(k % 7 == 1, F.lit("book-chapter"))
+        .otherwise(F.lit("journal-article"))
+        .alias("type"),
+        F.when(
+            k % 11 != 0,
+            F.concat(F.lit("Order &amp; Title "), k.cast("string"), F.lit(" ")),
+        ).alias("title1"),
+        F.when(k % 3 == 0, F.concat(F.lit("Part "), F.col("o_orderstatus"))).alias(
+            "subtitle1"
+        ),
+        F.when(
+            k % 13 != 0, F.concat(F.lit("J "), F.col("o_orderpriority"))
+        ).alias("container_title1"),
+        F.when(k % 5 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit(" Pub "), F.col("o_orderstatus"), F.lit(" ")))
+        .alias("publisher"),
+        (F.col("o_custkey") % 500).cast("string").alias("member"),
+        F.lit(None).cast("string").alias("volume"),
+        F.lit(None).cast("string").alias("issue"),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                (k % 50 + 1).cast("string"), F.lit("-"), (k % 50 + 20).cast("string")
+            ),
+        )
+        .when(k % 4 == 1, (k % 50 + 1).cast("string"))
+        .alias("page"),
+        F.array().cast("array<string>").alias("issn"),
+        F.array().cast(author_raw).alias("authors"),
+        F.array().cast("array<string>").alias("subject"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("language"),
+        (
+            F.year(od) + F.when(k % 17 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("issued_year"),
+        F.when(k % 2 == 0, F.month(od)).alias("issued_month"),
+        F.when(k % 6 == 0, F.dayofmonth(od)).alias("issued_day"),
+        F.concat(od.cast("string"), F.lit("T08:30:00")).alias("created"),
+    )
+    out = normalize_source(raw, "crossref", now=datetime.date(2026, 8, 13))
+    return out.select(
+        "finc_id",
+        "finc_record_id",
+        "finc_source_id",
+        "finc_format",
+        F.array_join("finc_mega_collection", "|").alias("mega"),
+        F.col("rft_atitle").alias("atitle"),
+        F.col("rft_jtitle").alias("jtitle"),
+        F.col("rft_genre").alias("genre"),
+        F.array_join("rft_pub", "|").alias("pub"),
+        F.col("rft_spage").alias("spage"),
+        F.col("rft_epage").alias("epage"),
         "rft_date",
         F.col("x_date").cast("string").alias("x_date"),
     ).orderBy("finc_id")

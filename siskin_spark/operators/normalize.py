@@ -188,22 +188,88 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
     if kind == "authors_struct":
         # pre-joined author dimension (the osf per-record HTTP fetch,
         # conversions.py:420-474, hoisted to ingestion per SURVEY M3)
-        # cast up to the full author struct
-        return F.transform(
-            _src(arg),
-            lambda a: F.struct(
-                *[
-                    (
-                        a.getField(f.name) if f.name in arg.get("fields", ["rft_aufirst", "rft_aulast"])
-                        else F.lit(None).cast("string")
-                    ).alias(f.name)
-                    for f in AUTHOR_TYPE.fields
-                ]
-            ),
+        # cast up to the full author struct; optional "map" renames
+        # source struct fields (e.g. crossref given/family)
+        remap: dict[str, str] = arg.get(
+            "map", {"rft_aufirst": "rft_aufirst", "rft_aulast": "rft_aulast"}
         )
+
+        def _mk(a):
+            cols = []
+            for f in AUTHOR_TYPE.fields:
+                if f.name in remap:
+                    cols.append(a.getField(remap[f.name]).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast("string").alias(f.name))
+            return F.struct(*cols)
+
+        return F.transform(_src(arg), _mk)
+    if kind == "concat_rules":
+        # join sub-rule outputs, skipping nulls (concat_ws semantics);
+        # all-null collapses to null, not "" — e.g. crossref's
+        # title+subtitle combination where either side may be absent
+        out = F.concat_ws(arg.get("sep", ""), *[_compile_rule(r) for r in arg["rules"]])
+        return F.when(out != "", out)
+    if kind == "unescape_trim":
+        # span's UnescapeTrim (Quality.md #49): html-unescape + trim.
+        # Spark has no builtin entity decoder; the five XML entities
+        # cover the feed's observed escapes ('&' last — it is a prefix
+        # of the others)
+        v = F.trim(_src(arg))
+        for ent, ch in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            v = F.replace(v, F.lit(ent), F.lit(ch))
+        return F.when(v != "", v)  # empty trims to null (composes with coalesce)
+    if kind == "coalesce_rules":
+        return F.coalesce(*[_compile_rule(r) for r in arg["rules"]])
+    if kind == "date_parts":
+        # crossref issued date-parts [y, m, d] with m/d optional ->
+        # '2021' / '2021-07' / '2021-07-19' (concat_ws skips nulls)
+        y = F.col(arg["y"]).cast("int")
+        m = F.col(arg["m"]).cast("int") if "m" in arg else F.lit(None).cast("int")
+        d = F.col(arg["d"]).cast("int") if "d" in arg else F.lit(None).cast("int")
+        pad = lambda c, n: F.when(  # noqa: E731
+            c.isNotNull(), F.lpad(c.cast("string"), n, "0")
+        )
+        out = F.concat_ws("-", pad(y, 4), pad(m, 2), pad(d, 2))
+        return F.when(y.isNotNull(), out)
     if kind == "finc_id":
         return _finc_id(F.lit(str(arg["source_id"])), F.col(arg["record_col"]))
     raise ValueError(f"unknown mapping rule: {kind}")
+
+
+def _compile_predicate(rule: dict[str, Any], now: Any = None) -> Column:
+    """Boolean skip/keep rules (the reference's 'skip record entirely'
+    guards, Quality.md #49): null-permissive where the reference is."""
+    ((kind, arg),) = rule.items()
+    if kind == "nonempty":
+        v = _src(arg) if ("from" in arg or "from_rule" in arg) else _compile_rule(arg)
+        return v.isNotNull() & (v != "")
+    if kind == "max_len":
+        v = _src(arg)
+        return F.coalesce(F.length(v) <= int(arg["len"]), F.lit(True))
+    if kind == "not_in":
+        v = _src(arg)
+        return F.coalesce(~v.isin(*arg["values"]), F.lit(True))
+    if kind == "not_future":
+        # 'date too far in the future -> skip' (now + years_ahead);
+        # wall-clock-relative, so `now` must be explicit — same
+        # discipline as the KBART embargo walls
+        if now is None:
+            raise ValueError(
+                "spec has a not_future rule; pass now=date(...) to "
+                "normalize_source"
+            )
+        v = _src(arg).cast("date")
+        limit = F.add_months(F.lit(now), 12 * int(arg.get("years_ahead", 2)))
+        return F.coalesce(v <= limit, F.lit(True))
+    raise ValueError(f"unknown predicate rule: {kind}")
 
 
 def compile_mapping(spec: dict[str, dict[str, Any]]) -> list[Column]:
@@ -226,16 +292,22 @@ def load_spec(name: str) -> dict[str, Any]:
         return json.load(fh)
 
 
-def normalize_source(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
+def normalize_source(
+    df: DataFrame, spec: str | dict[str, Any], now: Any = None
+) -> DataFrame:
     """M1-M4: run a per-source spec end-to-end — skip-rule filters
     (``require``: null/empty drops the record, the reference's
-    'if not dd.get("title") ... continue'), the mapping projection, and
-    conformance to the full intermediate schema (missing fields become
-    typed nulls so heterogeneous sources union cleanly)."""
+    'if not dd.get("title") ... continue'; ``keep_if``: predicate
+    rules like crossref's skip-entirely guards, evaluated on the RAW
+    columns), the mapping projection, and conformance to the full
+    intermediate schema (missing fields become typed nulls so
+    heterogeneous sources union cleanly)."""
     if isinstance(spec, str):
         spec = load_spec(spec)
     for col in spec.get("require", []):
         df = df.filter(F.col(col).isNotNull() & (F.col(col) != ""))
+    for rule in spec.get("keep_if", []):
+        df = df.filter(_compile_predicate(rule, now=now))
     out = apply_mapping(df, spec["mapping"])
     have = set(out.columns)
     full = [

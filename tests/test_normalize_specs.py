@@ -193,3 +193,79 @@ def test_eastview_spec_golden(spark):
     assert b["abstract"] is None  # no content -> no '...' suffix
     assert b["authors"] == []  # empty author string -> no authors
     assert b["x_date"] is None
+
+
+# -- crossref ---------------------------------------------------------
+
+
+def _crossref_raw(spark):
+    spec = load_spec("crossref")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "10.1000/j.1", "journal-article", "Sorting &amp; Searching ",
+            "A Survey", "J. Algorithms", " ACM ", "320", "12", "3", "101-119",
+            ["1111-2222"], [("Donald", "Knuth")], ["CS"],
+            "https://doi.org/10.1000/j.1", "en", 1998, 7, None,
+            "1998-07-02T10:00:00",
+        ),
+        # subtitle-only title survives; publisher empty -> X-U fallback
+        (
+            "10.1000/j.2", "journal-article", None, "Only Subtitle",
+            "J. Algorithms", "", None, None, None, None, [], [], [],
+            None, None, 2001, None, None, "2001-01-01T00:00:00",
+        ),
+        # skip: journal-issue type
+        ("10.1000/j.3", "journal-issue", "An Issue", None, "J. Algorithms",
+         "ACM", None, None, None, None, [], [], [], None, None, 2001, None,
+         None, "2001-01-01T00:00:00"),
+        # skip: no container title
+        ("10.1000/j.4", "journal-article", "No Container", None, None,
+         "ACM", None, None, None, None, [], [], [], None, None, 2001, None,
+         None, "2001-01-01T00:00:00"),
+        # skip: no title at all
+        ("10.1000/j.5", "journal-article", None, None, "J. Algorithms",
+         "ACM", None, None, None, None, [], [], [], None, None, 2001, None,
+         None, "2001-01-01T00:00:00"),
+        # skip: issued date too far in the future (now + 2y guard)
+        ("10.1000/j.6", "journal-article", "From the Future", None,
+         "J. Algorithms", "ACM", None, None, None, None, [], [], [], None,
+         None, 2031, 1, 1, "2001-01-01T00:00:00"),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_crossref_spec_golden(spark):
+    out = normalize_source(
+        _crossref_raw(spark), "crossref", now=datetime.date(2026, 8, 13)
+    )
+    got = _row(out, key="finc_record_id")
+    # skip-entirely guards (Quality.md #49)
+    assert set(got) == {"10.1000/j.1", "10.1000/j.2"}
+    a = got["10.1000/j.1"]
+    assert a["finc_source_id"] == "49"
+    # urlsafe b64('10.1000/j.1') sans padding
+    assert a["finc_id"] == "ai-49-MTAuMTAwMC9qLjE"
+    assert a["finc_format"] == "ElectronicArticle"
+    assert a["finc_mega_collection"] == ["Crossref (member 320)"]
+    # unescape+trim on title; title ' : ' subtitle combination
+    assert a["rft_atitle"] == "Sorting & Searching : A Survey"
+    assert a["rft_pub"] == ["ACM"]  # trimmed
+    assert a["rft_spage"] == "101" and a["rft_epage"] == "119"
+    assert a["rft_date"] == "1998-07"  # year+month, no day
+    assert a["x_date"] == datetime.datetime(1998, 7, 2, 10, 0, 0)
+    assert [(x["rft_aufirst"], x["rft_aulast"]) for x in a["authors"]] == [
+        ("Donald", "Knuth")
+    ]
+    b = got["10.1000/j.2"]
+    assert b["rft_atitle"] == "Only Subtitle"  # subtitle-as-title
+    assert b["rft_pub"] == ["X-U (Crossref)"]  # publisher fallback
+    assert b["rft_date"] == "2001"
+    assert b["rft_spage"] is None and b["rft_epage"] is None
+
+
+def test_crossref_requires_now_for_future_guard(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="now"):
+        normalize_source(_crossref_raw(spark), "crossref")
