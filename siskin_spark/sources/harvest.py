@@ -60,6 +60,34 @@ def oai_harvest(
     raise RuntimeError(f"exceeded max_pages={max_pages} without final page")
 
 
+def webdav_share_url(server: str, filename: str) -> str:
+    """S11 Owncloud/Nextcloud public-share pickup URL (reference:
+    ios.py:63-80 — ``curl -u share_id:pw https://host/public.php/
+    webdav/<file>``). The share id/password travel as HTTP basic auth
+    in the injected fetch, never in the URL."""
+    return f"{server.rstrip('/')}/public.php/webdav/{filename.lstrip('/')}"
+
+
+def webdav_basic_auth_header(share_id: str, share_pw: str = "") -> dict[str, str]:
+    """Authorization header for a public share (share id as username —
+    the Owncloud public-share convention the reference relies on)."""
+    import base64
+
+    token = base64.b64encode(f"{share_id}:{share_pw}".encode()).decode()
+    return {"Authorization": f"Basic {token}"}
+
+
+_DAV_HREF_RE = re.compile(r"<(?:\w+:)?href>([^<]+)</(?:\w+:)?href>")
+
+
+def webdav_list(fetch: Callable[[str], str], url: str) -> list[str]:
+    """Parse a PROPFIND multistatus response into member hrefs (the
+    directory-pickup variant of S11; ``fetch`` must issue PROPFIND with
+    Depth: 1 — injected, like every other transport here)."""
+    body = fetch(url)
+    return [h for h in _DAV_HREF_RE.findall(body) if not h.rstrip().endswith("/")]
+
+
 def paged_rest_harvest(
     fetch: Callable[[str], str],
     url_for_page: Callable[[int], str],

@@ -31,6 +31,38 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# F6 input magic check (reference workflows/ai.py:144-158: validate
+# every input is zstd before concatenating — a truncated/mislabeled
+# file corrupts the whole union silently otherwise)
+MAGIC = {
+    "zstd": b"\x28\xb5\x2f\xfd",
+    "gzip": b"\x1f\x8b",
+    "zip": b"PK",
+    "parquet": b"PAR1",
+    "xml": b"<?xml",
+}
+
+
+def validate_magic(spark: SparkSession, path_glob: str, fmt: str) -> int:
+    """F6: assert every file under ``path_glob`` starts with the magic
+    bytes of ``fmt`` (one of MAGIC). The check reads ONLY file heads
+    via binaryFile + substring pushdown-ish projection in executors;
+    raises ValueError listing offenders. Returns the file count."""
+    magic = MAGIC[fmt]
+    heads = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", F.substring("content", 1, len(magic)).alias("head"))
+    )
+    bad = [r["path"] for r in heads.filter(F.col("head") != magic).collect()]
+    if bad:
+        raise ValueError(
+            f"input magic check failed: {len(bad)} file(s) are not {fmt}: "
+            + ", ".join(sorted(bad)[:5])
+        )
+    return heads.count()
+
+
 def read_ndjson(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Newline-delimited JSON reader (the reference's wire format;
     zstd-compressed ndjson reads transparently via the codec)."""

@@ -118,6 +118,49 @@ def test_es_search_one_shot():
     assert docs == [{"id": "x"}, {"id": "raw-hit"}]
 
 
+def test_validate_magic(tmp_path, spark):
+    """F6 (reference ai.py:144-158): magic-byte validation before any
+    file joins a union."""
+    import gzip as _gzip
+
+    import pytest
+
+    from siskin_spark.sources.readers import validate_magic
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.gz").write_bytes(_gzip.compress(b"hello"))
+    (d / "b.gz").write_bytes(_gzip.compress(b"world"))
+    assert validate_magic(spark, str(d / "*.gz"), "gzip") == 2
+    (d / "c.gz").write_bytes(b"not gzip at all")
+    with pytest.raises(ValueError, match="c.gz"):
+        validate_magic(spark, str(d / "*.gz"), "gzip")
+
+
+def test_webdav_pickup_helpers():
+    """S11: share URL shape, basic-auth header, PROPFIND listing."""
+    from siskin_spark.sources.harvest import (
+        webdav_basic_auth_header,
+        webdav_list,
+        webdav_share_url,
+    )
+
+    url = webdav_share_url("https://owncloud.example.org/", "prod_01.zip")
+    assert url == "https://owncloud.example.org/public.php/webdav/prod_01.zip"
+    hdr = webdav_basic_auth_header("ShArE", "pw")
+    assert hdr["Authorization"].startswith("Basic ")
+
+    multistatus = """<?xml version="1.0"?>
+    <d:multistatus xmlns:d="DAV:">
+      <d:response><d:href>/public.php/webdav/</d:href></d:response>
+      <d:response><d:href>/public.php/webdav/a.zip</d:href></d:response>
+      <d:response><d:href>/public.php/webdav/sub/</d:href></d:response>
+      <d:response><d:href>/public.php/webdav/b.zip</d:href></d:response>
+    </d:multistatus>"""
+    got = webdav_list(lambda u: multistatus, "https://x/public.php/webdav/")
+    assert got == ["/public.php/webdav/a.zip", "/public.php/webdav/b.zip"]
+
+
 def test_sru_windowed_fetch():
     """startRecord advances by the window size until numberOfRecords is
     exhausted; the CQL query is pushed on every window."""
