@@ -204,6 +204,21 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
             return F.struct(*cols)
 
         return F.transform(_src(arg), _mk)
+    if kind == "first_match":
+        # first array element matching a pattern (e.g. the DOI among
+        # OAI-DC dc:identifier values); optional strip_prefix cleans it
+        arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
+        hit = F.try_element_at(
+            F.filter(arr, lambda x: x.rlike(arg["pattern"])), F.lit(1)
+        )
+        if "strip_prefix" in arg:
+            hit = F.replace(hit, F.lit(arg["strip_prefix"]), F.lit(""))
+        return hit
+    if kind == "filter_match":
+        # all array elements matching a pattern (e.g. ISSNs among
+        # dc:identifier / dc:relation values)
+        arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
+        return F.filter(arr, lambda x: x.rlike(arg["pattern"]))
     if kind == "concat_rules":
         # join sub-rule outputs, skipping nulls (concat_ws semantics);
         # all-null collapses to null, not "" — e.g. crossref's

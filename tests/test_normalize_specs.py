@@ -269,3 +269,47 @@ def test_crossref_requires_now_for_future_guard(spark):
 
     with pytest.raises(ValueError, match="now"):
         normalize_source(_crossref_raw(spark), "crossref")
+
+
+# -- doaj (oai_dc) ----------------------------------------------------
+
+
+def test_doaj_spec_golden(spark):
+    spec = load_spec("doaj")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "oai:doaj.org/article:abc123", "Open Music Theory",
+            ["Doe, Jane", "Roe, Rick"],
+            ["https://doaj.org/article/abc123",
+             "https://doi.org/10.2000/b1", "some-opaque-id"],
+            ["5555-6666", "Journal of Things", "7777-888X"],
+            "2015-03-01T00:00:00Z", ["eng"], ["Music", "Theory"],
+            "Open Press", "J Open",
+        ),
+        ("oai:doaj.org/article:nodoi", "No DOI Here", [], ["x"], [], None,
+         [], [], None, None),
+        (None, "skipped", [], [], [], None, [], [], None, None),
+    ]
+    out = normalize_source(spark.createDataFrame(rows, schema), "doaj")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"oai:doaj.org/article:abc123", "oai:doaj.org/article:nodoi"}
+    a = got["oai:doaj.org/article:abc123"]
+    assert a["finc_source_id"] == "28"
+    assert a["finc_mega_collection"] == [
+        "DOAJ Directory of Open Access Journals", "sid-28-col-doaj",
+    ]
+    # DOI pulled out of the identifier multiplex, prefix stripped
+    assert a["doi"] == "10.2000/b1"
+    # ISSNs pulled from relations by pattern (title string excluded)
+    assert a["rft_issn"] == ["5555-6666", "7777-888X"]
+    # URLs are the http identifiers only
+    assert a["url"] == [
+        "https://doaj.org/article/abc123", "https://doi.org/10.2000/b1",
+    ]
+    assert [x["rft_au"] for x in a["authors"]] == ["Doe, Jane", "Roe, Rick"]
+    assert a["rft_date"] == "2015-03-01"
+    assert a["x_date"] == datetime.datetime(2015, 3, 1)
+    b = got["oai:doaj.org/article:nodoi"]
+    assert b["doi"] is None
+    assert b["rft_issn"] == [] and b["url"] == []
