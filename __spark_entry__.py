@@ -879,9 +879,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared shingle CTE for the near-dup oracle SQL
-def _shingle_cte(where: str = "") -> str:
+def _shingle_cte(where: str = "", src: str = "documents") -> str:
     return f"""
-    toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents {where}),
+    toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM {src} {where}),
     idx AS (
       SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
     ),
@@ -1031,7 +1031,14 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ngram_jaccard_pairs",
     f"""
-    WITH {_shingle_cte("WHERE doc_id % 4 = 0")},
+    WITH docs_nj AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             rtrim(substring(text, 1, (length(text) * 4) // 5)) AS text
+      FROM documents WHERE doc_id % 16 = 0
+    ),
+    {_shingle_cte(src="docs_nj")},
     counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
@@ -1050,11 +1057,35 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 brute-force n-gram Jaccard near-dup (oracle/baseline path;
     sampled to doc_id % 4 == 0 so the all-pairs expansion stays
-    bounded — at scale use the LSH path)."""
+    bounded — at scale use the LSH path).
+
+    The synthetic documents share almost no shingles (1 natural pair
+    at any sane threshold through r2), so every 4th sampled doc gets a
+    PLANTED near-dup partner under id+1000000: its 80%-prefix
+    truncation, whose shingle sets overlap at Jaccard ~0.8. Both
+    engines compute the same integer-division truncation, so the
+    shingling, intersection counts, and Jaccard math are exercised on
+    real rows."""
     from siskin_spark.operators.neardup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            # rtrim: a cut landing on a space would give DuckDB's
+            # str_split an empty trailing token Spark's shingler drops
+            F.expr("rtrim(substring(text, 1, (length(text) * 4) div 5))").alias("text"),
+        )
+    )
+    return ngram_jaccard_pairs(
+        base.unionByName(planted), threshold=0.5
+    ).orderBy("id_a", "id_b")
 
 
 _U32 = " + ".join(
