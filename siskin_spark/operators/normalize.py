@@ -307,6 +307,23 @@ def load_spec(name: str) -> dict[str, Any]:
         return json.load(fh)
 
 
+def oai_dc_spec(source_id: str, mega_collection: list[str]) -> dict[str, Any]:
+    """Parameterized OAI Dublin Core spec: the DC mapping shape
+    (specs/doaj.json) with source identity swapped in. Covers every
+    plain-DC OAI source the reference harvests through metha +
+    span-import (doaj-oai sid 28, genderopen sid 162
+    sources/genderopen.py:44,63, ijoc, pqdt, ...) — collection naming
+    is AMSL-config-level data, so the caller supplies it."""
+    spec = json.loads(json.dumps(load_spec("doaj")))  # deep copy
+    m = spec["mapping"]
+    m["finc_id"] = {
+        "finc_id": {"source_id": source_id, "record_col": "oai_identifier"}
+    }
+    m["finc_source_id"] = {"const": source_id}
+    m["finc_mega_collection"] = {"const_array": list(mega_collection)}
+    return spec
+
+
 def normalize_source(
     df: DataFrame, spec: str | dict[str, Any], now: Any = None
 ) -> DataFrame:

@@ -313,3 +313,20 @@ def test_doaj_spec_golden(spark):
     b = got["oai:doaj.org/article:nodoi"]
     assert b["doi"] is None
     assert b["rft_issn"] == [] and b["url"] == []
+
+
+def test_oai_dc_spec_parameterized(spark):
+    """genderopen (sid 162, sources/genderopen.py:44) and any other
+    plain-DC OAI source ride the same spec with swapped identity."""
+    from siskin_spark.operators.normalize import oai_dc_spec
+
+    spec = oai_dc_spec("162", ["GenderOpen", "sid-162-col-go"])
+    schema = ", ".join(
+        f"{c} {t}" for c, t in load_spec("doaj")["raw_columns"].items()
+    )
+    rows = [("oai:go/1", "A Title", ["A, B"], [], [], "2020", [], [], None, None)]
+    out = normalize_source(spark.createDataFrame(rows, schema), spec)
+    r = out.collect()[0]
+    assert r["finc_source_id"] == "162"
+    assert r["finc_id"].startswith("ai-162-")
+    assert list(r["finc_mega_collection"]) == ["GenderOpen", "sid-162-col-go"]
