@@ -74,8 +74,13 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         return F.array(*[F.lit(v) for v in arg])
     if kind == "map":
         table = arg["table"]
-        m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
-        out = m[_src(arg)]
+        if table:
+            m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
+            out = m[_src(arg)]
+        else:
+            # empty table (genios: the DB->format preference hack ships
+            # with no overrides yet) — everything falls to the default
+            out = F.lit(None).cast("string")
         if "default_template" in arg:
             # miss -> synthesized value (reference: osf provider->tcid
             # fallback 'sid-179-col-<provider>', conversions.py:374-388)
@@ -255,7 +260,103 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         out = F.concat_ws("-", pad(y, 4), pad(m, 2), pad(d, 2))
         return F.when(y.isNotNull(), out)
     if kind == "finc_id":
-        return _finc_id(F.lit(str(arg["source_id"])), F.col(arg["record_col"]))
+        # record_rule composes (genios: the record key is DB + '-' + ID,
+        # Quality.md #48 -> span formats/genios/document.go:124-127)
+        rec = (
+            _compile_rule(arg["record_rule"])
+            if "record_rule" in arg
+            else F.col(arg["record_col"])
+        )
+        return _finc_id(F.lit(str(arg["source_id"])), rec)
+    if kind == "replace_re":
+        # generic regex rewrite: thieme newline-stripping in publisher
+        # (Quality.md #60 -> span formats/thieme/record.go:269), HTML
+        # tag sanitizing for abstracts (record.go:255, elsevier
+        # dataset.go:514), genios multi-delimiter author canonicalize
+        out = F.regexp_replace(_src(arg), arg["pattern"], arg.get("replacement", ""))
+        if arg.get("trim"):
+            out = F.trim(out)
+        return F.when(out != "", out)
+    if kind == "array_filter":
+        # drop offending array elements (NOT the record): ceeol's
+        # too-short / blacklisted authors (Quality.md #53 -> span
+        # formats/ceeol/article.go:97-107), genios 4..200-char author
+        # bounds (Quality.md #48 -> genios/document.go:54-55,134-138)
+        arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
+
+        def _keep(x: Column) -> Column:
+            cond = F.trim(x) != ""
+            if "min_len" in arg:
+                cond = cond & (F.length(F.trim(x)) >= int(arg["min_len"]))
+            if "max_len" in arg:
+                cond = cond & (F.length(F.trim(x)) <= int(arg["max_len"]))
+            if "not_in" in arg:
+                cond = cond & ~F.trim(x).isin(*arg["not_in"])
+            if "not_match" in arg:
+                cond = cond & ~x.rlike(arg["not_match"])
+            return cond
+
+        return F.transform(F.filter(arr, _keep), lambda x: F.trim(x))
+    if kind == "roman_to_int":
+        # roman-numeral volume -> arabic (Quality.md #53 -> span
+        # formats/ceeol/article.go:70-75). Digits pass through; a
+        # non-roman non-digit value is kept as-is. Subtractive rule via
+        # zip_with(vals, next_vals): any unmapped char nulls the sum,
+        # which falls back to the original value.
+        v = F.trim(_src(arg))
+        up = F.upper(v)
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for kv in [
+                    ("I", 1), ("V", 5), ("X", 10), ("L", 50),
+                    ("C", 100), ("D", 500), ("M", 1000),
+                ]
+                for x in kv
+            ]
+        )
+        vals = F.transform(
+            F.filter(F.split(up, ""), lambda c: c != ""), lambda c: m[c]
+        )
+        n = F.size(vals)
+        nxt = F.concat(
+            F.slice(vals, 2, F.greatest(n - 1, F.lit(0))), F.array(F.lit(0))
+        )
+        signed = F.zip_with(
+            vals, nxt, lambda a, b: F.when(a < b, -a).otherwise(a)
+        )
+        total = F.aggregate(signed, F.lit(0), lambda acc, x: acc + x)
+        return F.when(up.rlike("^[0-9]+$"), v).otherwise(
+            F.when(
+                up.rlike("^[IVXLCDM]+$") & total.isNotNull(),
+                total.cast("string"),
+            ).otherwise(v)
+        )
+    if kind == "concat_distinct":
+        # join DISTINCT non-null sub-rule outputs: ceeol multilingual
+        # titles — append the English title only when it differs from
+        # the original (Quality.md #53 -> span formats/ceeol/
+        # article.go:60-67,76-82); identical or absent halves collapse
+        cols = [_compile_rule(r) for r in arg["rules"]]
+        arr = F.array_compact(F.array_distinct(F.array(*cols)))
+        out = F.array_join(F.filter(arr, lambda x: x != ""), arg.get("sep", " : "))
+        return F.when(out != "", out)
+    if kind == "issn_norm":
+        # ISSN canonicalization (Quality.md #55 -> span formats/jstor/
+        # article.go:146-150): strip separators, uppercase the check
+        # digit, re-insert the dash; anything not 8 [0-9X] chars after
+        # cleanup is dropped (null / removed from the array)
+        def _norm(x: Column) -> Column:
+            c = F.upper(F.regexp_replace(x, "[^0-9Xx]", ""))
+            return F.when(
+                c.rlike("^[0-9]{7}[0-9X]$"),
+                F.concat(F.substring(c, 1, 4), F.lit("-"), F.substring(c, 5, 4)),
+            )
+
+        if arg.get("each"):
+            arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
+            return F.array_compact(F.transform(arr, _norm))
+        return _norm(_src(arg))
     raise ValueError(f"unknown mapping rule: {kind}")
 
 
@@ -272,6 +373,13 @@ def _compile_predicate(rule: dict[str, Any], now: Any = None) -> Column:
     if kind == "not_in":
         v = _src(arg)
         return F.coalesce(~v.isin(*arg["values"]), F.lit(True))
+    if kind == "not_match":
+        # regex skip-rule: jstor title blacklist (Quality.md #55 ->
+        # span formats/jstor/article.go:51-55 — Front/Back Matter,
+        # Volume Information), ieee bracket-titles (Quality.md #89 ->
+        # ieee/publication.go:281-283). Null-permissive.
+        v = _src(arg)
+        return F.coalesce(~v.rlike(arg["pattern"]), F.lit(True))
     if kind == "not_future":
         # 'date too far in the future -> skip' (now + years_ahead);
         # wall-clock-relative, so `now` must be explicit — same

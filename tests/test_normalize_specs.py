@@ -315,6 +315,79 @@ def test_doaj_spec_golden(spark):
     assert b["rft_issn"] == [] and b["url"] == []
 
 
+# -- genios -----------------------------------------------------------
+
+
+def _genios_raw(spark):
+    spec = load_spec("genios")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # full record: multi-delimiter authors with filler + n.n.,
+        # journal newline, volume/issue hidden in 'number', full date
+        (
+            "WISO", "X123", "  Ein &amp; Aus  ", "f" * 3000, "",
+            "Meier, Hans/Schulze, Petra; et al.; n.n.; Li",
+            "2015-03-02", "2015", "7 / 12", None, "Zeitschrift\nfür Dinge",
+            "1234-5679", "de", "(c) X",
+        ),
+        # no full date -> year fallback; explicit volume wins; abstract
+        # present -> fulltext NOT used; ISSN lowercase x normalized
+        (
+            "RECH", "9", "T2", "body text", "An abstract", None,
+            "bad-date", "1999", "12", "33", "J", "2234567x", "en", None,
+        ),
+        # skipped: no parseable date at all
+        ("WISO", "nodate", "T3", None, None, None, None, "199", None,
+         None, None, None, "de", None),
+        # skipped: no title
+        ("WISO", "notitle", "", None, None, None, None, "1999", None,
+         None, None, None, "de", None),
+        # skipped: id longer than 250 chars (document.go:300-309)
+        ("WISO", "y" * 260, "T5", None, None, None, None, "1999", None,
+         None, None, None, "de", None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_genios_spec_golden(spark):
+    out = normalize_source(_genios_raw(spark), "genios")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"WISO-X123", "RECH-9"}
+    a = got["WISO-X123"]
+    assert a["finc_source_id"] == "48"
+    # ai-48-<urlsafe b64('WISO-X123') sans padding>
+    assert a["finc_id"] == "ai-48-V0lTTy1YMTIz"
+    assert a["finc_format"] == "ElectronicArticle"  # empty map -> default
+    assert a["finc_mega_collection"] == ["Genios", "sid-48-col-WISO"]
+    assert a["rft_atitle"] == "Ein & Aus"  # unescape + trim
+    assert a["rft_jtitle"] == "Zeitschrift für Dinge"  # newline removed
+    # '/' and ';' both split; 'et al.' and 'n.n.' filler dropped; 'Li'
+    # under the 4-char minimum dropped (document.go:54-55,134-138,172-177)
+    assert [x["rft_au"] for x in a["authors"]] == ["Meier, Hans", "Schulze, Petra"]
+    # abstract empty -> first 2000 chars of fulltext (document.go:245-247)
+    assert a["abstract"] == "f" * 2000
+    assert a["x_fulltext"] == "f" * 3000
+    assert a["rft_volume"] == "7" and a["rft_issue"] == "12"  # from 'number'
+    assert a["rft_issn"] == ["1234-5679"]
+    assert a["languages"] == ["deu"]
+    assert a["rft_date"] == "2015-03-02"
+    assert a["x_date"] == datetime.datetime(2015, 3, 2)
+    b = got["RECH-9"]
+    assert b["rft_date"] == "1999"  # bad date -> year fallback
+    assert b["x_date"] == datetime.datetime(1999, 1, 1)
+    assert b["rft_volume"] == "33"  # explicit volume beats 'number'
+    assert b["abstract"] == "An abstract"  # present -> fulltext unused
+    assert b["rft_issn"] == ["2234-567X"]  # check digit uppercased
+    assert b["languages"] == ["eng"]
+    assert b["authors"] == []
+
+
+def test_genios_title_cap():
+    spec = load_spec("genios")
+    rule = spec["mapping"]["rft_atitle"]["truncate"]
+    assert int(rule["len"]) == 4096  # document.go:56
+
+
 def test_oai_dc_spec_parameterized(spark):
     """genderopen (sid 162, sources/genderopen.py:44) and any other
     plain-DC OAI source ride the same spec with swapped identity."""
