@@ -326,11 +326,13 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
             vals, nxt, lambda a, b: F.when(a < b, -a).otherwise(a)
         )
         total = F.aggregate(signed, F.lit(0), lambda acc, x: acc + x)
-        return F.when(up.rlike("^[0-9]+$"), v).otherwise(
-            F.when(
-                up.rlike("^[IVXLCDM]+$") & total.isNotNull(),
-                total.cast("string"),
-            ).otherwise(v)
+        return F.when(v == "", F.lit(None).cast("string")).otherwise(
+            F.when(up.rlike("^[0-9]+$"), v).otherwise(
+                F.when(
+                    up.rlike("^[IVXLCDM]+$") & total.isNotNull(),
+                    total.cast("string"),
+                ).otherwise(v)
+            )
         )
     if kind == "concat_distinct":
         # join DISTINCT non-null sub-rule outputs: ceeol multilingual

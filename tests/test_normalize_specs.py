@@ -388,6 +388,155 @@ def test_genios_title_cap():
     assert int(rule["len"]) == 4096  # document.go:56
 
 
+# -- ceeol ------------------------------------------------------------
+
+
+def _ceeol_raw(spark):
+    spec = load_spec("ceeol")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # multilingual titles differ -> combined; roman volume; short +
+        # blacklisted authors dropped
+        (
+            "c1", "Dzieje pewnego miasta", "History of a Town",
+            "Kwartalnik", "Quarterly", ["Kowalska, Anna", "Li", "Anonymous"],
+            "XIV", "2", "2018", "1234-5679", ["pol"], "Wydawnictwo X",
+            "Streszczenie", "https://example.org/c1", ["History"],
+        ),
+        # identical original/English title collapses to one; digit
+        # volume passes through; non-roman volume kept as-is
+        (
+            "c2", "Same Title", "Same Title", "J", "J", [], "17", None,
+            "199", None, [], None, None, None, [],
+        ),
+        ("c3", "Weird Volume", None, None, None, [], "Suppl.", None,
+         None, None, [], None, None, None, []),
+        (None, "skipped", None, None, None, [], None, None, None, None,
+         [], None, None, None, []),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ceeol_spec_golden(spark):
+    out = normalize_source(_ceeol_raw(spark), "ceeol")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"c1", "c2", "c3"}
+    a = got["c1"]
+    assert a["finc_source_id"] == "53"
+    assert a["finc_id"] == "ai-53-YzE"  # b64('c1') sans padding
+    # differing original + English titles combine (article.go:60-67)
+    assert a["rft_atitle"] == "Dzieje pewnego miasta : History of a Town"
+    assert a["rft_jtitle"] == "Kwartalnik : Quarterly"
+    assert a["rft_volume"] == "14"  # XIV -> arabic (article.go:70-75)
+    # 'Li' under the 4-char floor and blacklisted 'Anonymous' dropped
+    assert [x["rft_au"] for x in a["authors"]] == ["Kowalska, Anna"]
+    assert a["rft_issn"] == ["1234-5679"]
+    assert a["rft_pub"] == ["Wydawnictwo X"]
+    assert a["rft_date"] == "2018"
+    b = got["c2"]
+    assert b["rft_atitle"] == "Same Title"  # identical halves collapse
+    assert b["rft_volume"] == "17"  # digits pass through
+    assert b["rft_date"] is None  # 3-digit year rejected
+    assert got["c3"]["rft_volume"] == "Suppl."  # non-roman kept as-is
+
+
+def test_roman_to_int_values(spark):
+    from siskin_spark.operators.normalize import apply_mapping
+
+    df = spark.createDataFrame(
+        [("IV",), ("MCMXCIX",), ("iii",), ("XL",), ("IC",), ("",)], "v string"
+    )
+    out = apply_mapping(df, {"n": {"roman_to_int": {"from": "v"}}})
+    # subtractive forms handled; lowercase accepted; '' -> null
+    assert [r["n"] for r in out.collect()] == ["4", "1999", "3", "40", "99", None]
+
+
+# -- jstor ------------------------------------------------------------
+
+
+def _jstor_raw(spark):
+    spec = load_spec("jstor")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "10.2307/41", "A Study", "Of Things", "J Hist", "research-article",
+            ["0040-165x", "bogus", "15311234"], ["Doe, J."], "5", "2",
+            "10", "25", "1988", ["eng"], "Univ Press",
+            "https://www.jstor.org/stable/41",
+        ),
+        # title blacklist: skipped entirely (article.go:51-55)
+        ("10.2307/42", "Front Matter", None, "J Hist", "misc", [], [],
+         None, None, None, None, "1988", [], None, None),
+        ("10.2307/43", "Volume Information", None, "J Hist", "misc", [], [],
+         None, None, None, None, "1988", [], None, None),
+        # id too long: ai-55-<b64> exceeds 250 (article.go:131-133)
+        ("x" * 200, "Long Id", None, "J", "research-article", [], [],
+         None, None, None, None, "1988", [], None, None),
+        # book-review genre mapping survives
+        ("10.2307/44", "Review: Some Book", None, "J Hist", "book-review",
+         [], [], None, None, None, None, "1990", [], None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_jstor_spec_golden(spark):
+    out = normalize_source(_jstor_raw(spark), "jstor")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"10.2307/41", "10.2307/44"}
+    a = got["10.2307/41"]
+    assert a["finc_source_id"] == "55"
+    assert a["rft_atitle"] == "A Study: Of Things"
+    # ISSN normalization (article.go:146-150): 0040-165x -> check digit
+    # uppercased; 'bogus' dropped; bare 8-digit gets its dash
+    assert a["rft_issn"] == ["0040-165X", "1531-1234"]
+    assert a["rft_genre"] == "article"
+    assert a["rft_spage"] == "10" and a["rft_epage"] == "25"
+    assert got["10.2307/44"]["rft_genre"] == "bookitem"
+
+
+# -- thieme -----------------------------------------------------------
+
+
+def _thieme_raw(spark):
+    spec = load_spec("thieme")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "t1", "Ein Artikel", "Semin Med", "Georg\nThieme Verlag",
+            "<p>Ein <b>Abstract</b>.</p>", "2019-04-01", "2019",
+            ["1438-8654"], ["Muster, Max"], ["deu"], "23", "4",
+            "https://doi.org/10.1055/s-0039-12345",
+        ),
+        # invalid date -> year fallback; unmapped publisher passes through
+        ("t2", "Zwei", "J", "Karger", None, "19.4.01", "2001", [], [],
+         [], None, None, None),
+        # skipped: completely empty publisher (record.go:276-278)
+        ("t3", "Drei", "J", "", None, None, "2001", [], [], [], None,
+         None, None),
+        ("t4", "Vier", "J", None, None, None, "2001", [], [], [], None,
+         None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_thieme_spec_golden(spark):
+    out = normalize_source(_thieme_raw(spark), "thieme")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"t1", "t2"}  # empty/null publisher skipped
+    a = got["t1"]
+    assert a["finc_source_id"] == "60"
+    # newline removed (record.go:269) then consolidated (:257-265)
+    assert a["rft_pub"] == ["Georg Thieme Verlag KG"]
+    assert a["abstract"] == "Ein Abstract."  # HTML sanitized (:255)
+    assert a["doi"] == "10.1055/s-0039-12345"
+    assert a["rft_date"] == "2019-04-01"
+    assert a["x_date"] == datetime.datetime(2019, 4, 1)
+    b = got["t2"]
+    assert b["rft_pub"] == ["Karger"]  # unmapped name passes through
+    assert b["rft_date"] == "2001"  # invalid date -> year (:235-238)
+    assert b["x_date"] == datetime.datetime(2001, 1, 1)
+
+
 def test_oai_dc_spec_parameterized(spark):
     """genderopen (sid 162, sources/genderopen.py:44) and any other
     plain-DC OAI source ride the same spec with swapped identity."""
