@@ -537,6 +537,88 @@ def test_thieme_spec_golden(spark):
     assert b["x_date"] == datetime.datetime(2001, 1, 1)
 
 
+# -- degruyter / ios / elsevier (thin JATS-ish shapes) ----------------
+
+
+def test_degruyter_spec_golden(spark):
+    spec = load_spec("degruyter")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        ("d1", "A Title", "Sub", "Z Soziologie", ["0340-1804"],
+         [("Ada", "Lovelace")], "44", "1", "3", "19", "2015", ["deu"],
+         "De Gruyter", "https://doi.org/10.1515/x-2015", "https://example.org/d1"),
+        # skipped: id too long (article.go:76-78)
+        ("x" * 200, "Long", None, "J", [], [], None, None, None, None,
+         "2015", [], None, None, None),
+    ]
+    out = normalize_source(spark.createDataFrame(rows, schema), "degruyter")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"d1"}
+    a = got["d1"]
+    assert a["finc_source_id"] == "50"
+    assert a["rft_atitle"] == "A Title: Sub"
+    assert a["doi"] == "10.1515/x-2015"
+    assert [(x["rft_aufirst"], x["rft_aulast"]) for x in a["authors"]] == [
+        ("Ada", "Lovelace")
+    ]
+    assert a["rft_issn"] == ["0340-1804"]
+    assert a["x_date"] == datetime.datetime(2015, 1, 1)
+
+
+def test_ios_spec_golden(spark):
+    spec = load_spec("ios")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        ("i1", "Fundamenta", "Fundam Inform", ["0169-2968"],
+         [("Alan", "Turing")], "180", "4", "1", "20", "2021", ["eng"],
+         "An abstract", "10.3233/FI-2021", "https://example.org/i1"),
+        (None, "skipped", None, [], [], None, None, None, None, "2021",
+         [], None, None, None),
+    ]
+    out = normalize_source(spark.createDataFrame(rows, schema), "ios")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"i1"}
+    a = got["i1"]
+    assert a["finc_source_id"] == "219"
+    assert a["finc_mega_collection"] == ["IOS Press", "sid-219-col-ios"]
+    assert a["doi"] == "10.3233/FI-2021"  # bare DOI untouched
+    assert a["rft_date"] == "2021"
+
+
+def test_elsevier_spec_golden(spark):
+    spec = load_spec("elsevier")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # full cover date
+        ("e1", "An Article", "J Chem", ["0009-2509"], [("Rosalind", "Franklin")],
+         "99", "2", "100", "120", "2014-06-15", "2014", ["eng"],
+         "<p>HTML <i>abstract</i></p>", "10.1016/j.ces.2014", None),
+        # year-only cover date; sanitizer no-op
+        ("e2", "Another", "J Chem", [], [], None, None, None, None,
+         "2014", None, [], "plain", None, None),
+        # cover date garbage -> sort_year fallback
+        ("e3", "Third", "J Chem", [], [], None, None, None, None,
+         "15 giugno", "2013", [], None, None, None),
+        # skipped: no usable date at all (dataset.go:503-507)
+        ("e4", "No Date", "J Chem", [], [], None, None, None, None,
+         None, "n/a", [], None, None, None),
+    ]
+    out = normalize_source(spark.createDataFrame(rows, schema), "elsevier")
+    got = _row(out, key="finc_record_id")
+    assert set(got) == {"e1", "e2", "e3"}
+    a = got["e1"]
+    assert a["finc_source_id"] == "85"
+    assert a["abstract"] == "HTML abstract"  # sanitized (dataset.go:514)
+    assert a["rft_date"] == "2014-06-15"
+    assert a["x_date"] == datetime.datetime(2014, 6, 15)
+    b = got["e2"]
+    assert b["rft_date"] == "2014"
+    assert b["x_date"] == datetime.datetime(2014, 1, 1)
+    c = got["e3"]
+    assert c["rft_date"] == "2013"  # sort_year fallback (:323-347)
+    assert c["x_date"] == datetime.datetime(2013, 1, 1)
+
+
 def test_oai_dc_spec_parameterized(spark):
     """genderopen (sid 162, sources/genderopen.py:44) and any other
     plain-DC OAI source ride the same spec with swapped identity."""
