@@ -61,7 +61,9 @@ def kbart_embargo_ok(embargo: Column, rdate: Column, now: Column) -> Column:
     reference consumes these via span-tag per sources/amsl.py:459-521).
     """
     etype = F.regexp_extract(embargo, _EMBARGO_RE, 1)
-    n = F.regexp_extract(embargo, _EMBARGO_RE, 2).cast("int")
+    # try_cast: a non-matching embargo string extracts '' which must
+    # become null (= no restriction), not an ANSI cast abort
+    n = F.regexp_extract(embargo, _EMBARGO_RE, 2).try_cast("int")
     unit = F.regexp_extract(embargo, _EMBARGO_RE, 3)
     cutoff = (
         F.when(unit == "D", F.date_sub(now, n))
@@ -214,13 +216,18 @@ class LicensingCompiler:
                     )
                 )
             ).alias("_ident"),
-            F.col("date_first_issue_online").alias("_from"),
-            F.col("date_last_issue_online").alias("_to"),
+            # explicit try_cast (string-typed KBART files): malformed
+            # coverage date -> null -> open bound, not an ANSI abort at
+            # the comparison site
+            F.col("date_first_issue_online").try_cast("date").alias("_from"),
+            F.col("date_last_issue_online").try_cast("date").alias("_to"),
             opt("embargo_info").alias("_embargo"),
-            opt("num_first_vol_online").cast("int").alias("_fvol"),
-            opt("num_first_issue_online").cast("int").alias("_fiss"),
-            opt("num_last_vol_online").cast("int").alias("_lvol"),
-            opt("num_last_issue_online").cast("int").alias("_liss"),
+            # try_cast: real KBART files carry junk in num_* columns;
+            # unparseable bound -> null -> open interval, never an abort
+            opt("num_first_vol_online").try_cast("int").alias("_fvol"),
+            opt("num_first_issue_online").try_cast("int").alias("_fiss"),
+            opt("num_last_vol_online").try_cast("int").alias("_lvol"),
+            opt("num_last_issue_online").try_cast("int").alias("_liss"),
             *([F.col("file_uri")] if "file_uri" in cols else []),
         )
         tagged = None
@@ -277,14 +284,18 @@ class LicensingCompiler:
             # timestamps truncate to the day for the comparison
             ids = records.select(
                 F.col(id_col).alias("_rk"),
-                F.col(self.date_col).cast("date").alias("_rdate"),
+                # try_cast: malformed record date/volume/issue -> null
+                # -> the record simply matches no holdings window
+                # (reference skips such records), instead of aborting
+                # the whole tagging job under ANSI mode
+                F.col(self.date_col).try_cast("date").alias("_rdate"),
                 (
-                    F.col(self.volume_col).cast("int")
+                    F.col(self.volume_col).try_cast("int")
                     if self.volume_col in rcols
                     else F.lit(None).cast("int")
                 ).alias("_rvol"),
                 (
-                    F.col(self.issue_col).cast("int")
+                    F.col(self.issue_col).try_cast("int")
                     if self.issue_col in rcols
                     else F.lit(None).cast("int")
                 ).alias("_riss"),

@@ -167,12 +167,14 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
             v.isNull() | (v == ""), F.lit(default)
         ).otherwise(F.coalesce(m[code2], F.lit(default)))
     if kind == "to_ts":
-        return _src(arg).cast("timestamp")
+        # try_cast: one malformed source timestamp must degrade to
+        # null, not abort the scan (ANSI mode)
+        return _src(arg).try_cast("timestamp")
     if kind == "date_synth":
         # YYYY -> ISO instant (reference: olc date synthesis,
-        # conversions.py:332-334)
+        # conversions.py:332-334); try_ variant for junk years
         y = _src(arg)
-        return F.to_timestamp(F.concat(y, F.lit("-01-01 00:00:00")))
+        return F.try_to_timestamp(F.concat(y, F.lit("-01-01 00:00:00")))
     if kind == "authors_au":
         # names -> [{rft.au: name}, ...] (olc conversions.py:315,
         # eastview :543 with a no-trim comma split dropping empties)
@@ -251,9 +253,17 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
     if kind == "date_parts":
         # crossref issued date-parts [y, m, d] with m/d optional ->
         # '2021' / '2021-07' / '2021-07-19' (concat_ws skips nulls)
-        y = F.col(arg["y"]).cast("int")
-        m = F.col(arg["m"]).cast("int") if "m" in arg else F.lit(None).cast("int")
-        d = F.col(arg["d"]).cast("int") if "d" in arg else F.lit(None).cast("int")
+        y = F.col(arg["y"]).try_cast("int")
+        m = (
+            F.col(arg["m"]).try_cast("int")
+            if "m" in arg
+            else F.lit(None).cast("int")
+        )
+        d = (
+            F.col(arg["d"]).try_cast("int")
+            if "d" in arg
+            else F.lit(None).cast("int")
+        )
         pad = lambda c, n: F.when(  # noqa: E731
             c.isNotNull(), F.lpad(c.cast("string"), n, "0")
         )
@@ -391,7 +401,11 @@ def _compile_predicate(rule: dict[str, Any], now: Any = None) -> Column:
                 "spec has a not_future rule; pass now=date(...) to "
                 "normalize_source"
             )
-        v = _src(arg).cast("date")
+        # try_cast: assembled date-parts can be malformed (e.g. Feb 29
+        # of a non-leap year after the future-shift) — malformed dates
+        # fall through to the null-permissive keep, they must not abort
+        # the whole scan under ANSI mode
+        v = _src(arg).try_cast("date")
         limit = F.add_months(F.lit(now), 12 * int(arg.get("years_ahead", 2)))
         return F.coalesce(v <= limit, F.lit(True))
     raise ValueError(f"unknown predicate rule: {kind}")

@@ -150,6 +150,39 @@ def test_embargo_values_require_now(spark):
         )
 
 
+def test_malformed_kbart_degrades_to_open_bounds(spark):
+    # raw-TSV shape: every KBART column arrives as a string, junk mixed
+    # in. Unparseable embargo/date/vol values must become null (open
+    # bound / no restriction), never an ANSI cast abort mid-job.
+    import datetime
+
+    schema = (
+        "file_uri string, publication_title string,"
+        "print_identifier string, online_identifier string,"
+        "date_first_issue_online string, date_last_issue_online string,"
+        "embargo_info string, num_first_vol_online string,"
+        "num_first_issue_online string, num_last_vol_online string,"
+        "num_last_issue_online string"
+    )
+    rows = [
+        # clean string-typed row: R1Y wall still enforced
+        ("file:kbart_emb", "J R", "1000-0001", None,
+         "1990-01-01", "2030-12-31", "R1Y", None, None, None, None),
+        # junk everywhere: year-only date, garbage embargo and vols
+        ("file:kbart_emb", "J X", "1000-0002", None,
+         "2001", "junk", "noidea", "v5", "", "x", "?"),
+    ]
+    out = attach_labels(
+        _emb_records(spark), _EMB_CONFIG,
+        holdings=spark.createDataFrame(rows, schema),
+        now=datetime.date(2024, 6, 15),
+    )
+    got = {r["finc_record_id"]: list(r["x_labels"]) for r in out.collect()}
+    assert got["r-old"] == ["DE-EMB"] and got["r-new"] == []
+    # the junk row's bounds all null -> permissive: both records match
+    assert got["p-old"] == ["DE-EMB"] and got["p-new"] == ["DE-EMB"]
+
+
 def test_embargo_column_all_null_needs_no_now(spark):
     # real KBART always has the embargo_info COLUMN; only parseable
     # VALUES make `now` mandatory

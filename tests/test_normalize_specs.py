@@ -271,6 +271,28 @@ def test_crossref_requires_now_for_future_guard(spark):
         normalize_source(_crossref_raw(spark), "crossref")
 
 
+def test_crossref_malformed_dates_degrade_not_abort(spark):
+    # ANSI-mode regression: one impossible assembled date (Feb 29 of a
+    # non-leap year hitting the not_future guard) or junk timestamp
+    # must degrade to null / null-permissive keep — never abort the
+    # whole scan (bench caught exactly this at sf0.1)
+    spec = load_spec("crossref")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        ("10.1000/j.7", "journal-article", "Leapless", None,
+         "J. Algorithms", "ACM", None, None, None, None, [], [], [],
+         None, None, 2027, 2, 29, "not-a-timestamp"),
+    ]
+    out = normalize_source(
+        spark.createDataFrame(rows, schema), "crossref",
+        now=datetime.date(2026, 8, 13),
+    )
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0]["x_date"] is None  # junk created -> null, not abort
+    assert got[0]["rft_date"] == "2027-02-29"  # rendered verbatim
+
+
 # -- doaj (oai_dc) ----------------------------------------------------
 
 
