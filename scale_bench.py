@@ -120,6 +120,22 @@ def build_corpus(spark, n_records: int) -> None:
     )
     holdings.write.mode("overwrite").parquet(os.path.join(CORPUS, "holdings"))
 
+    # D1 snapshot corpus: an append-only feed of record VERSIONS, ~3
+    # versions per DOI (reference: span-crossref-snapshot compacts
+    # 600M-1B feed rows to 130-157M keys; BASELINE.md:15 = 28K docs/s)
+    n_keys = max(n_records // 3, 1)
+    versions = spark.range(n_records).select(
+        F.concat(F.lit("10.1000/d"), (F.col("id") % n_keys).cast("string")).alias(
+            "doi"
+        ),
+        F.col("id").alias("vid"),
+        F.timestamp_seconds(F.lit(1_500_000_000) + (F.col("id") / n_keys).cast("long"))
+        .alias("indexed_ts"),
+        F.concat(F.lit("Title v"), (F.col("id") % 7).cast("string")).alias("title"),
+        (F.col("id") % 20_000).cast("string").alias("member"),
+    )
+    versions.write.mode("overwrite").parquet(os.path.join(CORPUS, "versions"))
+
 
 def filter_config() -> dict:
     """22-ISIL config in the reference's styles (amsl.py:880-886):
@@ -161,7 +177,7 @@ def main() -> None:
     spark = get_spark("siskin-scale-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    marker = os.path.join(CORPUS, f".built_{n_records}")
+    marker = os.path.join(CORPUS, f".built2_{n_records}")
     if not os.path.exists(marker):
         shutil.rmtree(CORPUS, ignore_errors=True)
         build_corpus(spark, n_records)
@@ -201,6 +217,15 @@ def main() -> None:
     timed(lic())
     results["licensing_tag_s"] = min(timed(lic()) for _ in range(2))
 
+    from siskin_spark.operators.dedup import snapshot_latest
+
+    versions = spark.read.parquet(os.path.join(CORPUS, "versions"))
+    snap = lambda: snapshot_latest(  # noqa: E731
+        versions, ["doi"], ["indexed_ts", "vid"]
+    )
+    timed(snap())
+    results["snapshot_s"] = min(timed(snap()) for _ in range(2))
+
     out = {
         "metric": "records_per_second",
         "records": n_records,
@@ -211,6 +236,10 @@ def main() -> None:
         "licensing_tag_s": round(results["licensing_tag_s"], 2),
         "licensing_tag_rps": round(n_records / results["licensing_tag_s"]),
         "licensing_tag_baseline_rps": 20_000,
+        "snapshot_s": round(results["snapshot_s"], 2),
+        "snapshot_rps": round(n_records / results["snapshot_s"]),
+        "snapshot_keys": n_records // 3,
+        "snapshot_baseline_rps": 28_000,
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,
         "n_oa_issns": N_OA_ISSNS,

@@ -111,3 +111,71 @@ def test_groupcover_invariants(spark, rows):
             winner = min(holders, key=lambda h: (rank(h[1]), h[1], h[0]))[0]
             for i, _s in holders:
                 assert (label in got[i]) == (i == winner), (doi, label, i, winner, got)
+
+
+# -- spec compiler total-function property -----------------------------
+#
+# Every shipped per-source spec must be a TOTAL function of its raw
+# input: arbitrary junk (nulls, empties, control chars, non-numeric
+# year strings, impossible dates) may drop records via skip rules or
+# degrade fields to null, but must never raise — at 100 TB one
+# malformed record aborting the scan is an outage (the ANSI-mode
+# try_cast discipline in operators/normalize.py).
+
+_JUNK_SAMPLES = [
+    " ", "2006-02-29", "19xx", "&amp;&lt;", "-", "n.d.", "10.1000/x",
+    "R1Y", "é中文", "0000", "999999999999",
+]
+_JUNK_TEXT_NN = st.one_of(
+    st.text(min_size=1, max_size=12), st.sampled_from(_JUNK_SAMPLES)
+)
+_JUNK_TEXT = st.one_of(st.none(), st.just(""), _JUNK_TEXT_NN)
+
+
+def _junk_for(sql_type: str):
+    if sql_type == "int":
+        return st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1))
+    if sql_type == "array<string>":
+        return st.one_of(st.none(), st.lists(_JUNK_TEXT_NN, max_size=3))
+    if sql_type.startswith("array<struct"):
+        return st.one_of(
+            st.none(),
+            st.lists(st.tuples(_JUNK_TEXT_NN, _JUNK_TEXT_NN), max_size=2),
+        )
+    return _JUNK_TEXT
+
+
+def _spec_rows_strategy(spec):
+    cols = list(spec["raw_columns"].items())
+    row = st.tuples(*[_junk_for(t) for _, t in cols])
+    return st.lists(row, min_size=0, max_size=6)
+
+
+_ALL_SPECS = sorted(
+    p.stem for p in __import__("pathlib").Path(
+        "siskin_spark/specs").glob("*.json")
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+@given(data=st.data())
+def test_specs_total_on_junk_input(spark, data):
+    import datetime
+
+    from siskin_spark.operators.normalize import load_spec, normalize_source
+    from siskin_spark.schema import INTERMEDIATE_SCHEMA
+
+    for name in _ALL_SPECS:
+        spec = load_spec(name)
+        rows = data.draw(_spec_rows_strategy(spec), label=name)
+        schema = ", ".join(
+            f"{c} {t}" for c, t in spec["raw_columns"].items()
+        )
+        df = spark.createDataFrame(rows, schema)
+        out = normalize_source(df, name, now=datetime.date(2026, 8, 13))
+        got = out.collect()  # must not raise, whatever the input
+        assert out.columns == [f.name for f in INTERMEDIATE_SCHEMA.fields]
+        assert len(got) <= len(rows)
