@@ -111,6 +111,64 @@ def read_marcxml(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(run, f"path string, record_no int, marc_fields {MARC_FIELDS_TYPE}")
 
 
+def marcxml_bytes(fields: Fields) -> bytes:
+    """Inverse of :func:`marcxml_records` for ONE record: serialize the
+    shared struct model to a MARCXML ``<record>`` (namespaced per the
+    LoC slim schema). Completes the reference's two-way marc<->marcxml
+    conversion (yaz-marcdump, sources/b3kat.py:210-228) — binary MARC
+    via operators/sinks.py:marc_record_bytes, XML via this."""
+    ns = "http://www.loc.gov/MARC21/slim"
+    rec = ET.Element(f"{{{ns}}}record")
+    for tag, ind, subs in fields:
+        if tag < "010":
+            cf = ET.SubElement(rec, f"{{{ns}}}controlfield", {"tag": tag})
+            cf.text = subs[0][1] if subs else ""
+        else:
+            df = ET.SubElement(
+                rec,
+                f"{{{ns}}}datafield",
+                {
+                    "tag": tag,
+                    "ind1": (ind + " ")[0],
+                    "ind2": (ind + "  ")[1],
+                },
+            )
+            for code, val in subs:
+                sf = ET.SubElement(df, f"{{{ns}}}subfield", {"code": code})
+                sf.text = val
+    ET.register_namespace("", ns)
+    return ET.tostring(rec, encoding="utf-8")
+
+
+def marcxml_sink(df: DataFrame, fields_col: str = "marc_fields") -> DataFrame:
+    """K5 XML side: attach a ``marcxml`` string column serialized in
+    executors (Arrow-batched; same shape as marc_sink's binary
+    column). Wrap in a ``<collection>`` element at write time."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in df.schema.fields] + [
+        T.StructField("marcxml", T.StringType())
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["marcxml"] = [
+                marcxml_bytes(
+                    [
+                        (f["tag"], f["indicators"],
+                         [(s["code"], s["val"]) for s in f["subfields"]])
+                        for f in rec
+                    ]
+                ).decode("utf-8")
+                for rec in pdf[fields_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, T.StructType(out_fields))
+
+
 def marc_values(fields_col: Column | str, tag: str, code: str | None = None) -> Column:
     """All values of ``tag`` (optionally restricted to subfield
     ``code``) as an array — the building block of F3 predicates.

@@ -98,3 +98,31 @@ def test_read_marcxml_f3_predicate(spark, tmp_path):
         ).collect()
     ]
     assert ids == ["finc-15-rec1"]
+
+
+def test_marcxml_writer_roundtrip():
+    """struct model -> marcxml_bytes -> marcxml_records: identical
+    fields (the yaz-marcdump -o marcxml direction)."""
+    from siskin_spark.sources.marcxml import marcxml_bytes
+
+    for fields in marcxml_records(SLIM):
+        xml = marcxml_bytes(fields)
+        back = list(marcxml_records(xml))
+        assert back == [fields]
+
+
+def test_marcxml_sink_roundtrip(spark, tmp_path):
+    """read_marcxml -> marcxml_sink column -> re-parse: stable through
+    the distributed path (Arrow batches), not just the scalar helper."""
+    from siskin_spark.sources.marcxml import marcxml_sink
+
+    p = tmp_path / "recs.xml"
+    p.write_text(SLIM, encoding="utf-8")
+    df = read_marcxml(spark, str(p))
+    out = marcxml_sink(df).select("record_no", "marcxml").collect()
+    assert len(out) == 2
+    originals = list(marcxml_records(SLIM))
+    for row in out:
+        assert list(marcxml_records(row["marcxml"])) == [
+            originals[row["record_no"]]
+        ]
