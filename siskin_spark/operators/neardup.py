@@ -279,3 +279,79 @@ def keep_canonical(
     """
     dropped = verified_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(dropped, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair list: (node,
+    component) where component = the minimum id reachable through any
+    chain of pairs. :func:`keep_canonical`'s one-join keep-first rule
+    keeps every LOCAL minimum, which over-keeps star components (pairs
+    (a,c),(b,c) keep both a and b); component-wise collapse needs the
+    closure.
+
+    Min-label propagation: each round joins labels across edges and
+    takes the per-node min (two shuffles/round, both on node id — AQE
+    coalesces as labels shrink). Rounds needed = graph diameter, which
+    for near-dup clusters (dense cliques from band collisions) is 2-3;
+    the driver-side loop stops at the first fixpoint (the count() per
+    round is a scalar, not a collect of data). Same primitive as
+    GraphFrames' label propagation, dependency-free.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        # min neighbor label per node, then fold into own label
+        via = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new = (
+            labels.join(via, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical_cc(
+    docs: DataFrame, verified_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Component-wise collapse: keep exactly ONE doc (the min id) per
+    connected near-duplicate cluster. Strictly stronger than
+    :func:`keep_canonical` on non-clique pair graphs; costs the
+    closure's iterations, so prefer it when banding makes chains
+    likely (multiple bands, high thresholds -> sparse pair lists).
+    """
+    comp = connected_components(verified_pairs, max_iter=25)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(dropped, on=id_col, how="left_anti")

@@ -168,13 +168,19 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         ).otherwise(F.coalesce(m[code2], F.lit(default)))
     if kind == "to_ts":
         # try_cast: one malformed source timestamp must degrade to
-        # null, not abort the scan (ANSI mode)
-        return _src(arg).try_cast("timestamp")
+        # null, not abort the scan (ANSI mode). Year-0/negative
+        # timestamps parse in Spark's proleptic calendar but cannot
+        # round-trip to Python datetime (collect/foreach crash), so
+        # they degrade to null too.
+        v = _src(arg).try_cast("timestamp")
+        return F.when(F.year(v) >= 1, v)
     if kind == "date_synth":
         # YYYY -> ISO instant (reference: olc date synthesis,
-        # conversions.py:332-334); try_ variant for junk years
+        # conversions.py:332-334); try_ variant + year>=1 guard for
+        # junk years (see to_ts)
         y = _src(arg)
-        return F.try_to_timestamp(F.concat(y, F.lit("-01-01 00:00:00")))
+        t = F.try_to_timestamp(F.concat(y, F.lit("-01-01 00:00:00")))
+        return F.when(F.year(t) >= 1, t)
     if kind == "authors_au":
         # names -> [{rft.au: name}, ...] (olc conversions.py:315,
         # eastview :543 with a no-trim comma split dropping empties)

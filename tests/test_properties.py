@@ -179,3 +179,63 @@ def test_specs_total_on_junk_input(spark, data):
         got = out.collect()  # must not raise, whatever the input
         assert out.columns == [f.name for f in INTERMEDIATE_SCHEMA.fields]
         assert len(got) <= len(rows)
+
+
+# -- near-dup connected components ------------------------------------
+
+_pairs = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda p: p[0] < p[1]
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@_slow
+@given(pairs=_pairs)
+def test_connected_components_matches_union_find(spark, pairs):
+    from siskin_spark.operators.neardup import connected_components
+
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find(pairs)
+
+
+def test_keep_canonical_cc_collapses_star(spark):
+    """Star component (a,c),(b,c): the one-join keep-first rule keeps
+    both local minima a AND b; component-wise collapse keeps only a."""
+    from siskin_spark.operators.neardup import keep_canonical, keep_canonical_cc
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 5)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "id_a int, id_b int"
+    )
+    first = {r.doc_id for r in keep_canonical(docs, pairs).collect()}
+    cc = {r.doc_id for r in keep_canonical_cc(docs, pairs).collect()}
+    assert first == {1, 2, 4}  # over-keeps 2 (local minimum)
+    assert cc == {1, 4}  # one survivor per component + untouched doc
