@@ -136,6 +136,39 @@ def build_corpus(spark, n_records: int) -> None:
     )
     versions.write.mode("overwrite").parquet(os.path.join(CORPUS, "versions"))
 
+    # near-dup corpus: 1/10th of n_records documents, ~40 words each,
+    # with a planted ~3% near-duplicate tail (same word stream, one
+    # token perturbed) so LSH banding has real work to do
+    n_docs = max(n_records // 10, 1)
+    base = spark.range(n_docs).select(
+        F.col("id"),
+        # 10% of docs share a text seed with a sibling (id - id%10 -> 10
+        # docs per seed family, perturbed by id%10 below)
+        F.when(F.col("id") % 33 == 0, F.col("id") - (F.col("id") % 10))
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    # modulus must exceed the seed space: with a small modulus, seeds a
+    # multiple of it apart generate IDENTICAL word streams and the
+    # corpus silently becomes ~half duplicates
+    words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"w{j}_"),
+                ((F.col("seed") * (j + 7)) % 2_147_483_647).cast("string"),
+            )
+            for j in range(40)
+        ],
+    )
+    docs = base.select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            words, F.lit(" tail"), (F.col("id") % 10).cast("string")
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(CORPUS, "docs"))
+
 
 def filter_config() -> dict:
     """22-ISIL config in the reference's styles (amsl.py:880-886):
@@ -177,7 +210,7 @@ def main() -> None:
     spark = get_spark("siskin-scale-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    marker = os.path.join(CORPUS, f".built2_{n_records}")
+    marker = os.path.join(CORPUS, f".built3_{n_records}")
     if not os.path.exists(marker):
         shutil.rmtree(CORPUS, ignore_errors=True)
         build_corpus(spark, n_records)
@@ -226,6 +259,24 @@ def main() -> None:
     timed(snap())
     results["snapshot_s"] = min(timed(snap()) for _ in range(2))
 
+    from siskin_spark.operators.neardup import (
+        exact_jaccard,
+        lsh_candidates,
+        shingle_table,
+    )
+
+    docs = spark.read.parquet(os.path.join(CORPUS, "docs"))
+    n_docs = docs.count()
+
+    def neardup():
+        sh = shingle_table(docs)
+        cands = lsh_candidates(docs, shingles=sh)
+        return exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.8)
+
+    timed(neardup())
+    results["neardup_s"] = min(timed(neardup()) for _ in range(2))
+    n_pairs = neardup().count()
+
     out = {
         "metric": "records_per_second",
         "records": n_records,
@@ -240,6 +291,10 @@ def main() -> None:
         "snapshot_rps": round(n_records / results["snapshot_s"]),
         "snapshot_keys": n_records // 3,
         "snapshot_baseline_rps": 28_000,
+        "neardup_s": round(results["neardup_s"], 2),
+        "neardup_docs": n_docs,
+        "neardup_dps": round(n_docs / results["neardup_s"]),
+        "neardup_verified_pairs": n_pairs,
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,
         "n_oa_issns": N_OA_ISSNS,

@@ -280,6 +280,42 @@ def ivf_assign(
     return out.select(*[F.col(f"_w.{c}").alias(c) for c in [*cols, "cid"]])
 
 
+def ivf_probe_cells(
+    probes: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-cell probe assignment — the IVF recall lever: each probe
+    fans out to its ``nprobe`` nearest centroids (one output row per
+    (probe, cell)), so :func:`ivf_topk` scans nprobe/n_cells of the
+    index instead of 1/n_cells. With nprobe = n_cells the search is
+    exhaustive and matches brute force exactly (the invariant the
+    tests pin). Probes are query-batch-sized, so the per-probe
+    centroid ranking is a window over a broadcast-scale frame."""
+    from pyspark.sql import Window
+
+    cols = probes.columns
+    normed_centroids = centroids.withColumn("_cn", norm(F.col("cv")))
+    scored = (
+        probes.withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(broadcast(normed_centroids))
+        .withColumn(
+            "_csim",
+            _cosine_prenormed(
+                F.col(vec_col), F.col("cv"), F.col("_vn"), F.col("_cn")
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cid"))
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= nprobe)
+        .select(*cols, "cid")
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     assigned: DataFrame,
@@ -287,9 +323,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Per-probe top-k within the probe's IVF cell (nprobe=1): one
+    """Per-probe top-k within the probe's assigned IVF cell(s): one
     equi-join on cid replaces the cross join — the 100 TB path, since
-    each probe scans ~1/n_cells of the index. Returns
+    each probe scans ~nprobe/n_cells of the index. Pass probes through
+    :func:`ivf_assign` (nprobe=1) or :func:`ivf_probe_cells`
+    (nprobe>1; duplicate (probe, neighbor) pairs are impossible since
+    an index vector lives in exactly one cell). Returns
     (probe_id, neighbor_id, cos_sim, rank); self-matches excluded."""
     from pyspark.sql import Window
 

@@ -77,3 +77,38 @@ def test_band_keys_scale_invariant(spark):
         ).alias("k2"),
     )
     assert keys.filter(F.col("k1") != F.col("k2")).count() == 0
+
+
+def test_ivf_nprobe_recall_ladder(spark):
+    """nprobe=n_cells IVF == brute force exactly (exhaustive probing);
+    nprobe=2 recall >= nprobe=1 recall vs the brute-force truth."""
+    from siskin_spark.functions.vectors import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    df, _, _ = _mk_embeddings(spark)
+    centroids = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(df, centroids)
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_topk(df, df, k=3).collect()
+    }
+
+    def recall(probe_df):
+        got = {
+            (r.probe_id, r.neighbor_id)
+            for r in ivf_topk(probe_df, assigned, k=3).collect()
+        }
+        assert got <= truth | got  # sanity: shape
+        return len(got & truth) / len(truth)
+
+    r1 = recall(ivf_assign(df, centroids))
+    r2 = recall(ivf_probe_cells(df, centroids, nprobe=2))
+    r_all = recall(ivf_probe_cells(df, centroids, nprobe=4))
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0  # exhaustive probing == brute force
