@@ -64,7 +64,12 @@ def jour_fixe(date_col: Column | str) -> Column:
     """§2.9 date arithmetic: snap to the 15th of the current month, or
     of the previous month when the day is before the 15th (reference:
     workflows/ai.py:213-219)."""
-    d = (F.col(date_col) if isinstance(date_col, str) else date_col).cast("date")
+    # try_cast: string-dated callers must get null, not an ANSI abort,
+    # for a malformed date (date_trunc in the snap_* helpers is already
+    # null-tolerant; this is the one strict cast on the input side)
+    d = (F.col(date_col) if isinstance(date_col, str) else date_col).try_cast(
+        "date"
+    )
     prev = F.add_months(d, -1)
     base = F.when(F.dayofmonth(d) < 15, prev).otherwise(d)
     return F.make_date(F.year(base), F.month(base), F.lit(15))
@@ -73,13 +78,17 @@ def jour_fixe(date_col: Column | str) -> Column:
 def snap_weekly(date_col: Column | str) -> Column:
     """gluish ``weekly`` date snapping (reference: ClosestDateParameter,
     sources/crossref.py:84-88) -> Monday of the ISO week."""
-    d = (F.col(date_col) if isinstance(date_col, str) else date_col)
+    d = (F.col(date_col) if isinstance(date_col, str) else date_col).try_cast(
+        "timestamp"
+    )
     return F.date_trunc("week", d).cast("date")
 
 
 def snap_monthly(date_col: Column | str) -> Column:
     """gluish ``monthly`` snapping -> first of month."""
-    d = (F.col(date_col) if isinstance(date_col, str) else date_col)
+    d = (F.col(date_col) if isinstance(date_col, str) else date_col).try_cast(
+        "timestamp"
+    )
     return F.date_trunc("month", d).cast("date")
 
 
