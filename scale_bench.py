@@ -142,8 +142,8 @@ def build_corpus(spark, n_records: int) -> None:
     n_docs = max(n_records // 10, 1)
     base = spark.range(n_docs).select(
         F.col("id"),
-        # 10% of docs share a text seed with a sibling (id - id%10 -> 10
-        # docs per seed family, perturbed by id%10 below)
+        # ~3% of docs (id % 33 == 0) share a text seed with a sibling
+        # (id - id%10 -> seed family, perturbed by id%10 below)
         F.when(F.col("id") % 33 == 0, F.col("id") - (F.col("id") % 10))
         .otherwise(F.col("id"))
         .alias("seed"),

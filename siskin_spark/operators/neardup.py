@@ -338,6 +338,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # min-label propagation needs rounds >= component diameter; a
+        # silent early exit leaves components split and every caller
+        # (keep_canonical_cc) under-collapses with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter — the pair graph has a chain longer than "
+            f"{max_iter} hops"
+        )
     return labels
 
 

@@ -116,7 +116,13 @@ def marcxml_bytes(fields: Fields) -> bytes:
     shared struct model to a MARCXML ``<record>`` (namespaced per the
     LoC slim schema). Completes the reference's two-way marc<->marcxml
     conversion (yaz-marcdump, sources/b3kat.py:210-228) — binary MARC
-    via operators/sinks.py:marc_record_bytes, XML via this."""
+    via operators/sinks.py:marc_record_bytes, XML via this.
+
+    MARC21-slim ONLY: MAB-sourced structs are not round-trippable here
+    — single-char MAB indicators get padded to two chars (re-parse as
+    ``'x '`` != ``'x'``) and control-tag fields (tag < '010') keep only
+    the first subfield's value. Serialize MAB structs with the MABxml
+    writer instead."""
     ns = "http://www.loc.gov/MARC21/slim"
     rec = ET.Element(f"{{{ns}}}record")
     for tag, ind, subs in fields:

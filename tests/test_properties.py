@@ -239,3 +239,17 @@ def test_keep_canonical_cc_collapses_star(spark):
     cc = {r.doc_id for r in keep_canonical_cc(docs, pairs).collect()}
     assert first == {1, 2, 4}  # over-keeps 2 (local minimum)
     assert cc == {1, 4}  # one survivor per component + untouched doc
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A 6-hop chain cannot converge in 2 rounds of min-label
+    propagation; the loop must raise, not return split components."""
+    import pytest as _pytest
+
+    from siskin_spark.operators.neardup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
