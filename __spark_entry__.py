@@ -2741,6 +2741,356 @@ def ai_doi_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ai_update_export",
+    """
+    WITH raw49 AS (
+      SELECT '10.12/' || CAST(o_orderkey % 1200 AS VARCHAR) AS doi,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'journal-issue'
+                  WHEN o_orderkey % 7 = 1 THEN 'book-chapter'
+                  ELSE 'journal-article' END AS type,
+             CASE WHEN o_orderkey % 11 <> 0
+                  THEN 'Order &amp; Title ' || o_orderkey || ' ' END AS title1,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Part ' || o_orderstatus END AS subtitle1,
+             CASE WHEN o_orderkey % 13 <> 0 THEN 'J ' || o_orderpriority END AS container1,
+             CASE WHEN o_orderkey % 5 = 0 THEN '  '
+                  ELSE ' Pub ' || o_orderstatus || ' ' END AS publisher,
+             CAST(o_custkey % 300 AS VARCHAR) AS member,
+             lpad(CAST(o_custkey % 30 AS VARCHAR), 4, '0') || '-443X' AS issn1,
+             'Fam' || CAST(o_orderkey % 3 AS VARCHAR) || ', G'
+               || CAST(o_orderkey % 5 AS VARCHAR) AS author1,
+             'https://x.org/' || o_orderkey AS url1,
+             EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yy
+      FROM orders
+    ),
+    snap49 AS (
+      SELECT * FROM (
+        SELECT raw49.*, row_number() OVER (PARTITION BY doi ORDER BY seq DESC) AS rn
+        FROM raw49) WHERE rn = 1
+    ),
+    is49 AS (
+      SELECT 'ai-49-' ||
+               replace(replace(rtrim(to_base64(encode(doi)), '='), '+', '-'), '/', '_') AS id,
+             '49' AS src, doi,
+             concat_ws(' : ', nullif(replace(trim(title1), '&amp;', '&'), ''),
+                       nullif(trim(subtitle1), '')) AS title,
+             author1 || '|Co' AS author,
+             author1 AS author_sort,
+             CAST(yy AS VARCHAR) AS publishDate,
+             'Crossref (member ' || member || ')' AS mega,
+             CASE type WHEN 'book-chapter' THEN 'ElectronicBookPart'
+                       ELSE 'ElectronicArticle' END AS format,
+             'eng' AS language, url1 AS url, issn1 AS issn
+      FROM snap49
+      WHERE concat_ws(' : ', title1, subtitle1) <> ''
+        AND container1 IS NOT NULL AND container1 <> ''
+        AND type <> 'journal-issue'
+        AND yy <= 2028
+    ),
+    is28 AS (
+      SELECT 'ai-28-' ||
+               replace(replace(rtrim(to_base64(encode('oai:doaj.org/article:' || doc_id)),
+                       '='), '+', '-'), '/', '_') AS id,
+             '28' AS src,
+             CASE WHEN doc_id % 6 <> 0
+                  THEN '10.12/' || CAST(doc_id % 1200 AS VARCHAR) END AS doi,
+             nullif(replace(trim('Doc &amp; ' || substring(text, 1, 24)), '&amp;', '&'),
+                    '') AS title,
+             'A' || CAST(doc_id % 7 AS VARCHAR) || ' Last|Co Author' AS author,
+             'A' || CAST(doc_id % 7 AS VARCHAR) || ' Last' AS author_sort,
+             '200' || CAST(doc_id % 8 AS VARCHAR) AS publishDate,
+             'DOAJ Directory of Open Access Journals|sid-28-col-doaj' AS mega,
+             'ElectronicArticle' AS format,
+             lang AS language,
+             'https://doaj.org/a/' || doc_id ||
+               CASE WHEN doc_id % 6 <> 0
+                    THEN '|https://doi.org/10.12/' || CAST(doc_id % 1200 AS VARCHAR)
+                    ELSE '' END AS url,
+             CASE WHEN doc_id % 4 <> 0
+                  THEN lpad(CAST(doc_id % 30 AS VARCHAR), 4, '0') || '-443X' END AS issn
+      FROM documents WHERE doc_id % 19 <> 0
+    ),
+    is210 AS (
+      SELECT 'ai-210-' ||
+               replace(replace(rtrim(to_base64(encode('ev' || c_custkey)), '='),
+                       '+', '-'), '/', '_') AS id,
+             '210' AS src, CAST(NULL AS VARCHAR) AS doi,
+             'EV Title ' || c_name AS title,
+             CASE WHEN c_custkey % 2 = 0 THEN 'Ivanov I.|Petrov P.'
+                  ELSE 'Solo Author' END AS author,
+             CASE WHEN c_custkey % 2 = 0 THEN 'Ivanov I.'
+                  ELSE 'Solo Author' END AS author_sort,
+             CASE WHEN c_custkey % 23 = 0 THEN ''
+                  ELSE '19' || CAST(c_custkey % 50 + 50 AS VARCHAR) END AS publishDate,
+             'Universal Database of Social Sciences & Humanities (UDB-EDU)'
+               || '|sid-210-col-udbedu' AS mega,
+             'Article' AS format, 'rus' AS language,
+             'https://ev.example.org/' || c_custkey AS url,
+             CAST(NULL AS VARCHAR) AS issn
+      FROM customer WHERE c_custkey % 17 <> 0
+    ),
+    u AS (
+      SELECT * FROM is49 UNION ALL SELECT * FROM is28 UNION ALL SELECT * FROM is210
+    ),
+    oa AS (
+      SELECT u.*,
+             CASE WHEN src = '210' THEN TRUE
+                  WHEN src = '28' THEN TRUE
+                  ELSE issn IN ('0003-443X','0007-443X','0013-443X','0021-443X')
+                  END AS x_oa
+      FROM u
+    ),
+    tagged AS (
+      SELECT *, list_sort(list_filter(
+               [CASE WHEN (src = '49' AND issn IN ('0003-443X','0005-443X','0007-443X',
+                           '0011-443X','0013-443X','0017-443X','0019-443X','0023-443X'))
+                          OR src = '28' THEN 'DE-15' END,
+                CASE WHEN issn IN ('0003-443X','0013-443X','0021-443X','0027-443X')
+                          OR src = '210' THEN 'DE-14' END,
+                CASE WHEN src = '28' AND issn IN ('0009-443X','0015-443X')
+                     THEN 'DE-Zi4' END],
+               x -> x IS NOT NULL)) AS labels
+      FROM oa
+    ),
+    kept AS (SELECT * FROM tagged WHERE len(labels) > 0),
+    exploded AS (
+      SELECT DISTINCT id, src, lower(doi) AS k, unnest(labels) AS label,
+             CASE src WHEN '55' THEN 1 WHEN '49' THEN 2 WHEN '28' THEN 3
+                      ELSE 1000000 END AS rank
+      FROM kept WHERE doi IS NOT NULL AND doi <> ''
+    ),
+    winners AS (
+      SELECT k, label, id FROM (
+        SELECT k, label, id,
+               row_number() OVER (PARTITION BY k, label ORDER BY rank, src, id) AS rn
+        FROM exploded) WHERE rn = 1
+    ),
+    newlab AS (
+      SELECT e.id, list_sort(list(DISTINCT e.label)) AS labels
+      FROM exploded e JOIN winners w
+        ON e.k = w.k AND e.label = w.label AND e.id = w.id
+      GROUP BY e.id
+    ),
+    upd AS (
+      SELECT t.*, CASE WHEN t.doi IS NULL OR t.doi = '' THEN t.labels
+                       ELSE coalesce(n.labels, CAST([] AS VARCHAR[])) END AS labels2
+      FROM kept t LEFT JOIN newlab n ON t.id = n.id
+    )
+    SELECT id, title, lower(title) AS title_sort, author, author_sort, publishDate,
+           coalesce(array_to_string(labels2, '|'), '') AS institution,
+           mega AS mega_collection, src AS source_id, format, language, url, doi,
+           CASE WHEN x_oa THEN 'Online|Free' ELSE 'Online' END AS facet_avail
+    FROM upd ORDER BY id
+    """,
+)
+def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AIUpdate capstone (reference workflows/ai.py:411-425,
+    375-408): the full §3 entry-point-2 DAG as ONE Catalyst plan.
+    Three sources spec-normalized through SHIPPED specs (crossref sid
+    49 after a D1 feed snapshot, doaj sid 28, eastview sid 210) ->
+    schema-drift union (A6) -> span-oa-filter (ai.py:758-798) ->
+    span-tag licensing with -D drop-unlabeled (J6, ai.py:193-247) ->
+    groupcover D5 with the reference's preference semantics
+    (ai.py:250-342) -> span-update-labels join-back (M10/J3,
+    ai.py:310-342) -> span-export solr5vu3 projection incl.
+    facet_avail Online/Free (bin/12756.py:137). Every stage is the
+    same operator the standalone queries verify; this proves they
+    compose."""
+    import datetime
+
+    from siskin_spark.operators.export import solr_export
+    from siskin_spark.operators.licensing import apply_oa_flag, attach_labels
+    from siskin_spark.operators.normalize import normalize_source
+
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
+    docs = _t(spark, sf_dir, "documents")
+    cust = _t(spark, sf_dir, "customer")
+
+    # -- source 49: crossref-shaped versioned feed -> D1 snapshot -> spec
+    k = F.col("o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+    author_raw = "array<struct<given:string,family:string>>"
+    raw49 = orders.select(
+        F.concat(F.lit("10.12/"), (k % 1200).cast("string")).alias("doi"),
+        k.alias("seq"),
+        F.when(k % 7 == 0, F.lit("journal-issue"))
+        .when(k % 7 == 1, F.lit("book-chapter"))
+        .otherwise(F.lit("journal-article"))
+        .alias("type"),
+        F.when(
+            k % 11 != 0,
+            F.concat(F.lit("Order &amp; Title "), k.cast("string"), F.lit(" ")),
+        ).alias("title1"),
+        F.when(k % 3 == 0, F.concat(F.lit("Part "), F.col("o_orderstatus"))).alias(
+            "subtitle1"
+        ),
+        F.when(k % 13 != 0, F.concat(F.lit("J "), F.col("o_orderpriority"))).alias(
+            "container_title1"
+        ),
+        F.when(k % 5 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit(" Pub "), F.col("o_orderstatus"), F.lit(" ")))
+        .alias("publisher"),
+        (F.col("o_custkey") % 300).cast("string").alias("member"),
+        F.lit(None).cast("string").alias("volume"),
+        F.lit(None).cast("string").alias("issue"),
+        F.lit(None).cast("string").alias("page"),
+        F.array(
+            F.concat(F.lpad((F.col("o_custkey") % 30).cast("string"), 4, "0"), F.lit("-443X"))
+        ).alias("issn"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("G"), (k % 5).cast("string")).alias("given"),
+                F.concat(F.lit("Fam"), (k % 3).cast("string")).alias("family"),
+            ),
+            F.struct(
+                F.lit(None).cast("string").alias("given"), F.lit("Co").alias("family")
+            ),
+        ).cast(author_raw).alias("authors"),
+        F.array().cast("array<string>").alias("subject"),
+        F.concat(F.lit("https://x.org/"), k.cast("string")).alias("url"),
+        F.lit("eng").alias("language"),
+        F.year(od).alias("issued_year"),
+        F.lit(None).cast("int").alias("issued_month"),
+        F.lit(None).cast("int").alias("issued_day"),
+        F.concat(od.cast("string"), F.lit("T08:30:00")).alias("created"),
+    )
+    snap49 = dedup.snapshot_latest(raw49, ["doi"], ["seq"])
+    is49 = normalize_source(snap49, "crossref", now=datetime.date(2026, 8, 13))
+
+    # -- source 28: doaj-shaped OAI records -> spec
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw28 = docs.select(
+        F.concat(F.lit("oai:doaj.org/article:"), ds).alias("oai_identifier"),
+        F.when(
+            d % 19 != 0, F.concat(F.lit("Doc &amp; "), F.substring("text", 1, 24))
+        ).alias("title1"),
+        F.concat(F.lit("DOAJ Journal "), (d % 13).cast("string")).alias("source1"),
+        F.concat(F.lit("Pub "), F.col("source")).alias("publisher"),
+        F.array(
+            F.concat(F.lit("A"), (d % 7).cast("string"), F.lit(" Last")),
+            F.lit("Co Author"),
+        ).alias("creators"),
+        F.array(
+            F.concat(F.lit("https://doaj.org/a/"), ds),
+            F.when(
+                d % 6 != 0,
+                F.concat(F.lit("https://doi.org/10.12/"), (d % 1200).cast("string")),
+            ),
+        ).alias("identifiers"),
+        F.array(
+            F.lit("sister-journal"),
+            F.when(
+                d % 4 != 0,
+                F.concat(F.lpad((d % 30).cast("string"), 4, "0"), F.lit("-443X")),
+            ),
+        ).alias("relations"),
+        F.array(F.col("lang")).alias("languages"),
+        F.array(F.concat(F.lit("subj "), (d % 5).cast("string"))).alias("subjects_dc"),
+        F.concat(
+            F.lit("200"), (d % 8).cast("string"), F.lit("-1"), (d % 2).cast("string"),
+            F.lit("-05T06:00:00"),
+        ).alias("date1"),
+    )
+    is28 = normalize_source(raw28, "doaj")
+
+    # -- source 210: eastview-shaped solr docs -> spec
+    c = F.col("c_custkey")
+    raw210 = cust.select(
+        F.concat(F.lit("ev"), c.cast("string")).alias("id"),
+        F.when(c % 17 != 0, F.concat(F.lit("EV Title "), F.col("c_name"))).alias(
+            "title"
+        ),
+        F.concat(F.lit("UDB "), F.col("c_mktsegment")).alias("source"),
+        F.concat(F.lit("https://ev.example.org/"), c.cast("string")).alias("url"),
+        F.when(c % 2 == 0, F.lit("Ivanov I.,Petrov P."))
+        .otherwise(F.lit("Solo Author"))
+        .alias("author"),
+        F.concat(
+            F.lit("About "), F.col("c_name"), F.lit(" in "), F.col("c_mktsegment")
+        ).alias("content"),
+        F.lit("rus").alias("language"),
+        F.when(c % 5 == 0, F.lit("-"))
+        .otherwise(
+            F.concat((c % 30 + 1).cast("string"), F.lit("-"), (c % 30 + 9).cast("string"))
+        )
+        .alias("pages"),
+        (c % 40 + 1).cast("string").alias("volume"),
+        (c % 12 + 1).cast("string").alias("number"),
+        F.lit("Moscow").alias("place"),
+        F.when(c % 23 == 0, F.lit("n.d."))
+        .otherwise(F.concat(F.lit("19"), (c % 50 + 50).cast("string")))
+        .alias("year"),
+    )
+    is210 = normalize_source(raw210, "eastview")
+
+    # -- A6 union -> OA flag -> J6 licensing (drop) -> D5 -> M10 -> export
+    u = is49.unionByName(is28).unionByName(is210)
+    oa_issns = spark.createDataFrame(
+        [("0003-443X",), ("0007-443X",), ("0013-443X",), ("0021-443X",)], "issn string"
+    )
+    flagged = apply_oa_flag(
+        u,
+        oa_issns=oa_issns,
+        free_collections=["DOAJ Directory of Open Access Journals"],
+        oa_source_ids=["210"],
+    )
+    issn_a = [
+        "0003-443X", "0005-443X", "0007-443X", "0011-443X",
+        "0013-443X", "0017-443X", "0019-443X", "0023-443X",
+    ]
+    issn_b = ["0003-443X", "0013-443X", "0021-443X", "0027-443X"]
+    config = {
+        "DE-15": {
+            "or": [
+                {"and": [{"source": ["49"]}, {"issn": {"list": issn_a}}]},
+                {
+                    "and": [
+                        {"source": ["28"]},
+                        {"collection": ["DOAJ Directory of Open Access Journals"]},
+                    ]
+                },
+            ]
+        },
+        "DE-14": {"or": [{"issn": {"list": issn_b}}, {"source": ["210"]}]},
+        "DE-Zi4": {
+            "and": [{"source": ["28"]}, {"issn": {"list": ["0009-443X", "0015-443X"]}}]
+        },
+    }
+    tagged = attach_labels(flagged, config, id_col="finc_id", drop_unlabeled=True)
+    changes = dedup.groupcover(
+        tagged.select("finc_id", "finc_source_id", "doi", "x_labels"),
+        id_col="finc_id",
+        source_col="finc_source_id",
+        key_col="doi",
+        labels_col="x_labels",
+        preferences=("55", "49", "28"),
+        lower_key=True,
+    )
+    updated = joins.update_labels(
+        tagged, changes, id_col="finc_id", labels_col="x_labels",
+        new_labels_col="x_labels",
+    )
+    out = solr_export(updated)
+    return out.select(
+        "id",
+        "title",
+        "title_sort",
+        F.array_join("author", "|").alias("author"),
+        "author_sort",
+        "publishDate",
+        F.array_join("institution", "|").alias("institution"),
+        F.array_join("mega_collection", "|").alias("mega_collection"),
+        "source_id",
+        "format",
+        F.array_join("language", "|").alias("language"),
+        F.array_join("url", "|").alias("url"),
+        "doi",
+        F.array_join("facet_avail", "|").alias("facet_avail"),
+    ).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 

@@ -59,6 +59,18 @@ def solr_export(df: DataFrame, fullrecord: bool = False) -> DataFrame:
         F.col("url"),
         F.col("doi"),
     ]
+    if "x_oa" in df.columns:
+        # availability facet (solr5vu3 field surface, reference
+        # bin/12756.py:137): every exported record is Online; open
+        # access adds Free — how span-export surfaces x.oa downstream
+        cols.append(
+            F.when(
+                F.coalesce(F.col("x_oa"), F.lit(False)),
+                F.array(F.lit("Online"), F.lit("Free")),
+            )
+            .otherwise(F.array(F.lit("Online")))
+            .alias("facet_avail")
+        )
     if fullrecord:
         cols.append(F.to_json(F.struct(*df.columns)).alias("fullrecord"))
     return df.select(*cols)
