@@ -822,9 +822,32 @@ def transforms_truncate(col: str, n: int):
 # §7.5 training-data pipeline: text analysis
 
 
+def _langid_case_sql(toks: str = "toks") -> str:
+    """DuckDB CASE mirroring functions.text.lang_id over the FULL
+    STOPWORDS table — generated from the same table so oracle and
+    engine cannot drift when a language profile is added. Cascade
+    semantics: first-listed language whose stopword count is >= every
+    later language's count and > 0 == argmax with first-listed
+    tie-break."""
+    from siskin_spark.functions.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+
+    def cnt(lg: str) -> str:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lg])
+        return f"len(list_filter({toks}, x -> x IN ({words})))"
+
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = [f"{cnt(lg)} >= {cnt(later)}" for later in langs[i + 1 :]]
+        conds.append(f"{cnt(lg)} > 0")
+        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
 @_q(
     "text_quality",
-    """
+    f"""
     WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
            len(toks) AS n_tokens,
@@ -834,19 +857,7 @@ def transforms_truncate(col: str, n: int):
                / len(toks) AS stopword_ratio,
            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                / length(text) AS symbol_ratio,
-           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) >=
-                     len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein')))
-                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) >=
-                     len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est')))
-                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) > 0
-                THEN 'en'
-                WHEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) >=
-                     len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est')))
-                 AND len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) > 0
-                THEN 'de'
-                WHEN len(list_filter(toks, x -> x IN ('le','la','les','et','un','une','est'))) > 0
-                THEN 'fr'
-                ELSE 'und' END AS predicted_lang,
+           {_langid_case_sql()} AS predicted_lang,
            (len(toks) >= 10 AND
             CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) <= 12.0) AS keep,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,

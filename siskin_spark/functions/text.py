@@ -14,11 +14,19 @@ from pyspark.sql import functions as F
 
 # tiny built-in stopword lists for the n-gram language heuristic;
 # intentionally deterministic and vocabulary-light (real deployments
-# swap in fastText — out of scope for this container)
+# swap in fastText — out of scope for this container). Dict order is
+# the tie-break precedence (first listed wins). Profiles are the
+# highest-frequency function words of each language — public knowledge,
+# chosen to be distinctive across the set (Romance overlaps like
+# 'una' exist; argmax + precedence absorbs them).
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "in", "to", "is"),
     "de": ("der", "die", "das", "und", "ist", "ein"),
     "fr": ("le", "la", "les", "et", "un", "une", "est"),
+    "es": ("el", "los", "las", "una", "del", "es", "y"),
+    "it": ("il", "gli", "della", "delle", "che", "di", "per"),
+    "nl": ("de", "het", "een", "van", "en", "niet"),
+    "ru": ("и", "в", "не", "на", "что", "это"),
 }
 
 # BPE-ish tokenizer regex: words, numbers, or single non-space symbols
@@ -49,11 +57,14 @@ def stopword_count_expr(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def lang_id(toks: Column, langs: tuple[str, ...] = ("en", "de", "fr")) -> Column:
+def lang_id(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
     """Heuristic language id: argmax stopword count over candidate
-    languages, first-listed language wins ties, 'und' (undetermined)
-    when no stopwords hit at all (mirrors the reference's use of a
-    detector with an 'unknown' fallback, conversions.py:440-452)."""
+    languages (default: every STOPWORDS profile), first-listed language
+    wins ties, 'und' (undetermined) when no stopwords hit at all
+    (mirrors the reference's use of a detector with an 'unknown'
+    fallback, conversions.py:440-452)."""
+    if langs is None:
+        langs = tuple(STOPWORDS)
     counts = [stopword_count_expr(toks, lg).alias(lg) for lg in langs]
     best = F.greatest(*counts)
     out = F.lit("und")

@@ -38,7 +38,15 @@ SPEC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "specs")
 
 # heuristic lang-id 2-letter -> ISO639-3 (the reference returns
 # iso_code_639_3 from its detector, conversions.py:440-452)
-_ISO3 = {"en": "eng", "de": "deu", "fr": "fra"}
+_ISO3 = {
+    "en": "eng",
+    "de": "deu",
+    "fr": "fra",
+    "es": "spa",
+    "it": "ita",
+    "nl": "nld",
+    "ru": "rus",
+}
 
 
 def _src(arg: dict[str, Any]) -> Column:
@@ -156,16 +164,22 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         # heuristic stopword lang-id over the abstract (reference uses
         # a lingua detector, conversions.py:396-416; the container has
         # no lingua — the declared heuristic stand-in lives in
-        # functions/text.py and maps to ISO639-3 with a default)
+        # functions/text.py and maps to ISO639-3). Low confidence (no
+        # stopword hit / empty input) yields NULL, never a silent
+        # 'eng' mislabel — unless the spec explicitly asks for a
+        # default.
         from siskin_spark.functions.text import lang_id, tokens
 
         v = _src(arg)
-        default = arg.get("default", "eng")
+        default = arg.get("default")
+        fallback = (
+            F.lit(default) if default is not None else F.lit(None).cast("string")
+        )
         code2 = lang_id(tokens(v))
         m = F.create_map(*[F.lit(x) for kv in _ISO3.items() for x in kv])
-        return F.when(
-            v.isNull() | (v == ""), F.lit(default)
-        ).otherwise(F.coalesce(m[code2], F.lit(default)))
+        return F.when(v.isNull() | (v == ""), fallback).otherwise(
+            F.coalesce(m[code2], fallback)
+        )
     if kind == "to_ts":
         # try_cast: one malformed source timestamp must degrade to
         # null, not abort the scan (ANSI mode). Year-0/negative

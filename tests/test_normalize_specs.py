@@ -134,10 +134,53 @@ def test_osf_spec_golden(spark):
     assert [(a["rft_aufirst"], a["rft_aulast"]) for a in e["authors"]] == [
         ("Ceria", "Ceria")
     ]
-    assert e["languages"] == ["eng"]  # empty abstract -> default
+    assert e["languages"] is None  # empty abstract -> no silent 'eng'
     p = got["ai-179-ab12x"]
     assert p["finc_mega_collection"] == ["sid-179-col-psy", "Psyarxiv"]
     assert p["languages"] == ["eng"]  # heuristic detector: English hit
+
+
+def test_lang_id_rule_widened_languages(spark):
+    """The lang_id rule detects every STOPWORDS profile and yields
+    NULL (not 'eng') on low confidence — a Spanish or Russian abstract
+    must never be silently mislabeled English (r3 verdict item 3)."""
+    from siskin_spark.operators.normalize import apply_mapping
+
+    rows = [
+        ("the cat and the dog is a pet in the house", "eng"),
+        ("der hund und die katze ist ein gutes tier", "deu"),
+        ("le chat et la souris est une histoire", "fra"),
+        ("el valor de los datos y las tablas es una prueba del sistema", "spa"),
+        ("il valore della tabella che di per se non cambia", "ita"),
+        ("de waarde van het systeem is een test en niet meer", "nld"),
+        ("и в не на что это", "rus"),
+        ("xyzzy qwerty plugh", None),  # no stopword hit -> null
+        ("", None),  # empty -> null
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows)], "i int, description string"
+    )
+    out = apply_mapping(
+        df,
+        {
+            "i": {"col": "i"},
+            "lang": {"lang_id": {"from": "description"}},
+        },
+    ).collect()
+    got = {r["i"]: r["lang"] for r in out}
+    for i, (_, want) in enumerate(rows):
+        assert got[i] == want, (i, rows[i][0], got[i], want)
+
+
+def test_lang_id_rule_explicit_default_preserved(spark):
+    """A spec that explicitly asks for a default still gets it."""
+    from siskin_spark.operators.normalize import apply_mapping
+
+    df = spark.createDataFrame([(1, "xyzzy")], "i int, description string")
+    (row,) = apply_mapping(
+        df, {"lang": {"lang_id": {"from": "description", "default": "eng"}}}
+    ).collect()
+    assert row["lang"] == "eng"
 
 
 # -- eastview ---------------------------------------------------------
