@@ -1706,6 +1706,141 @@ def normalize_crossref(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("finc_id")
 
 
+@_q(
+    "normalize_arxiv",
+    """
+    WITH raw AS (
+      SELECT 'oai:arXiv.org/' || CAST(doc_id AS VARCHAR) AS oid,
+             'Morph Title ' || CAST(doc_id AS VARCHAR) AS title1,
+             substring(text, 1, 30) AS desc1,
+             CASE doc_id % 5 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'ru'
+                             WHEN 3 THEN 'Klingon' ELSE NULL END AS language,
+             doc_id % 3 <> 0 AS has_doi,
+             doc_id % 4 = 0 AS has_vol,
+             CASE doc_id % 5 WHEN 0 THEN 'info:eu-repo/semantics/article'
+                             WHEN 1 THEN 'Monograph' WHEN 2 THEN 'Image'
+                             WHEN 3 THEN 'Dataset' ELSE 'sheet music' END AS type1,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '200' || CAST(doc_id % 8 AS VARCHAR) || '-07-19'
+                  ELSE '200' || CAST(doc_id % 8 AS VARCHAR) END AS date1,
+             'subj ' || CAST(doc_id % 5 AS VARCHAR) || ', extra topic' AS subject1,
+             doc_id
+      FROM documents
+    )
+    SELECT 'ai-121-' ||
+             replace(replace(rtrim(to_base64(encode(oid)), '='), '+', '-'), '/', '_')
+             AS finc_id,
+           oid AS finc_record_id,
+           '121' AS finc_source_id,
+           CASE type1 WHEN 'info:eu-repo/semantics/article' THEN 'ElectronicArticle'
+                      WHEN 'Monograph' THEN 'Book'
+                      WHEN 'Image' THEN 'ElectronicVisualMedia'
+                      WHEN 'sheet music' THEN 'ElectronicMusicalScore'
+                      ELSE 'ElectronicArticle' END AS format,
+           CASE type1 WHEN 'info:eu-repo/semantics/article' THEN 'article'
+                      WHEN 'Monograph' THEN 'Book'
+                      WHEN 'sheet music' THEN 'unknown' END AS genre,
+           'Arxiv' AS mega,
+           desc1 || ' and more' AS abstract,
+           'A' || CAST(doc_id % 7 AS VARCHAR) AS authors,
+           CASE doc_id % 5 WHEN 0 THEN 'ger' WHEN 1 THEN 'eng' WHEN 2 THEN 'rus'
+                           WHEN 3 THEN 'Klingon' ELSE NULL END AS languages,
+           'Morph Title ' || CAST(doc_id AS VARCHAR) AS atitle,
+           'Arxiv' AS jtitle, 'Arxiv' AS pub,
+           CASE WHEN doc_id % 4 = 0
+                THEN lpad(CAST(doc_id % 30 AS VARCHAR), 4, '0') || '-443X'
+                ELSE '' END AS issn,
+           CASE WHEN doc_id % 4 = 0 THEN 'Vol ' || CAST(doc_id % 9 AS VARCHAR) END
+             AS volume,
+           'subj ' || CAST(doc_id % 5 AS VARCHAR) || '|extra topic' AS subjects,
+           'http://arxiv.org/abs/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN has_doi THEN '10.99/' || CAST(doc_id AS VARCHAR) END AS doi,
+           date1 AS rft_date,
+           CAST(TRY_CAST(date1 || 'T00:00:00Z' AS TIMESTAMP) AS VARCHAR) AS x_date
+    FROM raw ORDER BY finc_id
+    """,
+)
+def normalize_arxiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 Metafacture-morph family through the SHIPPED spec
+    (specs/arxiv.json — reference assets/arxiv/arxiv.flux +
+    assets/arxiv/121_morph.xml, the datacite/pqdt/ijoc mapping path):
+    sprachliste language lookup with raw-value fallback, formatliste
+    with default, genre map without default, <unique/> ISSN filter,
+    the volume regexp, doi: prefix extraction, subject split+trim,
+    description concat — end-to-end over OAI-DC-shaped raw rows
+    synthesized from `documents`."""
+    from siskin_spark.operators.normalize import normalize_source
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw = docs.select(
+        F.concat(F.lit("oai:arXiv.org/"), ds).alias("oai_identifier"),
+        F.concat(F.lit("Morph Title "), ds).alias("title1"),
+        F.array(F.substring("text", 1, 30), F.lit("and more")).alias("descriptions"),
+        F.array(F.concat(F.lit("A"), (d % 7).cast("string"))).alias("creators"),
+        F.when(d % 5 == 0, F.lit("de"))
+        .when(d % 5 == 1, F.lit("en"))
+        .when(d % 5 == 2, F.lit("ru"))
+        .when(d % 5 == 3, F.lit("Klingon"))
+        .alias("language"),
+        F.array(
+            F.concat(F.lit("http://arxiv.org/abs/"), ds),
+            F.when(d % 3 != 0, F.concat(F.lit("doi:10.99/"), ds)),
+        ).alias("identifiers"),
+        F.when(
+            d % 4 == 0,
+            F.array(
+                F.concat(
+                    F.lit("J Comm; Vol "), (d % 9).cast("string"), F.lit(" (2011); 29")
+                ),
+                F.concat(F.lpad((d % 30).cast("string"), 4, "0"), F.lit("-443X")),
+                F.concat(F.lpad((d % 30).cast("string"), 4, "0"), F.lit("-443X")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sources_dc"),
+        F.concat(F.lit("subj "), (d % 5).cast("string"), F.lit(", extra topic")).alias(
+            "subject1"
+        ),
+        F.when(d % 5 == 0, F.lit("info:eu-repo/semantics/article"))
+        .when(d % 5 == 1, F.lit("Monograph"))
+        .when(d % 5 == 2, F.lit("Image"))
+        .when(d % 5 == 3, F.lit("Dataset"))
+        .otherwise(F.lit("sheet music"))
+        .alias("type1"),
+        F.when(
+            d % 2 == 0, F.concat(F.lit("200"), (d % 8).cast("string"), F.lit("-07-19"))
+        )
+        .otherwise(F.concat(F.lit("200"), (d % 8).cast("string")))
+        .alias("date1"),
+    )
+    out = normalize_source(raw, "arxiv")
+    return out.select(
+        "finc_id",
+        "finc_record_id",
+        "finc_source_id",
+        F.col("finc_format").alias("format"),
+        F.col("rft_genre").alias("genre"),
+        F.array_join("finc_mega_collection", "|").alias("mega"),
+        "abstract",
+        F.array_join(
+            F.transform("authors", lambda a: a.getField("rft_au")), "|"
+        ).alias("authors"),
+        F.array_join("languages", "|").alias("languages"),
+        F.col("rft_atitle").alias("atitle"),
+        F.col("rft_jtitle").alias("jtitle"),
+        F.array_join("rft_pub", "|").alias("pub"),
+        F.array_join("rft_issn", "|").alias("issn"),
+        F.col("rft_volume").alias("volume"),
+        F.array_join("subjects", "|").alias("subjects"),
+        F.array_join("url", "|").alias("url"),
+        "doi",
+        "rft_date",
+        F.col("x_date").cast("string").alias("x_date"),
+    ).orderBy("finc_id")
+
+
 def _hexbyte(k: int) -> str:
     """DuckDB expr for byte k (0-indexed) of an md5 hex string ``m``."""
     c = "strpos('0123456789abcdef', substring(m, {p}, 1)) - 1"

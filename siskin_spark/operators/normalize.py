@@ -243,9 +243,19 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         return hit
     if kind == "filter_match":
         # all array elements matching a pattern (e.g. ISSNs among
-        # dc:identifier / dc:relation values)
+        # dc:identifier / dc:relation values); "unique" mirrors the
+        # Metamorph <unique/> post-processor (assets/arxiv/121_morph.xml)
         arr = F.coalesce(_src(arg), F.array().cast("array<string>"))
-        return F.filter(arr, lambda x: x.rlike(arg["pattern"]))
+        out = F.filter(arr, lambda x: x.rlike(arg["pattern"]))
+        if arg.get("unique"):
+            out = F.array_distinct(out)
+        return out
+    if kind == "join":
+        # multi-valued field -> one string (Metamorph <concat
+        # delimiter=..>, e.g. the arxiv morph's abstract rule); empty
+        # array / all-null joins to null, not ""
+        out = F.array_join(_src(arg), arg.get("sep", " "))
+        return F.when(out != "", out)
     if kind == "concat_rules":
         # join sub-rule outputs, skipping nulls (concat_ws semantics);
         # all-null collapses to null, not "" — e.g. crossref's

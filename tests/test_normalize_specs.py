@@ -699,3 +699,81 @@ def test_oai_dc_spec_parameterized(spark):
     assert r["finc_source_id"] == "162"
     assert r["finc_id"].startswith("ai-162-")
     assert list(r["finc_mega_collection"]) == ["GenderOpen", "sid-162-col-go"]
+
+
+# -- arxiv (the Metafacture morph family) -----------------------------
+
+
+def _arxiv_raw(spark):
+    spec = load_spec("arxiv")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "oai:arXiv.org/1234.5678", "On Spark Morphs",
+            ["Part one.", "Part two."], ["Doe, Jane", "Roe, Richard"],
+            "de",
+            ["http://arxiv.org/abs/1234.5678", "doi:10.1000/xyz.12"],
+            ["International Journal of Communication; Vol 5 (2011); 29",
+             "1932-8036", "1932-8036"],
+            "math.CO, cs.DM , stats",
+            "info:eu-repo/semantics/article", "2011-05-10",
+        ),
+        (
+            "oai:arXiv.org/9999.0001", "Fallback Record",
+            [], [], "Klingon", ["urn:isbn:123"], [], None,
+            "Dataset", "2011",
+        ),
+        (
+            "oai:arXiv.org/0000.0002", "Image Record",
+            None, None, None, None, None, None, "Image", None,
+        ),
+        (None, "skipped: no id", None, None, None, None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_arxiv_morph_spec_golden(spark):
+    """The 121_morph.xml semantics (reference assets/arxiv/121_morph.xml
+    + assets/maps/*.tsv) through the shipped spec: sprachliste lookup
+    with raw-value fallback, formatliste with default, genre miss ->
+    null, <unique/> ISSN filter, volume regexp, doi: prefix extraction,
+    subject split+trim, description concat."""
+    out = normalize_source(_arxiv_raw(spark), "arxiv")
+    got = _row(out)
+    assert len(got) == 3  # id-less row skipped
+    a = next(v for v in got.values() if v["finc_record_id"] == "oai:arXiv.org/1234.5678")
+    assert a["finc_id"].startswith("ai-121-")
+    assert a["finc_source_id"] == "121"
+    assert a["finc_format"] == "ElectronicArticle"
+    assert a["rft_genre"] == "article"
+    assert a["finc_mega_collection"] == ["Arxiv"]
+    assert a["abstract"] == "Part one. Part two."
+    assert [au["rft_au"] for au in a["authors"]] == ["Doe, Jane", "Roe, Richard"]
+    assert a["languages"] == ["ger"]  # sprachliste: de -> ger (639-2/B)
+    assert a["url"] == ["http://arxiv.org/abs/1234.5678"]
+    assert a["doi"] == "10.1000/xyz.12"
+    assert a["rft_issn"] == ["1932-8036"]  # matched + deduped
+    assert a["rft_volume"] == "Vol 5"
+    assert a["subjects"] == ["math.CO", "cs.DM", "stats"]
+    assert a["rft_jtitle"] == "Arxiv"
+    assert a["rft_pub"] == ["Arxiv"]
+    assert a["rft_date"] == "2011-05-10"
+    assert a["x_date"] == datetime.datetime(2011, 5, 10, 0, 0)
+
+    b = next(v for v in got.values() if v["finc_record_id"] == "oai:arXiv.org/9999.0001")
+    assert b["languages"] == ["Klingon"]  # lookup miss -> raw value (morph choose)
+    assert b["finc_format"] == "ElectronicArticle"  # format default
+    assert b["rft_genre"] is None  # genre map has no default
+    assert b["url"] == []
+    assert b["doi"] is None
+    assert b["rft_issn"] == []
+    assert b["rft_volume"] is None
+    assert b["abstract"] is None
+    assert b["x_date"] is None  # '2011T00:00:00Z' unparseable
+    assert b["subjects"] is None
+
+    c = next(v for v in got.values() if v["finc_record_id"] == "oai:arXiv.org/0000.0002")
+    # formatliste's duplicate 'Image' key resolves last-wins (see spec
+    # description) — Metafacture FileMap is HashMap-backed
+    assert c["finc_format"] == "ElectronicVisualMedia"
+    assert c["languages"] is None
