@@ -2888,6 +2888,49 @@ def ai_doi_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "citation_graph",
+    """
+    WITH edges AS (
+      SELECT '10.1/' || CAST(l_orderkey % 2000 AS VARCHAR) AS citing,
+             '10.1/' || CAST(l_partkey % 1500 AS VARCHAR) AS cited
+      FROM lineitem
+    ),
+    outd AS (SELECT citing AS node, COUNT(*) AS out_degree FROM edges GROUP BY citing),
+    ind  AS (SELECT cited  AS node, COUNT(*) AS in_degree  FROM edges GROUP BY cited),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT citing AS node FROM edges UNION ALL SELECT cited FROM edges)
+      WHERE node IS NOT NULL
+    )
+    SELECT n.node AS doi,
+           coalesce(o.out_degree, 0) AS out_degree,
+           coalesce(i.in_degree, 0) AS in_degree
+    FROM nodes n LEFT JOIN outd o ON n.node = o.node
+                 LEFT JOIN ind  i ON n.node = i.node
+    ORDER BY doi
+    """,
+)
+def citation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-graph projections (reference sources/oci.py:61-196:
+    citing-DOI cut, cited-DOI cut, unique lists, citing∪cited union)
+    plus per-DOI in/out-degree — the OCI edge-list workload as one
+    degree report over a DOI-shaped edge table derived from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("10.1/"), (F.col("l_orderkey") % 2000).cast("string")).alias(
+            "citing"
+        ),
+        F.concat(F.lit("10.1/"), (F.col("l_partkey") % 1500).cast("string")).alias(
+            "cited"
+        ),
+    )
+    out = aggregates.degree_report(edges)
+    return out.select(
+        F.col("node").alias("doi"), "out_degree", "in_degree"
+    ).orderBy("doi")
+
+
+@_q(
     "ai_update_export",
     """
     WITH raw49 AS (

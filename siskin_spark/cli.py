@@ -4,15 +4,20 @@
 Usage:  python -m siskin_spark.cli <cmd> ...
 
   cat  PATH [-n N]          show rows of a parquet/ndjson artifact
+  head PATH [-n N]          first N rows, vertical layout (reference
+                            `siskin head`, cli.py:639-654)
   wc   PATH                 row count
   schema PATH               printSchema + dtypes
   explain QUERY [SF_DIR]    formatted physical plan of a registered query
   queries                   list registered queries from __spark_entry__
+  deps-dot MODULE:ATTR      Graphviz DOT of a Pipeline's stage DAG
+                            (reference `siskin deps-dot`, cli.py:211-298)
   bench [SF_DIR]            delegate to bench.py
 
-The pipeline-graph commands (`deps`, `status`, `run`) live on
+The remaining pipeline-graph commands (`deps`, `status`, `run`) live on
 ``plans.pipeline.Pipeline`` instances — they are API, not global state,
-because unlike Luigi there is no process-wide task registry.
+because unlike Luigi there is no process-wide task registry; `deps-dot`
+bridges by importing a named Pipeline attribute.
 """
 
 from __future__ import annotations
@@ -42,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     p_cat = sub.add_parser("cat")
     p_cat.add_argument("path")
     p_cat.add_argument("-n", type=int, default=20)
+    p_head = sub.add_parser("head")
+    p_head.add_argument("path")
+    p_head.add_argument("-n", type=int, default=10)
+    p_dot = sub.add_parser("deps-dot")
+    p_dot.add_argument("target", help="module:attr naming a Pipeline instance")
     p_wc = sub.add_parser("wc")
     p_wc.add_argument("path")
     p_schema = sub.add_parser("schema")
@@ -61,9 +71,20 @@ def main(argv: list[str] | None = None) -> int:
             print(name, "(oracle)" if name in oracles else "(rows-only)")
         return 0
 
+    if args.cmd == "deps-dot":
+        import importlib
+
+        mod_name, _, attr = args.target.partition(":")
+        sys.path.insert(0, os.getcwd())
+        pipeline = getattr(importlib.import_module(mod_name), attr)
+        print(pipeline.to_dot())
+        return 0
+
     spark = _spark()
     if args.cmd == "cat":
         _read(spark, args.path).show(args.n, truncate=False)
+    elif args.cmd == "head":
+        _read(spark, args.path).show(args.n, truncate=False, vertical=True)
     elif args.cmd == "wc":
         print(_read(spark, args.path).count())
     elif args.cmd == "schema":

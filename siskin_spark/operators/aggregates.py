@@ -65,6 +65,37 @@ def distinct_union(dfs: Sequence[DataFrame], col: str) -> DataFrame:
     return out.filter(F.col(col).isNotNull()).distinct().orderBy(col)
 
 
+def degree_report(
+    edges: DataFrame, src: str = "citing", dst: str = "cited"
+) -> DataFrame:
+    """Citation-graph projection (reference sources/oci.py:61-196: the
+    OCI edge list's citing/cited column cuts, unique lists, and their
+    union): one row per node in the distinct citing∪cited set with its
+    out-degree and in-degree. The graph stays a pair of column
+    projections — two hash aggregates on the narrow edge table plus a
+    distinct union; degrees join back against node ids, so shuffle
+    volume is bounded by distinct nodes, not edges."""
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    nodes = distinct_union(
+        [edges.select(F.col(src).alias("node")), edges.select(F.col(dst).alias("node"))],
+        "node",
+    )
+    return (
+        nodes.join(out_deg, on="node", how="left")
+        .join(in_deg, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
 def error_counters(df: DataFrame, class_col: str) -> DataFrame:
     """A5: quality-counter tallies (reference: collections.Counter over
     error classes, sources/base.py:172-215). As a DataFrame so it scales;

@@ -107,6 +107,18 @@ class Pipeline:
     def status(self, params: dict[str, Any], date: datetime.date) -> dict[str, bool]:
         return {n: self.is_complete(n, params, date) for n in self.stages}
 
+    def to_dot(self) -> str:
+        """Graphviz DOT of the stage DAG (reference `siskin deps-dot`,
+        cli.py:211-298) — edges point from requirement to dependent."""
+        lines = ["digraph pipeline {", "  rankdir=LR;"]
+        for name in self.stages:
+            lines.append(f'  "{name}";')
+        for name, st in self.stages.items():
+            for r in st.requires:
+                lines.append(f'  "{r}" -> "{name}";')
+        lines.append("}")
+        return "\n".join(lines)
+
     # -- execution -----------------------------------------------------
     def run(
         self,

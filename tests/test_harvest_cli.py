@@ -89,3 +89,30 @@ def test_cli_queries_and_wc(capsys, sf_dir):
 
     assert main(["wc", f"{sf_dir}/region.parquet"]) == 0
     assert capsys.readouterr().out.strip() == "5"
+
+
+def test_cli_head_and_deps_dot(capsys, sf_dir, tmp_path):
+    from siskin_spark.cli import main
+
+    assert main(["head", f"{sf_dir}/region.parquet", "-n", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "RECORD 0" in out  # vertical layout, first rows only
+
+    # deps-dot over a module-level Pipeline attribute
+    mod = tmp_path / "pipemod.py"
+    mod.write_text(
+        "from siskin_spark.plans.pipeline import Pipeline\n"
+        "p = Pipeline(base='/tmp/x')\n"
+        "p.stage('a')(lambda spark, inputs, params: None)\n"
+        "p.stage('b', requires=['a'])(lambda spark, inputs, params: None)\n"
+    )
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    try:
+        assert main(["deps-dot", "pipemod:p"]) == 0
+    finally:
+        sys.path.remove(str(tmp_path))
+    dot = capsys.readouterr().out
+    assert 'digraph pipeline {' in dot
+    assert '"a" -> "b";' in dot
