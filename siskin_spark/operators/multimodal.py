@@ -1,13 +1,22 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched ``mapInPandas`` (SURVEY.md §7.5).
 
-The container has no image/audio libraries, so the actual decoders are
-STUBBED: ``decode_image_stub`` raises NotImplementedError and
-``fake_decode_features`` produces deterministic pseudo-features from
-the bytes (md5-derived), keeping the Spark-side plumbing — schema,
-batch iteration, partitioning, UDF signatures — real and tested.
-Swap ``fake_decode_features`` for a Pillow/librosa call in a real
-deployment; nothing else changes.
+Image decoding has three tiers:
+
+1. **Pillow**, when importable (``_HAS_PIL``): full decode —
+   width/height/mode from the actual pixel pipeline.
+2. **Header parse** (always available, pure stdlib):
+   :func:`parse_image_header` reads real dimensions from PNG/GIF/BMP/
+   JPEG container headers — no image library needed, and sufficient
+   for the metadata/filtering stages of a training-data pipeline.
+3. **Deterministic fake** (``fake_decode_features``): md5-derived
+   pseudo-features for the embedding slot, used by the oracle-checked
+   plumbing query where determinism across engines is the contract.
+
+Audio/video feature extraction remains declared stubs (no librosa /
+pyav in this container); the Spark-side plumbing — schema, batch
+iteration, partitioning, UDF signatures — is real and tested either
+way.
 
 Scale notes: binary payloads ride in Parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
@@ -49,13 +58,58 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_stub(content: bytes) -> tuple[int, int]:
-    """Real decoder slot — requires an image library not present in
-    this container."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/libvips; use fake_decode_features "
-        "for plumbing tests"
-    )
+try:  # optional dependency: full decode path
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # container default: header-parse path only
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def parse_image_header(content: bytes) -> tuple[int, int, str]:
+    """Real image dimensions from container headers — pure stdlib, no
+    image library. Covers PNG (IHDR), GIF (logical screen descriptor),
+    BMP (BITMAPINFOHEADER), and JPEG (SOF0/1/2 marker scan). Raises
+    ValueError on anything else."""
+    import struct
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h), "png"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return int(w), int(h), "gif"
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return int(w), abs(int(h)), "bmp"
+    if content[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return int(w), int(h), "jpeg"
+            i += 2 + seg_len
+    raise ValueError("unrecognized image container (png/gif/bmp/jpeg supported)")
+
+
+def decode_image(content: bytes) -> tuple[int, int, str]:
+    """Best-available image decode: Pillow when importable (full pixel
+    decode), header parse otherwise. The (width, height, format)
+    contract is identical either way."""
+    if _HAS_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(content)) as im:
+            return int(im.width), int(im.height), (im.format or "unknown").lower()
+    return parse_image_header(content)
 
 
 def fake_decode_features(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
@@ -69,15 +123,36 @@ def fake_decode_features(content: bytes, dim: int = 8) -> tuple[int, int, list[f
     return width, height, [x / n for x in raw]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 8, decoder: str = "fake"
+) -> DataFrame:
     """mapInPandas feature extraction over binary media rows.
 
     Arrow-batched: each pandas batch holds whole payloads; the iterator
     form keeps peak memory at one batch regardless of partition size.
+
+    ``decoder='fake'`` (default) derives deterministic pseudo
+    width/height from the bytes — the cross-engine-reproducible
+    contract the oracle query checks. ``decoder='image'`` reads REAL
+    dimensions via :func:`decode_image` (Pillow when available, header
+    parse otherwise); undecodable payloads surface as null dims rather
+    than failing the batch. The embedding slot stays the declared
+    md5-derived stand-in in both modes.
     """
+
+    def dims(c: bytes) -> tuple[int | None, int | None]:
+        if decoder == "image":
+            try:
+                w, h, _ = decode_image(c)
+                return w, h
+            except (ValueError, OSError):
+                return None, None
+        f = fake_decode_features(c, dim)
+        return f[0], f[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sizes = [dims(c) for c in pdf["content"]]
             feats = [fake_decode_features(c, dim) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
@@ -85,8 +160,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": [len(c) for c in pdf["content"]],
                     "sha1": [hashlib.sha1(c).hexdigest() for c in pdf["content"]],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
+                    "width": [s[0] for s in sizes],
+                    "height": [s[1] for s in sizes],
                     "feature": [f[2] for f in feats],
                 }
             )

@@ -12,10 +12,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from siskin_spark.operators.multimodal import (
+    _HAS_PIL,
     MEDIA_SCHEMA,
-    decode_image_stub,
+    decode_image,
     extract_features,
     frame_sample_stub,
+    parse_image_header,
     resize_stub,
 )
 from siskin_spark.operators.normalize import apply_mapping
@@ -99,8 +101,85 @@ def test_multimodal_features(spark):
     assert resized["meta"]["resize_w"] == "224"
     frames = frame_sample_stub(media).collect()
     assert all(r["kind"] == "video" for r in frames) and len(frames) >= 1
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"x")
+    with pytest.raises(ValueError):
+        decode_image(b"x")  # not an image container
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    """A minimal VALID PNG built with stdlib only (zlib for IDAT+CRC):
+    signature + IHDR + one-scanline-per-row IDAT + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    """SOI + APP0 + SOF0 header prefix — enough container structure for
+    any dimension reader that walks JPEG segments."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_image_decode_header_parse(spark):
+    """decode_image reads REAL dimensions — Pillow when installed,
+    stdlib header parse otherwise (r3 verdict item 5: the decode step
+    is no longer only the md5 stand-in)."""
+    import struct
+
+    png = _png_bytes(320, 200)
+    assert parse_image_header(png) == (320, 200, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 40, 30) + b"\x00" * 6
+    assert parse_image_header(gif) == (40, 30, "gif")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 17, -23) + b"\x00" * 8
+    assert parse_image_header(bmp) == (17, 23, "bmp")  # top-down height abs()
+    jpg = _jpeg_bytes(640, 480)
+    assert parse_image_header(jpg) == (640, 480, "jpeg")
+
+    # end-to-end through the Arrow mapInPandas path with real decode
+    media = spark.createDataFrame(
+        [
+            (1, "image", png, "image/png", {}),
+            (2, "image", jpg, "image/jpeg", {}),
+            (3, "image", b"not an image", "image/png", {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in extract_features(media, decoder="image").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert got[3]["width"] is None and got[3]["height"] is None  # undecodable
+    assert len(got[1]["feature"]) == 8  # embedding slot still populated
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_real_image_decode_pillow():
+    w, h, fmt = decode_image(_png_bytes(12, 34))
+    assert (w, h, fmt) == (12, 34, "png")
 
 
 def test_mapping_normalizer(spark):
