@@ -177,7 +177,8 @@ def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "argmax_latest_event",
     """
-    SELECT user_id, event_type, event_id, value
+    SELECT user_id, event_type, event_id, value,
+           CAST(props->>'$.k' AS INT) AS k_value
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -188,13 +189,22 @@ def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 argmax dedup (reference: DOAJ newest-date-per-title,
-    sources/doaj.py:143-217)."""
+    sources/doaj.py:143-217) + M11 jq-style JSON field extraction over
+    the winning row's props payload (reference jq projections,
+    sources/crossref.py:287,316 — merged here per the ≤50-query
+    registry policy; same events grain)."""
     ev = _t(spark, sf_dir, "events")
     out = dedup.argmax_dedup(
         ev, ["user_id", "event_type"], ["ts", "event_id"],
-        keep=["user_id", "event_type", "event_id", "value"],
+        keep=["user_id", "event_type", "event_id", "value", "props"],
     )
-    return out.orderBy("user_id", "event_type")
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    ).orderBy("user_id", "event_type")
 
 
 @_q(
@@ -699,7 +709,14 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            'ai-' || source || '-' ||
              replace(replace(rtrim(to_base64(encode(CAST(doc_id AS VARCHAR))), '='),
                      '+', '-'), '/', '_') AS finc_id,
-           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1') AS in_sample
+           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1') AS in_sample,
+           CASE WHEN doc_id % 7 <> 0 AND
+                     regexp_extract('see doi:10.' || (1000 + doc_id % 50) || '/j.'
+                         || source || '.' || doc_id || ' for details',
+                         '(10[.][0-9]{2,8}/[^ "\t]+)', 1) <> ''
+                THEN regexp_extract('see doi:10.' || (1000 + doc_id % 50) || '/j.'
+                         || source || '.' || doc_id || ' for details',
+                         '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi_sniffed
     FROM documents ORDER BY doc_id
     """,
 )
@@ -709,10 +726,15 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace; checksum/encoding functions (reference: sha1 artifact
     checksums common.py:89-96, base64 ids, hex dumps); the §1.3
     deterministic global id ai-<sid>-<urlsafe_b64(record_id)>
-    (conversions.py:538-540); and the md5-keyed deterministic ~1/8
+    (conversions.py:538-540); the md5-keyed deterministic ~1/8
     sample flag (training-data engine extension — stable across
-    engines, runs, and partitionings, unlike rand() sampling)."""
+    engines, runs, and partitionings, unlike rand() sampling); and M8
+    span-doisniffer regex DOI extraction over a synthesized haystack
+    (reference sources/base.py:160-166 — merged from the former
+    doi_sniff_docs query per the ≤50-query registry policy, same
+    documents grain)."""
     from siskin_spark.operators import transforms as T
+    from siskin_spark.operators.transforms import doi_sniff
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -737,6 +759,19 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
         .isin("0", "1")
         .alias("in_sample"),
+        doi_sniff(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("no identifier here")).otherwise(
+                F.concat(
+                    F.lit("see doi:10."),
+                    (F.col("doc_id") % 50 + 1000).cast("string"),
+                    F.lit("/j."),
+                    F.col("source"),
+                    F.lit("."),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" for details"),
+                )
+            )
+        ).alias("doi_sniffed"),
     ).orderBy("doc_id")
 
 
@@ -792,24 +827,6 @@ def date_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_revenue"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     ).orderBy("o_orderkey")
-
-
-@_q(
-    "json_extraction",
-    """
-    SELECT event_id,
-           CAST(props->>'$.k' AS INT) AS k_value
-    FROM events ORDER BY event_id
-    """,
-)
-def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M11 jq-style field extraction from JSON payloads (reference: jq
-    projections, sources/crossref.py:287,316; ubiquitous)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-    ).orderBy("event_id")
 
 
 def transforms_truncate(col: str, n: int):
@@ -911,30 +928,6 @@ _BAND_KEYS = "\n      UNION ALL\n".join(
     f"      SELECT doc_id, '{b}|' || s{4*b} || '|' || s{4*b+1} || '|' || s{4*b+2} || '|' || s{4*b+3} AS key FROM sig"
     for b in range(4)
 )
-
-
-@_q(
-    "minhash_signatures",
-    f"""
-    WITH {_shingle_cte()},
-    sig AS (
-      SELECT d.doc_id, {_SIG_COLS}
-      FROM documents d LEFT JOIN shingles ON d.doc_id = shingles.doc_id
-      GROUP BY d.doc_id
-    )
-    SELECT doc_id, {_SIG_JOIN} AS signature FROM sig ORDER BY doc_id
-    """,
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 MinHash signatures (k=16, word 3-gram shingles, md5-seeded
-    portable hashes — see functions/similarity.py docstring)."""
-    from siskin_spark.operators.neardup import minhash_table
-
-    docs = _t(spark, sf_dir, "documents")
-    out = minhash_table(docs)
-    return out.select(
-        "doc_id", F.array_join("signature", "|").alias("signature")
-    ).orderBy("doc_id")
 
 
 @_q(
@@ -1131,26 +1124,44 @@ _U32 = " + ".join(
       SELECT doc_id,
              array_to_string(list_sort(list(DISTINCT substring(md5('0:' || sh), 1, 8)))[1:4], '|') AS f
       FROM shingles GROUP BY doc_id
+    ),
+    sigm AS (
+      SELECT d.doc_id, {_SIG_COLS}
+      FROM documents d LEFT JOIN shingles ON d.doc_id = shingles.doc_id
+      GROUP BY d.doc_id
     )
-    SELECT d.doc_id, simh.simhash, coalesce(fp.f, '') AS fingerprint
+    SELECT d.doc_id, simh.simhash, coalesce(fp.f, '') AS fingerprint,
+           {_SIG_JOIN} AS minhash
     FROM documents d
     LEFT JOIN simh ON d.doc_id = simh.doc_id
     LEFT JOIN fp ON d.doc_id = fp.doc_id
+    LEFT JOIN sigm ON d.doc_id = sigm.doc_id
     ORDER BY d.doc_id
     """,
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 per-document near-dup signatures in one pass: 32-bit
     SimHash (per-bit majority over distinct-token md5 hashes;
-    Hamming-adjacent simhashes = near-dups) + winnowing-style
+    Hamming-adjacent simhashes = near-dups), winnowing-style
     fingerprint (4 smallest shingle hashes joined — a compact
-    prefilter key)."""
-    from siskin_spark.operators.neardup import fingerprint_table, simhash_table
+    prefilter key), and the k=16 MinHash signature (word 3-gram
+    shingles, md5-seeded portable hashes — functions/similarity.py;
+    merged from the former minhash_signatures query per the ≤50-query
+    registry policy, same per-document grain)."""
+    from siskin_spark.operators.neardup import (
+        fingerprint_table,
+        minhash_table,
+        simhash_table,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    mh = minhash_table(docs).select(
+        "doc_id", F.array_join("signature", "|").alias("minhash")
+    )
     return (
         simhash_table(docs)
         .join(fingerprint_table(docs), on="doc_id", how="left")
+        .join(mh, on="doc_id", how="left")
         .orderBy("doc_id")
     )
 
@@ -2293,46 +2304,6 @@ def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", openurl_query_string().alias("openurl")
     ).orderBy("o_orderkey")
 
-
-@_q(
-    "doi_sniff_docs",
-    """
-    WITH hay AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN 'no identifier here'
-                  ELSE 'see doi:10.' || (1000 + doc_id % 50) || '/j.' || source
-                       || '.' || doc_id || ' for details' END AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN regexp_extract(t, '(10[.][0-9]{2,8}/[^ "\t]+)', 1) <> ''
-                THEN regexp_extract(t, '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi
-    FROM hay ORDER BY doc_id
-    """,
-)
-def doi_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 span-doisniffer (reference sources/base.py:160-166): regex
-    DOI extraction over a text field, null when absent."""
-    from siskin_spark.operators.transforms import doi_sniff
-
-    docs = _t(spark, sf_dir, "documents")
-    hay = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 7 == 0, F.lit("no identifier here"))
-        .otherwise(
-            F.concat(
-                F.lit("see doi:10."),
-                (F.col("doc_id") % 50 + 1000).cast("string"),
-                F.lit("/j."),
-                F.col("source"),
-                F.lit("."),
-                F.col("doc_id").cast("string"),
-                F.lit(" for details"),
-            )
-        )
-        .alias("t"),
-    )
-    return hay.select("doc_id", doi_sniff("t").alias("doi")).orderBy("doc_id")
 
 
 @_q(

@@ -169,6 +169,62 @@ def build_corpus(spark, n_records: int) -> None:
     )
     docs.write.mode("overwrite").parquet(os.path.join(CORPUS, "docs"))
 
+    # embedding corpus: n_records/10 vectors (dim 64, hash-derived
+    # pseudo-random), with planted near-dup pairs (id-1, id) at two
+    # perturbation levels so both recall thresholds have real truth:
+    #   id % 50 == 1  -> eps 0.25 (cos ~0.97)
+    #   id % 50 == 26 -> eps 0.62 (cos ~0.85)
+    # For iid uniform components cos ~ 1/sqrt(1+eps^2); the truth set
+    # is decided by the EXACT computed cosine, eps only spreads pairs
+    # across the two thresholds.
+    n_vec = max(n_records // 10, 100_000)
+    eps = (
+        F.when(F.col("id") % 50 == 1, F.lit(0.25))
+        .when(F.col("id") % 50 == 26, F.lit(0.62))
+    )
+    seed = F.when(eps.isNotNull(), F.col("id") - 1).otherwise(F.col("id"))
+    comp = lambda s, tag: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.hash(s, j, F.lit(tag)) % 10_000).cast("double") / 10_000.0,
+    )
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            comp(seed, "b"),
+            comp(F.col("id"), "p"),
+            lambda b, p: (b + F.coalesce(eps, F.lit(0.0)) * p).cast("float"),
+        ).alias("embedding"),
+        eps.isNotNull().alias("planted"),
+    )
+    vecs.write.mode("overwrite").parquet(os.path.join(CORPUS, "vectors"))
+
+    # groupcover corpus: n_records narrow local-data rows with a SKEWED
+    # key distribution — 1% of rows pile onto 1,000 hot DOIs (up to
+    # ~100 sources competing per label), the rest spread over n/3 keys;
+    # mixed-case DOIs exercise -lower
+    gc = spark.range(n_records).select(
+        F.concat(F.lit("rec-"), F.col("id").cast("string")).alias("finc_id"),
+        (F.col("id") % 7).cast("string").alias("finc_source_id"),
+        F.when(
+            F.col("id") % 100 == 0,
+            F.concat(F.lit("10.1/HOT"), (F.col("id") % 1_000).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("10.1/D")).otherwise(
+                    F.lit("10.1/d")
+                ),
+                (F.col("id") % (n_records // 3 + 1)).cast("string"),
+            )
+        )
+        .alias("doi"),
+        F.array(
+            F.concat(F.lit("L"), (F.col("id") % 5).cast("string")),
+            F.concat(F.lit("L"), (F.col("id") % 7 + 5).cast("string")),
+        ).alias("labels"),
+    )
+    gc.write.mode("overwrite").parquet(os.path.join(CORPUS, "groupcover"))
+
 
 def filter_config() -> dict:
     """22-ISIL config in the reference's styles (amsl.py:880-886):
@@ -210,7 +266,7 @@ def main() -> None:
     spark = get_spark("siskin-scale-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    marker = os.path.join(CORPUS, f".built3_{n_records}")
+    marker = os.path.join(CORPUS, f".built4_{n_records}")
     if not os.path.exists(marker):
         shutil.rmtree(CORPUS, ignore_errors=True)
         build_corpus(spark, n_records)
@@ -239,7 +295,7 @@ def main() -> None:
         excluded_source_ids=["39"],
     )
     timed(oa())  # warm-up: scan cache, codegen, broadcast
-    results["oa_flag_s"] = min(timed(oa()) for _ in range(2))
+    results["oa_flag_s"] = min(timed(oa()) for _ in range(3))
 
     lic = lambda: attach_labels(  # noqa: E731
         records,
@@ -248,7 +304,7 @@ def main() -> None:
         now=datetime.date(2026, 8, 13),
     )
     timed(lic())
-    results["licensing_tag_s"] = min(timed(lic()) for _ in range(2))
+    results["licensing_tag_s"] = min(timed(lic()) for _ in range(3))
 
     from siskin_spark.operators.dedup import snapshot_latest
 
@@ -257,7 +313,7 @@ def main() -> None:
         versions, ["doi"], ["indexed_ts", "vid"]
     )
     timed(snap())
-    results["snapshot_s"] = min(timed(snap()) for _ in range(2))
+    results["snapshot_s"] = min(timed(snap()) for _ in range(3))
 
     from siskin_spark.operators.neardup import (
         exact_jaccard,
@@ -274,8 +330,100 @@ def main() -> None:
         return exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.8)
 
     timed(neardup())
-    results["neardup_s"] = min(timed(neardup()) for _ in range(2))
+    results["neardup_s"] = min(timed(neardup()) for _ in range(3))
     n_pairs = neardup().count()
+
+    # -- D5 groupcover at full scale, skewed keys ----------------------
+    from siskin_spark.operators.dedup import groupcover
+
+    gc_rows = spark.read.parquet(os.path.join(CORPUS, "groupcover"))
+    gc = lambda: groupcover(  # noqa: E731
+        gc_rows,
+        preferences=("3", "1", "5", "0", "2", "4"),
+        lower_key=True,
+    )
+    timed(gc())
+    results["groupcover_s"] = min(timed(gc()) for _ in range(3))
+
+    # -- ANN top-k over the full vector corpus -------------------------
+    from siskin_spark.functions.vectors import (
+        bucketed_ann_topk,
+        embedding_neardup_pairs,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    vectors = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+    n_vec = vectors.count()
+    probes = vectors.filter(F.col("vec_id") % (n_vec // 200) == 7)
+
+    lsh_topk = lambda: bucketed_ann_topk(probes, vectors, k=10, dims=6)  # noqa: E731
+    timed(lsh_topk())
+    results["topk_lsh_s"] = min(timed(lsh_topk()) for _ in range(3))
+
+    centroids = vectors.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(vectors, centroids)
+
+    def ivf():
+        return ivf_topk(ivf_assign(probes, centroids), assigned, k=10)
+
+    timed(ivf())
+    results["topk_ivf_s"] = min(timed(ivf()) for _ in range(3))
+
+    # -- embedding-LSH recall vs exact truth on planted pairs ----------
+    # Truth: exact cosine of every planted (id-1, id) pair — the
+    # brute-force oracle restricted to where near-dups exist by
+    # construction (random 64-dim pairs essentially never reach 0.8).
+    # Recall = recovered planted pairs / planted pairs above threshold.
+    from siskin_spark.functions.vectors import cosine
+
+    planted = vectors.filter(F.col("planted"))
+    base_v = vectors.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("_b")
+    )
+    truth = (
+        planted.join(base_v, on="vec_id")
+        .select(
+            (F.col("vec_id") - 1).alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            cosine(F.col("_b"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    truth.cache()
+    n_truth95 = truth.filter(F.col("cos_sim") >= 0.95).count()
+    n_truth80 = truth.filter(F.col("cos_sim") >= 0.8).count()
+
+    # recall corpus: 100K-vector slice (candidate volume at the claimed
+    # 4x4 banding is quadratic in bucket occupancy; the scale banding
+    # 16x12 runs on the full slice)
+    recall_slice = vectors.filter(F.col("vec_id") < 100_000)
+    t_slice = truth.filter(F.col("id_b") < 100_000)
+
+    def recall(threshold: float, n_bands: int, band_bits: int, corpus, tr):
+        found = embedding_neardup_pairs(
+            corpus, threshold=threshold, n_bands=n_bands, band_bits=band_bits
+        ).select("id_a", "id_b")
+        want = tr.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b")
+        n_want = want.count()
+        if n_want == 0:
+            return None, 0
+        hit = want.join(found, on=["id_a", "id_b"], how="left_semi").count()
+        return round(hit / n_want, 4), n_want
+
+    # the r3-claimed config (4 bands x 4 bits, ~0.985 theoretical at
+    # cos 0.95) measured on a 10K slice where 16-bucket bands stay cheap
+    tiny = vectors.filter(F.col("vec_id") < 10_000)
+    t_tiny = truth.filter(F.col("id_b") < 10_000)
+    r95_claim, n95_tiny = recall(0.95, 4, 4, tiny, t_tiny)
+    # the at-scale banding (16 bands x 12 bits = 4096-bucket bands) on
+    # the 100K slice, both thresholds
+    t0 = time.perf_counter()
+    r95_scale, n95 = recall(0.95, 16, 12, recall_slice, t_slice)
+    recall95_s = time.perf_counter() - t0
+    r80_scale, n80 = recall(0.80, 16, 12, recall_slice, t_slice)
+    truth.unpersist()
 
     out = {
         "metric": "records_per_second",
@@ -295,6 +443,21 @@ def main() -> None:
         "neardup_docs": n_docs,
         "neardup_dps": round(n_docs / results["neardup_s"]),
         "neardup_verified_pairs": n_pairs,
+        "groupcover_s": round(results["groupcover_s"], 2),
+        "groupcover_rps": round(n_records / results["groupcover_s"]),
+        "groupcover_hot_keys": 1_000,
+        "topk_lsh_s": round(results["topk_lsh_s"], 2),
+        "topk_ivf_s": round(results["topk_ivf_s"], 2),
+        "topk_vectors": n_vec,
+        "topk_probes": probes.count(),
+        "recall95_claimed_banding_4x4": r95_claim,
+        "recall95_claimed_truth_pairs": n95_tiny,
+        "recall95_scale_banding_16x12": r95_scale,
+        "recall95_truth_pairs": n95,
+        "recall80_scale_banding_16x12": r80_scale,
+        "recall80_truth_pairs": n80,
+        "recall95_scale_run_s": round(recall95_s, 2),
+        "n_truth_pairs_full": {"cos>=0.95": n_truth95, "cos>=0.8": n_truth80},
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,
         "n_oa_issns": N_OA_ISSNS,
