@@ -301,13 +301,17 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         return F.when(y.isNotNull(), out)
     if kind == "finc_id":
         # record_rule composes (genios: the record key is DB + '-' + ID,
-        # Quality.md #48 -> span formats/genios/document.go:124-127)
+        # Quality.md #48 -> span formats/genios/document.go:124-127);
+        # "prefix" for the morph family's finc-<sid>- ids
+        # (assets/datacite/morph.xml combine rule)
         rec = (
             _compile_rule(arg["record_rule"])
             if "record_rule" in arg
             else F.col(arg["record_col"])
         )
-        return _finc_id(F.lit(str(arg["source_id"])), rec)
+        return _finc_id(
+            F.lit(str(arg["source_id"])), rec, prefix=arg.get("prefix", "ai-")
+        )
     if kind == "replace_re":
         # generic regex rewrite: thieme newline-stripping in publisher
         # (Quality.md #60 -> span formats/thieme/record.go:269), HTML

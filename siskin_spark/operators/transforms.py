@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 DOI_PATTERN = r"(10[.][0-9]{2,8}/[^ \"\t]+)"
 
 
-def finc_id(source_id: Column | str, record_id: Column | str) -> Column:
-    """Deterministic global id: ``ai-<sid>-<urlsafe_b64(record_id)>``
-    without padding (reference: conversions.py:538-540,154-156).
+def finc_id(
+    source_id: Column | str, record_id: Column | str, prefix: str = "ai-"
+) -> Column:
+    """Deterministic global id: ``<prefix><sid>-<urlsafe_b64(record_id)>``
+    without padding (reference: conversions.py:538-540,154-156; the
+    morph family uses the ``finc-`` prefix, assets/datacite/morph.xml
+    combine rule, where the span converters use ``ai-``).
 
     urlsafe variant = standard base64 with ``+/`` -> ``-_``.
     """
@@ -26,7 +30,7 @@ def finc_id(source_id: Column | str, record_id: Column | str) -> Column:
     rid = F.col(record_id) if isinstance(record_id, str) else record_id
     b64 = F.regexp_replace(F.base64(F.encode(rid, "UTF-8")), "=+$", "")
     b64 = F.translate(b64, "+/", "-_")
-    return F.concat(F.lit("ai-"), sid, F.lit("-"), b64)
+    return F.concat(F.lit(prefix), sid, F.lit("-"), b64)
 
 
 def doi_sniff(*cols: Column | str) -> Column:

@@ -116,3 +116,43 @@ def test_cli_head_and_deps_dot(capsys, sf_dir, tmp_path):
     dot = capsys.readouterr().out
     assert 'digraph pipeline {' in dot
     assert '"a" -> "b";' in dot
+
+
+def test_dblp_doi_list(spark):
+    from siskin_spark.sources.longtail import dblp_doi_list
+
+    recs = spark.createDataFrame(
+        [
+            (["https://doi.org/10.1000/a", "http://other.org/x"],),
+            (["https://doi.org/10.1000/a"],),  # duplicate collapses
+            (["https://doi.org/not-a-doi"],),  # fails the ^10 guard
+            ([],),
+        ],
+        "ee array<string>",
+    )
+    got = [r.doi for r in dblp_doi_list(recs).collect()]
+    assert got == ["10.1000/a"]
+
+    scalar = spark.createDataFrame(
+        [("https://doi.org/10.2/b",), ("https://example.org",)], "ee string"
+    )
+    assert [r.doi for r in dblp_doi_list(scalar).collect()] == ["10.2/b"]
+
+
+def test_zdb_short_title_map(spark):
+    from siskin_spark.sources.longtail import zdb_short_title_map
+
+    desc = spark.createDataFrame(
+        [
+            (["ZsfM"], ["Zeitschrift fuer Musik"]),
+            ([], ["No Short Title"]),  # skipped: empty short_titles
+            (["ZsfM"], ["Another Title"]),  # contended key -> min title
+        ],
+        "short_titles array<string>, titles array<string>",
+    )
+    got = {r.short_title: r.title for r in zdb_short_title_map(desc).collect()}
+    # deterministic min_by winner + the lowercased alias key
+    assert got == {
+        "ZsfM": "Another Title",
+        "zsfm": "Another Title",
+    }

@@ -777,3 +777,43 @@ def test_arxiv_morph_spec_golden(spark):
     # description) — Metafacture FileMap is HashMap-backed
     assert c["finc_format"] == "ElectronicVisualMedia"
     assert c["languages"] is None
+
+
+def _datacite_raw(spark):
+    spec = load_spec("datacite")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "oai:oai.datacite.org/1234", "A Dataset Title",
+            ["First abstract", "Second abstract"], ["Doe, Jane"],
+            "en",
+            ["http://doi.org/x", "doi:10.5061/dryad.1234; extra"],
+            ["International Journal of Communication; Vol 5 (2011); 29",
+             "1932-8036"],
+            ["Dryad", "Mirror Host"],
+            "ecology, data",
+            "info:eu-repo/semantics/article", "2011-05-10",
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_datacite_morph_spec_golden(spark):
+    """The datacite morph variant (assets/datacite/morph.xml): finc-
+    prefixed ids, jtitle regex from dc:source, publisher passthrough,
+    greedy doi regexp, first-description abstract."""
+    out = normalize_source(_datacite_raw(spark), "datacite")
+    (a,) = (r.asDict() for r in out.collect())
+    assert a["finc_id"].startswith("finc-datacite-")
+    assert a["finc_source_id"] == "datacite"
+    assert a["finc_mega_collection"] == ["Datacite"]
+    assert a["abstract"] == "First abstract"  # first, not concat
+    assert a["rft_jtitle"] == "International Journal of Communication"
+    assert a["rft_volume"] == "Vol 5"
+    assert a["rft_pub"] == ["Dryad", "Mirror Host"]
+    assert a["languages"] == ["eng"]  # sprachliste: en -> eng
+    assert a["doi"] == "10.5061/dryad.1234; extra"  # greedy '^doi:(.*)'
+    assert a["rft_issn"] == ["1932-8036"]
+    assert a["subjects"] == ["ecology", "data"]
+    assert a["rft_genre"] == "article"
+    assert a["finc_format"] == "ElectronicArticle"
