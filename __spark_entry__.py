@@ -162,9 +162,26 @@ def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 snapshot: latest record per key from an append-only feed
     (reference: span-crossref-snapshot, sources/crossref.py:136-214).
-    max_by aggregate, not a window — partial combine pre-shuffle."""
+    max_by aggregate, not a window — partial combine pre-shuffle.
+
+    Exercised through the INCREMENTAL path (snapshot_merge, merged
+    here per the ≤50-query registry policy — same grain, same oracle):
+    pre-1996 orders are deduplicated into a base snapshot, the rest is
+    the feed delta, and snapshot_merge folds the delta in. The oracle
+    is the full rebuild over all orders, so the green row proves
+    incremental merge ≡ full re-dedup — the property that turns the
+    reference's 348-minute full rebuild into a delta-sized job."""
     orders = _t(spark, sf_dir, "orders")
-    snap = dedup.snapshot_latest(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    cut = F.lit("1996-01-01").cast("date")
+    base = dedup.snapshot_latest(
+        orders.filter(F.col("o_orderdate") < cut),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    )
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    snap = dedup.snapshot_merge(
+        base, delta, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    )
     return snap.select(
         "o_custkey",
         "o_orderkey",

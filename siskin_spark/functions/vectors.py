@@ -398,3 +398,60 @@ def bucketed_ann_topk(
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign_gemm(
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path IVF cell assignment: one numpy GEMM per Arrow batch
+    against the broadcast centroid matrix, instead of one Catalyst
+    fold expression per (row, centroid) pair.
+
+    Same contract as :func:`ivf_assign` — nearest centroid by cosine,
+    ties to the smaller cid — but the per-batch cost is a single
+    ``X @ C.T`` (BLAS) over the whole batch, which is the plan you
+    want when building a 100 TB index: ``ivf_assign``'s expression
+    path evaluates |centroids| sequential folds per row and dominates
+    the build. Numerics: float64 accumulation both ways; the GEMM sums
+    pairwise rather than left-to-right, so results can differ from the
+    fold path only on near-exact ties (tests pin agreement on a
+    planted corpus).
+
+    ``centroids`` (cid, cv) is collected to the driver — it is k-means
+    output, inherently bounded (thousands of cells, not records) — and
+    rebroadcast inside the closure as a dense ndarray.
+    """
+    import numpy as np
+
+    rows = centroids.select("cid", "cv").collect()
+    rows.sort(key=lambda r: r["cid"])  # argmax hits the smaller cid on ties
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy, don't .add(): StructType.add mutates in place, and
+    # DataFrame.schema hands back its cached instance
+    out_schema = StructType(
+        list(index.schema.fields) + [StructField("cid", LongType(), False)]
+    )
+    in_cols = index.columns
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if X.size == 0:
+                continue
+            xn = np.linalg.norm(X, axis=1)
+            Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
+            sims = Xn @ Cn.T
+            pdf = pdf[in_cols].copy()
+            pdf["cid"] = cids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return index.mapInPandas(assign, out_schema)

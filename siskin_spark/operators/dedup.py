@@ -195,3 +195,41 @@ def groupcover(
     return covered.unionByName(passthrough).select(
         F.col("_id").alias(id_col), F.col("_labels").alias(labels_col)
     )
+
+
+def snapshot_merge(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Incremental D1: fold a feed increment into an existing snapshot
+    without re-deduplicating untouched keys.
+
+    The reference rebuilds its Crossref snapshot from the full feed
+    every time — 348 minutes over 6.12 TB for a daily delta that
+    touches well under 1% of keys (sources/crossref.py:136-214). The
+    incremental plan: broadcast the delta's key set, split the
+    snapshot into untouched rows (anti join — pass through untouched,
+    never shuffled) and touched rows (semi join), and re-run
+    :func:`snapshot_latest` over touched ∪ delta only. Shuffle volume
+    is proportional to the DELTA, not the snapshot: at the reference's
+    179 M-key scale the daily merge moves ~1 M rows instead of 1 B.
+
+    Result is row-identical to ``snapshot_latest(snapshot ∪ delta)``
+    provided ``snapshot`` is already deduplicated on ``keys`` (the
+    invariant a snapshot table maintains); the oracle query pins this.
+    ``broadcast_delta=False`` for deltas too large to broadcast — the
+    splits become shuffle joins but the re-dedup stays delta-sized.
+    """
+    on = [k for k in keys]
+    dk = delta.select(*on).distinct()
+    if broadcast_delta:
+        dk = F.broadcast(dk)
+    untouched = snapshot.join(dk, on=on, how="left_anti")
+    touched = snapshot.join(dk, on=on, how="left_semi")
+    rededup = snapshot_latest(
+        touched.unionByName(delta, allowMissingColumns=False), keys, order_by
+    )
+    return untouched.unionByName(rededup)

@@ -53,6 +53,16 @@ class Stage:
     requires: tuple[str, ...] = ()
     snap: str = "daily"
     partition_by: tuple[str, ...] = ()
+    # bucket_by + n_buckets: write the stage as a BUCKETED (and
+    # bucket-sorted) table so every downstream equi-join/groupBy on the
+    # bucket key is co-located — no Exchange, no Sort. This is how the
+    # doi/id-keyed chain (snapshot -> licensing -> groupcover -> label
+    # update) avoids re-shuffling the full corpus at every stage: the
+    # 100 TB feed shuffles ONCE into buckets, then every later stage
+    # reads bucket-aligned splits. (The reference gets this for free by
+    # re-sorting files on disk between steps — sort IS its bucketing.)
+    bucket_by: tuple[str, ...] = ()
+    n_buckets: int = 0
 
 
 @dataclass
@@ -69,9 +79,18 @@ class Pipeline:
         requires: tuple[str, ...] = (),
         snap: str = "daily",
         partition_by: tuple[str, ...] = (),
+        bucket_by: tuple[str, ...] = (),
+        n_buckets: int = 0,
     ):
+        if bool(bucket_by) != bool(n_buckets):
+            raise ValueError("bucket_by and n_buckets must be set together")
+        if bucket_by and partition_by:
+            raise ValueError("bucketing and partitioning are mutually exclusive here")
+
         def reg(fn):
-            self.stages[name] = Stage(name, fn, requires, snap, partition_by)
+            self.stages[name] = Stage(
+                name, fn, requires, snap, partition_by, bucket_by, n_buckets
+            )
             return fn
 
         return reg
@@ -138,11 +157,62 @@ class Pipeline:
                 r: self.read(spark, r, params, date) for r in st.requires
             }
             out = st.fn(spark, inputs, params)
-            writer = out.write.mode("overwrite")
-            if st.partition_by:
-                writer = writer.partitionBy(*st.partition_by)
-            writer.parquet(self.path(name, params, date))
+            if st.bucket_by:
+                self._write_bucketed(spark, out, name, params, date)
+            else:
+                writer = out.write.mode("overwrite")
+                if st.partition_by:
+                    writer = writer.partitionBy(*st.partition_by)
+                writer.parquet(self.path(name, params, date))
         return self.read(spark, target, params, date)
+
+    # -- bucketed stages ----------------------------------------------
+    def table_name(self, name: str, params: dict[str, Any], date: datetime.date) -> str:
+        st = self.stages[name]
+        snapped = snap_date(date, st.snap)
+        return (
+            f"{name}_{snapped.isoformat()}_{params_digest(params)}".replace("-", "_")
+        )
+
+    def _write_bucketed(
+        self,
+        spark: SparkSession,
+        out: DataFrame,
+        name: str,
+        params: dict[str, Any],
+        date: datetime.date,
+    ) -> None:
+        st = self.stages[name]
+        table = self.table_name(name, params, date)
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        (
+            out.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(name, params, date))
+            .bucketBy(st.n_buckets, *st.bucket_by)
+            .sortBy(*st.bucket_by)
+            .saveAsTable(table)
+        )
+
+    def _register_bucketed(
+        self,
+        spark: SparkSession,
+        table: str,
+        path: str,
+        st: Stage,
+    ) -> None:
+        """Re-attach a bucketed stage written by an earlier session:
+        the parquet files + bucket layout survive on disk, but the
+        in-memory catalog entry carrying the bucket spec does not, so
+        recreate it as an external table over the same location."""
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        keys = ", ".join(f"`{c}`" for c in st.bucket_by)
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {st.n_buckets} BUCKETS LOCATION '{path}'"
+        )
 
     def read(
         self,
@@ -151,7 +221,18 @@ class Pipeline:
         params: dict[str, Any] | None = None,
         date: datetime.date | None = None,
     ) -> DataFrame:
-        """`siskin cat` equivalent — read a materialized stage."""
-        return spark.read.parquet(
-            self.path(name, params or {}, date or datetime.date.today())
-        )
+        """`siskin cat` equivalent — read a materialized stage. Bucketed
+        stages come back through the catalog so the bucket spec reaches
+        the planner (a plain parquet read of the same files would
+        silently drop co-location and re-shuffle downstream joins)."""
+        st = self.stages[name]
+        params = params or {}
+        date = date or datetime.date.today()
+        if st.bucket_by:
+            table = self.table_name(name, params, date)
+            if not spark.catalog.tableExists(table):
+                self._register_bucketed(
+                    spark, table, self.path(name, params, date), st
+                )
+            return spark.table(table)
+        return spark.read.parquet(self.path(name, params, date))

@@ -68,3 +68,27 @@ def zdb_short_title_map(descriptions: DataFrame) -> DataFrame:
         .agg(F.min("title").alias("title"))
         .orderBy("short_title")
     )
+
+
+def kalliope_append_collection(
+    records: DataFrame,
+    tcid: str = "sid-140-col-nachlaesseslub",
+    col: str = "mega_collection",
+) -> DataFrame:
+    """KalliopeDirectDownload's transform half (reference
+    sources/kalliope.py:84-110): append the technical collection id to
+    every record's ``mega_collection`` array (the reference's
+    ``jq '.mega_collection += [...]'`` over the untarred dump — AMSL
+    routes the source by that tcid). The tar/gunzip plumbing is
+    sources/archives.py; this is the per-record half, one codegen'd
+    array concat. Null arrays become a one-element array, matching jq's
+    ``null + ["x"] == ["x"]``.
+
+    core (sources/core.py:76-110) and ia (sources/ia.py:24-44) have NO
+    transform half — they are pure downloads (S2, sources/harvest.py)
+    with no per-record logic to port.
+    """
+    appended = F.when(
+        F.col(col).isNull(), F.array(F.lit(tcid))
+    ).otherwise(F.concat(F.col(col), F.array(F.lit(tcid))))
+    return records.withColumn(col, appended)

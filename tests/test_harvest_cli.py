@@ -156,3 +156,19 @@ def test_zdb_short_title_map(spark):
         "ZsfM": "Another Title",
         "zsfm": "Another Title",
     }
+
+
+def test_kalliope_append_collection(spark):
+    from siskin_spark.sources.longtail import kalliope_append_collection
+
+    recs = spark.createDataFrame(
+        [("a", ["Nachlässe SLUB Dresden"]), ("b", None)],
+        "id string, mega_collection array<string>",
+    )
+    got = {
+        r.id: r.mega_collection
+        for r in kalliope_append_collection(recs).collect()
+    }
+    # jq semantics: append to existing, null + [x] == [x]
+    assert got["a"] == ["Nachlässe SLUB Dresden", "sid-140-col-nachlaesseslub"]
+    assert got["b"] == ["sid-140-col-nachlaesseslub"]

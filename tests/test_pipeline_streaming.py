@@ -205,3 +205,48 @@ def test_mapping_normalizer(spark):
     assert out["x_date"] == datetime.datetime(2001, 1, 1)
     assert out["authors_list"] == ["A", "B", "C"]
     assert out["first_issn"] == "1111-2222"
+
+
+def test_bucketed_stages_join_without_exchange(tmp_path, spark, sf_dir):
+    """Two stages bucketed on the same key must sort-merge join with
+    ZERO Exchange operators — the co-location contract that lets the
+    doi-keyed production chain shuffle the corpus once, not per stage.
+    Also pins session recovery: dropping the catalog entry and
+    re-reading re-registers the bucket spec from disk."""
+    pipe = Pipeline(base=str(tmp_path))
+
+    @pipe.stage("cust", bucket_by=("c_custkey",), n_buckets=4)
+    def cust(spark_, inputs, params):
+        return spark_.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    @pipe.stage("ords", bucket_by=("c_custkey",), n_buckets=4)
+    def ords(spark_, inputs, params):
+        return spark_.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
+
+    d = datetime.date(2026, 8, 13)
+    left = pipe.run(spark, "cust", date=d)
+    right = pipe.run(spark, "ords", date=d)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(right, on="c_custkey").select("c_custkey", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n > 0
+
+        # session-recovery path: drop the catalog entries, re-read via
+        # the pipeline — bucket spec must be re-attached from disk
+        for t in list(spark.catalog.listTables()):
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        left2 = pipe.read(spark, "cust", date=d)
+        right2 = pipe.read(spark, "ords", date=d)
+        joined2 = left2.join(right2, on="c_custkey").select("c_custkey", "o_orderkey")
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        assert joined2.count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -8,6 +8,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from siskin_spark.operators.dedup import groupcover, snapshot_latest
 from siskin_spark.operators.joins import asof_join
 
@@ -73,6 +75,29 @@ def test_snapshot_latest_is_argmax(spark, rows):
     want = set()
     for k in {r[0] for r in rows}:
         want.add(max((r for r in rows if r[0] == k), key=lambda r: (r[1], r[2])))
+    assert got == want
+
+
+@_slow
+@given(rows=_rows, cut=st.integers(0, 10))
+def test_snapshot_merge_equals_full_rebuild(spark, rows, cut):
+    """Incremental D1 invariant: merging a delta into a deduplicated
+    base snapshot equals the full rebuild, for ANY split point —
+    including keys only in the base, only in the delta, and ties."""
+    from siskin_spark.operators.dedup import snapshot_merge
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, ts int, p int")
+    base = snapshot_latest(df.filter(F.col("ts") < cut), ["k"], ["ts", "p"])
+    delta = df.filter(F.col("ts") >= cut)
+    got = {
+        (r.k, r.ts, r.p)
+        for r in snapshot_merge(base, delta, ["k"], ["ts", "p"]).collect()
+    }
+    want = {
+        (r.k, r.ts, r.p) for r in snapshot_latest(df, ["k"], ["ts", "p"]).collect()
+    }
     assert got == want
 
 

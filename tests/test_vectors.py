@@ -112,3 +112,37 @@ def test_ivf_nprobe_recall_ladder(spark):
     r_all = recall(ivf_probe_cells(df, centroids, nprobe=4))
     assert r1 <= r2 <= r_all
     assert r_all == 1.0  # exhaustive probing == brute force
+
+
+def test_ivf_assign_gemm_matches_expression_path(spark):
+    """The GEMM build path must agree cell-for-cell with the Catalyst
+    fold path (argmax cosine, ties to the smaller cid) — the contract
+    that lets scale_bench build with GEMM while the registered query
+    stays on the oracle-checkable expression path."""
+    from siskin_spark.functions.vectors import ivf_assign, ivf_assign_gemm
+
+    df, _, _ = _mk_embeddings(spark)
+    centroids = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    expr = {(r.vec_id, r.cid) for r in ivf_assign(df, centroids).collect()}
+    gemm = {(r.vec_id, r.cid) for r in ivf_assign_gemm(df, centroids).collect()}
+    assert expr == gemm
+
+
+def test_ivf_assign_gemm_tie_breaks_to_smaller_cid(spark):
+    """Duplicate centroids force an exact cosine tie; both paths must
+    keep the smaller cid."""
+    from siskin_spark.functions.vectors import ivf_assign, ivf_assign_gemm
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0])],
+        "cid int, cv array<float>",
+    )
+    for fn in (ivf_assign, ivf_assign_gemm):
+        got = {(r.vec_id, r.cid) for r in fn(vecs, cents).collect()}
+        assert got == {(1, 3), (2, 5)}, fn.__name__
