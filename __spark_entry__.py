@@ -908,18 +908,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from siskin_spark.functions import text as X
 
     docs = _t(spark, sf_dir, "documents")
-    ft = X.quality_features(F.col("text"))
-    return docs.select(
+    # stage the token array once: the stopword counters are interpreted
+    # higher-order filters (the per-row cost center), so every feature
+    # reads the SAME materialized _toks column instead of re-splitting,
+    # and `keep` is derived from the already-computed feature columns
+    staged = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
+    ft = X.quality_features(F.col("text"), toks=F.col("_toks"))
+    scored = staged.select(
         "doc_id",
         ft["n_tokens"].alias("n_tokens"),
         ft["n_chars"].alias("n_chars_c"),
         ft["mean_word_len"].alias("mean_word_len"),
         ft["stopword_ratio"].alias("stopword_ratio"),
         ft["symbol_ratio"].alias("symbol_ratio"),
-        X.lang_id(X.tokens("text")).alias("predicted_lang"),
-        X.quality_keep("text").alias("keep"),
+        X.lang_scores(F.col("_toks")).alias("_best"),
         X.regex_token_count("text").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_tokens"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_c",
+        "mean_word_len",
+        "stopword_ratio",
+        "symbol_ratio",
+        X.lang_from_scores(F.col("_best")).alias("predicted_lang"),
+        ((F.col("n_tokens") >= 10) & (F.col("mean_word_len") <= 12.0)).alias("keep"),
+        "n_bpe_tokens",
+        "n_est_tokens",
     ).orderBy("doc_id")
 
 
@@ -3236,6 +3252,11 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     tagged = attach_labels(flagged, config, id_col="finc_id", drop_unlabeled=True)
+    # tagged feeds BOTH groupcover and the label-update join; without a
+    # materialization barrier Catalyst recomputes the whole
+    # normalize->union->flag->license chain once per consumer (the
+    # reference materializes this same boundary to a file, ai.py:247)
+    tagged = tagged.localCheckpoint(eager=False)
     changes = dedup.groupcover(
         tagged.select("finc_id", "finc_source_id", "doi", "x_labels"),
         id_col="finc_id",

@@ -361,9 +361,15 @@ def main() -> None:
     timed(lsh_topk())
     results["topk_lsh_s"] = min(timed(lsh_topk()) for _ in range(3))
 
-    centroids = vectors.filter(F.col("vec_id") < 64).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    # real coarse quantizer: spherical k-means on a bounded sample
+    # (r3 used the first 64 vectors as stand-in centroids)
+    from siskin_spark.functions.vectors import ivf_fit_centroids
+
+    t0 = time.perf_counter()
+    centroids = ivf_fit_centroids(vectors, k=64, sample=20_000, iters=10)
+    centroids = centroids.cache()
+    centroids.count()
+    results["ivf_fit_s"] = time.perf_counter() - t0
 
     # IVF is build-once / query-many: the index-side cell assignment is
     # a one-time build cost amortized over every query batch, so time
@@ -468,6 +474,7 @@ def main() -> None:
         "groupcover_hot_keys": 1_000,
         "topk_lsh_s": round(results["topk_lsh_s"], 2),
         "topk_ivf_s": round(results["topk_ivf_s"], 2),
+        "ivf_fit_s": round(results["ivf_fit_s"], 2),
         "ivf_build_s": round(results["ivf_build_s"], 2),
         "ivf_build_expr_s": round(results["ivf_build_expr_s"], 2),
         "topk_vectors": n_vec,

@@ -65,21 +65,58 @@ def lang_id(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
     fallback, conversions.py:440-452)."""
     if langs is None:
         langs = tuple(STOPWORDS)
-    counts = [stopword_count_expr(toks, lg).alias(lg) for lg in langs]
-    best = F.greatest(*counts)
-    out = F.lit("und")
-    for lg in reversed(langs):
-        out = F.when(stopword_count_expr(toks, lg) == best, F.lit(lg)).otherwise(out)
-    return F.when(best > 0, out).otherwise(F.lit("und"))
+    return lang_from_scores(lang_scores(toks, langs), langs)
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
+def lang_scores(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
+    """Argmax struct (c = best stopword count, ni = -index of the
+    winning language) via array_max over (count, -index) structs: each
+    language's stopword filter — an INTERPRETED higher-order function,
+    the per-row cost center — evaluates exactly once, where a
+    greatest()+when-chain re-evaluates every count a second time.
+    Struct comparison is lexicographic, so ties go to the highest
+    -index = the first-listed language, same as a when-chain.
+
+    Stage this as its OWN projected column and pass the attribute to
+    :func:`lang_from_scores`: referencing the struct twice inline
+    embeds two copies of the whole filter subtree in the plan
+    (Catalyst trees share nothing), doubling per-row cost."""
+    if langs is None:
+        langs = tuple(STOPWORDS)
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    stopword_count_expr(toks, lg).alias("c"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i, lg in enumerate(langs)
+            ]
+        )
+    )
+
+
+def lang_from_scores(best: Column, langs: tuple[str, ...] | None = None) -> Column:
+    """Language name from a :func:`lang_scores` struct; 'und' when no
+    stopword hit at all."""
+    if langs is None:
+        langs = tuple(STOPWORDS)
+    name = F.element_at(F.array(*[F.lit(lg) for lg in langs]), -best["ni"] + 1)
+    return F.when(best["c"] > 0, name).otherwise(F.lit("und"))
+
+
+def quality_features(
+    text: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Gopher/C4-style quality signals as a dict of named columns:
     lengths, mean word length, stopword ratio, symbol ratio.
     Ratios are single IEEE divisions of exact integer counts, so they
-    reproduce bit-identically in any engine."""
+    reproduce bit-identically in any engine. Pass a pre-materialized
+    ``toks`` column to share one tokenization across several feature
+    bundles (split() is cheap, but sharing also lets callers stage the
+    array once for the interpreted stopword filters downstream)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(c)
     n_stop = stopword_count_expr(toks, "en")

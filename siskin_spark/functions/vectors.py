@@ -142,11 +142,32 @@ def plane_weights(plane: int, dim: int = 64) -> list[float]:
     return [1.0 if (h[d // 8] >> (d % 8)) & 1 else -1.0 for d in range(dim)]
 
 
-def _projection(vec: Column, weights: list[float]) -> Column:
+_PLANE_LIT_CACHE: dict[tuple[int, int, int], Column] = {}
+
+
+def _plane_lit(plane: int, dim: int) -> Column:
+    """Literal ±1 weight array for a hyperplane, memoized per JVM
+    gateway: building it costs ``dim`` Py4J round-trips, and every
+    banded-LSH call wants the same few dozen planes. Column objects
+    wrap immutable JVM expressions, so reuse across plans is safe; the
+    gateway id keys the epoch (a restarted JVM gets a cold cache)."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), plane, dim)
+    col = _PLANE_LIT_CACHE.get(key)
+    if col is None:
+        col = F.array(*[F.lit(w) for w in plane_weights(plane, dim)])
+        _PLANE_LIT_CACHE[key] = col
+    return col
+
+
+def _projection(vec: Column, weights: list[float] | Column) -> Column:
+    if not isinstance(weights, Column):
+        weights = F.array(*[F.lit(w) for w in weights])
     return F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(w) for w in weights]),
+            weights,
             lambda x, w: x.cast("double") * w,
         ),
         F.lit(0.0),
@@ -163,7 +184,7 @@ def hyperplane_bucket(
     knob that trades bucket size against recall."""
     out = F.lit(0)
     for i in range(n_planes):
-        proj = _projection(vec, plane_weights(first_plane + i, dim))
+        proj = _projection(vec, _plane_lit(first_plane + i, dim))
         out = out + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
 
@@ -455,3 +476,59 @@ def ivf_assign_gemm(
             yield pdf
 
     return index.mapInPandas(assign, out_schema)
+
+
+def ivf_fit_centroids(
+    index: DataFrame,
+    k: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Fit IVF cell centroids: Lloyd's k-means on a bounded sample,
+    driver-side numpy (the standard IVF build recipe — FAISS trains its
+    coarse quantizer on a sample of ~(39..256)*k points, not the full
+    corpus). Cosine metric: points and centroids live on the unit
+    sphere (spherical k-means — assignment by dot product, re-center
+    then re-normalize).
+
+    The sample is a seeded deterministic slice (hash-ordered limit) so
+    the fit is reproducible run-to-run; ``k`` cells over arbitrary
+    corpus size keeps the collect bounded regardless of scale. Returns
+    (cid, cv) — feed straight to :func:`ivf_assign_gemm` /
+    :func:`ivf_probe_cells`.
+    """
+    import numpy as np
+
+    rows = (
+        index.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_i"))
+        .orderBy(F.xxhash64(F.col("_i"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"need >= k={k} sample vectors, got {len(X)}")
+    n = np.linalg.norm(X, axis=1)
+    X = X / np.where(n == 0.0, 1.0, n)[:, None]
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0:
+                    C[j] = c / nc
+            else:  # empty cell: reseed from the farthest point
+                far = np.argmin((X @ C.T).max(axis=1))
+                C[j] = X[far]
+    spark = index.sparkSession
+    return spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(k)],
+        f"cid int, cv array<float>",
+    )

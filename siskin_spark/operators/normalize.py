@@ -445,9 +445,33 @@ def _compile_predicate(rule: dict[str, Any], now: Any = None) -> Column:
     raise ValueError(f"unknown predicate rule: {kind}")
 
 
+_COMPILE_CACHE: dict[tuple[int, str], list[Column]] = {}
+
+
+def _gateway_key() -> int:
+    """Cache epoch: compiled Columns wrap JVM expression objects, so a
+    cache entry is only valid for the JVM gateway that built it. Keyed
+    by the active SparkContext's identity — a fresh context (new JVM
+    or restarted session) gets a cold cache instead of stale refs."""
+    from pyspark import SparkContext
+
+    return id(SparkContext._active_spark_context)
+
+
 def compile_mapping(spec: dict[str, dict[str, Any]]) -> list[Column]:
-    """Mapping spec -> aliased Column list (feed to ``df.select``)."""
-    return [_compile_rule(rule).alias(target) for target, rule in spec.items()]
+    """Mapping spec -> aliased Column list (feed to ``df.select``).
+
+    Memoized per (JVM gateway, spec): a spec compiles to hundreds of
+    Column expressions, each a Py4J round-trip; repeated pipeline runs
+    over the same spec (the normal case — one spec, many batches)
+    reuse the immutable expression trees instead of rebuilding them.
+    """
+    key = (_gateway_key(), json.dumps(spec, sort_keys=True))
+    cols = _COMPILE_CACHE.get(key)
+    if cols is None:
+        cols = [_compile_rule(rule).alias(target) for target, rule in spec.items()]
+        _COMPILE_CACHE[key] = cols
+    return list(cols)
 
 
 def apply_mapping(df: DataFrame, spec: dict[str, dict[str, Any]]) -> DataFrame:
@@ -497,7 +521,15 @@ def normalize_source(
     for col in spec.get("require", []):
         df = df.filter(F.col(col).isNotNull() & (F.col(col) != ""))
     for rule in spec.get("keep_if", []):
-        df = df.filter(_compile_predicate(rule, now=now))
+        key = (
+            _gateway_key(),
+            "pred:" + json.dumps(rule, sort_keys=True) + f"@{now!r}",
+        )
+        pred = _COMPILE_CACHE.get(key)
+        if pred is None:
+            pred = [_compile_predicate(rule, now=now)]
+            _COMPILE_CACHE[key] = pred
+        df = df.filter(pred[0])
     out = apply_mapping(df, spec["mapping"])
     have = set(out.columns)
     full = [

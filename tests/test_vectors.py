@@ -146,3 +146,24 @@ def test_ivf_assign_gemm_tie_breaks_to_smaller_cid(spark):
     for fn in (ivf_assign, ivf_assign_gemm):
         got = {(r.vec_id, r.cid) for r in fn(vecs, cents).collect()}
         assert got == {(1, 3), (2, 5)}, fn.__name__
+
+
+def test_ivf_fit_centroids_spherical(spark):
+    """Fitted centroids: k rows, unit-norm, deterministic across runs,
+    and usable as a drop-in for the assignment paths."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import ivf_assign_gemm, ivf_fit_centroids
+
+    df, _, _ = _mk_embeddings(spark)
+    c1 = ivf_fit_centroids(df, k=4, sample=100, iters=5)
+    c2 = ivf_fit_centroids(df, k=4, sample=100, iters=5)
+    rows1 = sorted((r.cid, tuple(r.cv)) for r in c1.collect())
+    rows2 = sorted((r.cid, tuple(r.cv)) for r in c2.collect())
+    assert rows1 == rows2  # seeded determinism
+    assert len(rows1) == 4
+    for _, cv in rows1:
+        assert abs(float(np.linalg.norm(cv)) - 1.0) < 1e-5
+    assigned = ivf_assign_gemm(df, c1)
+    cells = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert cells <= {0, 1, 2, 3} and len(cells) >= 2
