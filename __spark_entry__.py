@@ -61,6 +61,29 @@ def _dsum(col: Column | str, alias: str) -> Column:
     return F.round(F.sum(c.cast("decimal(18,6)")), 2).cast("double").alias(alias)
 
 
+_COLS_CACHE: dict[tuple[int, str], list[Column]] = {}
+
+
+def _memo_cols(name: str, build: Callable[[], list[Column]]) -> list[Column]:
+    """Memoize a pure select list per JVM gateway.
+
+    Column objects are immutable wrappers over JVM expression trees and
+    are freely reusable across DataFrames within one SparkContext; the
+    big synthetic-source builders compile to hundreds of expressions,
+    each a Py4J round-trip, and rebuilding them dominated the capstone
+    query's wall time (plan build 3.9 s vs 1.2 s execution at sf0.1).
+    Keyed by SparkContext identity so a restarted JVM gets a cold cache
+    (same contract as normalize._COMPILE_CACHE)."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), name)
+    cols = _COLS_CACHE.get(key)
+    if cols is None:
+        cols = build()
+        _COLS_CACHE[key] = cols
+    return cols
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -2722,9 +2745,12 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw HLL estimates are engine-specific, so the oracle-checked
     contract is the sketch's ACCURACY BOUND: per group,
     abs(approx - exact)/exact <= 0.05 must hold (DuckDB computes the
-    exact side and TRUE literals). Spark runs the sketch at rsd=0.01
-    so the 5% verdict is deterministic-stable, and the exact counts
-    ride along as directly value-checked columns.
+    exact side and TRUE literals). Spark runs the sketch at rsd=0.02 —
+    HLL++ is deterministic for a fixed input, and the measured worst
+    group error is 0.95% at sf0.01 (the driver's gate) and 3.3% at
+    sf0.1, so the 5% verdict is stable; rsd=0.01 costs ~3x more sketch
+    time for margin the bound does not need. The exact counts ride
+    along as directly value-checked columns.
 
     The exact and approx sides are SEPARATE aggregations joined on the
     (tiny) group key: mixing countDistinct with approx_count_distinct
@@ -2739,8 +2765,8 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.05
     )
     sketch = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
         F.count("*").alias("n_rows"),
     )
     exact = li.groupBy("l_returnflag").agg(
@@ -3104,7 +3130,7 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     od = F.col("o_orderdate").cast("date")
     author_raw = "array<struct<given:string,family:string>>"
-    raw49 = orders.select(
+    raw49 = orders.select(*_memo_cols("ai49_raw", lambda: [
         F.concat(F.lit("10.12/"), (k % 1200).cast("string")).alias("doi"),
         k.alias("seq"),
         F.when(k % 7 == 0, F.lit("journal-issue"))
@@ -3147,14 +3173,14 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("issued_month"),
         F.lit(None).cast("int").alias("issued_day"),
         F.concat(od.cast("string"), F.lit("T08:30:00")).alias("created"),
-    )
+    ]))
     snap49 = dedup.snapshot_latest(raw49, ["doi"], ["seq"])
     is49 = normalize_source(snap49, "crossref", now=datetime.date(2026, 8, 13))
 
     # -- source 28: doaj-shaped OAI records -> spec
     d = F.col("doc_id")
     ds = d.cast("string")
-    raw28 = docs.select(
+    raw28 = docs.select(*_memo_cols("ai28_raw", lambda: [
         F.concat(F.lit("oai:doaj.org/article:"), ds).alias("oai_identifier"),
         F.when(
             d % 19 != 0, F.concat(F.lit("Doc &amp; "), F.substring("text", 1, 24))
@@ -3185,12 +3211,12 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("200"), (d % 8).cast("string"), F.lit("-1"), (d % 2).cast("string"),
             F.lit("-05T06:00:00"),
         ).alias("date1"),
-    )
+    ]))
     is28 = normalize_source(raw28, "doaj")
 
     # -- source 210: eastview-shaped solr docs -> spec
     c = F.col("c_custkey")
-    raw210 = cust.select(
+    raw210 = cust.select(*_memo_cols("ai210_raw", lambda: [
         F.concat(F.lit("ev"), c.cast("string")).alias("id"),
         F.when(c % 17 != 0, F.concat(F.lit("EV Title "), F.col("c_name"))).alias(
             "title"
@@ -3215,7 +3241,7 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(c % 23 == 0, F.lit("n.d."))
         .otherwise(F.concat(F.lit("19"), (c % 50 + 50).cast("string")))
         .alias("year"),
-    )
+    ]))
     is210 = normalize_source(raw210, "eastview")
 
     # -- A6 union -> OA flag -> J6 licensing (drop) -> D5 -> M10 -> export
@@ -3271,22 +3297,22 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels_col="x_labels",
     )
     out = solr_export(updated)
-    return out.select(
-        "id",
-        "title",
-        "title_sort",
+    return out.select(*_memo_cols("ai_export_proj", lambda: [
+        F.col("id"),
+        F.col("title"),
+        F.col("title_sort"),
         F.array_join("author", "|").alias("author"),
-        "author_sort",
-        "publishDate",
+        F.col("author_sort"),
+        F.col("publishDate"),
         F.array_join("institution", "|").alias("institution"),
         F.array_join("mega_collection", "|").alias("mega_collection"),
-        "source_id",
-        "format",
+        F.col("source_id"),
+        F.col("format"),
         F.array_join("language", "|").alias("language"),
         F.array_join("url", "|").alias("url"),
-        "doi",
+        F.col("doi"),
         F.array_join("facet_avail", "|").alias("facet_avail"),
-    ).orderBy("id")
+    ])).orderBy("id")
 
 
 # ---------------------------------------------------------------------------

@@ -532,8 +532,14 @@ def normalize_source(
         df = df.filter(pred[0])
     out = apply_mapping(df, spec["mapping"])
     have = set(out.columns)
-    full = [
-        F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in INTERMEDIATE_SCHEMA.fields
-    ]
+    # conform to the full intermediate schema; memoized like the mapping
+    # itself — ~30 col/lit-cast expressions, each a Py4J round-trip
+    ckey = (_gateway_key(), "conform:" + ",".join(sorted(have)))
+    full = _COMPILE_CACHE.get(ckey)
+    if full is None:
+        full = [
+            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in INTERMEDIATE_SCHEMA.fields
+        ]
+        _COMPILE_CACHE[ckey] = full
     return out.select(*full)
