@@ -92,3 +92,102 @@ def kalliope_append_collection(
         F.col(col).isNull(), F.array(F.lit(tcid))
     ).otherwise(F.concat(F.col(col), F.array(F.lit(tcid))))
     return records.withColumn(col, appended)
+
+
+def lissa_convert(hits: DataFrame) -> DataFrame:
+    """LissaIntermediateSchema (reference sources/lissa.py:88-175):
+    SHARE/Elasticsearch ``_source`` docs -> intermediate-schema
+    records, the last remaining per-record long-tail convert.
+
+    Input columns mirror the SHARE hit source: ``id title publishers
+    contributors identifiers description subjects subject_synonyms
+    tags date_published date_created`` (+ optional ``language``).
+    Reference-parity decisions:
+
+    - ``doi``: first identifier containing ``doi.org`` with the
+      ``http://dx.doi.org/`` prefix stripped; records without a DOI
+      keep a null (the reference only warns).
+    - ``languages``: the record's own ``language`` when present, else
+      the stopword-profile detector over abstracts longer than 20
+      chars (the reference shells out to langdetect the same way,
+      lissa.py:140-148), else null.
+    - ``x_subjects``: subjects + subject_synonyms + tags, each split
+      on ``|``, flattened, deduped (array_distinct preserves first
+      occurrence; the reference's set() is unordered, so both sides
+      of a parity check must sort).
+    - ``x_date``/``rft_date``: date_published, else date_created; a
+      record with neither fails the batch via raise_error — the
+      reference raises ValueError mid-convert (lissa.py:169-171).
+
+    One whole-stage-codegen projection; the only non-codegen parts are
+    the interpreted higher-order array filters (still JVM-side).
+    """
+    from siskin_spark.functions.text import lang_id, tokens
+
+    subj = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.concat(
+                    F.coalesce("subjects", F.array()),
+                    F.coalesce("subject_synonyms", F.array()),
+                    F.coalesce("tags", F.array()),
+                ),
+                lambda v: F.split(v, r"\|"),
+            )
+        )
+    )
+    dois = F.filter("identifiers", lambda v: v.contains("doi.org"))
+    date = F.coalesce(
+        F.nullif(F.col("date_published"), F.lit("")),
+        F.nullif(F.col("date_created"), F.lit("")),
+    )
+    abstract = F.coalesce(F.col("description"), F.lit(""))
+    own_lang = (
+        F.col("language")
+        if "language" in hits.columns
+        else F.lit(None).cast("string")
+    )
+    # detector emits 2-letter profiles; the reference surfaces the
+    # bibliographic 3-letter code (languages.get(alpha2=..).bibliographic)
+    from siskin_spark.operators.normalize import _ISO3
+
+    iso3 = F.create_map(
+        *[F.lit(x) for pair in _ISO3.items() for x in pair]
+    )
+    detected = F.when(
+        F.length(abstract) > 20, iso3[lang_id(tokens(abstract))]
+    )
+    return hits.select(
+        F.concat(F.lit("ai-179-"), F.col("id")).alias("finc_id"),
+        F.lit("179").alias("finc_source_id"),
+        F.lit("Preprint").alias("finc_format"),
+        F.col("id").alias("finc_record_id"),
+        F.array(F.lit("LISSA"), F.lit("sid-179-col-lissa")).alias(
+            "finc_mega_collection"
+        ),
+        F.lit("EJOUR").alias("ris_type"),
+        F.col("title").alias("rft_atitle"),
+        F.lit("article").alias("rft_genre"),
+        F.coalesce("publishers", F.array()).alias("rft_pub"),
+        F.transform("contributors", lambda n: F.struct(n.alias("rft_au"))).alias(
+            "authors"
+        ),
+        F.filter("identifiers", lambda v: v.startswith("http")).alias("url"),
+        abstract.alias("abstract"),
+        F.replace(
+            F.try_element_at(dois, F.lit(1)), F.lit("http://dx.doi.org/"), F.lit("")
+        ).alias("doi"),
+        F.coalesce(own_lang, detected).alias("language"),
+        subj.alias("x_subjects"),
+        # the guard lives INSIDE the kept column: a separate dropped
+        # assert column would be pruned away by Catalyst before it ran
+        F.when(
+            date.isNull(),
+            F.raise_error(F.lit("did not find any date field in document")).cast(
+                "string"
+            ),
+        )
+        .otherwise(F.concat(F.substring(date, 1, 19), F.lit("Z")))
+        .alias("x_date"),
+        F.substring(date, 1, 10).alias("rft_date"),
+    )

