@@ -451,6 +451,71 @@ def main() -> None:
     r80_scale, n80 = recall(0.80, 16, 12, recall_slice, t_slice)
     truth.unpersist()
 
+    # -- Structured Streaming throughput (availableNow) ----------------
+    # Two shapes: the Python-state stateful dedup (the engine-extension
+    # path — applyInPandasWithState, Arrow batches, state store) and
+    # the JVM-native watermarked windowed aggregation. min-of-2 with a
+    # FRESH checkpoint each run (a reused checkpoint would no-op: the
+    # state store remembers every emitted key — that exactly-once
+    # bookkeeping is the feature, but it makes rerun timings vacuous);
+    # runs are tens of seconds, so per-run noise amortizes.
+    import tempfile
+
+    from siskin_spark.streaming.incremental import windowed_counts
+    from siskin_spark.streaming.stateful import streaming_dedup_first
+
+    n_stream = int(os.environ.get("SCALE_STREAM_ROWS", 2_000_000))
+    stream_dir = os.path.join(CORPUS, f"stream_src2_{n_stream}")
+    if not os.path.exists(stream_dir):
+        spark.range(n_stream).select(
+            F.concat(
+                F.lit("10.1000/s"), (F.col("id") % (n_stream // 2)).cast("string")
+            ).alias("doi"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 864_000)
+            ).alias("ts"),
+            (F.col("id") % 7).cast("string").alias("event_type"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        ).repartition(16).write.mode("overwrite").parquet(stream_dir)
+    stream_schema = spark.read.parquet(stream_dir).schema
+
+    def run_stream(make_sink) -> float:
+        ckpt = tempfile.mkdtemp(prefix="siskin-ckpt-")
+        try:
+            src = spark.readStream.schema(stream_schema).parquet(stream_dir)
+            t0 = time.perf_counter()
+            q = make_sink(src, ckpt)
+            q.awaitTermination()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    def dedup_sink(src, ckpt):
+        return (
+            streaming_dedup_first(src, ["doi"])
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+
+    def window_sink(src, ckpt):
+        return (
+            windowed_counts(
+                src, ts_col="ts", key_col="event_type",
+                window="1 hour", watermark="1 hour",
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+
+    results["stream_dedup_s"] = min(run_stream(dedup_sink) for _ in range(2))
+    results["stream_window_s"] = min(run_stream(window_sink) for _ in range(2))
+
     out = {
         "metric": "records_per_second",
         "records": n_records,
@@ -486,6 +551,11 @@ def main() -> None:
         "recall80_scale_banding_16x12": r80_scale,
         "recall80_truth_pairs": n80,
         "recall95_scale_run_s": round(recall95_s, 2),
+        "stream_rows": n_stream,
+        "stream_dedup_s": round(results["stream_dedup_s"], 2),
+        "stream_dedup_rps": round(n_stream / results["stream_dedup_s"]),
+        "stream_window_s": round(results["stream_window_s"], 2),
+        "stream_window_rps": round(n_stream / results["stream_window_s"]),
         "n_truth_pairs_full": {"cos>=0.95": n_truth95, "cos>=0.8": n_truth80},
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,
