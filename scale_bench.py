@@ -451,6 +451,79 @@ def main() -> None:
     r80_scale, n80 = recall(0.80, 16, 12, recall_slice, t_slice)
     truth.unpersist()
 
+    # -- composed AIUpdate chain at full scale -------------------------
+    # The capstone DAG (oa_flag -> span-tag w/ drop -> groupcover ->
+    # label update -> solr export) as ONE plan over the 10M corpus: the
+    # per-operator legs above prove each stage; this proves the
+    # COMPOSITION holds its throughput when Catalyst fuses the stages
+    # (shared scans, one licensing broadcast, groupcover's narrow
+    # shuffle feeding the label join-back). DOIs are synthesized
+    # skewed: ~1% of records contend on 1K hot DOIs, 5% have none.
+    from siskin_spark.operators.dedup import groupcover as _gc
+    from siskin_spark.operators.export import solr_export
+    from siskin_spark.operators.joins import update_labels
+    from siskin_spark.schema import INTERMEDIATE_SCHEMA
+
+    h = F.xxhash64("finc_id")
+    doi = F.when(
+        h % 100 == 0,
+        F.concat(F.lit("10.9/hot"), (h % 1_000).cast("string")),
+    ).when(
+        h % 20 != 1,
+        F.concat(F.lit("10.9/x"), (h % (n_records // 2)).cast("string")),
+    )
+    base = records.withColumns(
+        {
+            "doi": doi,
+            "rft_atitle": F.concat(F.lit("Title "), F.col("finc_id")),
+            "rft_date": F.date_format("x_date", "yyyy-MM-dd"),
+            "languages": F.array(F.lit("eng")),
+            "finc_format": F.lit("ElectronicArticle"),
+            "url": F.array(F.concat(F.lit("https://example.org/"), F.col("finc_id"))),
+        }
+    )
+    have = set(base.columns)
+    conformed = base.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in INTERMEDIATE_SCHEMA.fields
+        ]
+    )
+
+    def ai_chain():
+        flagged = apply_oa_flag(
+            conformed,
+            oa_issns=oa_issns,
+            free_collections=free_colls,
+            oa_source_ids=["5", "17"],
+            excluded_source_ids=["39"],
+        )
+        tagged = attach_labels(
+            flagged,
+            filter_config(),
+            holdings=holdings,
+            now=datetime.date(2026, 8, 13),
+            drop_unlabeled=True,
+        )
+        # same barrier as the sf0.1 capstone: tagged feeds BOTH
+        # groupcover and the label join-back; without it Catalyst
+        # executes the whole flag+licensing chain once per consumer
+        tagged = tagged.localCheckpoint(eager=False)
+        changes = _gc(
+            tagged.select("finc_id", "finc_source_id", "doi", "x_labels"),
+            labels_col="x_labels",
+            preferences=("3", "1", "5", "0", "2", "4"),
+            lower_key=True,
+        )
+        updated = update_labels(
+            tagged, changes, labels_col="x_labels", new_labels_col="x_labels"
+        )
+        return solr_export(updated)
+
+    timed(ai_chain())
+    results["ai_chain_s"] = min(timed(ai_chain()) for _ in range(3))
+
     # -- Structured Streaming throughput (availableNow) ----------------
     # Two shapes: the Python-state stateful dedup (the engine-extension
     # path — applyInPandasWithState, Arrow batches, state store) and
@@ -551,6 +624,8 @@ def main() -> None:
         "recall80_scale_banding_16x12": r80_scale,
         "recall80_truth_pairs": n80,
         "recall95_scale_run_s": round(recall95_s, 2),
+        "ai_chain_s": round(results["ai_chain_s"], 2),
+        "ai_chain_rps": round(n_records / results["ai_chain_s"]),
         "stream_rows": n_stream,
         "stream_dedup_s": round(results["stream_dedup_s"], 2),
         "stream_dedup_rps": round(n_stream / results["stream_dedup_s"]),

@@ -278,3 +278,48 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+_texts = st.lists(_text, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(_text, _text, _texts, _texts, _texts, _text,
+                  _texts, _texts, _texts),
+        min_size=1, max_size=6,
+    )
+)
+def test_lissa_convert_total(spark, rows):
+    """lissa_convert is total over arbitrary SHARE-hit content: any
+    unicode strings/arrays produce a row (dates are pinned valid here;
+    the missing-date raise has its own deterministic test)."""
+    from siskin_spark.sources.longtail import lissa_convert
+
+    df = spark.createDataFrame(
+        [
+            r[:2] + (r[2], r[3], r[4], r[5], r[6], r[7], r[8],
+                     "2020-01-02T03:04:05", None)
+            for r in rows
+        ],
+        "id string, title string, publishers array<string>, "
+        "contributors array<string>, identifiers array<string>, "
+        "description string, subjects array<string>, "
+        "subject_synonyms array<string>, tags array<string>, "
+        "date_published string, date_created string",
+    )
+    out = lissa_convert(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.finc_source_id == "179"
+        assert r.rft_date == "2020-01-02"
+        # every url survives only if it starts with http
+        assert all(u.startswith("http") for u in r.url)
+        # the dx.doi.org prefix is always stripped from extracted DOIs
+        assert r.doi is None or not r.doi.startswith("http://dx.doi.org/")
