@@ -250,3 +250,63 @@ def test_bucketed_stages_join_without_exchange(tmp_path, spark, sf_dir):
         assert joined2.count() == n
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_windowed_counts_streaming_append(tmp_path, spark):
+    """The watermark + append-mode path a streaming run exercises:
+    availableNow over a file source, windows emit once the watermark
+    passes them, and the streamed result matches the batch result of
+    the same aggregation (late-data semantics aside, a bounded replay
+    has none)."""
+    import datetime
+
+    src = tmp_path / "sev"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-01T{h:02d}:10:00", "event_type": f"e{h % 2}",
+         "value": float(h)}
+        for h in range(6)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dst)
+    # append mode only emits windows the watermark has passed: the last
+    # window (max ts) is still open when the bounded stream ends
+    streamed = {(r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+                for r in got.collect()}
+    batch = spark.createDataFrame(
+        [
+            (datetime.datetime.fromisoformat(r["ts"]), r["event_type"], r["value"])
+            for r in rows
+        ],
+        schema,
+    )
+    want_all = {(r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+                for r in windowed_counts(batch, window="1 hour").collect()}
+    # watermark at stream end = max event time - 30 min = 04:40; append
+    # mode emits exactly the windows that END at or before it (hours
+    # 00-03), leaving the 04:00 and 05:00 windows unemitted
+    watermark = datetime.datetime(2024, 1, 1, 4, 40)
+    want = {
+        k: v
+        for k, v in want_all.items()
+        if datetime.datetime.fromisoformat(k[0]) + datetime.timedelta(hours=1)
+        <= watermark
+    }
+    assert streamed == want and len(streamed) == 4
