@@ -61,27 +61,18 @@ def _dsum(col: Column | str, alias: str) -> Column:
     return F.round(F.sum(c.cast("decimal(18,6)")), 2).cast("double").alias(alias)
 
 
-_COLS_CACHE: dict[tuple[int, str], list[Column]] = {}
-
-
 def _memo_cols(name: str, build: Callable[[], list[Column]]) -> list[Column]:
-    """Memoize a pure select list per JVM gateway.
+    """Memoize a pure select list per JVM gateway epoch
+    (:mod:`siskin_spark.memo`).
 
     Column objects are immutable wrappers over JVM expression trees and
     are freely reusable across DataFrames within one SparkContext; the
     big synthetic-source builders compile to hundreds of expressions,
     each a Py4J round-trip, and rebuilding them dominated the capstone
-    query's wall time (plan build 3.9 s vs 1.2 s execution at sf0.1).
-    Keyed by SparkContext identity so a restarted JVM gets a cold cache
-    (same contract as normalize._COMPILE_CACHE)."""
-    from pyspark import SparkContext
+    query's wall time (plan build 3.9 s vs 1.2 s execution at sf0.1)."""
+    from siskin_spark.memo import memo
 
-    key = (id(SparkContext._active_spark_context), name)
-    cols = _COLS_CACHE.get(key)
-    if cols is None:
-        cols = build()
-        _COLS_CACHE[key] = cols
-    return cols
+    return memo(("entry_cols", name), build)
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -142,43 +142,30 @@ def plane_weights(plane: int, dim: int = 64) -> list[float]:
     return [1.0 if (h[d // 8] >> (d % 8)) & 1 else -1.0 for d in range(dim)]
 
 
-_PLANE_LIT_CACHE: dict[tuple[int, int, int], Column] = {}
-_EXPR_CACHE: dict[tuple, list[Column]] = {}
-
-
 def _memo_cols(key: tuple, build) -> list[Column]:
-    """Memoize a pure select list per JVM gateway (same contract as
-    :func:`_plane_lit`). The vector operators' projections — norms,
-    packed sign buckets, prenormed cosines — compile to dozens of
-    higher-order-function expressions, each several Py4J round-trips;
-    the expressions depend only on column NAMES and literal params, so
-    repeated plan builds (bench reruns, pipeline batches) reuse the
-    immutable trees. Callers must fold every name/param the expressions
-    depend on into ``key``."""
-    from pyspark import SparkContext
+    """Memoize a pure select list per JVM gateway epoch
+    (:mod:`siskin_spark.memo`). The vector operators' projections —
+    norms, packed sign buckets, prenormed cosines — compile to dozens
+    of higher-order-function expressions, each several Py4J
+    round-trips; the expressions depend only on column NAMES and
+    literal params, so repeated plan builds (bench reruns, pipeline
+    batches) reuse the immutable trees. Callers must fold every
+    name/param the expressions depend on into ``key``."""
+    from siskin_spark.memo import memo
 
-    k = (id(SparkContext._active_spark_context),) + key
-    cols = _EXPR_CACHE.get(k)
-    if cols is None:
-        cols = build()
-        _EXPR_CACHE[k] = cols
-    return cols
+    return memo(("vec",) + key, build)
 
 
 def _plane_lit(plane: int, dim: int) -> Column:
     """Literal ±1 weight array for a hyperplane, memoized per JVM
-    gateway: building it costs ``dim`` Py4J round-trips, and every
-    banded-LSH call wants the same few dozen planes. Column objects
-    wrap immutable JVM expressions, so reuse across plans is safe; the
-    gateway id keys the epoch (a restarted JVM gets a cold cache)."""
-    from pyspark import SparkContext
+    gateway epoch: building it costs ``dim`` Py4J round-trips, and
+    every banded-LSH call wants the same few dozen planes."""
+    from siskin_spark.memo import memo
 
-    key = (id(SparkContext._active_spark_context), plane, dim)
-    col = _PLANE_LIT_CACHE.get(key)
-    if col is None:
-        col = F.array(*[F.lit(w) for w in plane_weights(plane, dim)])
-        _PLANE_LIT_CACHE[key] = col
-    return col
+    return memo(
+        ("plane_lit", plane, dim),
+        lambda: F.array(*[F.lit(w) for w in plane_weights(plane, dim)]),
+    )
 
 
 def _projection(vec: Column, weights: list[float] | Column) -> Column:
@@ -454,6 +441,12 @@ def ivf_assign_gemm(
     against the broadcast centroid matrix, instead of one Catalyst
     fold expression per (row, centroid) pair.
 
+    Degenerate inputs: empty/ragged embedding arrays raise (never
+    silently dropped); zero-NORM vectors get the smallest cid here
+    (all sims 0, argmax index 0) where the expression path's
+    divide-by-zero yields nulls — reject zero vectors upstream if the
+    two build paths must agree on them.
+
     Same contract as :func:`ivf_assign` — nearest centroid by cosine,
     ties to the smaller cid — but the per-batch cost is a single
     ``X @ C.T`` (BLAS) over the whole batch, which is the plan you
@@ -488,9 +481,17 @@ def ivf_assign_gemm(
 
     def assign(batches):
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if X.size == 0:
+            if len(pdf) == 0:
                 continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] == 0:
+                # empty or ragged embedding arrays: refuse loudly — a
+                # silent `continue` here would DROP the batch's rows
+                # from the built index (cardinality bug, not a skip)
+                raise ValueError(
+                    f"ivf_assign_gemm: {vec_col} must be fixed-width non-empty "
+                    f"arrays; got batch array of shape {X.shape}"
+                )
             xn = np.linalg.norm(X, axis=1)
             Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
             sims = Xn @ Cn.T

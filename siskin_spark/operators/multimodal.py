@@ -140,20 +140,25 @@ def extract_features(
     md5-derived stand-in in both modes.
     """
 
-    def dims(c: bytes) -> tuple[int | None, int | None]:
+    import struct
+
+    def dims(c: bytes, f: tuple) -> tuple[int | None, int | None]:
         if decoder == "image":
             try:
                 w, h, _ = decode_image(c)
                 return w, h
-            except (ValueError, OSError):
+            except (ValueError, OSError, struct.error):
+                # struct.error: a payload passing the magic-byte check
+                # but truncated before the size fields — must yield
+                # null dims like any other undecodable payload, not
+                # fail the whole Arrow batch
                 return None, None
-        f = fake_decode_features(c, dim)
         return f[0], f[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sizes = [dims(c) for c in pdf["content"]]
             feats = [fake_decode_features(c, dim) for c in pdf["content"]]
+            sizes = [dims(c, f) for c, f in zip(pdf["content"], feats)]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

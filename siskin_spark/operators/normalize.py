@@ -445,33 +445,28 @@ def _compile_predicate(rule: dict[str, Any], now: Any = None) -> Column:
     raise ValueError(f"unknown predicate rule: {kind}")
 
 
-_COMPILE_CACHE: dict[tuple[int, str], list[Column]] = {}
-
-
-def _gateway_key() -> int:
-    """Cache epoch: compiled Columns wrap JVM expression objects, so a
-    cache entry is only valid for the JVM gateway that built it. Keyed
-    by the active SparkContext's identity — a fresh context (new JVM
-    or restarted session) gets a cold cache instead of stale refs."""
-    from pyspark import SparkContext
-
-    return id(SparkContext._active_spark_context)
-
-
 def compile_mapping(spec: dict[str, dict[str, Any]]) -> list[Column]:
     """Mapping spec -> aliased Column list (feed to ``df.select``).
 
-    Memoized per (JVM gateway, spec): a spec compiles to hundreds of
-    Column expressions, each a Py4J round-trip; repeated pipeline runs
-    over the same spec (the normal case — one spec, many batches)
-    reuse the immutable expression trees instead of rebuilding them.
+    Memoized per (JVM gateway epoch, spec) via
+    :mod:`siskin_spark.memo`: a spec compiles to hundreds of Column
+    expressions, each a Py4J round-trip; repeated pipeline runs over
+    the same spec (the normal case — one spec, many batches) reuse the
+    immutable expression trees instead of rebuilding them. The key
+    preserves the spec's KEY ORDER (no sort_keys): two specs with the
+    same rules but different target order produce different column
+    orders and must not share an entry.
     """
-    key = (_gateway_key(), json.dumps(spec, sort_keys=True))
-    cols = _COMPILE_CACHE.get(key)
-    if cols is None:
-        cols = [_compile_rule(rule).alias(target) for target, rule in spec.items()]
-        _COMPILE_CACHE[key] = cols
-    return list(cols)
+    from siskin_spark.memo import memo
+
+    return list(
+        memo(
+            ("mapping", json.dumps(spec)),
+            lambda: [
+                _compile_rule(rule).alias(target) for target, rule in spec.items()
+            ],
+        )
+    )
 
 
 def apply_mapping(df: DataFrame, spec: dict[str, dict[str, Any]]) -> DataFrame:
@@ -520,26 +515,26 @@ def normalize_source(
         spec = load_spec(spec)
     for col in spec.get("require", []):
         df = df.filter(F.col(col).isNotNull() & (F.col(col) != ""))
+    from siskin_spark.memo import memo
+
     for rule in spec.get("keep_if", []):
-        key = (
-            _gateway_key(),
-            "pred:" + json.dumps(rule, sort_keys=True) + f"@{now!r}",
+        pred = memo(
+            ("pred", json.dumps(rule, sort_keys=True), repr(now)),
+            lambda: _compile_predicate(rule, now=now),
         )
-        pred = _COMPILE_CACHE.get(key)
-        if pred is None:
-            pred = [_compile_predicate(rule, now=now)]
-            _COMPILE_CACHE[key] = pred
-        df = df.filter(pred[0])
+        df = df.filter(pred)
     out = apply_mapping(df, spec["mapping"])
     have = set(out.columns)
     # conform to the full intermediate schema; memoized like the mapping
     # itself — ~30 col/lit-cast expressions, each a Py4J round-trip
-    ckey = (_gateway_key(), "conform:" + ",".join(sorted(have)))
-    full = _COMPILE_CACHE.get(ckey)
-    if full is None:
-        full = [
-            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+    # (set-keyed: output order is always INTERMEDIATE_SCHEMA order)
+    full = memo(
+        ("conform", ",".join(sorted(have))),
+        lambda: [
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
             for f in INTERMEDIATE_SCHEMA.fields
-        ]
-        _COMPILE_CACHE[ckey] = full
+        ],
+    )
     return out.select(*full)

@@ -99,6 +99,12 @@ def lissa_convert(hits: DataFrame) -> DataFrame:
     SHARE/Elasticsearch ``_source`` docs -> intermediate-schema
     records, the last remaining per-record long-tail convert.
 
+    Source id 179 collides with OSF in the REFERENCE itself
+    (osf.py:62 tags OSF "179" with a "191 (?)" comment; lissa.py:54
+    also claims 179) — mirrored faithfully here rather than inventing
+    a new sid; unioning both feeds therefore conflates them under one
+    sid exactly as the reference pipeline would.
+
     Input columns mirror the SHARE hit source: ``id title publishers
     contributors identifiers description subjects subject_synonyms
     tags date_published date_created`` (+ optional ``language``).

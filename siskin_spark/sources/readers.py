@@ -18,30 +18,31 @@ from pyspark.sql import functions as F
 # columns known to be nanosecond timestamps in the driver's testdata
 _NANO_TS_COLS = {"events": ("ts",)}
 
-# scan-DataFrame memo: building a parquet scan reads the file footer for
-# the schema (a driver-side JVM job). DataFrames are immutable, so the
-# scan for a given (session, path) is freely reusable across queries;
-# repeated pipeline runs were paying ~0.1 s per table per run just
-# re-deriving the same schema. Keyed by SparkSession identity so a
-# restarted session gets a cold cache.
-_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table, normalizing nano-timestamp columns."""
-    key = (id(spark), os.path.join(sf_dir, f"{name}.parquet"))
-    cached = _SCAN_CACHE.get(key)
-    if cached is not None:
-        return cached
-    if name in _NANO_TS_COLS:
-        # runtime-settable SQL conf; needed whatever session the caller built
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    _SCAN_CACHE[key] = df
-    return df
+    """Read one synthetic table, normalizing nano-timestamp columns.
+
+    The scan DataFrame is memoized per (gateway epoch, session, path)
+    via :mod:`siskin_spark.memo`: building a parquet scan reads the
+    file footer for the schema (a driver-side JVM job), and repeated
+    pipeline runs were paying ~0.1 s per table per run just re-deriving
+    the same schema. Scan DataFrames are session-bound, so the session
+    identity is folded into the key on top of the epoch."""
+    from siskin_spark.memo import memo
+
+    def build() -> DataFrame:
+        if name in _NANO_TS_COLS:
+            # runtime-settable SQL conf; needed whatever session the
+            # caller built
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for col in _NANO_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        return df
+
+    return memo(
+        ("scan", id(spark), os.path.join(sf_dir, f"{name}.parquet")), build
+    )
 
 
 # F6 input magic check (reference workflows/ai.py:144-158: validate
