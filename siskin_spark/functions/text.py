@@ -27,6 +27,16 @@ STOPWORDS = {
     "it": ("il", "gli", "della", "delle", "che", "di", "per"),
     "nl": ("de", "het", "een", "van", "en", "niet"),
     "ru": ("и", "в", "не", "на", "что", "это"),
+    # r4 widening — appended AFTER the original seven so existing
+    # precedence (first-listed wins ties) is preserved; words chosen
+    # to minimize cross-profile overlap (e.g. no bare 'a' for cs —
+    # it would feed the en counter's ties; 'não'/'ikke'/'się' are
+    # uniquely diacritic-marked)
+    "pt": ("o", "os", "um", "uma", "não", "são", "também"),
+    "pl": ("się", "nie", "jest", "oraz", "przez", "tym", "być"),
+    "cs": ("je", "se", "že", "pro", "jsou", "byl", "tak"),
+    "sv": ("och", "att", "det", "som", "är", "på", "för"),
+    "da": ("og", "til", "af", "ikke", "er", "med", "også"),
 }
 
 # BPE-ish tokenizer regex: words, numbers, or single non-space symbols

@@ -46,6 +46,11 @@ _ISO3 = {
     "it": "ita",
     "nl": "nld",
     "ru": "rus",
+    "pt": "por",
+    "pl": "pol",
+    "cs": "ces",
+    "sv": "swe",
+    "da": "dan",
 }
 
 

@@ -154,6 +154,11 @@ def test_lang_id_rule_widened_languages(spark):
         ("il valore della tabella che di per se non cambia", "ita"),
         ("de waarde van het systeem is een test en niet meer", "nld"),
         ("и в не на что это", "rus"),
+        ("o valor dos dados não são um problema e também não serão", "por"),
+        ("to się nie zmienia oraz jest widoczne przez cały czas", "pol"),
+        ("to je pro nás dobré že jsou data tak dostupná", "ces"),
+        ("det är viktigt att systemet fungerar som det ska på alla sätt", "swe"),
+        ("det er vigtigt og også godt til brug med data af god kvalitet", "dan"),
         ("xyzzy qwerty plugh", None),  # no stopword hit -> null
         ("", None),  # empty -> null
     ]
