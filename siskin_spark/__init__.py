@@ -22,4 +22,4 @@ Everything here derives from public knowledge (Apache Spark APIs and the
 public reference repo); it is a Spark-first re-expression, not a port.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
