@@ -52,6 +52,17 @@ def main(argv: list[str] | None = None) -> int:
     p_head.add_argument("-n", type=int, default=10)
     p_dot = sub.add_parser("deps-dot")
     p_dot.add_argument("target", help="module:attr naming a Pipeline instance")
+    p_deps = sub.add_parser("deps")
+    p_deps.add_argument("target", help="module:attr:STAGE")
+    p_status = sub.add_parser("status")
+    p_status.add_argument("target", help="module:attr naming a Pipeline instance")
+    p_status.add_argument("--date", default=None, help="YYYY-MM-DD (default today)")
+    p_status.add_argument("--param", action="append", default=[], help="k=v, repeatable")
+    p_run = sub.add_parser("run")
+    p_run.add_argument("target", help="module:attr:STAGE")
+    p_run.add_argument("--date", default=None, help="YYYY-MM-DD (default today)")
+    p_run.add_argument("--param", action="append", default=[], help="k=v, repeatable")
+    p_run.add_argument("--force", action="store_true", help="recompute even if complete")
     p_wc = sub.add_parser("wc")
     p_wc.add_argument("path")
     p_schema = sub.add_parser("schema")
@@ -71,13 +82,58 @@ def main(argv: list[str] | None = None) -> int:
             print(name, "(oracle)" if name in oracles else "(rows-only)")
         return 0
 
-    if args.cmd == "deps-dot":
+    def _pipeline(target: str):
         import importlib
 
-        mod_name, _, attr = args.target.partition(":")
+        mod_name, _, rest = target.partition(":")
+        attr, _, stage = rest.partition(":")
         sys.path.insert(0, os.getcwd())
-        pipeline = getattr(importlib.import_module(mod_name), attr)
+        return getattr(importlib.import_module(mod_name), attr), stage or None
+
+    def _params(pairs: list[str]) -> dict:
+        return dict(p.split("=", 1) for p in pairs)
+
+    def _date(s):
+        import datetime
+
+        return datetime.date.fromisoformat(s) if s else datetime.date.today()
+
+    if args.cmd == "deps-dot":
+        pipeline, _ = _pipeline(args.target)
         print(pipeline.to_dot())
+        return 0
+
+    if args.cmd == "deps":
+        # reference `siskin deps TASK` (cli.py:211-298): the stage's
+        # transitive requirements in execution order
+        pipeline, stage = _pipeline(args.target)
+        if stage is None:
+            raise SystemExit("deps needs module:attr:STAGE")
+        for name in pipeline.deps(stage):
+            print(name)
+        return 0
+
+    if args.cmd == "status":
+        # reference `siskin status`: per-stage completion markers for
+        # the given (params, date) partition
+        pipeline, _ = _pipeline(args.target)
+        for name, done in pipeline.status(_params(args.param), _date(args.date)).items():
+            print(f"{'done   ' if done else 'pending'} {name}")
+        return 0
+
+    if args.cmd == "run":
+        # reference entry point 1, `siskin run TASK --params` (SURVEY
+        # §3): execute the stage and its incomplete requirements; the
+        # memoized runner skips stages whose _SUCCESS marker exists
+        pipeline, stage = _pipeline(args.target)
+        if stage is None:
+            raise SystemExit("run needs module:attr:STAGE")
+        out = pipeline.run(
+            _spark(), stage, _params(args.param), _date(args.date),
+            force=args.force,
+        )
+        print(f"{stage}: {out.count()} rows at "
+              f"{pipeline.path(stage, _params(args.param), _date(args.date))}")
         return 0
 
     spark = _spark()

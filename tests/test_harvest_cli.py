@@ -230,3 +230,42 @@ def test_lissa_convert(spark):
     )
     with pytest.raises(Exception, match="did not find any date field"):
         lissa_convert(bad).collect()
+
+
+def test_cli_deps_status_run(capsys, tmp_path, spark):
+    """`deps` / `status` / `run` verbs (reference entry point 1,
+    `siskin run TASK` + `siskin deps`/`status`, cli.py:211-298): run
+    executes the stage chain through the memoized runner, status flips
+    to done, deps prints execution order."""
+    import sys
+
+    from siskin_spark.cli import main
+
+    mod = tmp_path / "pipemod2.py"
+    mod.write_text(
+        "from siskin_spark.plans.pipeline import Pipeline\n"
+        f"p = Pipeline(base='{tmp_path}/out')\n"
+        "@p.stage('a')\n"
+        "def a(spark, inputs, params):\n"
+        "    return spark.range(3).toDF('n')\n"
+        "@p.stage('b', requires=['a'])\n"
+        "def b(spark, inputs, params):\n"
+        "    return inputs['a'].selectExpr('n * 2 AS n2')\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        assert main(["deps", "pipemod2:p:b"]) == 0
+        assert capsys.readouterr().out.split() == ["a", "b"]
+
+        assert main(["status", "pipemod2:p", "--date", "2026-01-02"]) == 0
+        assert "pending b" in capsys.readouterr().out
+
+        assert main(["run", "pipemod2:p:b", "--date", "2026-01-02"]) == 0
+        out = capsys.readouterr().out
+        assert "b: 3 rows" in out
+
+        assert main(["status", "pipemod2:p", "--date", "2026-01-02"]) == 0
+        status = capsys.readouterr().out
+        assert "done    a" in status and "done    b" in status
+    finally:
+        sys.path.remove(str(tmp_path))
