@@ -333,6 +333,25 @@ def main() -> None:
     results["neardup_s"] = min(timed(neardup()) for _ in range(3))
     n_pairs = neardup().count()
 
+    # full collapse: pairs -> connected-components closure -> one
+    # survivor per cluster via anti-join back on the corpus. The CC
+    # loop is the only iterative algorithm in the engine (localCheckpoint
+    # per round), so its at-scale cost needs its own number — pairs are
+    # materialized first so this times the CLOSURE+COLLAPSE, not a
+    # re-run of candidate generation.
+    from siskin_spark.operators.neardup import keep_canonical_cc
+
+    pairs_path = os.path.join(CORPUS, "neardup_pairs")
+    neardup().select("id_a", "id_b").write.mode("overwrite").parquet(pairs_path)
+    saved_pairs = spark.read.parquet(pairs_path)
+
+    def collapse():
+        return keep_canonical_cc(docs, saved_pairs)
+
+    timed(collapse())
+    results["neardup_collapse_s"] = min(timed(collapse()) for _ in range(2))
+    n_survivors = collapse().count()
+
     # -- D5 groupcover at full scale, skewed keys ----------------------
     from siskin_spark.operators.dedup import groupcover
 
@@ -607,6 +626,8 @@ def main() -> None:
         "neardup_docs": n_docs,
         "neardup_dps": round(n_docs / results["neardup_s"]),
         "neardup_verified_pairs": n_pairs,
+        "neardup_collapse_s": round(results["neardup_collapse_s"], 2),
+        "neardup_survivors": n_survivors,
         "groupcover_s": round(results["groupcover_s"], 2),
         "groupcover_rps": round(n_records / results["groupcover_s"]),
         "groupcover_hot_keys": 1_000,
