@@ -323,3 +323,97 @@ def test_lissa_convert_total(spark, rows):
         assert all(u.startswith("http") for u in r.url)
         # the dx.doi.org prefix is always stripped from extracted DOIs
         assert r.doi is None or not r.doi.startswith("http://dx.doi.org/")
+
+
+# --- licensing filter-tree compiler vs naive evaluator ----------------
+
+_SRC = st.sampled_from(["1", "2", "3", "4"])
+_COLL = st.sampled_from(["c0", "c1", "c2", "c3"])
+_SUBJ = st.sampled_from(["s0", "s1", "s2"])
+_ISSN = st.sampled_from(["1111-111X", "2222-222X", "3333-333X", "4444-444X"])
+
+
+def _leaf():
+    return st.one_of(
+        st.lists(_SRC, min_size=1, max_size=3).map(lambda v: {"source": v}),
+        st.lists(_COLL, min_size=1, max_size=3).map(lambda v: {"collection": v}),
+        st.lists(_SUBJ, min_size=1, max_size=2).map(lambda v: {"subject": v}),
+        st.lists(_ISSN, min_size=1, max_size=3).map(
+            lambda v: {"issn": {"list": v}}
+        ),
+    )
+
+
+_tree = st.recursive(
+    _leaf(),
+    lambda sub: st.one_of(
+        st.lists(sub, min_size=1, max_size=3).map(lambda v: {"or": v}),
+        st.lists(sub, min_size=1, max_size=3).map(lambda v: {"and": v}),
+        sub.map(lambda v: {"not": v}),
+    ),
+    max_leaves=6,
+)
+
+_rec = st.tuples(
+    _SRC,
+    st.one_of(st.none(), st.lists(_COLL, max_size=3)),
+    st.one_of(st.none(), st.lists(_SUBJ, max_size=2)),
+    st.one_of(st.none(), st.lists(_ISSN, max_size=2)),
+    st.one_of(st.none(), st.lists(_ISSN, max_size=1)),
+)
+
+
+def _naive(tree, rec):
+    """Reference evaluator: mirrors amsl.py tree semantics over one
+    record dict. All leaves are null-safe (compiler coalesces arrays
+    to empty before overlap), so plain Boolean logic suffices."""
+    src, coll, subj, issn, eissn = rec
+    if len(tree) != 1:
+        return all(_naive({k: v}, rec) for k, v in tree.items())
+    ((op, arg),) = tree.items()
+    if op == "or":
+        return any(_naive(s, rec) for s in arg)
+    if op == "and":
+        return all(_naive(s, rec) for s in arg)
+    if op == "not":
+        return not _naive(arg, rec)
+    if op == "source":
+        return src in [str(s) for s in arg]
+    if op == "collection":
+        return bool(set(coll or []) & set(arg))
+    if op == "subject":
+        return bool(set(subj or []) & set(arg))
+    if op == "issn":
+        return bool(set((issn or []) + (eissn or [])) & set(arg["list"]))
+    raise ValueError(op)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    recs=st.lists(_rec, min_size=1, max_size=8),
+    trees=st.lists(_tree, min_size=1, max_size=3),
+)
+def test_attach_labels_matches_naive(spark, recs, trees):
+    from siskin_spark.operators.licensing import attach_labels
+
+    config = {f"ISIL-{i}": t for i, t in enumerate(trees)}
+    df = spark.createDataFrame(
+        [
+            (f"id{i}", r[0], r[1], r[2], r[3], r[4])
+            for i, r in enumerate(recs)
+        ],
+        "finc_id string, finc_source_id string, "
+        "finc_mega_collection array<string>, subjects array<string>, "
+        "rft_issn array<string>, rft_eissn array<string>",
+    )
+    got = {
+        r["finc_id"]: r["x_labels"]
+        for r in attach_labels(df, config).collect()
+    }
+    for i, rec in enumerate(recs):
+        want = sorted(
+            isil for isil, t in config.items() if _naive(t, rec)
+        )
+        assert got[f"id{i}"] == want, (rec, config, got[f"id{i}"], want)
