@@ -417,3 +417,150 @@ def test_attach_labels_matches_naive(spark, recs, trees):
             isil for isil, t in config.items() if _naive(t, rec)
         )
         assert got[f"id{i}"] == want, (rec, config, got[f"id{i}"], want)
+
+
+# --- KBART holdings leaf: interval + embargo + volume walls vs naive ---
+
+_H_DATES = st.sampled_from(
+    [None, "2000-01-15", "2010-06-30", "2020-12-31", "2026-03-31"]
+)
+_R_DATES = st.sampled_from(
+    [None, "1999-12-31", "2000-01-15", "2015-07-01", "2026-05-01", "2026-08-13"]
+)
+_EMBARGO = st.sampled_from([None, "", "R1Y", "P2M", "R30D", "P1Y", "walls?"])
+_VOLISS = st.one_of(st.none(), st.integers(1, 5))
+_H_ISSN = st.sampled_from(["1111-111X", "2222-222X", "3333-333X"])
+
+_hold_row = st.tuples(
+    st.sampled_from(["f0", "f1"]),  # file_uri
+    _H_ISSN,  # print_identifier
+    st.one_of(st.none(), _H_ISSN),  # online_identifier
+    _H_DATES,  # date_first_issue_online
+    _H_DATES,  # date_last_issue_online
+    _EMBARGO,
+    _VOLISS, st.one_of(st.none(), st.integers(1, 3)),  # first vol/issue
+    _VOLISS, st.one_of(st.none(), st.integers(1, 3)),  # last vol/issue
+)
+
+_lic_rec = st.tuples(
+    st.lists(_H_ISSN, max_size=2),  # rft_issn
+    _R_DATES,  # x_date (string; compiler try_casts)
+    st.one_of(st.none(), st.integers(1, 5).map(str)),  # rft_volume
+    st.one_of(st.none(), st.integers(1, 3).map(str)),  # rft_issue
+)
+
+
+def _add_months_clamped(d, months):
+    import calendar
+    import datetime
+
+    y, m = divmod(d.month - 1 + months, 12)
+    y, m = d.year + y, m + 1
+    return datetime.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def _naive_covered(rec, hrows, files, now):
+    """EXISTS a holdings row (in the leaf's file set) whose interval,
+    volume walls, and embargo all pass — mirroring the compiler's
+    tri-state cond: a row matches only when the conjunction is TRUE."""
+    import datetime
+    import re
+
+    issns, rdate_s, rvol_s, riss_s = rec
+    rdate = datetime.date.fromisoformat(rdate_s) if rdate_s else None
+    rvol = int(rvol_s) if rvol_s is not None else None
+    riss = int(riss_s) if riss_s is not None else None
+
+    def tri_and(vals):
+        if any(v is False for v in vals):
+            return False
+        if any(v is None for v in vals):
+            return None
+        return True
+
+    for (uri, pid, oid, f_s, t_s, emb, fv, fi, lv, li) in hrows:
+        if files and uri not in files:
+            continue
+        idents = {i for i in (pid, oid) if i}
+        if not (idents & set(issns)):
+            continue
+        f = datetime.date.fromisoformat(f_s) if f_s else None
+        t = datetime.date.fromisoformat(t_s) if t_s else None
+        from_ok = True if f is None else (None if rdate is None else rdate >= f)
+        to_ok = True if t is None else (None if rdate is None else rdate <= t)
+
+        def ge(v, i, bv, bi):
+            if bv is None or v is None:
+                return True
+            iok = True if (bi is None or i is None) else i >= bi
+            return v > bv or (v == bv and iok)
+
+        def le(v, i, bv, bi):
+            if bv is None or v is None:
+                return True
+            iok = True if (bi is None or i is None) else i <= bi
+            return v < bv or (v == bv and iok)
+
+        vol_ok = ge(rvol, riss, fv, fi) and le(rvol, riss, lv, li)
+
+        m = re.match(r"^\s*([RP])([0-9]+)([DMY])\s*$", emb or "")
+        if not m:
+            emb_ok = True
+        else:
+            etype, n, unit = m.group(1), int(m.group(2)), m.group(3)
+            if unit == "D":
+                cutoff = now - datetime.timedelta(days=n)
+            elif unit == "M":
+                cutoff = _add_months_clamped(now, -n)
+            else:
+                cutoff = _add_months_clamped(now, -12 * n)
+            if rdate is None:
+                emb_ok = None
+            elif etype == "R":
+                emb_ok = rdate <= cutoff
+            else:
+                emb_ok = rdate > cutoff
+        if tri_and([from_ok, to_ok, vol_ok, emb_ok]) is True:
+            return True
+    return False
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    recs=st.lists(_lic_rec, min_size=1, max_size=6),
+    hrows=st.lists(_hold_row, min_size=1, max_size=8),
+    files=st.sampled_from([(), ("f0",), ("f0", "f1")]),
+)
+def test_holdings_leaf_matches_naive(spark, recs, hrows, files):
+    import datetime
+
+    from siskin_spark.operators.licensing import attach_labels
+
+    now = datetime.date(2026, 8, 13)
+    holdings = spark.createDataFrame(
+        hrows,
+        "file_uri string, print_identifier string, online_identifier string, "
+        "date_first_issue_online string, date_last_issue_online string, "
+        "embargo_info string, num_first_vol_online int, "
+        "num_first_issue_online int, num_last_vol_online int, "
+        "num_last_issue_online int",
+    )
+    df = spark.createDataFrame(
+        [
+            (f"id{i}", f"rid{i}", r[0], None, r[1], r[2], r[3])
+            for i, r in enumerate(recs)
+        ],
+        "finc_id string, finc_record_id string, rft_issn array<string>, "
+        "rft_eissn array<string>, x_date string, rft_volume string, "
+        "rft_issue string",
+    )
+    config = {"H": {"holdings": {"files": list(files)}}}
+    got = {
+        r["finc_id"]: r["x_labels"]
+        for r in attach_labels(df, config, holdings=holdings, now=now).collect()
+    }
+    for i, rec in enumerate(recs):
+        want = ["H"] if _naive_covered(rec, hrows, files, now) else []
+        assert got[f"id{i}"] == want, (rec, hrows, files, got[f"id{i}"], want)
