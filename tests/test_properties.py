@@ -564,3 +564,48 @@ def test_holdings_leaf_matches_naive(spark, recs, hrows, files):
     for i, rec in enumerate(recs):
         want = ["H"] if _naive_covered(rec, hrows, files, now) else []
         assert got[f"id{i}"] == want, (rec, hrows, files, got[f"id{i}"], want)
+
+
+# --- exact shingle Jaccard vs naive set arithmetic ---------------------
+
+_WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_DOC = st.lists(_WORD, min_size=3, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_DOC, min_size=2, max_size=6))
+def test_exact_jaccard_matches_naive(spark, texts):
+    """exact_jaccard over ALL pairs equals set arithmetic on distinct
+    word 3-grams — small word alphabet forces real shingle collisions
+    across documents."""
+    from siskin_spark.operators.neardup import exact_jaccard, shingle_table
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sh = shingle_table(docs)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in exact_jaccard(pairs, sh).collect()
+    }
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            inter = len(ga & gb)
+            # every candidate pair survives (zero overlap -> jaccard 0.0,
+            # via the left join + fill: verification must REPORT a
+            # verdict for each candidate, not silently drop it)
+            n_inter, jac = got[(a, b)]
+            assert n_inter == inter
+            assert jac == inter / (len(ga) + len(gb) - inter)
