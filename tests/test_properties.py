@@ -609,3 +609,28 @@ def test_exact_jaccard_matches_naive(spark, texts):
             n_inter, jac = got[(a, b)]
             assert n_inter == inter
             assert jac == inter / (len(ga) + len(gb) - inter)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(_DOC, min_size=1, max_size=4),
+    dup_of=st.integers(0, 3),
+)
+def test_lsh_candidates_never_miss_exact_duplicates(spark, texts, dup_of):
+    """LSH completeness floor: a document with IDENTICAL text to
+    another has identical minhash signatures, so every band collides
+    and the pair MUST appear among candidates — banding may miss
+    near-duplicates probabilistically, never exact ones."""
+    from siskin_spark.operators.neardup import lsh_candidates, shingle_table
+
+    dup_of = dup_of % len(texts)
+    rows = list(enumerate(texts)) + [(len(texts), texts[dup_of])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_table(docs)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, shingles=sh).collect()
+    }
+    assert (dup_of, len(texts)) in cands
