@@ -634,3 +634,37 @@ def test_lsh_candidates_never_miss_exact_duplicates(spark, texts, dup_of):
         for r in lsh_candidates(docs, shingles=sh).collect()
     }
     assert (dup_of, len(texts)) in cands
+
+
+# --- OpenURL percent-encoding vs urllib --------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=1, max_size=24,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_percent_encode_matches_urllib(spark, vals):
+    """percent_encode (url_encode + '+'->%20, '*'->%2A normalization)
+    must agree with urllib.parse.quote(safe='._-') over arbitrary
+    unicode — a third, independent RFC mirror on top of the DuckDB
+    oracle, pinning UTF-8 byte escaping and uppercase hex."""
+    from urllib.parse import quote
+
+    from siskin_spark.operators.export import percent_encode
+
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, v string")
+    got = {r["i"]: r["e"] for r in df.select("i", percent_encode(F.col("v")).alias("e")).collect()}
+    for i, v in enumerate(vals):
+        # one deliberate divergence from RFC 3986's unreserved set:
+        # URLEncoder (x-www-form-urlencoded) escapes '~' where quote()
+        # never does; both decode identically
+        want = quote(v, safe="._-").replace("~", "%7E")
+        assert got[i] == want, (v, got[i], want)
