@@ -174,10 +174,62 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize via mapInPandas when Pillow is importable
+    (``_HAS_PIL``): decodes each image payload, resizes to
+    (width, height), re-encodes PNG, and stamps the new size in
+    ``meta``; undecodable payloads pass through unchanged with a
+    ``resize_error`` marker instead of failing the Arrow batch.
+    Without Pillow this falls back to :func:`resize_stub` (metadata
+    only — the container default). Same schema in and out, so the two
+    tiers are drop-in interchangeable pipeline stages."""
+    if not _HAS_PIL:
+        return resize_stub(media, width, height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, kind, meta in zip(
+                pdf["content"], pdf["kind"], pdf["meta"]
+            ):
+                meta = dict(meta or {})
+                if kind != "image":
+                    out_content.append(content)
+                    out_meta.append(meta)
+                    continue
+                try:
+                    with _PILImage.open(io.BytesIO(content)) as im:
+                        resized = im.resize((width, height))
+                        buf = io.BytesIO()
+                        resized.save(buf, format="PNG")
+                    meta.update(
+                        {"resize_w": str(width), "resize_h": str(height)}
+                    )
+                    out_content.append(buf.getvalue())
+                except Exception as exc:  # undecodable: pass through
+                    meta["resize_error"] = type(exc).__name__
+                    out_content.append(content)
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "mime": pdf["mime"],
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes bytes through (a real impl transforms
-    ``content``); records the target size in ``meta`` so downstream
-    stages see the declared dimensions."""
+    ``content`` — :func:`resize_images` when Pillow is available);
+    records the target size in ``meta`` so downstream stages see the
+    declared dimensions."""
     return media.withColumn(
         "meta",
         F.map_concat(

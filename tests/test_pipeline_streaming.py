@@ -310,3 +310,49 @@ def test_windowed_counts_streaming_append(tmp_path, spark):
         <= watermark
     }
     assert streamed == want and len(streamed) == 4
+
+
+def test_resize_images_fallback_without_pillow(spark):
+    """resize_images degrades to the metadata-only stub when Pillow is
+    absent; with Pillow it decodes/resizes/re-encodes (gated test
+    below). Either way the schema is unchanged."""
+    from siskin_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\x89PNGnotreally", "image/png", None)], MEDIA_SCHEMA
+    )
+    out = resize_images(media, 32, 32)
+    # same column names/types either tier (nullability may tighten)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in MEDIA_SCHEMA.fields
+    ]
+    row = out.first()
+    # stub path: meta stamped; Pillow path: undecodable marker
+    assert row["meta"].get("resize_w") == "32" or "resize_error" in row["meta"]
+
+
+def test_resize_images_real_pillow(spark):
+    from siskin_spark.operators.multimodal import (
+        _HAS_PIL,
+        MEDIA_SCHEMA,
+        decode_image,
+        resize_images,
+    )
+
+    if not _HAS_PIL:
+        import pytest
+
+        pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", None)], MEDIA_SCHEMA
+    )
+    row = resize_images(media, 32, 32).first()
+    assert row["meta"]["resize_w"] == "32"
+    w, h, fmt = decode_image(bytes(row["content"]))
+    assert (w, h, fmt) == (32, 32, "png")
