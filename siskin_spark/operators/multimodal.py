@@ -13,10 +13,13 @@ Image decoding has three tiers:
    pseudo-features for the embedding slot, used by the oracle-checked
    plumbing query where determinism across engines is the contract.
 
-Audio/video feature extraction remains declared stubs (no librosa /
-pyav in this container); the Spark-side plumbing — schema, batch
-iteration, partitioning, UDF signatures — is real and tested either
-way.
+Audio/video follow the same tiering: REAL container metadata from
+stdlib header parses (:func:`parse_wav_header` — channels/rate/
+duration from RIFF/WAVE; :func:`parse_mp4_duration` — duration from
+the ISO-BMFF moov/mvhd box), while waveform/frame FEATURE extraction
+remains a declared stub (no librosa / pyav in this container). The
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested at every tier.
 
 Scale notes: binary payloads ride in Parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
@@ -252,3 +255,72 @@ def frame_sample_stub(media: DataFrame, every_s: float = 1.0) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
         .withColumn("frame_offset_s", F.col("frame_idx") * F.lit(every_s))
     )
+
+
+def parse_wav_header(content: bytes) -> tuple[int, int, float]:
+    """Real audio metadata from a RIFF/WAVE header — pure stdlib.
+    Returns (channels, sample_rate, duration_seconds). Raises
+    ValueError on non-WAV payloads (same contract tier as
+    :func:`parse_image_header`: header parse, no audio library)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, n = 12, len(content)
+    channels = rate = block_align = None
+    data_size = None
+    while pos + 8 <= n:
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            _, channels, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if not channels or not rate or not block_align:
+        raise ValueError("WAV missing fmt chunk")
+    if data_size is None:
+        raise ValueError("WAV missing data chunk")
+    return channels, rate, data_size / (block_align * rate)
+
+
+def parse_mp4_duration(content: bytes) -> float:
+    """Real video duration from an ISO-BMFF (mp4/mov) header — walks
+    top-level boxes to moov/mvhd, pure stdlib. Returns seconds; raises
+    ValueError when no mvhd is present (truncated or non-mp4)."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            header = 8
+            if size == 1 and pos + 16 <= end:  # 64-bit box size
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                header = 16
+            if size < header:
+                raise ValueError("malformed box size")
+            yield tag, pos + header, min(pos + size, end)
+            pos += size
+
+    for tag, b0, b1 in walk(content, 0, len(content)):
+        if tag != b"moov":
+            continue
+        for tag2, c0, c1 in walk(content, b0, b1):
+            if tag2 != b"mvhd":
+                continue
+            version = content[c0]
+            if version == 1:
+                (timescale,) = struct.unpack(">I", content[c0 + 20 : c0 + 24])
+                (duration,) = struct.unpack(">Q", content[c0 + 24 : c0 + 32])
+            else:
+                (timescale,) = struct.unpack(">I", content[c0 + 12 : c0 + 16])
+                (duration,) = struct.unpack(">I", content[c0 + 16 : c0 + 20])
+            if not timescale:
+                raise ValueError("mvhd timescale is zero")
+            return duration / timescale
+    raise ValueError("no moov/mvhd box found (not an mp4 or truncated)")

@@ -356,3 +356,54 @@ def test_resize_images_real_pillow(spark):
     assert row["meta"]["resize_w"] == "32"
     w, h, fmt = decode_image(bytes(row["content"]))
     assert (w, h, fmt) == (32, 32, "png")
+
+
+def test_parse_wav_and_mp4_headers():
+    """Real audio/video metadata from stdlib header parses — the same
+    tier as parse_image_header: no media library, genuine container
+    structure."""
+    import struct
+
+    import pytest as _pytest
+
+    from siskin_spark.operators.multimodal import (
+        parse_mp4_duration,
+        parse_wav_header,
+    )
+
+    # WAV: 2ch 16-bit 8kHz, 1600 frames = 0.2s
+    channels, rate, bits = 2, 8000, 16
+    block = channels * bits // 8
+    n_frames = 1600
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = b"\x00" * (n_frames * block)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_wav_header(wav) == (2, 8000, 0.2)
+    with _pytest.raises(ValueError):
+        parse_wav_header(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):  # fmt chunk missing
+        parse_wav_header(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+    # MP4: ftyp + moov{mvhd v0 timescale=1000 duration=2500} = 2.5s
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", 1000) + struct.pack(
+        ">I", 2500
+    ) + b"\x00" * 80
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", box(b"mvhd", mvhd)
+    )
+    assert parse_mp4_duration(mp4) == 2.5
+    # 64-bit (version 1) mvhd: timescale at +20, 8-byte duration
+    mvhd1 = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(
+        ">I", 600
+    ) + struct.pack(">Q", 1800) + b"\x00" * 80
+    mp4v1 = box(b"moov", box(b"mvhd", mvhd1))
+    assert parse_mp4_duration(mp4v1) == 3.0
+    with _pytest.raises(ValueError):
+        parse_mp4_duration(b"\x00\x00\x00\x08free")
