@@ -324,3 +324,56 @@ def parse_mp4_duration(content: bytes) -> float:
                 raise ValueError("mvhd timescale is zero")
             return duration / timescale
     raise ValueError("no moov/mvhd box found (not an mp4 or truncated)")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset_s", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Real frame-sampling plan for video rows: one row per sampled
+    offset in [0, duration), duration read from the mp4 header
+    (:func:`parse_mp4_duration`) — the demux/decode of the frame
+    itself stays a declared stub (no pyav), but the SAMPLING GRID is
+    real. Unparseable payloads yield a single row with null duration
+    (frame_idx 0, offset 0.0) so downstream stages see every video.
+
+    mapInPandas rather than a column expression: the duration lives
+    inside the binary payload, and the per-row work is a bounded
+    header walk, not a full decode."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, durs = [], [], [], []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video":
+                    continue
+                try:
+                    dur = parse_mp4_duration(bytes(content))
+                    n = max(1, math.ceil(dur / every_s))
+                except ValueError:
+                    dur, n = None, 1
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(i * every_s)
+                    durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset_s": pd.Series(offs, dtype="float64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

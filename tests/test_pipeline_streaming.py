@@ -407,3 +407,37 @@ def test_parse_wav_and_mp4_headers():
     assert parse_mp4_duration(mp4v1) == 3.0
     with _pytest.raises(ValueError):
         parse_mp4_duration(b"\x00\x00\x00\x08free")
+
+
+def test_frame_sample_real_duration(spark):
+    """frame_sample derives the sampling grid from the REAL mp4
+    duration; unparseable video rows degrade to one null-duration
+    frame; non-video rows are excluded."""
+    import struct
+
+    from siskin_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", 1000) + struct.pack(
+        ">I", 2500
+    ) + b"\x00" * 80  # 2.5 s
+    mp4 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd))
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, "video/mp4", None),
+            (2, "video", b"nope", "video/mp4", None),
+            (3, "image", mp4, "image/x", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media, every_s=1.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # ceil(2.5 / 1.0) = 3 frames at offsets 0,1,2 with duration 2.5
+    assert sorted(r["frame_offset_s"] for r in by_id[1]) == [0.0, 1.0, 2.0]
+    assert all(r["duration_s"] == 2.5 for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0]["duration_s"] is None
+    assert 3 not in by_id
