@@ -27,9 +27,15 @@ lifetime.
 
 from __future__ import annotations
 
+import threading
+import uuid
 from typing import Any, Callable
 
 _CACHE: dict[tuple, Any] = {}
+_LOCK = threading.Lock()
+# Sentinel for cache misses: ``None`` is a legitimate build() result
+# (a builder that returns None must not be rebuilt on every call).
+_MISS = object()
 
 
 def gateway_epoch() -> str:
@@ -46,17 +52,39 @@ def gateway_epoch() -> str:
     return f"{id(sc)}:{app}"
 
 
+def session_token(spark: Any) -> str:
+    """Stable identity for a SparkSession's lifetime.
+
+    ``id(session)`` is subject to the same CPython address-reuse hazard
+    as ``id(SparkContext)`` (module doc), so session-scoped memo keys
+    must not use it. A uuid is minted once and stashed on the session
+    object; a genuinely new session (even one landing at a recycled
+    address) gets a fresh token."""
+    tok = getattr(spark, "_siskin_memo_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        try:
+            spark._siskin_memo_token = tok
+        except Exception:  # frozen/slotted proxy: degrade to address
+            tok = f"addr:{id(spark)}"
+    return tok
+
+
 def memo(key: tuple, build: Callable[[], Any]) -> Any:
     """Return ``build()`` memoized under ``key`` for the current gateway
     epoch. ``key`` must fold in every name/parameter the built object
-    depends on."""
+    depends on. Thread-safe; ``build()`` runs outside the lock (it may
+    perform Py4J round-trips), so two racing callers may both build —
+    last insert wins, which is harmless for immutable plan objects."""
     epoch = gateway_epoch()
     k = (epoch,) + key
-    v = _CACHE.get(k)
-    if v is None:
-        stale = [c for c in _CACHE if c[0] != epoch]
-        for c in stale:
-            del _CACHE[c]
+    with _LOCK:
+        v = _CACHE.get(k, _MISS)
+    if v is _MISS:
         v = build()
-        _CACHE[k] = v
+        with _LOCK:
+            stale = [c for c in _CACHE if c[0] != epoch]
+            for c in stale:
+                del _CACHE[c]
+            _CACHE[k] = v
     return v

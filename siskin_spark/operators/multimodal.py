@@ -13,13 +13,19 @@ Image decoding has three tiers:
    pseudo-features for the embedding slot, used by the oracle-checked
    plumbing query where determinism across engines is the contract.
 
-Audio/video follow the same tiering: REAL container metadata from
-stdlib header parses (:func:`parse_wav_header` — channels/rate/
+The FEATURE column has a content-derived tier too
+(``decoder='content'`` in :func:`extract_features`): image rows get a
+pixel-luminance histogram when Pillow can decode
+(:func:`image_pixel_features`), audio rows a WAV PCM RMS envelope
+from a pure-stdlib sample parse (:func:`wav_pcm_features` — no
+librosa needed); anything without a decode path tiers down to the md5
+stand-in per row. Audio/video container metadata is likewise real
+from stdlib header parses (:func:`parse_wav_header` — channels/rate/
 duration from RIFF/WAVE; :func:`parse_mp4_duration` — duration from
-the ISO-BMFF moov/mvhd box), while waveform/frame FEATURE extraction
-remains a declared stub (no librosa / pyav in this container). The
-Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is real and tested at every tier.
+the ISO-BMFF moov/mvhd box). Only video FRAME decode remains a
+declared stub (no pyav in this container). The Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested at every tier.
 
 Scale notes: binary payloads ride in Parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
@@ -126,6 +132,73 @@ def fake_decode_features(content: bytes, dim: int = 8) -> tuple[int, int, list[f
     return width, height, [x / n for x in raw]
 
 
+def image_pixel_features(content: bytes, dim: int = 8) -> list[float]:
+    """CONTENT-derived image feature: an L1-normalized ``dim``-bin
+    luminance histogram over the decoded pixels. Deterministic and
+    library-stable (integer bin counts over Pillow's ``convert('L')``
+    luminance, no resampling). Requires Pillow; ``dim`` must divide
+    256. Raises when Pillow is missing or the payload won't decode —
+    callers tier down to :func:`fake_decode_features`."""
+    if not _HAS_PIL:
+        raise RuntimeError("Pillow not available: no pixel decode path")
+    if 256 % dim:
+        raise ValueError("dim must divide 256 for even luminance bins")
+    import io
+
+    with _PILImage.open(io.BytesIO(content)) as im:
+        hist = im.convert("L").histogram()  # 256 integer luminance bins
+    binw = 256 // dim
+    bins = [float(sum(hist[i * binw : (i + 1) * binw])) for i in range(dim)]
+    total = sum(bins) or 1.0
+    return [b / total for b in bins]
+
+
+def wav_pcm_features(content: bytes, dim: int = 8) -> list[float]:
+    """CONTENT-derived audio feature from WAV PCM samples — pure
+    stdlib parse + numpy math, no audio library. Splits the
+    interleaved 16-bit PCM stream into ``dim`` equal segments and
+    returns the unit-L2-normalized per-segment RMS envelope (loudness
+    shape over time — the useful cheap signal for dedup/quality
+    filtering of audio corpora). Raises ValueError on non-WAV or
+    non-16-bit-PCM payloads — callers tier down to
+    :func:`fake_decode_features`."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, n = 12, len(content)
+    fmt = data = None
+    while pos + 8 <= n:
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, _channels, _rate, _, _block_align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only 16-bit integer PCM supported")
+    samples = np.frombuffer(
+        data[: (len(data) // 2) * 2], dtype="<i2"
+    ).astype(np.float64)
+    if samples.size == 0:
+        raise ValueError("empty WAV data chunk")
+    rms = np.array(
+        [
+            float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+            for seg in np.array_split(samples, dim)
+        ]
+    )
+    norm = float(np.linalg.norm(rms)) or 1.0
+    return (rms / norm).tolist()
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, decoder: str = "fake"
 ) -> DataFrame:
@@ -135,28 +208,47 @@ def extract_features(
     form keeps peak memory at one batch regardless of partition size.
 
     ``decoder='fake'`` (default) derives deterministic pseudo
-    width/height from the bytes — the cross-engine-reproducible
-    contract the oracle query checks. ``decoder='image'`` reads REAL
-    dimensions via :func:`decode_image` (Pillow when available, header
-    parse otherwise); undecodable payloads surface as null dims rather
-    than failing the batch. The embedding slot stays the declared
-    md5-derived stand-in in both modes.
+    width/height AND the feature vector from the bytes alone — the
+    cross-engine-reproducible contract the oracle query checks.
+    ``decoder='image'`` reads REAL dimensions via :func:`decode_image`
+    (Pillow when available, header parse otherwise) but keeps the
+    md5-derived feature. ``decoder='content'`` additionally derives
+    the FEATURE from the decoded content where a decoder exists:
+    image rows get a pixel-luminance histogram
+    (:func:`image_pixel_features`, Pillow-gated), audio rows a WAV PCM
+    RMS envelope (:func:`wav_pcm_features`, pure stdlib — always
+    available); rows with no decode path (video, undecodable payloads,
+    images without Pillow) tier down to the md5 stand-in, per row, so
+    one corrupt payload never fails the Arrow batch.
     """
 
     import struct
 
     def dims(c: bytes, f: tuple) -> tuple[int | None, int | None]:
-        if decoder == "image":
+        if decoder in ("image", "content"):
             try:
                 w, h, _ = decode_image(c)
                 return w, h
-            except (ValueError, OSError, struct.error):
-                # struct.error: a payload passing the magic-byte check
-                # but truncated before the size fields — must yield
-                # null dims like any other undecodable payload, not
-                # fail the whole Arrow batch
+            except (ValueError, OSError, struct.error, IndexError):
+                # a payload passing the magic-byte check but truncated
+                # before the size fields — must yield null dims like
+                # any other undecodable payload, not fail the batch
                 return None, None
         return f[0], f[1]
+
+    def feature(c: bytes, kind: str, f: tuple) -> list[float]:
+        if decoder == "content":
+            if kind == "image" and _HAS_PIL:
+                try:
+                    return image_pixel_features(c, dim)
+                except Exception:
+                    pass
+            if kind == "audio":
+                try:
+                    return wav_pcm_features(c, dim)
+                except (ValueError, struct.error):
+                    pass
+        return f[2]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,7 +262,10 @@ def extract_features(
                     "sha1": [hashlib.sha1(c).hexdigest() for c in pdf["content"]],
                     "width": [s[0] for s in sizes],
                     "height": [s[1] for s in sizes],
-                    "feature": [f[2] for f in feats],
+                    "feature": [
+                        feature(c, k, f)
+                        for c, k, f in zip(pdf["content"], pdf["kind"], feats)
+                    ],
                 }
             )
 
@@ -184,8 +279,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     ``meta``; undecodable payloads pass through unchanged with a
     ``resize_error`` marker instead of failing the Arrow batch.
     Without Pillow this falls back to :func:`resize_stub` (metadata
-    only — the container default). Same schema in and out, so the two
-    tiers are drop-in interchangeable pipeline stages."""
+    only — the container default).
+
+    Shared meta contract across both tiers: EVERY row (any kind) gets
+    ``resize_w``/``resize_h`` stamped; only this tier can additionally
+    stamp ``resize_error`` (the stub never decodes, so it never
+    fails). Same schema in and out — drop-in interchangeable pipeline
+    stages."""
     if not _HAS_PIL:
         return resize_stub(media, width, height)
 
@@ -199,6 +299,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             ):
                 meta = dict(meta or {})
                 if kind != "image":
+                    # stamp the target size on non-image rows too so
+                    # this tier is meta-for-meta interchangeable with
+                    # resize_stub (which stamps every row)
+                    meta.update(
+                        {"resize_w": str(width), "resize_h": str(height)}
+                    )
                     out_content.append(content)
                     out_meta.append(meta)
                     continue
@@ -313,7 +419,15 @@ def parse_mp4_duration(content: bytes) -> float:
         for tag2, c0, c1 in walk(content, b0, b1):
             if tag2 != b"mvhd":
                 continue
+            if c0 >= c1:
+                raise ValueError("truncated mvhd box")
             version = content[c0]
+            # bounds-check BEFORE unpacking: a box declaring a large
+            # size but cut short mid-payload must degrade as the same
+            # ValueError tier as any other malformed container, not
+            # leak struct.error/IndexError to callers
+            if c0 + (32 if version == 1 else 20) > c1:
+                raise ValueError("truncated mvhd box")
             if version == 1:
                 (timescale,) = struct.unpack(">I", content[c0 + 20 : c0 + 24])
                 (duration,) = struct.unpack(">Q", content[c0 + 24 : c0 + 32])
@@ -349,6 +463,8 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     header walk, not a full decode."""
     import math
 
+    import struct as _struct
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, offs, durs = [], [], [], []
@@ -360,7 +476,11 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                 try:
                     dur = parse_mp4_duration(bytes(content))
                     n = max(1, math.ceil(dur / every_s))
-                except ValueError:
+                except (ValueError, _struct.error, IndexError):
+                    # belt-and-braces with the parser's own bounds
+                    # checks: ANY malformed payload degrades to the
+                    # documented null-duration row, never fails the
+                    # whole Arrow batch
                     dur, n = None, 1
                 for i in range(n):
                     ids.append(mid)

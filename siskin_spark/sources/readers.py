@@ -25,9 +25,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     via :mod:`siskin_spark.memo`: building a parquet scan reads the
     file footer for the schema (a driver-side JVM job), and repeated
     pipeline runs were paying ~0.1 s per table per run just re-deriving
-    the same schema. Scan DataFrames are session-bound, so the session
-    identity is folded into the key on top of the epoch."""
-    from siskin_spark.memo import memo
+    the same schema. Scan DataFrames are session-bound, so a stable
+    session token (NOT ``id(spark)`` — address reuse) is folded into
+    the key, plus the path's mtime so a rewritten parquet dir within
+    one application is re-scanned instead of serving stale part
+    files."""
+    from siskin_spark.memo import memo, session_token
 
     def build() -> DataFrame:
         if name in _NANO_TS_COLS:
@@ -40,9 +43,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
         return df
 
-    return memo(
-        ("scan", id(spark), os.path.join(sf_dir, f"{name}.parquet")), build
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:  # remote/nonexistent path: let the scan itself report
+        mtime = None
+    return memo(("scan", session_token(spark), path, mtime), build)
 
 
 # F6 input magic check (reference workflows/ai.py:144-158: validate

@@ -441,3 +441,226 @@ def test_frame_sample_real_duration(spark):
     assert all(r["duration_s"] == 2.5 for r in by_id[1])
     assert len(by_id[2]) == 1 and by_id[2][0]["duration_s"] is None
     assert 3 not in by_id
+
+
+def _make_wav(samples, channels=1, rate=8000):
+    """Minimal 16-bit PCM WAV container around the given sample list."""
+    import struct
+
+    bits = 16
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_pcm_features_content_derived():
+    """The audio feature is derived from the ACTUAL PCM samples (pure
+    stdlib + numpy, unconditional): a half-silent half-loud signal
+    yields a rising RMS envelope, unit-normalized."""
+    import pytest as _pytest
+
+    from siskin_spark.operators.multimodal import wav_pcm_features
+
+    # 800 samples: first half silence, second half full-scale square
+    samples = [0] * 400 + [20000, -20000] * 200
+    feat = wav_pcm_features(_make_wav(samples), dim=8)
+    assert len(feat) == 8
+    # first four segments silent, last four loud and equal
+    assert all(abs(x) < 1e-12 for x in feat[:4])
+    assert all(x > 0.4 for x in feat[4:])
+    assert abs(sum(x * x for x in feat) - 1.0) < 1e-9  # unit L2
+    # deterministic
+    assert feat == wav_pcm_features(_make_wav(samples), dim=8)
+    with _pytest.raises(ValueError):
+        wav_pcm_features(b"not a wav at all")
+    with _pytest.raises(ValueError):  # 8-bit PCM: unsupported encoding
+        import struct
+
+        fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        wav8 = (
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt8
+            + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+        )
+        wav_pcm_features(wav8)
+
+
+def test_image_pixel_features_pillow():
+    """Pillow-gated: the image feature is a luminance histogram over
+    the DECODED pixels — a half-black half-white image puts exactly
+    half the mass in the darkest bin and half in the brightest."""
+    import pytest as _pytest
+
+    from siskin_spark.operators.multimodal import (
+        _HAS_PIL,
+        image_pixel_features,
+    )
+
+    if not _HAS_PIL:
+        _pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (16, 16), 0)
+    for y in range(16):
+        for x in range(8, 16):
+            im.putpixel((x, y), 255)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    feat = image_pixel_features(buf.getvalue(), dim=8)
+    assert feat[0] == 0.5 and feat[7] == 0.5
+    assert all(x == 0.0 for x in feat[1:7])
+
+
+def test_extract_features_content_tier(spark):
+    """decoder='content': audio rows get the PCM RMS envelope (always —
+    pure stdlib), image/video rows tier down to the md5 stand-in when
+    no decoder exists, and a corrupt payload never fails the batch."""
+    from siskin_spark.operators.multimodal import (
+        _HAS_PIL,
+        MEDIA_SCHEMA,
+        extract_features,
+        fake_decode_features,
+        wav_pcm_features,
+    )
+
+    wav = _make_wav([0] * 400 + [20000, -20000] * 200)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav, "audio/wav", None),
+            (2, "audio", b"RIFFcorrupt", "audio/wav", None),  # corrupt
+            (3, "video", b"\x00\x00ftypfake", "video/mp4", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decoder="content").collect()}
+
+    def close(got, want):  # feature column is float32: ~1e-7 relative
+        return len(got) == len(want) and all(
+            abs(g - w) < 1e-5 for g, w in zip(got, want)
+        )
+
+    assert close(rows[1]["feature"], wav_pcm_features(wav, dim=8))
+    # corrupt audio + video: md5 fallback tier, batch did not fail
+    assert close(rows[2]["feature"], fake_decode_features(b"RIFFcorrupt", 8)[2])
+    assert close(
+        rows[3]["feature"], fake_decode_features(b"\x00\x00ftypfake", 8)[2]
+    )
+
+
+def test_extract_features_content_tier_image_pillow(spark):
+    """Pillow-gated: with decoder='content' an image row's feature is
+    the pixel histogram, not the md5 stand-in, and width/height are
+    the real decoded dimensions."""
+    import pytest as _pytest
+
+    from siskin_spark.operators.multimodal import (
+        _HAS_PIL,
+        MEDIA_SCHEMA,
+        extract_features,
+        image_pixel_features,
+    )
+
+    if not _HAS_PIL:
+        _pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (10, 4), 255).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", png, "image/png", None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoder="content").first()
+    assert (row["width"], row["height"]) == (10, 4)
+    assert [round(v, 6) for v in row["feature"]] == [
+        round(v, 6) for v in image_pixel_features(png, dim=8)
+    ]
+
+
+def test_frame_sample_truncated_mvhd_degrades(spark):
+    """A video whose mvhd box declares a full size but is cut short
+    mid-payload must degrade to the documented null-duration row —
+    previously this leaked struct.error/IndexError and failed the
+    whole Arrow batch."""
+    import struct
+
+    from siskin_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample,
+        parse_mp4_duration,
+    )
+
+    import pytest as _pytest
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    # mvhd declares the standard 100-byte v0 payload but carries 10
+    truncated = box(b"moov", box(b"mvhd", b"\x00" * 10))
+    empty = box(b"moov", struct.pack(">I", 8) + b"mvhd")
+    for payload in (truncated, empty):
+        with _pytest.raises(ValueError):
+            parse_mp4_duration(payload)
+    media = spark.createDataFrame(
+        [
+            (1, "video", truncated, "video/mp4", None),
+            (2, "video", empty, "video/mp4", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media).collect()
+    assert len(rows) == 2 and all(r["duration_s"] is None for r in rows)
+
+
+def test_resize_meta_contract_all_kinds(spark):
+    """Both resize tiers stamp resize_w/resize_h on EVERY row (audio
+    and video included), so downstream consumers keying on meta
+    presence behave identically whether or not Pillow is installed."""
+    from siskin_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        resize_stub,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"\x89PNGnope", "image/png", None),
+            (2, "audio", b"RIFFnope", "audio/wav", None),
+            (3, "video", b"\x00\x00ftyp", "video/mp4", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    for tier in (resize_images, resize_stub):
+        rows = tier(media, 64, 64).collect()
+        assert all(r["meta"].get("resize_w") == "64" for r in rows), tier.__name__
+        assert all(r["meta"].get("resize_h") == "64" for r in rows), tier.__name__
+
+
+def test_memo_none_and_session_token(spark):
+    """memo() caches a legitimately-None build result (sentinel miss
+    test) and session_token is stable per session object — not an
+    id() address that a GC'd session could recycle."""
+    from siskin_spark.memo import memo, session_token
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return None
+
+    key = ("test-none-memo", id(build))
+    assert memo(key, build) is None
+    assert memo(key, build) is None
+    assert len(calls) == 1  # second call served from cache despite None
+    tok1 = session_token(spark)
+    assert tok1 == session_token(spark)
+    assert isinstance(tok1, str) and len(tok1) >= 8
