@@ -55,22 +55,62 @@ def token_count(text: Column | str) -> Column:
 
 
 def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
-    """BPE-ish token count: number of regex token matches."""
+    """BPE-ish token count: number of regex token matches.
+    regexp_count instead of size(regexp_extract_all) — same value,
+    but never materializes the match array (it only advances the
+    matcher), which matters on book-length documents."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+    return F.regexp_count(c, F.lit(pattern))
 
 
 def stopword_count_expr(toks: Column, lang: str) -> Column:
-    """Count of tokens in the language's stopword list (not deduped —
-    ratio semantics need raw counts).
-
-    Stays a higher-order filter over the staged token array: a
-    regexp_extract_all over a rejoined string measured FASTER for one
-    language but 2x slower across all 12, because each language's
-    expression re-materializes array_join(toks) per row (Catalyst does
-    not CSE the interpreted join across sibling expressions)."""
+    """Count of tokens in ONE language's stopword list (not deduped —
+    ratio semantics need raw counts). A single higher-order filter is
+    the right shape for one language; for all 12 at once use
+    :func:`stopword_counts`, which does one pass instead of 12."""
     words = STOPWORDS[lang]
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _membership_map(langs: tuple[str, ...]) -> Column:
+    """Literal map word -> array<lang index> over the given profiles
+    (a word may belong to several profiles). All children are literals,
+    so Catalyst constant-folds this to a single Literal map."""
+    pairs: dict[str, list[int]] = {}
+    for i, lg in enumerate(langs):
+        for w in STOPWORDS[lg]:
+            pairs.setdefault(w, []).append(i)
+    entries: list[Column] = []
+    for w, idxs in pairs.items():
+        entries.append(F.lit(w))
+        entries.append(F.array(*[F.lit(i) for i in idxs]))
+    return F.create_map(*entries)
+
+
+def stopword_counts(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
+    """Per-language stopword counts as ONE array<int> column, in a
+    SINGLE pass over the token array (the interpreted-HOF cost center
+    at 100 TB — replaces 12 independent filters, one per profile).
+
+    Shape: map each token to its profile-index list via one literal-map
+    lookup (null for the non-stopword majority), drop the nulls, then
+    fold the small hit list into a counts array — the per-hit transform
+    touches only the 12-slot accumulator, never the corpus tokens.
+    Every subexpression appears exactly once in the tree, so the
+    interpreted evaluator runs exactly one pass over ``toks``."""
+    if langs is None:
+        langs = tuple(STOPWORDS)
+    m = _membership_map(langs)
+    hits = F.filter(
+        F.transform(toks, lambda t: F.element_at(m, t)),
+        lambda x: x.isNotNull(),
+    )
+    zero = F.array_repeat(F.lit(0), len(langs))
+    return F.aggregate(
+        hits,
+        zero,
+        lambda acc, h: F.transform(acc, lambda c, i: c + F.array_contains(h, i).cast("int")),
+    )
 
 
 def lang_id(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
@@ -84,32 +124,35 @@ def lang_id(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
     return lang_from_scores(lang_scores(toks, langs), langs)
 
 
-def lang_scores(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
+def scores_from_counts(counts: Column, langs: tuple[str, ...] | None = None) -> Column:
     """Argmax struct (c = best stopword count, ni = -index of the
-    winning language) via array_max over (count, -index) structs: each
-    language's stopword filter — an INTERPRETED higher-order function,
-    the per-row cost center — evaluates exactly once, where a
-    greatest()+when-chain re-evaluates every count a second time.
-    Struct comparison is lexicographic, so ties go to the highest
-    -index = the first-listed language, same as a when-chain.
+    winning language) from a :func:`stopword_counts` array. Struct
+    comparison is lexicographic, so ties go to the highest -index =
+    the first-listed language, same as a when-chain.
+
+    When deriving BOTH a language id and per-language ratios, stage the
+    counts array as its own projected column and feed it here — the
+    corpus-sized token pass then happens once, and everything downstream
+    reads the 12-slot array."""
+    if langs is None:
+        langs = tuple(STOPWORDS)
+    idx = F.sequence(F.lit(0), F.lit(len(langs) - 1))
+    return F.array_max(
+        F.zip_with(counts, idx, lambda c, i: F.struct(c.alias("c"), (-i).alias("ni")))
+    )
+
+
+def lang_scores(toks: Column, langs: tuple[str, ...] | None = None) -> Column:
+    """Argmax struct over :func:`stopword_counts` — one interpreted
+    pass over the token array (see stopword_counts for the shape).
 
     Stage this as its OWN projected column and pass the attribute to
     :func:`lang_from_scores`: referencing the struct twice inline
-    embeds two copies of the whole filter subtree in the plan
-    (Catalyst trees share nothing), doubling per-row cost."""
+    embeds two copies of the whole subtree in the plan (Catalyst trees
+    share nothing), doubling per-row cost."""
     if langs is None:
         langs = tuple(STOPWORDS)
-    return F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    stopword_count_expr(toks, lg).alias("c"),
-                    F.lit(-i).alias("ni"),
-                )
-                for i, lg in enumerate(langs)
-            ]
-        )
-    )
+    return scores_from_counts(stopword_counts(toks, langs), langs)
 
 
 def lang_from_scores(best: Column, langs: tuple[str, ...] | None = None) -> Column:
@@ -122,21 +165,29 @@ def lang_from_scores(best: Column, langs: tuple[str, ...] | None = None) -> Colu
 
 
 def quality_features(
-    text: Column | str, toks: Column | None = None
+    text: Column | str,
+    toks: Column | None = None,
+    en_stopword_count: Column | None = None,
 ) -> dict[str, Column]:
     """Gopher/C4-style quality signals as a dict of named columns:
     lengths, mean word length, stopword ratio, symbol ratio.
     Ratios are single IEEE divisions of exact integer counts, so they
     reproduce bit-identically in any engine. Pass a pre-materialized
     ``toks`` column to share one tokenization across several feature
-    bundles (split() is cheap, but sharing also lets callers stage the
-    array once for the interpreted stopword filters downstream)."""
+    bundles, and ``en_stopword_count`` (e.g.
+    ``stopword_counts(toks)[0]`` from a staged counts column) to share
+    the stopword pass with language id instead of re-filtering."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(c)
-    n_stop = stopword_count_expr(toks, "en")
-    n_sym = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9 ]", ""))
+    n_stop = (
+        stopword_count_expr(toks, "en") if en_stopword_count is None else en_stopword_count
+    )
+    # count matches directly: each [^A-Za-z0-9 ] match is one symbol
+    # char, so regexp_count equals the old length-difference formula
+    # without building the stripped copy of the document
+    n_sym = F.regexp_count(c, F.lit(r"[^A-Za-z0-9 ]"))
     mean_wl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
     return {
         "n_chars": n_chars,
@@ -147,12 +198,28 @@ def quality_features(
     }
 
 
-def quality_keep(text: Column | str, min_tokens: int = 10, max_mean_wl: float = 12.0) -> Column:
+def quality_keep(
+    text: Column | str | None = None,
+    min_tokens: int = 10,
+    max_mean_wl: float = 12.0,
+    min_stopword_ratio: float = 0.05,
+    features: dict[str, Column] | None = None,
+) -> Column:
     """Boolean keep decision from the quality features (Gopher-rule
-    shape: length window + mean-word-length sanity + stopword floor)."""
-    ft = quality_features(text)
+    shape: length window + mean-word-length sanity + a REAL stopword
+    floor — a document whose en-stopword ratio is below
+    ``min_stopword_ratio`` is dropped as likely non-prose/boilerplate;
+    Gopher uses a comparable stop-word requirement, Rae et al. 2021).
+
+    Pass ``features`` (a :func:`quality_features` dict built on staged
+    columns) to reuse already-computed signals; otherwise ``text`` is
+    required and the features are computed inline."""
+    if features is None:
+        if text is None:
+            raise ValueError("quality_keep needs either text or features")
+        features = quality_features(text)
     return (
-        (ft["n_tokens"] >= min_tokens)
-        & (ft["mean_word_len"] <= max_mean_wl)
-        & (ft["stopword_ratio"] >= 0.0)
+        (features["n_tokens"] >= min_tokens)
+        & (features["mean_word_len"] <= max_mean_wl)
+        & (features["stopword_ratio"] >= min_stopword_ratio)
     )

@@ -1,0 +1,130 @@
+"""Text-analysis column functions (functions/text.py): the single-pass
+stopword_counts array vs the per-language filters, quality_keep's
+stopword floor, and lang-id tie-break/und semantics.
+
+No siskin counterpart (SURVEY.md §7.5 extension surface); semantics are
+pinned so the DuckDB oracle for text_quality cannot drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from siskin_spark.functions import text as X
+
+DOCS = [
+    ("d1", "the cat sat on the mat and the dog is in a box"),
+    ("d2", "der hund ist ein tier und die katze"),
+    ("d3", "le chat est un animal et la porte les une"),
+    ("d4", "xyzzy qwerty plugh corge grault"),
+    ("d5", ""),
+    ("d6", "und und und der die das"),
+    ("d7", "a  b   c the  of"),  # multi-space -> empty tokens
+]
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"]).select(
+        "doc_id", "text", X.tokens("text").alias("toks")
+    )
+    return df
+
+
+def test_stopword_counts_matches_per_language_filters(spark, scored):
+    """The single aggregate pass must agree with 12 independent
+    stopword_count_expr filters on every row and every profile."""
+    langs = tuple(X.STOPWORDS)
+    got = scored.select(
+        "doc_id",
+        X.stopword_counts(F.col("toks")).alias("counts"),
+        *[X.stopword_count_expr(F.col("toks"), lg).alias(f"n_{lg}") for lg in langs],
+    ).collect()
+    assert len(got) == len(DOCS)
+    for r in got:
+        for i, lg in enumerate(langs):
+            assert r["counts"][i] == r[f"n_{lg}"], (r["doc_id"], lg)
+
+
+def test_stopword_counts_multi_profile_word(spark, monkeypatch):
+    """A word belonging to SEVERAL profiles increments every owning
+    slot (the membership map stores an index list per word)."""
+    fake = {"aa": ("shared", "only_a"), "bb": ("shared", "only_b")}
+    monkeypatch.setattr(X, "STOPWORDS", fake)
+    df = spark.createDataFrame([("x", ["shared", "only_b", "shared"])], ["id", "toks"])
+    row = df.select(X.stopword_counts(F.col("toks")).alias("c")).first()
+    # 'shared' x2 counts in both profiles; 'only_b' once in bb
+    assert row["c"] == [2, 3]
+
+
+def test_lang_scores_argmax_and_und(spark, scored):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in scored.select(
+            "doc_id", X.lang_from_scores(X.lang_scores(F.col("toks"))).alias("lang")
+        ).collect()
+    }
+    assert out["d1"] == "en"
+    assert out["d2"] == "de"
+    assert out["d3"] == "fr"
+    assert out["d4"] == "und"  # zero stopword hits
+    assert out["d5"] == "und"  # empty text
+
+
+def test_lang_id_tie_break_first_listed(spark):
+    """'und der die' hits de 3x; a tie between two profiles goes to the
+    first-listed language in STOPWORDS order (en before de here)."""
+    df = spark.createDataFrame(
+        [("t", ["the", "a", "der", "die"])], ["id", "toks"]
+    )  # en 2, de 2 -> tie -> en (listed first)
+    row = df.select(X.lang_id(F.col("toks")).alias("lang")).first()
+    assert row["lang"] == "en"
+
+
+def test_quality_keep_stopword_floor(spark):
+    """The floor is REAL: a long, well-shaped doc with zero stopwords
+    is dropped; the same doc with stopwords is kept; threshold is
+    parameterized."""
+    prose = "the cat sat on a mat and the dog is in to of a box now"
+    gibberish = "qq ww ee rr tt yy uu ii oo pp zz xx cc vv bb"
+    df = spark.createDataFrame([("p", prose), ("g", gibberish)], ["id", "text"])
+    out = {
+        r["id"]: r["keep"]
+        for r in df.select("id", X.quality_keep("text").alias("keep")).collect()
+    }
+    assert out["p"] is True
+    assert out["g"] is False  # fails ONLY the stopword floor
+    # floor at 0.0 admits the gibberish again (and is the pre-fix behavior)
+    out0 = {
+        r["id"]: r["keep"]
+        for r in df.select(
+            "id", X.quality_keep("text", min_stopword_ratio=0.0).alias("keep")
+        ).collect()
+    }
+    assert out0["g"] is True
+
+
+def test_quality_keep_features_reuse_and_arg_contract(spark):
+    df = spark.createDataFrame([("p", "the cat is on the mat here now ok yes")], ["id", "text"])
+    staged = df.select("id", "text", X.tokens("text").alias("toks"))
+    ft = X.quality_features(F.col("text"), toks=F.col("toks"))
+    row = staged.select(X.quality_keep(features=ft).alias("keep")).first()
+    assert row["keep"] is True
+    with pytest.raises(ValueError):
+        X.quality_keep()  # neither text nor features
+
+
+def test_quality_features_shared_en_count(spark):
+    """en_stopword_count passthrough yields the same stopword_ratio as
+    the inline filter."""
+    df = spark.createDataFrame([("p", "the cat is on the mat")], ["id", "text"])
+    staged = df.select(
+        "id", "text", X.tokens("text").alias("toks")
+    ).withColumn("counts", X.stopword_counts(F.col("toks")))
+    inline = X.quality_features(F.col("text"), toks=F.col("toks"))["stopword_ratio"]
+    shared = X.quality_features(
+        F.col("text"), toks=F.col("toks"), en_stopword_count=F.col("counts")[0]
+    )["stopword_ratio"]
+    row = staged.select(inline.alias("a"), shared.alias("b")).first()
+    assert row["a"] == row["b"]
