@@ -70,12 +70,18 @@ def session_token(spark: Any) -> str:
     return tok
 
 
-def memo(key: tuple, build: Callable[[], Any]) -> Any:
+def memo(key: tuple, build: Callable[[], Any], evict_prefix: tuple | None = None) -> Any:
     """Return ``build()`` memoized under ``key`` for the current gateway
     epoch. ``key`` must fold in every name/parameter the built object
     depends on. Thread-safe; ``build()`` runs outside the lock (it may
     perform Py4J round-trips), so two racing callers may both build —
-    last insert wins, which is harmless for immutable plan objects."""
+    last insert wins, which is harmless for immutable plan objects.
+
+    ``evict_prefix``: when inserting, additionally drop same-epoch
+    entries whose key starts with this prefix (and differs from the
+    full key) — for keys carrying a freshness component (e.g. a path
+    mtime), where a new version supersedes every older one instead of
+    accumulating beside them for the epoch's lifetime."""
     epoch = gateway_epoch()
     k = (epoch,) + key
     with _LOCK:
@@ -84,6 +90,13 @@ def memo(key: tuple, build: Callable[[], Any]) -> Any:
         v = build()
         with _LOCK:
             stale = [c for c in _CACHE if c[0] != epoch]
+            if evict_prefix is not None:
+                pre = (epoch,) + evict_prefix
+                stale += [
+                    c
+                    for c in _CACHE
+                    if c != k and c[0] == epoch and c[: len(pre)] == pre
+                ]
             for c in stale:
                 del _CACHE[c]
             _CACHE[k] = v

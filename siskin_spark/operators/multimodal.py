@@ -224,6 +224,11 @@ def extract_features(
 
     import struct
 
+    # caller misconfiguration must fail HERE, at plan-build time, not
+    # be silently tiered down to the md5 stand-in inside the executor
+    if decoder == "content" and 256 % dim:
+        raise ValueError("dim must divide 256 for even luminance bins")
+
     def dims(c: bytes, f: tuple) -> tuple[int | None, int | None]:
         if decoder in ("image", "content"):
             try:
@@ -241,7 +246,10 @@ def extract_features(
             if kind == "image" and _HAS_PIL:
                 try:
                     return image_pixel_features(c, dim)
-                except Exception:
+                except (OSError, ValueError):
+                    # per-row DECODE failure only (Pillow raises
+                    # OSError/ValueError on bad payloads); config
+                    # errors were rejected at plan-build time above
                     pass
             if kind == "audio":
                 try:
@@ -308,14 +316,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     out_content.append(content)
                     out_meta.append(meta)
                     continue
+                # stamp BEFORE decoding: the contract is that EVERY
+                # row carries resize_w/resize_h, including rows whose
+                # decode fails below (those additionally get
+                # resize_error and keep their original bytes)
+                meta.update({"resize_w": str(width), "resize_h": str(height)})
                 try:
                     with _PILImage.open(io.BytesIO(content)) as im:
                         resized = im.resize((width, height))
                         buf = io.BytesIO()
                         resized.save(buf, format="PNG")
-                    meta.update(
-                        {"resize_w": str(width), "resize_h": str(height)}
-                    )
                     out_content.append(buf.getvalue())
                 except Exception as exc:  # undecodable: pass through
                     meta["resize_error"] = type(exc).__name__

@@ -29,7 +29,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session token (NOT ``id(spark)`` — address reuse) is folded into
     the key, plus the path's mtime so a rewritten parquet dir within
     one application is re-scanned instead of serving stale part
-    files."""
+    files.
+
+    Invalidation granularity: the mtime is the DIRECTORY's (or single
+    file's) — a dir mtime changes on entry add/remove/rename, so an
+    in-place rewrite of an existing part file (same name, e.g. via
+    os.rename over it — the atomic-writer pattern DOES change the dir
+    mtime; a raw open('r+b') patch does not) is not detected. That is
+    the accepted trade-off for a stat-only check; callers mutating
+    part files in place must bust the cache themselves. A new mtime
+    SUPERSEDES older entries for the same (session, path) — they are
+    evicted on insert rather than accumulating for the epoch's
+    lifetime."""
     from siskin_spark.memo import memo, session_token
 
     def build() -> DataFrame:
@@ -48,7 +59,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:  # remote/nonexistent path: let the scan itself report
         mtime = None
-    return memo(("scan", session_token(spark), path, mtime), build)
+    tok = session_token(spark)
+    return memo(
+        ("scan", tok, path, mtime),
+        build,
+        evict_prefix=("scan", tok, path),
+    )
 
 
 # F6 input magic check (reference workflows/ai.py:144-158: validate
