@@ -130,9 +130,17 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
             out = F.concat(out, F.lit(arg["suffix"]))
         return out
     if kind == "split":
-        return F.transform(
-            F.split(_src(arg), arg.get("sep", ",")), lambda s: F.trim(s)
-        )
+        # trim=false mirrors a morph <split> WITHOUT the <trim/>
+        # post-processor (the pqdt morph ships its trim commented out,
+        # assets/34/morph.xml x.subjects rule)
+        parts = F.split(_src(arg), arg.get("sep", ","))
+        if arg.get("trim", True):
+            return F.transform(parts, lambda s: F.trim(s))
+        return parts
+    if kind == "lower":
+        # Metamorph <case to="lower"/> (assets/34/morph.xml language
+        # choose chain lowercases before the sprachliste lookup)
+        return F.lower(_src(arg))
     if kind == "first":
         # de_listify (conversions.py:338-360): first element; null or
         # empty-string resolves to the default when one is given.

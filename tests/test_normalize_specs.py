@@ -822,3 +822,132 @@ def test_datacite_morph_spec_golden(spark):
     assert a["subjects"] == ["ecology", "data"]
     assert a["rft_genre"] == "article"
     assert a["finc_format"] == "ElectronicArticle"
+
+
+# -- pqdt -------------------------------------------------------------
+
+
+def _pqdt_raw(spark):
+    spec = load_spec("pqdt")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        # full record: article type, valid date, jtitle/volume regexes,
+        # doi + http-url split out of dc:identifier, upper-case lang
+        (
+            "oai:pqdtoai.proquest.com:10287/1234", "Dissertation A",
+            ["Abstract one", "more"], ["Doe, Jane"], "EN",
+            ["doi:10.1000/xyz", "http://pqdtopen.proquest.com/pubnum/1234.html"],
+            ["1111-222X", "Some Journal; Vol 7 (2014); 12"],
+            ["ProQuest"], "subj one|subj two ", "info:eu-repo/semantics/article",
+            "2014-05-02",
+        ),
+        # unmapped type -> flux default format; bare-year date dropped
+        # by the dateformat shape guard; inline 'sp' language fallback
+        (
+            "oai:pqdtoai.proquest.com:10287/77", "Dissertation B",
+            None, None, "SP", [], [], [], None, "Dissertation/Thesis", "2014",
+        ),
+        # language neither in sprachliste nor the inline map: verbatim
+        (
+            "oai:pqdtoai.proquest.com:10287/78", "Dissertation C",
+            None, None, "Klingon", [], [], [], None, None, None,
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pqdt_spec_golden(spark):
+    import base64
+
+    out = normalize_source(_pqdt_raw(spark), "pqdt")
+    got = _row(out)
+
+    def fid(oid):
+        b64 = base64.urlsafe_b64encode(oid.encode()).decode().rstrip("=")
+        return f"ai-34-{b64}"
+
+    a = got[fid("oai:pqdtoai.proquest.com:10287/1234")]
+    assert a["finc_source_id"] == "34"
+    assert a["finc_record_id"] == "oai:pqdtoai.proquest.com:10287/1234"
+    assert a["finc_format"] == "ElectronicArticle"  # formatliste hit
+    assert a["finc_mega_collection"] == [
+        "ProQuest Open Access Dissertations and Theses (PQDT Open)"
+    ]
+    assert a["abstract"] == "Abstract one more"
+    assert [au["rft_au"] for au in a["authors"]] == ["Doe, Jane"]
+    assert a["languages"] == ["eng"]  # <case to=lower> + sprachliste
+    assert a["url"] == ["http://pqdtopen.proquest.com/pubnum/1234.html"]
+    assert a["doi"] == "10.1000/xyz"
+    assert a["rft_issn"] == ["1111-222X"]
+    assert a["rft_jtitle"] == "Some Journal"
+    assert a["rft_volume"] == "Vol 7"
+    assert a["rft_pub"] == ["ProQuest"]
+    # morph ships the subject <trim/> commented out: trailing space kept
+    assert a["subjects"] == ["subj one", "subj two "]
+    assert a["rft_genre"] == "article"
+    assert a["rft_date"] == "2014-05-02"
+    assert a["x_date"] == datetime.datetime(2014, 5, 2)
+
+    b = got[fid("oai:pqdtoai.proquest.com:10287/77")]
+    assert b["finc_format"] == "ElectronicThesis"  # flux $[format] default
+    assert b["languages"] == ["spa"]  # inline sp/pr/ke/ge/fe fallback
+    assert b["rft_date"] is None and b["x_date"] is None  # bare year
+    assert b["rft_genre"] is None
+
+    c = got[fid("oai:pqdtoai.proquest.com:10287/78")]
+    assert c["languages"] == ["Klingon"]  # choose falls to source value
+
+
+# -- ijoc -------------------------------------------------------------
+
+
+def _ijoc_raw(spark):
+    spec = load_spec("ijoc")
+    schema = ", ".join(f"{c} {t}" for c, t in spec["raw_columns"].items())
+    rows = [
+        (
+            "oai:ojs.ijoc.org/article/1523", "Net Neutrality Article",
+            ["An abstract"], ["Roe, Richard"], "English",
+            ["http://ijoc.org/index.php/ijoc/article/view/1523"],
+            ["International Journal of Communication; Vol 5 (2011); 29",
+             "1932-8036"],
+            ["USC Annenberg Press"], "a, b , c",
+            "info:eu-repo/semantics/article", "2011-03-01",
+        ),
+        # unmapped type falls back to the raw value; bare-year date:
+        # rft_date keeps it verbatim (no dateformat in this morph) but
+        # the typed x_date nulls it; unmapped language passes through
+        (
+            "oai:ojs.ijoc.org/article/88", "Another", None, None, "Volapuk",
+            [], [], [], None, "Article", "2011",
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ijoc_spec_golden(spark):
+    out = normalize_source(_ijoc_raw(spark), "ijoc")
+    got = _row(out)
+
+    a = got["finc-87-1523"]  # PLAIN numeric tail, finc- prefix — no b64
+    assert a["finc_source_id"] == "87"
+    assert a["finc_record_id"] == "1523"
+    assert a["finc_format"] == "ElectronicArticle"
+    assert a["finc_mega_collection"] == ["sid-87-col-intjcomm"]
+    assert a["languages"] == ["eng"]  # sprachliste 'English' row, no lower
+    assert a["url"] == ["http://ijoc.org/index.php/ijoc/article/view/1523"]
+    assert a["rft_issn"] == ["1932-8036"]
+    assert a["rft_jtitle"] == "International Journal of Communication"
+    assert a["rft_volume"] == "Vol 5"
+    assert a["rft_pub"] == ["USC Annenberg Press"]
+    assert a["subjects"] == ["a", "b", "c"]  # split ',' WITH trim
+    assert a["rft_genre"] == "article"
+    assert a["rft_date"] == "2011-03-01"
+    assert a["x_date"] == datetime.datetime(2011, 3, 1)
+    assert "doi" not in a or a["doi"] is None  # no doi rule in this morph
+
+    b = got["finc-87-88"]
+    assert b["finc_format"] == "Article"  # fallback to raw type value
+    assert b["languages"] == ["Volapuk"]
+    assert b["rft_date"] == "2011"  # verbatim — no dateformat guard
+    assert b["x_date"] is None  # '2011T00:00:00Z' does not cast
