@@ -6,6 +6,11 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   cat  PATH [-n N]          show rows of a parquet/ndjson artifact
   head PATH [-n N]          first N rows, vertical layout (reference
                             `siskin head`, cli.py:639-654)
+  less PATH                 page the artifact through $PAGER/less
+                            (reference `siskin less`, cli.py:656-665);
+                            rows stream to the pager in bounded
+                            batches via toLocalIterator — never a
+                            full-collect of the artifact
   wc   PATH                 row count
   schema PATH               printSchema + dtypes
   explain QUERY [SF_DIR]    formatted physical plan of a registered query
@@ -50,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     p_head = sub.add_parser("head")
     p_head.add_argument("path")
     p_head.add_argument("-n", type=int, default=10)
+    p_less = sub.add_parser("less")
+    p_less.add_argument("path")
+    p_less.add_argument(
+        "--pager", default=None,
+        help="pager command (default: $PAGER, then 'less')",
+    )
     p_dot = sub.add_parser("deps-dot")
     p_dot.add_argument("target", help="module:attr naming a Pipeline instance")
     p_deps = sub.add_parser("deps")
@@ -141,6 +152,30 @@ def main(argv: list[str] | None = None) -> int:
         _read(spark, args.path).show(args.n, truncate=False)
     elif args.cmd == "head":
         _read(spark, args.path).show(args.n, truncate=False, vertical=True)
+    elif args.cmd == "less":
+        # reference `siskin less` (cli.py:656-665) pipes `siskin cat`
+        # into less; here rows stream driver-side in bounded Arrow
+        # batches (toLocalIterator), so paging a 100 TB artifact holds
+        # one partition of rows at a time, never the artifact
+        import json
+        import subprocess
+
+        pager = args.pager or os.environ.get("PAGER") or "less"
+        df = _read(spark, args.path)
+        proc = subprocess.Popen(pager, shell=True, stdin=subprocess.PIPE)
+        try:
+            assert proc.stdin is not None
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                line = json.dumps(row.asDict(recursive=True), default=str)
+                proc.stdin.write(line.encode() + b"\n")
+        except BrokenPipeError:
+            pass  # user quit the pager mid-stream: normal exit
+        finally:
+            try:
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
+            proc.wait()
     elif args.cmd == "wc":
         print(_read(spark, args.path).count())
     elif args.cmd == "schema":

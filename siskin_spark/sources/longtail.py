@@ -85,13 +85,78 @@ def kalliope_append_collection(
     ``null + ["x"] == ["x"]``.
 
     core (sources/core.py:76-110) and ia (sources/ia.py:24-44) have NO
-    transform half — they are pure downloads (S2, sources/harvest.py)
-    with no per-record logic to port.
+    transform half — they are pure downloads; their naming/path policy
+    is ported below (core_pickup / ia_pickup).
     """
     appended = F.when(
         F.col(col).isNull(), F.array(F.lit(tcid))
     ).otherwise(F.concat(F.col(col), F.array(F.lit(tcid))))
     return records.withColumn(col, appended)
+
+
+# -- core / ia pickups -------------------------------------------------
+#
+# Both reference sources are pure downloads with NO per-record
+# transform; what they DO own is path/url construction policy, which
+# these wrappers reproduce so the S2 source list is closed. IO is
+# injected (same discipline as harvest.py) — the fetch callable does
+# the network/rclone work, the wrapper owns the naming.
+
+CORE_CLOSEST = "2018-03-01"
+
+
+def core_dataset_url(kind: str = "metadata", date: str = CORE_CLOSEST) -> str:
+    """CoreDownload / CoreDownloadFulltext (reference
+    sources/core.py:76-109): the dated dataset tarball URL —
+    ``core_<date>_metadata.tar`` or ``core_<date>_fulltext.tar``.
+    The reference pins ``closest()`` to 2018-03-01 (core.py:72-73,
+    irregular updates), kept as the default; filenaming is known
+    inconsistent upstream (tar vs tar.gz), which is why the magic
+    check (readers.validate_magic) guards the pickup, not the
+    extension."""
+    if kind not in ("metadata", "fulltext"):
+        raise ValueError("core dataset kind must be 'metadata' or 'fulltext'")
+    return f"https://core.ac.uk/datasets/core_{date}_{kind}.tar"
+
+
+def core_pickup(fetch: "Callable[[str], bytes]", kind: str = "metadata",
+                date: str = CORE_CLOSEST) -> bytes:
+    """Fetch one core dataset tarball via the injected fetcher. The
+    tar/targz member scan is sources/archives.py (read_archives +
+    extract_members) — there is no per-record convert in the
+    reference either (core.py ends at the download task)."""
+    return fetch(core_dataset_url(kind, date))
+
+
+def ia_item_path(itempath: str, taskdir: str) -> str:
+    """DownloadFile (reference sources/ia.py:24-43): an Internet
+    Archive item is mirrored UNDER ITS OWN item path inside the task
+    directory (``output = taskdir/<itempath>``) — the path-preserving
+    naming contract callers rely on for idempotent re-runs."""
+    import os
+    import posixpath
+
+    clean = posixpath.normpath(itempath.lstrip("/"))
+    if clean.startswith("..") or posixpath.isabs(clean):
+        raise ValueError(f"refusing path-escaping itempath: {itempath!r}")
+    return os.path.join(taskdir, clean)
+
+
+def ia_pickup(fetch: "Callable[[str], bytes]", itempath: str, taskdir: str) -> str:
+    """Fetch one IA-hosted file (the reference shells to
+    ``rclone copy ia:/<itempath>``; here the injected fetcher is handed
+    the itempath) and write it at the reference's path-preserving
+    location. Returns the written path."""
+    import os
+
+    dest = ia_item_path(itempath, taskdir)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    blob = fetch(itempath)
+    tmp = dest + ".part"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, dest)  # atomic publish, same as the sinks
+    return dest
 
 
 def lissa_convert(hits: DataFrame) -> DataFrame:
