@@ -554,7 +554,10 @@ def main() -> None:
     import tempfile
 
     from siskin_spark.streaming.incremental import windowed_counts
-    from siskin_spark.streaming.stateful import streaming_dedup_first
+    from siskin_spark.streaming.stateful import (
+        streaming_dedup_first,
+        streaming_dedup_native,
+    )
 
     n_stream = int(os.environ.get("SCALE_STREAM_ROWS", 2_000_000))
     stream_dir = os.path.join(CORPUS, f"stream_src2_{n_stream}")
@@ -592,6 +595,20 @@ def main() -> None:
             .start()
         )
 
+    def dedup_native_sink(src, ckpt):
+        # same keep-first dedup, JVM dropDuplicatesWithinWatermark:
+        # the production path (bounded state, zero Python in the loop)
+        return (
+            streaming_dedup_native(
+                src, ["doi"], event_time_col="ts", watermark="1 hour"
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+
     def window_sink(src, ckpt):
         return (
             windowed_counts(
@@ -606,6 +623,9 @@ def main() -> None:
         )
 
     results["stream_dedup_s"] = min(run_stream(dedup_sink) for _ in range(2))
+    results["stream_dedup_native_s"] = min(
+        run_stream(dedup_native_sink) for _ in range(2)
+    )
     results["stream_window_s"] = min(run_stream(window_sink) for _ in range(2))
 
     out = {
@@ -650,6 +670,10 @@ def main() -> None:
         "stream_rows": n_stream,
         "stream_dedup_s": round(results["stream_dedup_s"], 2),
         "stream_dedup_rps": round(n_stream / results["stream_dedup_s"]),
+        "stream_dedup_native_s": round(results["stream_dedup_native_s"], 2),
+        "stream_dedup_native_rps": round(
+            n_stream / results["stream_dedup_native_s"]
+        ),
         "stream_window_s": round(results["stream_window_s"], 2),
         "stream_window_rps": round(n_stream / results["stream_window_s"]),
         "n_truth_pairs_full": {"cos>=0.95": n_truth95, "cos>=0.8": n_truth80},

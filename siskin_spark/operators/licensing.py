@@ -235,9 +235,29 @@ class LicensingCompiler:
             t = base
             if files:
                 t = t.filter(F.col("file_uri").isin(list(files)))
-            t = t.withColumn("_flag", F.lit(flag))
+            t = t.withColumn("_flag", self._flag_lit(flag))
             tagged = t if tagged is None else tagged.unionByName(t)
         return tagged.drop("file_uri") if "file_uri" in cols else tagged
+
+    # -- flag representation ------------------------------------------
+    # With <= 63 join-backed leaves (the reference runs ~30 holdings
+    # files) each leaf gets one BIT in a single long: the per-record
+    # aggregate is bit_or of longs instead of collect_set of strings —
+    # a fixed 8-byte shuffle/join payload and zero array allocations,
+    # which is exactly the memory pressure the 30 M-row single-JVM leg
+    # hit. Past 63 leaves the representation degrades gracefully to
+    # the name-array path.
+    def _flag_bits(self) -> dict[str, int] | None:
+        names = [*self._holdings_leaves.values(), *self._content_leaves.values()]
+        if len(names) > 63:
+            return None
+        return {name: 1 << i for i, name in enumerate(names)}
+
+    def _flag_lit(self, flag: str) -> Column:
+        bits = self._flag_bits()
+        if bits is None:
+            return F.lit(flag)
+        return F.lit(bits[flag]).cast("long")
 
     def _attach_flags(self, records: DataFrame, id_col: str) -> DataFrame:
         """Attach every holdings flag AND every large-content flag with
@@ -328,23 +348,41 @@ class LicensingCompiler:
             c = spark.createDataFrame(
                 [(str(i),) for i in content_ids], "_id string"
             ).select(
-                F.col("_id").cast(id_type).alias("_rk"), F.lit(flag).alias("_flag")
+                F.col("_id").cast(id_type).alias("_rk"),
+                self._flag_lit(flag).alias("_flag"),
             )
             # records ∩ whitelist resolved in the same single aggregate:
             # semi-join happens implicitly when flags join back below
             matches = c if matches is None else matches.unionByName(c)
 
-        flags_per_rec = matches.groupBy("_rk").agg(
-            F.collect_set("_flag").alias("_flags")
-        )
+        bits = self._flag_bits()
+        if bits is not None:
+            # one long bitmask per record (see _flag_bits); bit_or
+            # partial-aggregates map-side like any sum
+            flags_per_rec = matches.groupBy("_rk").agg(
+                F.bit_or("_flag").alias("_flags")
+            )
+        else:
+            flags_per_rec = matches.groupBy("_rk").agg(
+                F.collect_set("_flag").alias("_flags")
+            )
+        # shuffle_hash on the NARROW flags side: a sort-merge join here
+        # would sort the full wide corpus by id — at 30 M rows in one
+        # JVM that sort was the measured heap-pressure cliff. A
+        # shuffled hash join builds the table on the (id, long) side
+        # and streams the wide records through it unsorted.
         records = records.join(
-            flags_per_rec.withColumnRenamed("_rk", id_col), on=id_col, how="left"
+            flags_per_rec.withColumnRenamed("_rk", id_col).hint("shuffle_hash"),
+            on=id_col,
+            how="left",
         )
         for flag in [*self._holdings_leaves.values(), *self._content_leaves.values()]:
-            records = records.withColumn(
-                flag,
-                F.coalesce(F.array_contains(F.col("_flags"), flag), F.lit(False)),
+            test = (
+                F.col("_flags").bitwiseAND(bits[flag]) != 0
+                if bits is not None
+                else F.array_contains(F.col("_flags"), flag)
             )
+            records = records.withColumn(flag, F.coalesce(test, F.lit(False)))
         return records.drop("_flags")
 
     def attach_labels(
