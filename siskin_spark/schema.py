@@ -98,19 +98,102 @@ def issns_all(df_or_none=None) -> F.Column:
 
 
 def read_is_ndjson(spark, path: str) -> DataFrame:
-    """Read wire-format ndjson (dotted keys) into the canonical frame."""
+    """Read wire-format ndjson (dotted keys) into the canonical frame.
+
+    ``.json.zst`` parts (the reference's wire format; written by
+    :func:`write_is_ndjson`) are decompressed EXECUTOR-side via
+    pyarrow inside a mapInPandas — Hadoop's ZStandardCodec needs
+    libhadoop, which pure-Java deployments (and this container) lack,
+    so the zst path never touches the Hadoop codec chain. Other
+    compressions (gzip etc.) go through the normal json reader."""
+    import glob as _glob
+    import os as _os
+
+    zst_parts = _glob.glob(_os.path.join(path, "*.json.zst")) if _os.path.isdir(path) else []
+    if zst_parts:
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        blobs = spark.read.format("binaryFile").load(
+            _os.path.join(path, "*.json.zst")
+        )
+
+        def lines(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pyarrow as pa
+
+            for pdf in batches:
+                out: list[str] = []
+                for blob in pdf["content"]:
+                    with pa.input_stream(
+                        pa.BufferReader(pa.py_buffer(bytes(blob))),
+                        compression="zstd",
+                    ) as f:
+                        out.extend(f.read().decode("utf-8").splitlines())
+                yield pd.DataFrame({"value": out})
+
+        parsed = (
+            blobs.select("content")
+            .mapInPandas(lines, "value string")
+            .select(F.from_json("value", _wire_schema()).alias("_r"))
+            .select("_r.*")
+        )
+        return parsed.select(
+            *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
+        )
     raw = spark.read.schema(_wire_schema()).json(path)
     return raw.select(
         *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
     )
 
 
-def write_is_ndjson(df: DataFrame, path: str) -> None:
-    """Write the canonical frame back to wire-format ndjson."""
+def write_is_ndjson(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Write the canonical frame back to wire-format ndjson.
+
+    Default codec is zstd — the reference's wire format is
+    zstd-compressed ndjson (``... | zstd -T0 -c``, e.g.
+    sources/ijoc.py:94-97, workflows/ai.py). Hadoop's own zstd codec
+    needs native libhadoop (absent in pure-Java deployments), so the
+    zstd path compresses EXECUTOR-side with pyarrow: JSON encoding
+    stays JVM-side (``toJSON``), each partition streams through one
+    zstd frame to an atomically-renamed part file, and a ``_SUCCESS``
+    marker publishes the directory — same layout and crash-safety
+    contract as a Hadoop committer, one partition's rows in memory at
+    a time, no driver collect. Assumes a filesystem all executors and
+    the driver share (true for any file sink). Standard codecs
+    (``gzip`` for legacy .gz consumers, etc.) use the built-in sink.
+    """
     out = df.select(
         *[F.col(c).alias(w) for c, w in COL_TO_WIRE.items() if c in df.columns]
     )
-    out.write.mode("overwrite").json(path, compression="gzip")
+    if compression != "zstd":
+        out.write.mode("overwrite").json(path, compression=compression)
+        return
+
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    if _os.path.exists(path):
+        _shutil.rmtree(path)
+    _os.makedirs(path)
+    token = _uuid.uuid4().hex[:12]
+
+    def _write(idx: int, it):
+        import os
+        import pyarrow as pa
+
+        part = os.path.join(path, f"part-{idx:05d}-{token}.json.zst")
+        tmp = part + "._tmp"
+        with pa.output_stream(tmp, compression="zstd") as f:
+            for line in it:
+                f.write(line.encode("utf-8"))
+                f.write(b"\n")
+        os.replace(tmp, part)
+        return iter(())
+
+    out.toJSON().mapPartitionsWithIndex(_write).count()  # run the job
+    open(_os.path.join(path, "_SUCCESS"), "w").close()
 
 
 def _wire_schema() -> T.StructType:
