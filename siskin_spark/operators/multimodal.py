@@ -450,12 +450,127 @@ def parse_mp4_duration(content: bytes) -> float:
     raise ValueError("no moov/mvhd box found (not an mp4 or truncated)")
 
 
+def _mp4_boxes(content: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    content[start:end], bounds-checked: a box whose declared size
+    overruns the buffer raises the same ValueError tier as every other
+    malformed-container condition."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
+            payload = pos + 16
+        else:
+            payload = pos + 8
+        if size < payload - pos or pos + size > end:
+            raise ValueError(f"box {tag!r} overruns its container")
+        yield tag, payload, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4_sample_times(content: bytes, max_samples: int = 1_000_000) -> list[float]:
+    """Real per-frame decode timestamps from the mp4 SAMPLE TABLE —
+    pure stdlib, same tier as :func:`parse_mp4_duration` but
+    frame-granular: walks moov -> trak -> mdia (preferring the track
+    whose hdlr handler is 'vide') -> mdhd (media timescale) -> stbl ->
+    stts (time-to-sample run-length deltas) and expands the deltas to
+    one timestamp per sample, in seconds.
+
+    The pixel decode of each frame remains the declared stub (no
+    codec library in the container), but with this the sampling grid
+    is the file's ACTUAL frame timeline, not a uniform approximation.
+    Raises ValueError on non-mp4 payloads, missing/truncated tables,
+    zero timescale, or a table claiming more than ``max_samples``
+    (adversarial-input bound)."""
+    import struct
+
+    def find(tag: bytes, lo: int, hi: int):
+        for t, a, b in _mp4_boxes(content, lo, hi):
+            if t == tag:
+                return a, b
+            if t in _MP4_CONTAINERS:
+                try:
+                    return find(tag, a, b)
+                except ValueError:
+                    continue
+        raise ValueError(f"no {tag!r} box found")
+
+    # collect every trak; prefer a 'vide' handler
+    moov_a, moov_b = find(b"moov", 0, len(content))
+    traks = [
+        (a, b) for t, a, b in _mp4_boxes(content, moov_a, moov_b) if t == b"trak"
+    ]
+    if not traks:
+        raise ValueError("moov has no trak box")
+
+    def is_video(lo: int, hi: int) -> bool:
+        try:
+            a, b = find(b"hdlr", lo, hi)
+        except ValueError:
+            return False
+        return content[a + 8 : a + 12] == b"vide"
+
+    ordered = [t for t in traks if is_video(*t)] + [
+        t for t in traks if not is_video(*t)
+    ]
+    last_err = None
+    for lo, hi in ordered:
+        try:
+            ma, mb = find(b"mdhd", lo, hi)
+            if ma >= mb:
+                raise ValueError("truncated mdhd box")
+            version = content[ma]
+            need = 24 if version == 1 else 16
+            if ma + need > mb:
+                raise ValueError("truncated mdhd box")
+            off = ma + (20 if version == 1 else 12)
+            (timescale,) = struct.unpack(">I", content[off : off + 4])
+            if not timescale:
+                raise ValueError("mdhd timescale is zero")
+            sa, sb = find(b"stts", lo, hi)
+            if sa + 8 > sb:
+                raise ValueError("truncated stts box")
+            (n_entries,) = struct.unpack(">I", content[sa + 4 : sa + 8])
+            if sa + 8 + 8 * n_entries > sb:
+                raise ValueError("stts entries overrun the box")
+            times: list[float] = []
+            t = 0
+            for i in range(n_entries):
+                cnt, delta = struct.unpack(
+                    ">II", content[sa + 8 + 8 * i : sa + 16 + 8 * i]
+                )
+                if len(times) + cnt > max_samples:
+                    raise ValueError("stts sample count exceeds bound")
+                for _ in range(cnt):
+                    times.append(t / timescale)
+                    t += delta
+            if not times:
+                raise ValueError("stts has zero samples")
+            return times
+        except ValueError as e:  # try the next trak (e.g. audio-only)
+            last_err = e
+    raise last_err  # every trak failed
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_offset_s", T.DoubleType()),
         T.StructField("duration_s", T.DoubleType()),
+        # decode timestamp of the ACTUAL frame at/before the sampled
+        # offset (from the stts sample table); null when the payload
+        # has no parseable sample table
+        T.StructField("frame_time_s", T.DoubleType()),
     ]
 )
 
@@ -468,23 +583,32 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     real. Unparseable payloads yield a single row with null duration
     (frame_idx 0, offset 0.0) so downstream stages see every video.
 
+    When the payload carries a parseable stts SAMPLE TABLE
+    (:func:`parse_mp4_sample_times`), each sampled offset additionally
+    reports ``frame_time_s`` — the decode timestamp of the actual
+    frame at/before that offset (what a demuxer would seek to);
+    payloads without one get null there, and the grid still comes
+    from the mvhd duration.
+
     mapInPandas rather than a column expression: the duration lives
     inside the binary payload, and the per-row work is a bounded
     header walk, not a full decode."""
+    import bisect
     import math
 
     import struct as _struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, offs, durs = [], [], [], []
+            ids, idxs, offs, durs, fts = [], [], [], [], []
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 if kind != "video":
                     continue
+                raw = bytes(content)
                 try:
-                    dur = parse_mp4_duration(bytes(content))
+                    dur = parse_mp4_duration(raw)
                     n = max(1, math.ceil(dur / every_s))
                 except (ValueError, _struct.error, IndexError):
                     # belt-and-braces with the parser's own bounds
@@ -492,17 +616,31 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     # documented null-duration row, never fails the
                     # whole Arrow batch
                     dur, n = None, 1
+                try:
+                    times = parse_mp4_sample_times(raw)
+                except (ValueError, _struct.error, IndexError):
+                    times = None
                 for i in range(n):
+                    off = i * every_s
                     ids.append(mid)
                     idxs.append(i)
-                    offs.append(i * every_s)
+                    offs.append(off)
                     durs.append(dur)
+                    if times is None:
+                        fts.append(None)
+                    else:
+                        # the frame a demuxer decodes for offset t is
+                        # the last sample at/before t (first frame
+                        # when t precedes every sample)
+                        j = bisect.bisect_right(times, off) - 1
+                        fts.append(times[max(j, 0)])
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_offset_s": pd.Series(offs, dtype="float64"),
                     "duration_s": pd.Series(durs, dtype="float64"),
+                    "frame_time_s": pd.Series(fts, dtype="float64"),
                 }
             )
 

@@ -415,3 +415,90 @@ def test_resize_meta_contract_all_kinds(spark):
         rows = tier(media, 64, 64).collect()
         assert all(r["meta"].get("resize_w") == "64" for r in rows), tier.__name__
         assert all(r["meta"].get("resize_h") == "64" for r in rows), tier.__name__
+
+
+def _mp4_with_stts(
+    mvhd_dur=(1000, 2500), stts_entries=((2, 300), (1, 600)),
+    timescale=600, handler=b"vide", include_stts=True,
+):
+    """mp4 skeleton with a real sample table: ftyp + moov{mvhd,
+    trak{mdia{mdhd, hdlr, minf{stbl{stts}}}}}."""
+    import struct
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    mvhd = (
+        b"\x00" * 4 + b"\x00" * 8
+        + struct.pack(">I", mvhd_dur[0]) + struct.pack(">I", mvhd_dur[1])
+        + b"\x00" * 80
+    )
+    mdhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", timescale) + struct.pack(
+        ">I", 0
+    ) + b"\x00" * 4
+    hdlr = b"\x00" * 8 + handler + b"\x00" * 12
+    stts = (
+        b"\x00" * 4
+        + struct.pack(">I", len(stts_entries))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_entries)
+    )
+    stbl = box(b"stts", stts) if include_stts else b""
+    trak = box(
+        b"trak",
+        box(b"mdia", box(b"mdhd", mdhd) + box(b"hdlr", hdlr)
+            + box(b"minf", box(b"stbl", stbl))),
+    )
+    return box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd) + trak)
+
+
+def test_parse_mp4_sample_times():
+    """stts run-length deltas expand to real per-frame timestamps in
+    media-timescale seconds; audio-only/absent tables raise."""
+    from siskin_spark.operators.multimodal import parse_mp4_sample_times
+
+    mp4 = _mp4_with_stts()  # deltas: 300,300 then 600 at timescale 600
+    assert parse_mp4_sample_times(mp4) == [0.0, 0.5, 1.0]
+    with pytest.raises(ValueError):
+        parse_mp4_sample_times(_mp4_with_stts(include_stts=False))
+    with pytest.raises(ValueError):  # zero timescale
+        parse_mp4_sample_times(_mp4_with_stts(timescale=0))
+    with pytest.raises(ValueError):  # adversarial sample-count bound
+        parse_mp4_sample_times(
+            _mp4_with_stts(stts_entries=((2_000_000, 1),)), max_samples=1000
+        )
+    # non-video handler still parses when it is the only trak with stts
+    assert parse_mp4_sample_times(_mp4_with_stts(handler=b"soun")) == [
+        0.0, 0.5, 1.0,
+    ]
+
+
+def test_frame_sample_real_frame_times(spark):
+    """frame_sample reports the ACTUAL frame decode time at/before
+    each sampled offset when an stts table exists; null otherwise."""
+    from siskin_spark.operators.multimodal import frame_sample
+
+    import struct
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    with_table = _mp4_with_stts()  # frames at 0.0, 0.5, 1.0; dur 2.5s
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", 1000) + struct.pack(
+        ">I", 2500
+    ) + b"\x00" * 80
+    no_table = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd))
+    media = spark.createDataFrame(
+        [
+            (1, "video", with_table, "video/mp4", None),
+            (2, "video", no_table, "video/mp4", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media, every_s=0.7).collect()
+    a = sorted((r for r in rows if r["media_id"] == 1), key=lambda r: r["frame_idx"])
+    # grid offsets 0.0, 0.7, 1.4, 2.1 -> nearest frames 0.0, 0.5, 1.0, 1.0
+    assert [round(r["frame_offset_s"], 1) for r in a] == [0.0, 0.7, 1.4, 2.1]
+    assert [r["frame_time_s"] for r in a] == [0.0, 0.5, 1.0, 1.0]
+    b = [r for r in rows if r["media_id"] == 2]
+    assert b and all(r["frame_time_s"] is None for r in b)  # no stts
+    assert all(r["duration_s"] == 2.5 for r in b)  # mvhd grid still real
