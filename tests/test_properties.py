@@ -668,3 +668,84 @@ def test_percent_encode_matches_urllib(spark, vals):
         # never does; both decode identically
         want = quote(v, safe="._-").replace("~", "%7E")
         assert got[i] == want, (v, got[i], want)
+
+
+# -- stopword_counts vs naive Python counting --------------------------
+
+_token_lists = st.lists(
+    st.lists(
+        st.sampled_from(
+            # mix of real stopwords from several profiles and noise
+            ["the", "a", "der", "die", "le", "et", "и", "não", "och",
+             "xyzzy", "qq", "data", ""]
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@_slow
+@given(docs=_token_lists)
+def test_stopword_counts_matches_naive(spark, docs):
+    """One-pass stopword_counts == naive per-profile membership count
+    on arbitrary token lists (incl. empty docs/empty tokens)."""
+    from siskin_spark.functions import text as X
+
+    langs = tuple(X.STOPWORDS)
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "i int, toks array<string>"
+    ) if docs else spark.createDataFrame([], "i int, toks array<string>")
+    got = {
+        r["i"]: list(r["c"])
+        for r in df.select("i", X.stopword_counts(F.col("toks")).alias("c")).collect()
+    }
+    for i, toks in enumerate(docs):
+        want = [sum(1 for t in toks if t in X.STOPWORDS[lg]) for lg in langs]
+        assert got[i] == want, (i, toks)
+
+
+# -- mp4 stts expansion vs the generating run lengths ------------------
+
+_stts_runs = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(1, 2000)),  # (count, delta)
+    min_size=1,
+    max_size=6,
+)
+
+
+@_slow
+@given(runs=_stts_runs, timescale=st.integers(1, 90_000))
+def test_parse_mp4_sample_times_roundtrip(runs, timescale):
+    """Building an stts box from arbitrary run-lengths and parsing it
+    back yields exactly the cumulative-delta timeline."""
+    import struct
+
+    from siskin_spark.operators.multimodal import parse_mp4_sample_times
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    mdhd = (
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", timescale)
+        + struct.pack(">I", 0) + b"\x00" * 4
+    )
+    stts = (
+        b"\x00" * 4
+        + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs)
+    )
+    mp4 = box(
+        b"moov",
+        box(b"trak", box(b"mdia", box(b"mdhd", mdhd)
+            + box(b"minf", box(b"stbl", box(b"stts", stts))))),
+    )
+    want = []
+    t = 0
+    for cnt, delta in runs:
+        for _ in range(cnt):
+            want.append(t / timescale)
+            t += delta
+    assert parse_mp4_sample_times(mp4) == want
