@@ -76,6 +76,28 @@ except ImportError:  # container default: header-parse path only
     _HAS_PIL = False
 
 
+def _malformed_raises_valueerror(fn):
+    """Parser-boundary contract: ANY malformed payload raises
+    ValueError, full stop. The container walkers bounds-check before
+    unpacking, but a short buffer can still reach struct.unpack (a
+    truncated fixed-offset field) or slicing — fuzzing found
+    struct.error escaping on e.g. an 8-byte PNG signature with no
+    IHDR. Normalizing here keeps every caller's per-row tier-down to
+    one exception type instead of a grab-bag."""
+    import functools
+    import struct
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed container: {e}") from e
+
+    return wrapped
+
+
+@_malformed_raises_valueerror
 def parse_image_header(content: bytes) -> tuple[int, int, str]:
     """Real image dimensions from container headers — pure stdlib, no
     image library. Covers PNG (IHDR), GIF (logical screen descriptor),
@@ -153,6 +175,7 @@ def image_pixel_features(content: bytes, dim: int = 8) -> list[float]:
     return [b / total for b in bins]
 
 
+@_malformed_raises_valueerror
 def wav_pcm_features(content: bytes, dim: int = 8) -> list[float]:
     """CONTENT-derived audio feature from WAV PCM samples — pure
     stdlib parse + numpy math, no audio library. Splits the
@@ -373,6 +396,7 @@ def frame_sample_stub(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     )
 
 
+@_malformed_raises_valueerror
 def parse_wav_header(content: bytes) -> tuple[int, int, float]:
     """Real audio metadata from a RIFF/WAVE header — pure stdlib.
     Returns (channels, sample_rate, duration_seconds). Raises
@@ -403,6 +427,7 @@ def parse_wav_header(content: bytes) -> tuple[int, int, float]:
     return channels, rate, data_size / (block_align * rate)
 
 
+@_malformed_raises_valueerror
 def parse_mp4_duration(content: bytes) -> float:
     """Real video duration from an ISO-BMFF (mp4/mov) header — walks
     top-level boxes to moov/mvhd, pure stdlib. Returns seconds; raises
@@ -477,6 +502,7 @@ def _mp4_boxes(content: bytes, start: int, end: int):
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
+@_malformed_raises_valueerror
 def parse_mp4_sample_times(content: bytes, max_samples: int = 1_000_000) -> list[float]:
     """Real per-frame decode timestamps from the mp4 SAMPLE TABLE —
     pure stdlib, same tier as :func:`parse_mp4_duration` but

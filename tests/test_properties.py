@@ -749,3 +749,38 @@ def test_parse_mp4_sample_times_roundtrip(runs, timescale):
             want.append(t / timescale)
             t += delta
     assert parse_mp4_sample_times(mp4) == want
+
+
+# -- container parsers never leak non-ValueError on arbitrary bytes ----
+
+_junk = st.binary(min_size=0, max_size=400)
+
+
+@_slow
+@given(blob=_junk)
+def test_container_parsers_raise_only_valueerror(blob):
+    """The per-row tier-down in the multimodal mapInPandas paths
+    catches (ValueError, struct.error, IndexError) — but the parser
+    CONTRACT is ValueError on any malformed payload, and arbitrary
+    bytes (including ones opening with valid magic) must never leak
+    another exception type out of a parser."""
+    from siskin_spark.operators.multimodal import (
+        parse_image_header,
+        parse_mp4_duration,
+        parse_mp4_sample_times,
+        parse_wav_header,
+        wav_pcm_features,
+    )
+
+    for prefix in (b"", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+                   b"\x00\x00\x00\x10moov", b"GIF89a", b"BM"):
+        payload = prefix + blob
+        for parser in (parse_image_header, parse_wav_header,
+                       parse_mp4_duration, parse_mp4_sample_times,
+                       wav_pcm_features):
+            try:
+                parser(payload)
+            except ValueError:
+                pass
+            # anything else (struct.error, IndexError, ...) propagates
+            # and fails the test
