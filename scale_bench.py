@@ -352,6 +352,69 @@ def main() -> None:
     results["neardup_collapse_s"] = min(timed(collapse()) for _ in range(2))
     n_survivors = collapse().count()
 
+    # -- §7.5 text analysis at full scale ------------------------------
+    # text_quality was the flagged 100x-scale cost center (12
+    # interpreted HOF stopword filters per row); the single-pass
+    # stopword_counts rewrite needs an at-scale number, not just the
+    # 5K-row sf0.1 one. The synthetic near-dup docs carry no real
+    # stopwords (every token is w<j>_<n>), so the counts fold over the
+    # hit list would be vacuously cheap; a one-time enriched copy
+    # appends a per-language function-word suffix (en/de/fr/und by
+    # doc_id % 4) so the fold does real work, then the timed leg scans
+    # parquet exactly like the other legs.
+    from siskin_spark.functions import text as X
+
+    tq_path = os.path.join(CORPUS, "docs_text")
+    if not os.path.exists(tq_path):
+        d = F.col("doc_id")
+        sfx = (
+            F.when(d % 4 == 0, F.lit(" the cat of a house and the dog is in to it"))
+            .when(d % 4 == 1, F.lit(" der hund und die katze ist ein haus"))
+            .when(d % 4 == 2, F.lit(" le chien et la maison est un une les chats"))
+            .otherwise(F.lit(" zzz qqq xxx"))
+        )
+        docs.select(
+            "doc_id", F.concat(F.col("text"), sfx).alias("text")
+        ).write.mode("overwrite").parquet(tq_path)
+    tq_docs = spark.read.parquet(tq_path)
+
+    def text_quality():
+        # same staged shape as the sf0.1 text_quality query (minus its
+        # display-only orderBy): tokens and the 12-slot counts array
+        # are projected once; every downstream signal reads attributes
+        staged = tq_docs.select(
+            "doc_id", "text", X.tokens("text").alias("_toks")
+        ).withColumn("_counts", X.stopword_counts(F.col("_toks")))
+        ft = X.quality_features(
+            F.col("text"),
+            toks=F.col("_toks"),
+            en_stopword_count=F.col("_counts")[0],
+        )
+        scored = staged.select(
+            "doc_id",
+            ft["n_tokens"].alias("n_tokens"),
+            ft["mean_word_len"].alias("mean_word_len"),
+            ft["stopword_ratio"].alias("stopword_ratio"),
+            ft["symbol_ratio"].alias("symbol_ratio"),
+            X.scores_from_counts(F.col("_counts")).alias("_best"),
+            X.quality_keep(features=ft).alias("keep"),
+            X.regex_token_count("text").alias("n_bpe_tokens"),
+        )
+        return scored.select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "stopword_ratio",
+            "symbol_ratio",
+            X.lang_from_scores(F.col("_best")).alias("predicted_lang"),
+            "keep",
+            "n_bpe_tokens",
+        )
+
+    timed(text_quality())
+    results["text_quality_s"] = min(timed(text_quality()) for _ in range(3))
+    tq_kept = text_quality().filter(F.col("keep")).count()
+
     # -- D5 groupcover at full scale, skewed keys ----------------------
     from siskin_spark.operators.dedup import groupcover
 
@@ -648,6 +711,10 @@ def main() -> None:
         "neardup_verified_pairs": n_pairs,
         "neardup_collapse_s": round(results["neardup_collapse_s"], 2),
         "neardup_survivors": n_survivors,
+        "text_quality_s": round(results["text_quality_s"], 2),
+        "text_quality_docs": n_docs,
+        "text_quality_dps": round(n_docs / results["text_quality_s"]),
+        "text_quality_kept": tq_kept,
         "groupcover_s": round(results["groupcover_s"], 2),
         "groupcover_rps": round(n_records / results["groupcover_s"]),
         "groupcover_hot_keys": 1_000,

@@ -175,7 +175,10 @@ def main(argv: list[str] | None = None) -> int:
                 proc.stdin.close()
             except BrokenPipeError:
                 pass
-            proc.wait()
+        # propagate the pager's status: a missing/failing pager command
+        # (shell exits 127) must not read as success to scripts
+        # chaining on the CLI's exit code; a user 'q' exits the pager 0
+        return proc.wait()
     elif args.cmd == "wc":
         print(_read(spark, args.path).count())
     elif args.cmd == "schema":

@@ -75,6 +75,15 @@ except ImportError:  # container default: header-parse path only
     _PILImage = None
     _HAS_PIL = False
 
+# Pillow decode failures a per-row tier-down must absorb: bad payloads
+# raise OSError/ValueError, but DecompressionBombError (an adversarial
+# header claiming e.g. 65500x65500 pixels) subclasses Exception
+# DIRECTLY — catching only (OSError, ValueError) would let one such
+# payload fail the whole Arrow batch instead of tiering that row down.
+_PIL_DECODE_ERRORS: tuple[type[BaseException], ...] = (OSError, ValueError)
+if _HAS_PIL and hasattr(_PILImage, "DecompressionBombError"):
+    _PIL_DECODE_ERRORS = _PIL_DECODE_ERRORS + (_PILImage.DecompressionBombError,)
+
 
 def _malformed_raises_valueerror(fn):
     """Parser-boundary contract: ANY malformed payload raises
@@ -257,7 +266,7 @@ def extract_features(
             try:
                 w, h, _ = decode_image(c)
                 return w, h
-            except (ValueError, OSError, struct.error, IndexError):
+            except (struct.error, IndexError) + _PIL_DECODE_ERRORS:
                 # a payload passing the magic-byte check but truncated
                 # before the size fields — must yield null dims like
                 # any other undecodable payload, not fail the batch
@@ -269,10 +278,10 @@ def extract_features(
             if kind == "image" and _HAS_PIL:
                 try:
                     return image_pixel_features(c, dim)
-                except (OSError, ValueError):
-                    # per-row DECODE failure only (Pillow raises
-                    # OSError/ValueError on bad payloads); config
-                    # errors were rejected at plan-build time above
+                except _PIL_DECODE_ERRORS:
+                    # per-row DECODE failure only (incl. Pillow's
+                    # DecompressionBombError); config errors were
+                    # rejected at plan-build time above
                     pass
             if kind == "audio":
                 try:
@@ -431,27 +440,19 @@ def parse_wav_header(content: bytes) -> tuple[int, int, float]:
 def parse_mp4_duration(content: bytes) -> float:
     """Real video duration from an ISO-BMFF (mp4/mov) header — walks
     top-level boxes to moov/mvhd, pure stdlib. Returns seconds; raises
-    ValueError when no mvhd is present (truncated or non-mp4)."""
+    ValueError when no mvhd is present (truncated or non-mp4).
+
+    Shares :func:`_mp4_boxes` with :func:`parse_mp4_sample_times`, so
+    the two parsers have ONE malformed-input semantics: a box whose
+    declared size overruns the buffer raises ValueError from both,
+    instead of one clamping to a plausible duration while the other
+    rejects the same payload."""
     import struct
 
-    def walk(buf: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,) = struct.unpack(">I", buf[pos : pos + 4])
-            tag = buf[pos + 4 : pos + 8]
-            header = 8
-            if size == 1 and pos + 16 <= end:  # 64-bit box size
-                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
-                header = 16
-            if size < header:
-                raise ValueError("malformed box size")
-            yield tag, pos + header, min(pos + size, end)
-            pos += size
-
-    for tag, b0, b1 in walk(content, 0, len(content)):
+    for tag, b0, b1 in _mp4_boxes(content, 0, len(content)):
         if tag != b"moov":
             continue
-        for tag2, c0, c1 in walk(content, b0, b1):
+        for tag2, c0, c1 in _mp4_boxes(content, b0, b1):
             if tag2 != b"mvhd":
                 continue
             if c0 >= c1:

@@ -105,46 +105,75 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
     pyarrow inside a mapInPandas — Hadoop's ZStandardCodec needs
     libhadoop, which pure-Java deployments (and this container) lack,
     so the zst path never touches the Hadoop codec chain. Other
-    compressions (gzip etc.) go through the normal json reader."""
-    import glob as _glob
-    import os as _os
+    compressions (gzip etc.) go through the normal json reader.
 
-    zst_parts = _glob.glob(_os.path.join(path, "*.json.zst")) if _os.path.isdir(path) else []
-    if zst_parts:
-        from collections.abc import Iterator
+    Part listing goes through the Hadoop FileSystem API, so any URI
+    scheme Spark can read (file://, hdfs://, s3a://) takes the
+    executor-side zst path — a driver-local ``glob`` would silently
+    miss remote stores and fall back onto the Hadoop codec chain this
+    function exists to avoid. A directory holding BOTH zst and plain/
+    gzip parts (e.g. appended by a legacy writer) reads both sides and
+    unions them; only committer metadata (``_SUCCESS``, dotfiles) is
+    skipped."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    names = (
+        [s.getPath().getName() for s in fs.listStatus(hp) if s.isFile()]
+        if fs.isDirectory(hp)
+        else []
+    )
+    data = [n for n in names if not n.startswith(("_", "."))]
+    zst_parts = [n for n in data if n.endswith(".json.zst")]
+    other_parts = [n for n in data if not n.endswith(".json.zst")]
 
-        import pandas as pd
-
-        blobs = spark.read.format("binaryFile").load(
-            _os.path.join(path, "*.json.zst")
-        )
-
-        def lines(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import pyarrow as pa
-
-            for pdf in batches:
-                out: list[str] = []
-                for blob in pdf["content"]:
-                    with pa.input_stream(
-                        pa.BufferReader(pa.py_buffer(bytes(blob))),
-                        compression="zstd",
-                    ) as f:
-                        out.extend(f.read().decode("utf-8").splitlines())
-                yield pd.DataFrame({"value": out})
-
-        parsed = (
-            blobs.select("content")
-            .mapInPandas(lines, "value string")
-            .select(F.from_json("value", _wire_schema()).alias("_r"))
-            .select("_r.*")
-        )
-        return parsed.select(
+    def _wire_cols(frame: DataFrame) -> DataFrame:
+        return frame.select(
             *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
         )
-    raw = spark.read.schema(_wire_schema()).json(path)
-    return raw.select(
-        *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
+
+    if not zst_parts:
+        return _wire_cols(spark.read.schema(_wire_schema()).json(path))
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    blobs = spark.read.format("binaryFile").load(path + "/*.json.zst")
+
+    def lines(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pyarrow as pa
+
+        for pdf in batches:
+            out: list[str] = []
+            for blob in pdf["content"]:
+                with pa.input_stream(
+                    pa.BufferReader(pa.py_buffer(bytes(blob))),
+                    compression="zstd",
+                ) as f:
+                    # split on '\n' ONLY: str.splitlines also breaks on
+                    # U+2028/U+2029/U+0085, which are legal UNESCAPED
+                    # inside JSON strings (Jackson only escapes < 0x20)
+                    # and would cut a record in two
+                    for ln in f.read().decode("utf-8").split("\n"):
+                        if ln:
+                            out.append(ln)
+            yield pd.DataFrame({"value": out})
+
+    parsed = _wire_cols(
+        blobs.select("content")
+        .mapInPandas(lines, "value string")
+        .select(F.from_json("value", _wire_schema()).alias("_r"))
+        .select("_r.*")
     )
+    if other_parts:
+        legacy = _wire_cols(
+            spark.read.schema(_wire_schema()).json(
+                [f"{path}/{n}" for n in other_parts]
+            )
+        )
+        parsed = parsed.unionByName(legacy)
+    return parsed
 
 
 def write_is_ndjson(df: DataFrame, path: str, compression: str = "zstd") -> None:
@@ -182,9 +211,18 @@ def write_is_ndjson(df: DataFrame, path: str, compression: str = "zstd") -> None
     def _write(idx: int, it):
         import os
         import pyarrow as pa
+        from pyspark import TaskContext
 
         part = os.path.join(path, f"part-{idx:05d}-{token}.json.zst")
-        tmp = part + "._tmp"
+        # per-ATTEMPT tmp name: with speculative execution (or a zombie
+        # task racing its stage-retry replacement) two attempts of the
+        # same partition run concurrently — a shared tmp file would
+        # interleave their frames and the atomic rename would publish
+        # corrupt bytes. Each attempt writes its own tmp; os.replace is
+        # atomic, so the last complete attempt wins intact.
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        tmp = f"{part}._tmp-{attempt}"
         with pa.output_stream(tmp, compression="zstd") as f:
             for line in it:
                 f.write(line.encode("utf-8"))

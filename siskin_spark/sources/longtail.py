@@ -137,7 +137,10 @@ def ia_item_path(itempath: str, taskdir: str) -> str:
     import posixpath
 
     clean = posixpath.normpath(itempath.lstrip("/"))
-    if clean.startswith("..") or posixpath.isabs(clean):
+    # escape = the normalized path IS '..' or begins with a '../'
+    # SEGMENT; a bare startswith('..') would false-reject legitimate
+    # names like '..config/file' that stay inside taskdir
+    if clean == ".." or clean.startswith("../") or posixpath.isabs(clean):
         raise ValueError(f"refusing path-escaping itempath: {itempath!r}")
     return os.path.join(taskdir, clean)
 

@@ -188,3 +188,54 @@ def test_is_ndjson_wire_roundtrip_zstd(tmp_path, spark):
     gz_parts = glob.glob(os.path.join(gz, "part-*"))
     assert gz_parts and all(p.endswith(".gz") for p in gz_parts)
     assert read_is_ndjson(spark, gz).count() == 2
+
+
+def test_is_ndjson_unicode_line_separators_roundtrip(tmp_path, spark):
+    """A title containing raw U+2028/U+2029/U+0085 must survive the
+    zstd wire roundtrip: Jackson emits them UNESCAPED inside JSON
+    strings (it only escapes < 0x20), and str.splitlines() would cut
+    the record in two — the reader must split on '\\n' only."""
+    from siskin_spark.schema import read_is_ndjson, write_is_ndjson
+
+    title = "line one\u2028line two\u2029line three\u0085end"
+    df = spark.createDataFrame(
+        [("ai-34-u", "34", title)],
+        "finc_id string, finc_source_id string, rft_atitle string",
+    )
+    dst = str(tmp_path / "wire_u")
+    write_is_ndjson(df, dst)
+    back = read_is_ndjson(spark, dst).collect()
+    assert len(back) == 1
+    assert back[0]["rft_atitle"] == title
+
+
+def test_is_ndjson_mixed_zst_and_legacy_parts(tmp_path, spark):
+    """A wire directory holding BOTH zst parts and legacy gzip parts
+    (e.g. appended by an older writer) reads the union — silently
+    returning only the zst side would be data loss."""
+    import glob
+    import shutil
+
+    from siskin_spark.schema import read_is_ndjson, write_is_ndjson
+
+    zdir = str(tmp_path / "wire_z")
+    gdir = str(tmp_path / "wire_g")
+    write_is_ndjson(
+        spark.createDataFrame(
+            [("ai-34-z", "34", "Zst Row")],
+            "finc_id string, finc_source_id string, rft_atitle string",
+        ),
+        zdir,
+    )
+    write_is_ndjson(
+        spark.createDataFrame(
+            [("ai-34-g", "34", "Legacy Row")],
+            "finc_id string, finc_source_id string, rft_atitle string",
+        ),
+        gdir,
+        compression="gzip",
+    )
+    for p in glob.glob(os.path.join(gdir, "part-*")):
+        shutil.copy(p, zdir)
+    got = {r["finc_id"] for r in read_is_ndjson(spark, zdir).collect()}
+    assert got == {"ai-34-z", "ai-34-g"}

@@ -315,6 +315,12 @@ def test_ia_pickup_path_preserving(tmp_path):
     assert open(dest, "rb").read() == b"v2"
     with pytest.raises(ValueError):
         ia_item_path("../../etc/passwd", str(tmp_path))
+    with pytest.raises(ValueError):
+        ia_item_path("item/../../../escape", str(tmp_path))
+    # a name merely BEGINNING with two dots is legitimate, not an escape
+    assert ia_item_path("..config/file.tsv", str(tmp_path)) == str(
+        tmp_path / "..config" / "file.tsv"
+    )
 
 
 def test_cli_less_streams_to_pager(sf_dir, tmp_path):
@@ -329,3 +335,10 @@ def test_cli_less_streams_to_pager(sf_dir, tmp_path):
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert len(lines) == 5  # region has 5 rows at every SF
     assert {"r_regionkey", "r_name"} <= set(lines[0])
+    # a missing pager command must surface as a non-zero exit, not
+    # read as success to scripts chaining on the CLI's status
+    rc = main(
+        ["less", f"{sf_dir}/region.parquet", "--pager",
+         "no-such-pager-cmd-zz"]
+    )
+    assert rc != 0

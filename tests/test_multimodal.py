@@ -20,6 +20,7 @@ from siskin_spark.operators.multimodal import (
     image_pixel_features,
     parse_image_header,
     parse_mp4_duration,
+    parse_mp4_sample_times,
     parse_wav_header,
     resize_images,
     resize_stub,
@@ -221,6 +222,16 @@ def test_parse_wav_and_mp4_headers():
     assert parse_mp4_duration(mp4v1) == 3.0
     with pytest.raises(ValueError):
         parse_mp4_duration(b"\x00\x00\x00\x08free")
+    # ONE malformed-input semantics across both mp4 parsers: a box
+    # whose declared size overruns the buffer raises ValueError from
+    # parse_mp4_duration too (it shares _mp4_boxes with
+    # parse_mp4_sample_times), rather than clamping to a plausible
+    # duration while the sample-table parser rejects the same payload
+    overrun = struct.pack(">I", 10_000) + b"moov" + box(b"mvhd", mvhd)
+    with pytest.raises(ValueError):
+        parse_mp4_duration(overrun)
+    with pytest.raises(ValueError):
+        parse_mp4_sample_times(overrun)
 
 
 def test_frame_sample_real_duration(spark):
