@@ -18,14 +18,20 @@ The FEATURE column has a content-derived tier too
 pixel-luminance histogram when Pillow can decode
 (:func:`image_pixel_features`), audio rows a WAV PCM RMS envelope
 from a pure-stdlib sample parse (:func:`wav_pcm_features` — no
-librosa needed); anything without a decode path tiers down to the md5
-stand-in per row. Audio/video container metadata is likewise real
-from stdlib header parses (:func:`parse_wav_header` — channels/rate/
-duration from RIFF/WAVE; :func:`parse_mp4_duration` — duration from
-the ISO-BMFF moov/mvhd box). Only video FRAME decode remains a
-declared stub (no pyav in this container). The Spark-side plumbing —
-schema, batch iteration, partitioning, UDF signatures — is real and
-tested at every tier.
+librosa needed), and video rows in the raw-plane YUV4MPEG2 container
+get a REAL first-frame luminance histogram
+(:func:`y4m_frame_luminance` — the y4m format is uncompressed Y'CbCr
+planes, so pixels are reachable with no codec library); anything
+without a decode path tiers down to the md5 stand-in per row.
+Audio/video container metadata is likewise real from stdlib header
+parses (:func:`parse_wav_header` — channels/rate/duration from
+RIFF/WAVE; :func:`parse_mp4_duration` — duration from the ISO-BMFF
+moov/mvhd box; :func:`parse_y4m_header` — dimensions/rate/colorspace).
+Only CODEC-compressed frame decode (mp4/h264 etc.) remains a declared
+stub (no pyav in this container); :func:`frame_sample` emits real
+per-frame pixel features for y4m and a real metadata-derived sampling
+grid for mp4. The Spark-side plumbing — schema, batch iteration,
+partitioning, UDF signatures — is real and tested at every tier.
 
 Scale notes: binary payloads ride in Parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
@@ -249,9 +255,12 @@ def extract_features(
     image rows get a pixel-luminance histogram
     (:func:`image_pixel_features`, Pillow-gated), audio rows a WAV PCM
     RMS envelope (:func:`wav_pcm_features`, pure stdlib — always
-    available); rows with no decode path (video, undecodable payloads,
-    images without Pillow) tier down to the md5 stand-in, per row, so
-    one corrupt payload never fails the Arrow batch.
+    available), video rows in the raw-plane YUV4MPEG2 container a
+    first-frame luminance histogram (:func:`y4m_frame_luminance`, pure
+    stdlib+numpy); rows with no decode path (codec-compressed video,
+    undecodable payloads, images without Pillow) tier down to the md5
+    stand-in, per row, so one corrupt payload never fails the Arrow
+    batch.
     """
 
     import struct
@@ -261,8 +270,14 @@ def extract_features(
     if decoder == "content" and 256 % dim:
         raise ValueError("dim must divide 256 for even luminance bins")
 
-    def dims(c: bytes, f: tuple) -> tuple[int | None, int | None]:
+    def dims(c: bytes, kind: str, f: tuple) -> tuple[int | None, int | None]:
         if decoder in ("image", "content"):
+            if kind == "video" and c.startswith(b"YUV4MPEG2"):
+                try:
+                    w, h, *_ = parse_y4m_header(c)
+                    return w, h
+                except ValueError:
+                    return None, None
             try:
                 w, h, _ = decode_image(c)
                 return w, h
@@ -288,12 +303,22 @@ def extract_features(
                     return wav_pcm_features(c, dim)
                 except (ValueError, struct.error):
                     pass
+            if kind == "video" and c.startswith(b"YUV4MPEG2"):
+                # raw-plane container: REAL first-frame luminance
+                # histogram, the same feature shape as the image tier
+                try:
+                    return y4m_frame_luminance(c, y4m_frame_offsets(c)[0], dim)
+                except (ValueError, struct.error):
+                    pass
         return f[2]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [fake_decode_features(c, dim) for c in pdf["content"]]
-            sizes = [dims(c, f) for c, f in zip(pdf["content"], feats)]
+            sizes = [
+                dims(c, k, f)
+                for c, k, f in zip(pdf["content"], pdf["kind"], feats)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -588,6 +613,98 @@ def parse_mp4_sample_times(content: bytes, max_samples: int = 1_000_000) -> list
     raise last_err  # every trak failed
 
 
+# YUV4MPEG2: the one video container whose frames are decodable with
+# no codec library — raw Y'CbCr planes behind a text header (the
+# mjpegtools interchange format). Chroma subsampling determines the
+# U/V plane size as a fraction of the Y plane's (w*h); the Y plane is
+# the luminance channel itself, so frame features come straight off it.
+_Y4M_CHROMA_DIV = {
+    "420": 4, "420jpeg": 4, "420paldv": 4, "420mpeg2": 4,
+    "422": 2,
+    "444": 1,
+    "mono": 0,  # no chroma planes
+}
+
+
+@_malformed_raises_valueerror
+def parse_y4m_header(content: bytes) -> tuple[int, int, int, int, str]:
+    """Parse a YUV4MPEG2 stream header — pure stdlib, same tier as
+    :func:`parse_wav_header`. Returns (width, height, fps_num,
+    fps_den, colorspace); raises ValueError on non-y4m payloads,
+    missing W/H/F params, or an unsupported colorspace."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated y4m stream header")
+    width = height = None
+    num, den = 30, 1  # y4m default frame rate when F is absent
+    chroma = "420"
+    for param in content[9:nl].decode("ascii", "replace").split():
+        tag, val = param[0], param[1:]
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            chroma = val
+    if not width or not height or width < 0 or height < 0:
+        raise ValueError("y4m header missing W/H")
+    if num <= 0 or den <= 0:
+        raise ValueError("y4m frame rate must be positive")
+    if chroma not in _Y4M_CHROMA_DIV:
+        raise ValueError(f"unsupported y4m colorspace C{chroma}")
+    return width, height, num, den, chroma
+
+
+@_malformed_raises_valueerror
+def y4m_frame_offsets(content: bytes, max_frames: int = 1_000_000) -> list[int]:
+    """Byte offset of each frame's Y PLANE in a y4m stream, walking
+    FRAME markers with bounds checks (a truncated final frame raises
+    ValueError like every other malformed container). The walk is
+    O(frames) seeks, not a read of the pixel data."""
+    width, height, _, _, chroma = parse_y4m_header(content)
+    y_size = width * height
+    div = _Y4M_CHROMA_DIV[chroma]
+    frame_size = y_size + (0 if div == 0 else 2 * (y_size // div))
+    pos = content.find(b"\n") + 1
+    n = len(content)
+    offsets: list[int] = []
+    while pos < n:
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m frame marker missing")
+        nl = content.find(b"\n", pos + 5)
+        if nl < 0 or nl + 1 + frame_size > n:
+            raise ValueError("truncated y4m frame")
+        offsets.append(nl + 1)
+        pos = nl + 1 + frame_size
+        if len(offsets) > max_frames:
+            raise ValueError("y4m frame count exceeds bound")
+    if not offsets:
+        raise ValueError("y4m stream has zero frames")
+    return offsets
+
+
+def y4m_frame_luminance(content: bytes, frame_offset: int, dim: int = 8) -> list[float]:
+    """REAL pixel decode of one y4m frame: normalized ``dim``-bin
+    luminance histogram of the frame's Y plane (the same feature shape
+    as :func:`image_pixel_features`, so image and video features are
+    comparable downstream). ``frame_offset`` is a Y-plane byte offset
+    from :func:`y4m_frame_offsets`."""
+    import numpy as np
+
+    if 256 % dim:
+        raise ValueError("dim must divide 256 for even luminance bins")
+    width, height, _, _, _ = parse_y4m_header(content)
+    y = np.frombuffer(content, dtype=np.uint8, count=width * height, offset=frame_offset)
+    # same binning as image_pixel_features: luminance value v lands in
+    # bin v // (256/dim), counts L1-normalized over the plane
+    hist = np.bincount(y // (256 // dim), minlength=dim)
+    return (hist / float(width * height)).tolist()
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -598,6 +715,10 @@ FRAME_SCHEMA = T.StructType(
         # offset (from the stts sample table); null when the payload
         # has no parseable sample table
         T.StructField("frame_time_s", T.DoubleType()),
+        # REAL pixel feature (y4m payloads only): luminance histogram
+        # of the frame at/before the sampled offset; null when the
+        # container needs a codec library to reach pixels (mp4)
+        T.StructField("frame_feature", T.ArrayType(T.FloatType())),
     ]
 )
 
@@ -617,36 +738,55 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     payloads without one get null there, and the grid still comes
     from the mvhd duration.
 
-    mapInPandas rather than a column expression: the duration lives
+    YUV4MPEG2 payloads go further: the container is raw Y'CbCr planes,
+    so duration AND per-frame times come from the frame walk, and each
+    sampled row carries a REAL ``frame_feature`` — the luminance
+    histogram of the decoded frame at/before the offset
+    (:func:`y4m_frame_luminance`), the same feature shape the image
+    content tier emits. mp4 rows keep ``frame_feature`` null: reaching
+    pixels there needs a codec library, which stays the declared stub.
+
+    mapInPandas rather than a column expression: the metadata lives
     inside the binary payload, and the per-row work is a bounded
-    header walk, not a full decode."""
+    header/frame-marker walk plus (y4m only) one plane histogram per
+    sampled frame, never a full-stream decode."""
     import bisect
     import math
 
     import struct as _struct
 
+    _degrade = (ValueError, _struct.error, IndexError)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, offs, durs, fts = [], [], [], [], []
+            ids, idxs, offs, durs, fts, feats = [], [], [], [], [], []
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 if kind != "video":
                     continue
                 raw = bytes(content)
+                times = fo = None
                 try:
-                    dur = parse_mp4_duration(raw)
+                    if raw.startswith(b"YUV4MPEG2"):
+                        _, _, num, den, _ = parse_y4m_header(raw)
+                        fo = y4m_frame_offsets(raw)
+                        times = [i * den / num for i in range(len(fo))]
+                        dur = len(fo) * den / num
+                    else:
+                        dur = parse_mp4_duration(raw)
                     n = max(1, math.ceil(dur / every_s))
-                except (ValueError, _struct.error, IndexError):
-                    # belt-and-braces with the parser's own bounds
+                except _degrade:
+                    # belt-and-braces with the parsers' own bounds
                     # checks: ANY malformed payload degrades to the
                     # documented null-duration row, never fails the
                     # whole Arrow batch
-                    dur, n = None, 1
-                try:
-                    times = parse_mp4_sample_times(raw)
-                except (ValueError, _struct.error, IndexError):
-                    times = None
+                    dur, n, fo = None, 1, None
+                if times is None and not raw.startswith(b"YUV4MPEG2"):
+                    try:
+                        times = parse_mp4_sample_times(raw)
+                    except _degrade:
+                        times = None
                 for i in range(n):
                     off = i * every_s
                     ids.append(mid)
@@ -655,12 +795,18 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     durs.append(dur)
                     if times is None:
                         fts.append(None)
+                        feats.append(None)
                     else:
                         # the frame a demuxer decodes for offset t is
                         # the last sample at/before t (first frame
                         # when t precedes every sample)
-                        j = bisect.bisect_right(times, off) - 1
-                        fts.append(times[max(j, 0)])
+                        j = max(bisect.bisect_right(times, off) - 1, 0)
+                        fts.append(times[j])
+                        feats.append(
+                            y4m_frame_luminance(raw, fo[j])
+                            if fo is not None
+                            else None
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -668,6 +814,7 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     "frame_offset_s": pd.Series(offs, dtype="float64"),
                     "duration_s": pd.Series(durs, dtype="float64"),
                     "frame_time_s": pd.Series(fts, dtype="float64"),
+                    "frame_feature": pd.Series(feats, dtype="object"),
                 }
             )
 

@@ -266,6 +266,123 @@ def test_frame_sample_real_duration(spark):
     assert 3 not in by_id
 
 
+def _make_y4m(frames_y, width, height, fps=(4, 1), chroma="420"):
+    """Synthesize a YUV4MPEG2 stream: each frames_y entry is the full
+    Y plane bytes; chroma planes are zero-filled at the subsampled
+    size."""
+    from siskin_spark.operators.multimodal import _Y4M_CHROMA_DIV
+
+    div = _Y4M_CHROMA_DIV[chroma]
+    chroma_bytes = b"" if div == 0 else b"\x00" * (2 * (width * height // div))
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    out = head.encode()
+    for y in frames_y:
+        assert len(y) == width * height
+        out += b"FRAME\n" + y + chroma_bytes
+    return out
+
+
+def test_y4m_parse_and_frame_luminance():
+    """YUV4MPEG2: real header parse and REAL pixel decode — the
+    luminance histogram comes from the actual Y-plane bytes, same
+    binning as image_pixel_features."""
+    from siskin_spark.operators.multimodal import (
+        parse_y4m_header,
+        y4m_frame_luminance,
+        y4m_frame_offsets,
+    )
+
+    # 4x4, 2 frames: frame 0 all-black (bin 0), frame 1 half 0 half 255
+    f0 = b"\x00" * 16
+    f1 = b"\x00" * 8 + b"\xff" * 8
+    y4m = _make_y4m([f0, f1], 4, 4, fps=(4, 1))
+    assert parse_y4m_header(y4m) == (4, 4, 4, 1, "420")
+    offs = y4m_frame_offsets(y4m)
+    assert len(offs) == 2
+    h0 = y4m_frame_luminance(y4m, offs[0], dim=8)
+    assert h0[0] == 1.0 and sum(h0) == 1.0
+    h1 = y4m_frame_luminance(y4m, offs[1], dim=8)
+    assert h1[0] == 0.5 and h1[7] == 0.5
+    # malformed: truncated final frame, bad magic, missing dims
+    with pytest.raises(ValueError):
+        y4m_frame_offsets(y4m[:-4])
+    with pytest.raises(ValueError):
+        parse_y4m_header(b"AVI1 nope")
+    with pytest.raises(ValueError):
+        parse_y4m_header(b"YUV4MPEG2 F25:1\nFRAME\n")
+
+
+def test_frame_sample_y4m_real_pixel_features(spark):
+    """frame_sample on a y4m payload: duration and per-frame times
+    from the frame walk, and frame_feature is the REAL luminance
+    histogram of the frame at/before each sampled offset; mp4 rows
+    keep frame_feature null (codec-compressed — declared stub)."""
+    import struct
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    f0 = b"\x00" * 16
+    f1 = b"\xff" * 16
+    f2 = b"\x80" * 16
+    # 3 frames at 2 fps -> duration 1.5 s, frame times 0.0/0.5/1.0
+    y4m = _make_y4m([f0, f1, f2], 4, 4, fps=(2, 1))
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", 1000) + struct.pack(
+        ">I", 1500
+    ) + b"\x00" * 80
+    mp4 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd))
+    media = spark.createDataFrame(
+        [
+            (1, "video", y4m, "video/x-yuv4mpeg", None),
+            (2, "video", mp4, "video/mp4", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media, every_s=0.6).collect()
+    y_rows = sorted(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    # ceil(1.5/0.6) = 3 sampled offsets 0.0/0.6/1.2 -> frames 0/1/2
+    assert [r["frame_time_s"] for r in y_rows] == [0.0, 0.5, 1.0]
+    assert all(r["duration_s"] == 1.5 for r in y_rows)
+    assert y_rows[0]["frame_feature"][0] == 1.0  # all-black frame
+    assert y_rows[1]["frame_feature"][7] == 1.0  # all-white frame
+    assert y_rows[2]["frame_feature"][4] == 1.0  # mid-gray frame
+    assert all(
+        r["frame_feature"] is None for r in rows if r["media_id"] == 2
+    )
+
+
+def test_extract_features_y4m_content_tier(spark):
+    """decoder='content' on a y4m video row: REAL dimensions from the
+    stream header and a REAL first-frame luminance feature; a
+    y4m-magic payload with truncated frames tiers down to the md5
+    stand-in with null dims."""
+    from siskin_spark.operators.multimodal import (
+        extract_features,
+        fake_decode_features,
+    )
+
+    y4m = _make_y4m([b"\xff" * 16], 4, 4)
+    bad = y4m[:-6]  # magic intact, final frame truncated
+    media = spark.createDataFrame(
+        [
+            (1, "video", y4m, "video/x-yuv4mpeg", None),
+            (2, "video", bad, "video/x-yuv4mpeg", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in extract_features(media, decoder="content").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (4, 4)
+    assert got[1]["feature"][7] == 1.0  # real all-white first frame
+    # header intact -> dims stay real (same contract as the image
+    # header-parse tier); the FEATURE tiers down because the frame
+    # bytes are truncated
+    assert (got[2]["width"], got[2]["height"]) == (4, 4)
+    stand_in = fake_decode_features(bad)[2]
+    assert got[2]["feature"] == pytest.approx(stand_in)
+
+
 def test_wav_pcm_features_content_derived():
     """The audio feature is derived from the ACTUAL PCM samples (pure
     stdlib + numpy, unconditional): a half-silent half-loud signal
