@@ -953,7 +953,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ft["symbol_ratio"].alias("symbol_ratio"),
         X.scores_from_counts(F.col("_counts")).alias("_best"),
         X.quality_keep(features=ft).alias("keep"),
-        X.regex_token_count("text").alias("n_bpe_tokens"),
+        # regex-free TOKEN_REGEX count (identical value; regexp_count
+        # materializes every match string — measured 3.4x slower)
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_tokens"),
     )
     return scored.select(

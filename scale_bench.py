@@ -398,7 +398,7 @@ def main() -> None:
             ft["symbol_ratio"].alias("symbol_ratio"),
             X.scores_from_counts(F.col("_counts")).alias("_best"),
             X.quality_keep(features=ft).alias("keep"),
-            X.regex_token_count("text").alias("n_bpe_tokens"),
+            X.bpe_token_count("text").alias("n_bpe_tokens"),
         )
         return scored.select(
             "doc_id",

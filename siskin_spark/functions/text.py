@@ -42,6 +42,11 @@ STOPWORDS = {
 # BPE-ish tokenizer regex: words, numbers, or single non-space symbols
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGITS = "0123456789"
+# Java regex \s — the whitespace class TOKEN_REGEX excludes
+_JAVA_WS = " \t\n\x0b\f\r"
+
 
 def tokens(text: Column | str, sep: str = " ") -> Column:
     """Whitespace tokenization."""
@@ -55,12 +60,51 @@ def token_count(text: Column | str) -> Column:
 
 
 def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
-    """BPE-ish token count: number of regex token matches.
-    regexp_count instead of size(regexp_extract_all) — same value,
-    but never materializes the match array (it only advances the
-    matcher), which matters on book-length documents."""
+    """Token count for an ARBITRARY regex token pattern.
+
+    Measured caveat: Spark's ``regexp_count`` is runtime-replaced by
+    ``size(regexp_extract_all(...))``, so every match is materialized
+    as a string — at 3M ~450-char docs the default TOKEN_REGEX took
+    34.6s (and a bare negated-class count 184s) on 32 cores, all
+    allocation/GC. For the DEFAULT pattern use
+    :func:`bpe_token_count`, which computes the identical value
+    regex-free in ~10s; this general form stays for custom patterns."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(c, F.lit(pattern))
+
+
+def symbol_count(text: Column | str) -> Column:
+    """Count of chars outside [A-Za-z0-9 ] — value-identical to
+    ``regexp_count(text, '[^A-Za-z0-9 ]')`` but computed by DELETING
+    the kept 63-char set with one ``translate`` pass and taking the
+    remaining length. translate is a single scan with a small lookup
+    table; the regex form materializes one string per matched char
+    (80x slower measured: 184s -> 2.3s over 3M docs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.translate(c, _LETTERS + _DIGITS + " ", ""))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """TOKEN_REGEX match count, regex-free. The alternation
+    ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`` tokenizes any string into
+    maximal letter runs + maximal digit runs + one token per other
+    non-whitespace char (the classes are disjoint, so greedy matching
+    never merges them), so the count decomposes exactly:
+
+    - letter runs: collapse every letter to 'a' (``translate``), split
+      on the non-'a' gaps, count non-empty segments;
+    - digit runs: same with '0';
+    - symbols: delete letters+digits+whitespace, take the length.
+
+    All single-pass JVM string ops; measured 3.4x the regexp_count
+    form on 3M docs (10.1s vs 34.6s), with zero value differences."""
+    c = F.col(text) if isinstance(text, str) else text
+    canon_l = F.translate(c, _LETTERS, "a" * len(_LETTERS))
+    canon_d = F.translate(c, _DIGITS, "0" * len(_DIGITS))
+    runs_l = F.size(F.filter(F.split(canon_l, "[^a]+"), lambda x: x != ""))
+    runs_d = F.size(F.filter(F.split(canon_d, "[^0]+"), lambda x: x != ""))
+    syms = F.length(F.translate(c, _LETTERS + _DIGITS + _JAVA_WS, ""))
+    return runs_l + runs_d + syms
 
 
 def stopword_count_expr(toks: Column, lang: str) -> Column:
@@ -184,10 +228,9 @@ def quality_features(
     n_stop = (
         stopword_count_expr(toks, "en") if en_stopword_count is None else en_stopword_count
     )
-    # count matches directly: each [^A-Za-z0-9 ] match is one symbol
-    # char, so regexp_count equals the old length-difference formula
-    # without building the stripped copy of the document
-    n_sym = F.regexp_count(c, F.lit(r"[^A-Za-z0-9 ]"))
+    # translate-delete, not regexp_count: same value (chars outside
+    # the kept 63-char set), 80x cheaper at scale — see symbol_count
+    n_sym = symbol_count(c)
     mean_wl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
     return {
         "n_chars": n_chars,

@@ -769,18 +769,68 @@ def test_container_parsers_raise_only_valueerror(blob):
         parse_mp4_duration,
         parse_mp4_sample_times,
         parse_wav_header,
+        parse_y4m_header,
         wav_pcm_features,
+        y4m_frame_offsets,
     )
 
     for prefix in (b"", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-                   b"\x00\x00\x00\x10moov", b"GIF89a", b"BM"):
+                   b"\x00\x00\x00\x10moov", b"GIF89a", b"BM",
+                   b"YUV4MPEG2 ", b"YUV4MPEG2 W4 H4 F2:1\n"):
         payload = prefix + blob
         for parser in (parse_image_header, parse_wav_header,
                        parse_mp4_duration, parse_mp4_sample_times,
-                       wav_pcm_features):
+                       wav_pcm_features, parse_y4m_header,
+                       y4m_frame_offsets):
             try:
                 parser(payload)
             except ValueError:
                 pass
             # anything else (struct.error, IndexError, ...) propagates
             # and fails the test
+
+
+# -- regex-free token/symbol counts vs the Python re mirror ------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=60,
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@_slow
+@given(texts=_texts)
+def test_bpe_and_symbol_counts_match_re(spark, texts):
+    """bpe_token_count / symbol_count (translate+split, regex-free)
+    == an independent Python re mirror of TOKEN_REGEX /
+    [^A-Za-z0-9 ] on arbitrary unicode text — the equivalence that
+    lets the scale path drop regexp_count without changing a value."""
+    import re
+
+    from siskin_spark.functions import text as X
+
+    # Java's \s is exactly [ \t\n\x0B\f\r]; Python's unicode \s is
+    # WIDER (it also covers \x1c-\x1f, \x85, U+2028...), so the mirror
+    # spells the Java class out — TOKEN_REGEX means Java semantics
+    tok_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+    sym_re = re.compile(r"[^A-Za-z0-9 ]")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    ) if texts else spark.createDataFrame([], "i int, text string")
+    got = {
+        r["i"]: (r["b"], r["s"])
+        for r in df.select(
+            "i",
+            X.bpe_token_count("text").alias("b"),
+            X.symbol_count("text").alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = (len(tok_re.findall(t)), len(sym_re.findall(t)))
+        assert got[i] == want, (t, got[i], want)
