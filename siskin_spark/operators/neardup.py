@@ -170,12 +170,26 @@ def lsh_candidates(
 
 
 def exact_jaccard(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over shingle sets.
     Join-based: |A∩B| from a shingle equi-join restricted to candidate
     pairs, |A|,|B| from per-doc counts; jaccard = inter/(|A|+|B|-inter)
     as a single IEEE division (engine-portable exact).
+
+    Only CANDIDATE docs' shingles matter — non-candidates affect
+    neither the intersection nor the |A|/|B| counts — so with
+    ``broadcast_candidates`` (default) the candidate id set is
+    broadcast and the corpus-sized shingle table is semi-filtered
+    MAP-SIDE before any shuffle: at 3M docs that shrinks the verify
+    stage's shuffles from 118M shingle rows to the ~6M belonging to
+    candidates. The candidate set is near-dup-rate-sized (two ids per
+    surviving pair), so it broadcasts comfortably; for a pathological
+    corpus where most docs are candidates, pass False to keep the
+    shuffle-join plan instead of a giant broadcast.
 
     The count-only aggregate here is deliberately NOT fused into the
     minhash signature aggregate: fusing (count alongside the 16 min()
@@ -183,6 +197,15 @@ def exact_jaccard(
     SLOWER end-to-end — the reused exchange carries 16 hex partials
     per row where this one shuffles bare counts, and the signature's
     join-back to ``docs`` rides along. Cheap separate pass wins."""
+    if broadcast_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(
+            F.broadcast(cand_ids), on=id_col, how="left_semi"
+        )
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
