@@ -40,12 +40,22 @@ from siskin_spark.schema import issns_all
 
 HOLDINGS_FLAG_PREFIX = "_hold_"
 CONTENT_FLAG_PREFIX = "_cont_"
+ISSN_FLAG_PREFIX = "_issnf_"
 
 # Above this many entries a content whitelist compiles to a broadcast
 # semi-join flag instead of a literal isin() — reference content files
 # run 10-50K ids (amsl.py:1174-1203) and a 50K-element isin builds a
 # huge expression tree.
 CONTENT_ISIN_MAX = 1000
+
+# Above this many entries an ISSN list compiles to a broadcast-join
+# flag riding the same exploded-ISSN frame and bit_or aggregate as the
+# holdings leaves. `arrays_overlap(record_issns, lit_array)` rebuilds
+# a hash set of the literal side PER RECORD — measured 38 s of a 49 s
+# attach_labels at 30M records for seven 2,000-entry lists; as join
+# flags the whole tree evaluation drops to ~12 s. Small lists stay
+# inline literals (cheap, and what the sf-scale oracle configs use).
+ISSN_JOIN_MAX = 100
 
 _EMBARGO_RE = r"^\s*([RP])([0-9]+)([DMY])\s*$"
 
@@ -135,6 +145,7 @@ class LicensingCompiler:
         self.issue_col = issue_col
         self._holdings_leaves: dict[tuple[str, ...], str] = {}
         self._content_leaves: dict[tuple[str, ...], str] = {}
+        self._issn_leaves: dict[tuple[str, ...], str] = {}
 
     # -- pass 1: find join-backed leaves so their one fused join can be
     # planned ---------------------------------------------------------
@@ -156,6 +167,12 @@ class LicensingCompiler:
                 if key not in self._content_leaves:
                     self._content_leaves[key] = (
                         f"{CONTENT_FLAG_PREFIX}{len(self._content_leaves)}"
+                    )
+            elif op == "issn" and len(arg["list"]) > ISSN_JOIN_MAX:
+                key = tuple(sorted(arg["list"]))
+                if key not in self._issn_leaves:
+                    self._issn_leaves[key] = (
+                        f"{ISSN_FLAG_PREFIX}{len(self._issn_leaves)}"
                     )
 
     # -- pass 2: tree -> Column --------------------------------------
@@ -184,8 +201,14 @@ class LicensingCompiler:
         if op == "subject":
             return _overlap(F.col("subjects"), list(arg))
         if op == "issn":
+            lst = arg["list"]
+            if len(lst) > ISSN_JOIN_MAX:
+                # large list: broadcast-join flag (see ISSN_JOIN_MAX) —
+                # arrays_overlap would rebuild the literal hash set per
+                # record
+                return F.col(self._issn_leaves[tuple(sorted(lst))])
             return F.arrays_overlap(
-                issns_all(), F.array(*[F.lit(v) for v in arg["list"]])
+                issns_all(), F.array(*[F.lit(v) for v in lst])
             )
         if op == "isbn":
             return _overlap(F.col("rft_isbn"), list(arg["list"]))
@@ -247,8 +270,15 @@ class LicensingCompiler:
     # which is exactly the memory pressure the 30 M-row single-JVM leg
     # hit. Past 63 leaves the representation degrades gracefully to
     # the name-array path.
+    def _all_flag_names(self) -> list[str]:
+        return [
+            *self._holdings_leaves.values(),
+            *self._content_leaves.values(),
+            *self._issn_leaves.values(),
+        ]
+
     def _flag_bits(self) -> dict[str, int] | None:
-        names = [*self._holdings_leaves.values(), *self._content_leaves.values()]
+        names = self._all_flag_names()
         if len(names) > 63:
             return None
         return {name: 1 << i for i, name in enumerate(names)}
@@ -264,8 +294,12 @@ class LicensingCompiler:
         ONE join against the records (union of per-leaf matches on the
         small side -> collect_set of flag names -> array_contains).
         The reference runs ~30 holdings files; sequentially that was
-        ~30 full left joins of the corpus — this is one."""
-        if not self._holdings_leaves and not self._content_leaves:
+        ~30 full left joins of the corpus — this is one. Large ISSN
+        lists ride the same machinery: their matches come from the
+        exploded-ISSN frame joined to the broadcast list."""
+        if not (
+            self._holdings_leaves or self._content_leaves or self._issn_leaves
+        ):
             return records
         spark = records.sparkSession
         rcols = set(records.columns)
@@ -343,6 +377,27 @@ class LicensingCompiler:
                 .select("_rk", "_flag")
             )
 
+        if self._issn_leaves:
+            if self._holdings_leaves:
+                # reuse the frame the holdings join already built —
+                # one explode of the corpus serves both leaf kinds
+                issn_ids = ids.select("_rk", "_ident")
+            else:
+                issn_ids = records.select(
+                    F.col(id_col).alias("_rk"),
+                    F.explode(issns_all()).alias("_ident"),
+                )
+            spark_ = records.sparkSession
+            for issn_list, flag in self._issn_leaves.items():
+                lst = spark_.createDataFrame(
+                    [(v,) for v in issn_list], "_ident string"
+                )
+                m = (
+                    issn_ids.join(broadcast(lst), on="_ident")
+                    .select("_rk", self._flag_lit(flag).alias("_flag"))
+                )
+                matches = m if matches is None else matches.unionByName(m)
+
         id_type = records.schema[id_col].dataType.simpleString()
         for content_ids, flag in self._content_leaves.items():
             c = spark.createDataFrame(
@@ -376,7 +431,7 @@ class LicensingCompiler:
             on=id_col,
             how="left",
         )
-        for flag in [*self._holdings_leaves.values(), *self._content_leaves.values()]:
+        for flag in self._all_flag_names():
             test = (
                 F.col("_flags").bitwiseAND(bits[flag]) != 0
                 if bits is not None
@@ -398,6 +453,7 @@ class LicensingCompiler:
         with no label (span-tag -D, workflows/ai.py:232-237)."""
         self._holdings_leaves = {}
         self._content_leaves = {}
+        self._issn_leaves = {}
         for tree in config.values():
             self._collect_holdings(tree)
         work = self._attach_flags(records, id_col)
@@ -411,7 +467,9 @@ class LicensingCompiler:
             *[
                 c
                 for c in out.columns
-                if c.startswith((HOLDINGS_FLAG_PREFIX, CONTENT_FLAG_PREFIX))
+                if c.startswith(
+                    (HOLDINGS_FLAG_PREFIX, CONTENT_FLAG_PREFIX, ISSN_FLAG_PREFIX)
+                )
             ]
         )
         if drop_unlabeled:

@@ -279,3 +279,30 @@ def test_snapshot_latest_doi(spark):
     snap = dedup.snapshot_latest(keyed, ["_doi"], ["x_date", "finc_id"])
     got = sorted(r["finc_id"] for r in snap.collect())
     assert got == ["ai-28-b1", "ai-49-a2", "ai-55-c2"]
+
+
+def test_attach_labels_large_issn_list_join_flag(spark):
+    """An ISSN list above ISSN_JOIN_MAX compiles to a broadcast-join
+    flag instead of a per-record arrays_overlap hash set; the label
+    outcome must be identical to the inline-literal path on the same
+    list (padding with misses changes the plan, never the matches).
+    Covers records matching on rft_issn, on rft_eissn, and on
+    neither."""
+    from siskin_spark.operators.licensing import ISSN_JOIN_MAX
+
+    recs = is_records(spark)
+    hits = ["3333-4444", "7777-8888"]  # a1's eissn, c1/c2's issn
+    padding = [f"{i:04d}-999X" for i in range(ISSN_JOIN_MAX + 10)]
+    small_cfg = {"DE-X": {"issn": {"list": hits}}}
+    big_cfg = {"DE-X": {"issn": {"list": hits + padding}}}
+    want = {
+        r["finc_id"]: list(r["x_labels"])
+        for r in attach_labels(recs, small_cfg).collect()
+    }
+    got = {
+        r["finc_id"]: list(r["x_labels"])
+        for r in attach_labels(recs, big_cfg).collect()
+    }
+    assert got == want
+    assert any(v == ["DE-X"] for v in got.values())  # some record matched
+    assert any(v == [] for v in got.values())  # and some did not
