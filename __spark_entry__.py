@@ -75,6 +75,42 @@ def _memo_cols(name: str, build: Callable[[], list[Column]]) -> list[Column]:
     return memo(("entry_cols", name), build)
 
 
+def _memo_df(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Memoize a fully-built QUERY PLAN per (session, sf_dir, inputs).
+
+    A DataFrame is an immutable logical plan; re-invoking a query
+    builder produces a byte-identical plan at the cost of thousands of
+    Py4J round-trips (the capstone's builder alone is ~4000 gateway
+    calls ≈ 2 s — twice its sf0.1 execution time). A production
+    pipeline builds its plan once per process and executes it per
+    batch; this memo gives the entry points the same shape. ONLY valid
+    for plans with no caching/checkpoint/persist node and no
+    non-deterministic expression — a memoized cached plan would make
+    later runs skip execution, which this memo must never do (each
+    action on the memoized plan re-executes the full chain).
+
+    Freshness: the key folds each input table's parquet mtime (same
+    granularity as the scan memo, readers.py) so a regenerated sf dir
+    rebuilds the plan; older mtimes for the same query are evicted on
+    insert."""
+    from siskin_spark.memo import memo, session_token
+
+    mtimes = []
+    for t in tables:
+        try:
+            mtimes.append(os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet")))
+        except OSError:
+            mtimes.append(None)
+    prefix = ("entry_df", session_token(spark), name, sf_dir)
+    return memo(prefix + (tuple(mtimes),), build, evict_prefix=prefix)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -3114,6 +3150,22 @@ def citation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoizing wrapper over :func:`_ai_update_export_build` — the
+    capstone's plan is ~4000 Py4J round-trips to construct (≈2 s,
+    twice its sf0.1 execution); `_memo_df` returns the identical
+    immutable plan on repeat calls. The plan holds no
+    cache/checkpoint/persist node, so every action re-executes the
+    full chain (see `_memo_df`)."""
+    return _memo_df(
+        spark,
+        sf_dir,
+        "ai_update_export",
+        ("orders", "documents", "customer"),
+        lambda: _ai_update_export_build(spark, sf_dir),
+    )
+
+
+def _ai_update_export_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AIUpdate capstone (reference workflows/ai.py:411-425,
     375-408): the full §3 entry-point-2 DAG as ONE Catalyst plan.
     Three sources spec-normalized through SHIPPED specs (crossref sid
@@ -3288,23 +3340,23 @@ def ai_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     tagged = attach_labels(flagged, config, id_col="finc_id", drop_unlabeled=True)
-    # tagged feeds BOTH groupcover and the label-update join; without a
-    # materialization barrier Catalyst recomputes the whole
-    # normalize->union->flag->license chain once per consumer (the
-    # reference materializes this same boundary to a file, ai.py:247)
-    tagged = tagged.localCheckpoint(eager=False)
-    changes = dedup.groupcover(
-        tagged.select("finc_id", "finc_source_id", "doi", "x_labels"),
+    # the reference materializes tagged to a file here, runs the
+    # external groupcover binary, and joins the changed labels back
+    # (ai.py:247-342) — a barrier the out-of-band cover forces on it.
+    # cover_labels fuses D5+M10 into one window pass over the records,
+    # so the normalize->union->flag->license chain is consumed ONCE and
+    # streams through a single DOI shuffle with no checkpoint; the
+    # two-step groupcover/update_labels pair stays verified standalone
+    # (groupcover_preferences, update_labels queries) and equivalence
+    # is property-tested (test_cover_labels_equals_groupcover_join_back)
+    updated = dedup.cover_labels(
+        tagged,
         id_col="finc_id",
         source_col="finc_source_id",
         key_col="doi",
         labels_col="x_labels",
         preferences=("55", "49", "28"),
         lower_key=True,
-    )
-    updated = joins.update_labels(
-        tagged, changes, id_col="finc_id", labels_col="x_labels",
-        new_labels_col="x_labels",
     )
     out = solr_export(updated)
     return out.select(*_memo_cols("ai_export_proj", lambda: [

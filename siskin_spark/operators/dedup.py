@@ -197,6 +197,78 @@ def groupcover(
     )
 
 
+def cover_labels(
+    df: DataFrame,
+    id_col: str = "finc_id",
+    source_col: str = "finc_source_id",
+    key_col: str = "doi",
+    labels_col: str = "labels",
+    preferences: Sequence[str] = (
+        "85", "55", "89", "60", "50", "105", "101", "53", "49", "28", "48", "121",
+    ),
+    lower_key: bool = True,
+) -> DataFrame:
+    """D5 applied in place: ``groupcover`` + ``update_labels`` fused
+    into ONE window pass over the full records (same per-(key, label)
+    winner rule as :func:`groupcover`: min (pref-rank, source, id);
+    null/empty-key rows keep their labels untouched).
+
+    The reference pipeline materializes the tagged records to a file,
+    runs the external ``groupcover`` binary over a projection, then
+    joins the changed label sets back (workflows/ai.py:247-342) — a
+    barrier plus a join the composition only needs because the cover
+    runs out-of-band. Spark can express the cover over the records
+    themselves: one window keyed by the DOI gives every row its
+    group's members, and a higher-order filter keeps exactly the
+    labels this row wins. No second consumption of the upstream plan,
+    no checkpoint, no join-back — the upstream chain (normalize ->
+    union -> license) streams straight through a single shuffle.
+
+    Null/empty keys get a per-row singleton partition (key salted with
+    the row id), so a mostly-null key column cannot funnel the corpus
+    into one task. Skew note: a single hot KEY still lands in one
+    window partition with no partial aggregation — for corpora where
+    one DOI can hold millions of rows, prefer the
+    ``groupcover``/``update_labels`` pair (hash aggregate with
+    map-side combine); for record-per-source-per-DOI shapes (bounded
+    group size = number of sources) this single pass is strictly
+    cheaper. Assumes ``id_col`` is unique per row (the pipeline
+    contract), as does the join-back variant.
+    """
+    prefs = F.array(*[F.lit(p) for p in preferences])
+    key = F.lower(F.col(key_col)) if lower_key else F.col(key_col)
+    no_key = key.isNull() | (key == "")
+    pos = F.array_position(prefs, F.col(source_col))
+    rank = F.when(pos > 0, pos).otherwise(F.lit(1_000_000))
+
+    # singleton partitions for keyless rows: they pass through as their
+    # own one-member group instead of piling into one null partition
+    part = F.when(no_key, F.concat(F.lit("\x00"), F.col(id_col).cast("string"))).otherwise(key)
+    w = Window.partitionBy(part)
+    member = F.struct(
+        rank.alias("r"),
+        F.col(source_col).alias("s"),
+        F.col(id_col).alias("i"),
+        F.coalesce(F.col(labels_col), F.array().cast("array<string>")).alias("ls"),
+    )
+    members = F.collect_list(member).over(w)
+
+    def _winner(lab: Column) -> Column:
+        holders = F.filter(members, lambda m: F.array_contains(m["ls"], lab))
+        return F.array_min(F.transform(holders, lambda m: F.struct(m["r"], m["s"], m["i"])))["i"]
+
+    covered = F.filter(
+        F.coalesce(F.col(labels_col), F.array().cast("array<string>")),
+        lambda lab: _winner(lab) == F.col(id_col),
+    )
+    # sort + distinct mirror groupcover's array_sort(collect_set(..))
+    # so the fused and join-back variants are byte-identical downstream
+    return df.withColumn(
+        labels_col,
+        F.when(no_key, F.col(labels_col)).otherwise(F.array_sort(F.array_distinct(covered))),
+    )
+
+
 def snapshot_merge(
     snapshot: DataFrame,
     delta: DataFrame,

@@ -138,6 +138,57 @@ def test_groupcover_invariants(spark, rows):
                 assert (label in got[i]) == (i == winner), (doi, label, i, winner, got)
 
 
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # id
+            st.sampled_from(["49", "55", "85", "121"]),  # source
+            st.sampled_from(["10.1/a", "10.1/b", "10.1/C", "", None]),  # doi
+            st.one_of(
+                st.none(),
+                st.lists(st.sampled_from(["DE-14", "DE-15", "DE-Zi4"]), max_size=3),
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_cover_labels_equals_groupcover_join_back(spark, rows):
+    """The fused single-window D5 (cover_labels) must be value-identical
+    to the two-step groupcover -> update_labels composition on ANY
+    input, including empty/None keys, None label arrays, duplicate
+    labels, and mixed-case DOIs (lower_key grouping)."""
+    from siskin_spark.operators.dedup import cover_labels
+    from siskin_spark.operators.joins import update_labels
+
+    df = spark.createDataFrame(
+        rows, "id int, src string, doi string, labels array<string>"
+    ).withColumn("payload", F.concat(F.lit("p"), F.col("id").cast("string")))
+    prefs = ["85", "55", "49", "121"]
+    changes = groupcover(
+        df, id_col="id", source_col="src", key_col="doi",
+        labels_col="labels", preferences=prefs,
+    )
+    two_step = update_labels(
+        df, changes, id_col="id", labels_col="labels", new_labels_col="labels"
+    )
+    fused = cover_labels(
+        df, id_col="id", source_col="src", key_col="doi",
+        labels_col="labels", preferences=prefs,
+    )
+    want = {
+        (r.id, r.payload, tuple(r.labels) if r.labels is not None else None)
+        for r in two_step.collect()
+    }
+    got = {
+        (r.id, r.payload, tuple(r.labels) if r.labels is not None else None)
+        for r in fused.collect()
+    }
+    assert got == want
+
+
 # -- spec compiler total-function property -----------------------------
 #
 # Every shipped per-source spec must be a TOTAL function of its raw
