@@ -327,7 +327,9 @@ def main() -> None:
     def neardup():
         sh = shingle_table(docs)
         cands = lsh_candidates(docs, shingles=sh)
-        return exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.8)
+        return exact_jaccard(cands, sh, corpus_docs=n_docs).filter(
+            F.col("jaccard") >= 0.8
+        )
 
     timed(neardup())
     results["neardup_s"] = min(timed(neardup()) for _ in range(3))
@@ -339,7 +341,9 @@ def main() -> None:
     def neardup_xx():
         sh = shingle_table(docs)
         cands = lsh_candidates(docs, shingles=sh, hash_family="xxhash64")
-        return exact_jaccard(cands, sh).filter(F.col("jaccard") >= 0.8)
+        return exact_jaccard(cands, sh, corpus_docs=n_docs).filter(
+            F.col("jaccard") >= 0.8
+        )
 
     timed(neardup_xx())
     results["neardup_xx_s"] = min(timed(neardup_xx()) for _ in range(3))

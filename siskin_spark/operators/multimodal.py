@@ -293,10 +293,12 @@ def extract_features(
             if kind == "image" and _HAS_PIL:
                 try:
                     return image_pixel_features(c, dim)
-                except _PIL_DECODE_ERRORS:
+                except (struct.error, IndexError) + _PIL_DECODE_ERRORS:
                     # per-row DECODE failure only (incl. Pillow's
-                    # DecompressionBombError); config errors were
-                    # rejected at plan-build time above
+                    # DecompressionBombError, and the struct/Index
+                    # errors plugin decoders raise on truncated
+                    # payloads — same set the dims() tier catches);
+                    # config errors were rejected at plan-build time
                     pass
             if kind == "audio":
                 try:

@@ -169,11 +169,20 @@ def lsh_candidates(
     return pairs
 
 
+#: "auto" ``broadcast_candidates`` threshold: below this many corpus
+#: docs the semi-filter's cost (the candidate LSH pipeline runs a
+#: second time as the broadcast subquery) exceeds what it saves in
+#: shuffled shingle rows. Measured: pure overhead at ~60K docs
+#: (sf0.1, ~+1s/query), 4.5x end-to-end win at 3M docs.
+BROADCAST_CANDIDATES_MIN_DOCS = 200_000
+
+
 def exact_jaccard(
     pairs: DataFrame,
     shingles: DataFrame,
     id_col: str = "doc_id",
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
+    corpus_docs: int | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over shingle sets.
     Join-based: |A∩B| from a shingle equi-join restricted to candidate
@@ -182,14 +191,25 @@ def exact_jaccard(
 
     Only CANDIDATE docs' shingles matter — non-candidates affect
     neither the intersection nor the |A|/|B| counts — so with
-    ``broadcast_candidates`` (default) the candidate id set is
-    broadcast and the corpus-sized shingle table is semi-filtered
-    MAP-SIDE before any shuffle: at 3M docs that shrinks the verify
-    stage's shuffles from 118M shingle rows to the ~6M belonging to
-    candidates. The candidate set is near-dup-rate-sized (two ids per
-    surviving pair), so it broadcasts comfortably; for a pathological
-    corpus where most docs are candidates, pass False to keep the
+    ``broadcast_candidates`` the candidate id set is broadcast and the
+    corpus-sized shingle table is semi-filtered MAP-SIDE before any
+    shuffle: at 3M docs that shrinks the verify stage's shuffles from
+    118M shingle rows to the ~6M belonging to candidates. The
+    candidate set is near-dup-rate-sized (two ids per surviving
+    pair), so it broadcasts comfortably; for a pathological corpus
+    where most docs are candidates, pass False to keep the
     shuffle-join plan instead of a giant broadcast.
+
+    The semi-filter is NOT free on small inputs: building the
+    broadcast re-evaluates the candidate pipeline (``pairs`` is lazy),
+    so below ~:data:`BROADCAST_CANDIDATES_MIN_DOCS` docs it costs more
+    than the shuffle it avoids. ``broadcast_candidates="auto"``
+    (default) resolves via the ``corpus_docs`` hint — a cheap
+    ``docs.count()`` at the call site (metadata-only on parquet):
+    filter when ``corpus_docs >= BROADCAST_CANDIDATES_MIN_DOCS``,
+    skip when smaller, and assume scale (filter) when no hint is
+    given, since the at-scale downside of skipping dwarfs the
+    small-input overhead of filtering.
 
     The count-only aggregate here is deliberately NOT fused into the
     minhash signature aggregate: fusing (count alongside the 16 min()
@@ -197,6 +217,10 @@ def exact_jaccard(
     SLOWER end-to-end — the reused exchange carries 16 hex partials
     per row where this one shuffles bare counts, and the signature's
     join-back to ``docs`` rides along. Cheap separate pass wins."""
+    if broadcast_candidates == "auto":
+        broadcast_candidates = (
+            corpus_docs is None or corpus_docs >= BROADCAST_CANDIDATES_MIN_DOCS
+        )
     if broadcast_candidates:
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))

@@ -113,33 +113,53 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
     miss remote stores and fall back onto the Hadoop codec chain this
     function exists to avoid. A directory holding BOTH zst and plain/
     gzip parts (e.g. appended by a legacy writer) reads both sides and
-    unions them; only committer metadata (``_SUCCESS``, dotfiles) is
-    skipped."""
+    unions them; only committer metadata (``_SUCCESS``, dotfiles) and
+    in-flight/orphaned writer temp files (``*._tmp-*``, plus the
+    current dot-prefixed naming) are skipped.
+
+    A DIRECT path to one ``.json.zst`` file — the reference's wire
+    artifacts are single compressed files (e.g. ``date-*.ndj.zst``) —
+    or a glob of them routes straight to the executor-side zst
+    reader; it must never fall through to ``spark.read.json`` over
+    raw compressed bytes, which yields corrupt rows."""
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(path)
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-    names = (
-        [s.getPath().getName() for s in fs.listStatus(hp) if s.isFile()]
-        if fs.isDirectory(hp)
-        else []
-    )
-    data = [n for n in names if not n.startswith(("_", "."))]
-    zst_parts = [n for n in data if n.endswith(".json.zst")]
-    other_parts = [n for n in data if not n.endswith(".json.zst")]
+    is_dir = fs.isDirectory(hp)
 
     def _wire_cols(frame: DataFrame) -> DataFrame:
         return frame.select(
             *[F.col(f"`{w}`").alias(c) for w, c in WIRE_TO_COL.items()]
         )
 
-    if not zst_parts:
-        return _wire_cols(spark.read.schema(_wire_schema()).json(path))
+    if not is_dir:
+        # single file or glob: route by suffix — Hadoop globbing works
+        # through the binaryFile source, so both cases share one load
+        if not path.endswith(".json.zst"):
+            return _wire_cols(spark.read.schema(_wire_schema()).json(path))
+        zst_src, other_parts = path, []
+    else:
+        names = [s.getPath().getName() for s in fs.listStatus(hp) if s.isFile()]
+        # skip committer metadata + writer temp files: current tmp names
+        # are dot-prefixed (caught by the dotfile filter); "._tmp-" also
+        # catches orphans from the pre-dot-prefix writer, which would
+        # otherwise be misread as legacy plain-JSON parts
+        data = [
+            n
+            for n in names
+            if not n.startswith(("_", ".")) and "._tmp-" not in n
+        ]
+        zst_parts = [n for n in data if n.endswith(".json.zst")]
+        other_parts = [f"{path}/{n}" for n in data if not n.endswith(".json.zst")]
+        if not zst_parts:
+            return _wire_cols(spark.read.schema(_wire_schema()).json(path))
+        zst_src = path + "/*.json.zst"
 
     from collections.abc import Iterator
 
     import pandas as pd
 
-    blobs = spark.read.format("binaryFile").load(path + "/*.json.zst")
+    blobs = spark.read.format("binaryFile").load(zst_src)
 
     def lines(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pyarrow as pa
@@ -168,9 +188,7 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
     )
     if other_parts:
         legacy = _wire_cols(
-            spark.read.schema(_wire_schema()).json(
-                [f"{path}/{n}" for n in other_parts]
-            )
+            spark.read.schema(_wire_schema()).json(other_parts)
         )
         parsed = parsed.unionByName(legacy)
     return parsed
@@ -213,16 +231,21 @@ def write_is_ndjson(df: DataFrame, path: str, compression: str = "zstd") -> None
         import pyarrow as pa
         from pyspark import TaskContext
 
-        part = os.path.join(path, f"part-{idx:05d}-{token}.json.zst")
+        name = f"part-{idx:05d}-{token}.json.zst"
+        part = os.path.join(path, name)
         # per-ATTEMPT tmp name: with speculative execution (or a zombie
         # task racing its stage-retry replacement) two attempts of the
         # same partition run concurrently — a shared tmp file would
         # interleave their frames and the atomic rename would publish
         # corrupt bytes. Each attempt writes its own tmp; os.replace is
-        # atomic, so the last complete attempt wins intact.
+        # atomic, so the last complete attempt wins intact. The tmp
+        # BASENAME is dot-prefixed so a failed/killed attempt's orphan
+        # is invisible to read_is_ndjson's dotfile filter (a
+        # "part-*._tmp-*" orphan would read as a legacy plain-JSON
+        # part and inject corrupt rows into a _SUCCESS-marked dir).
         ctx = TaskContext.get()
         attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
-        tmp = f"{part}._tmp-{attempt}"
+        tmp = os.path.join(path, f".{name}._tmp-{attempt}")
         with pa.output_stream(tmp, compression="zstd") as f:
             for line in it:
                 f.write(line.encode("utf-8"))
@@ -231,6 +254,14 @@ def write_is_ndjson(df: DataFrame, path: str, compression: str = "zstd") -> None
         return iter(())
 
     out.toJSON().mapPartitionsWithIndex(_write).count()  # run the job
+    # sweep orphaned tmp files from failed/speculative attempts before
+    # publishing, so the committed dir holds only parts + _SUCCESS
+    for n in _os.listdir(path):
+        if n.startswith(".") and "._tmp-" in n:
+            try:
+                _os.remove(_os.path.join(path, n))
+            except OSError:
+                pass
     open(_os.path.join(path, "_SUCCESS"), "w").close()
 
 

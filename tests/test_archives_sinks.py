@@ -239,3 +239,64 @@ def test_is_ndjson_mixed_zst_and_legacy_parts(tmp_path, spark):
         shutil.copy(p, zdir)
     got = {r["finc_id"] for r in read_is_ndjson(spark, zdir).collect()}
     assert got == {"ai-34-z", "ai-34-g"}
+
+
+def test_is_ndjson_single_file_and_glob(tmp_path, spark):
+    """A direct path to ONE .json.zst file (the reference's wire
+    artifacts are single compressed files) and a glob over several must
+    take the executor-side zst path — falling through to
+    spark.read.json over raw zstd bytes yields corrupt/null rows."""
+    import glob
+    import shutil
+
+    from siskin_spark.schema import read_is_ndjson, write_is_ndjson
+
+    src = str(tmp_path / "wire_src")
+    write_is_ndjson(
+        spark.createDataFrame(
+            [("ai-34-f1", "34", "File One"), ("ai-34-f2", "34", "File Two")],
+            "finc_id string, finc_source_id string, rft_atitle string",
+        ).coalesce(1),
+        src,
+    )
+    (part,) = glob.glob(os.path.join(src, "part-*.json.zst"))
+    single = str(tmp_path / "date-2026-08-14.json.zst")
+    shutil.copy(part, single)
+    back = read_is_ndjson(spark, single).collect()
+    assert {r["finc_id"] for r in back} == {"ai-34-f1", "ai-34-f2"}
+    assert all(r["rft_atitle"] is not None for r in back)
+    # glob over files takes the same path
+    shutil.copy(part, str(tmp_path / "date-2026-08-15.json.zst"))
+    assert read_is_ndjson(spark, str(tmp_path / "date-*.json.zst")).count() == 4
+
+
+def test_is_ndjson_orphan_tmp_files_invisible(tmp_path, spark):
+    """A failed/killed task attempt's temp file must be invisible to
+    the reader: the writer names tmps with a dot-prefixed basename and
+    sweeps leftovers before _SUCCESS, and the reader additionally
+    skips *._tmp-* names from the pre-dot-prefix writer — either kind
+    misread as a legacy plain-JSON part would inject corrupt rows
+    into a _SUCCESS-marked artifact."""
+    import glob
+
+    from siskin_spark.schema import read_is_ndjson, write_is_ndjson
+
+    dst = str(tmp_path / "wire_orphan")
+    write_is_ndjson(
+        spark.createDataFrame(
+            [("ai-34-ok", "34", "Good Row")],
+            "finc_id string, finc_source_id string, rft_atitle string",
+        ),
+        dst,
+    )
+    # no tmp leftovers after a successful commit
+    assert not [n for n in os.listdir(dst) if "._tmp-" in n]
+    # plant both orphan generations: current dot-prefixed naming and
+    # the legacy bare "part-...json.zst._tmp-N" naming
+    part = sorted(glob.glob(os.path.join(dst, "part-*.json.zst")))[0]
+    raw = open(part, "rb").read()  # partial zstd frame = corrupt bytes
+    base = os.path.basename(part)
+    open(os.path.join(dst, f".{base}._tmp-7"), "wb").write(raw[: len(raw) // 2])
+    open(os.path.join(dst, f"{base}._tmp-9"), "wb").write(raw[: len(raw) // 2])
+    back = read_is_ndjson(spark, dst).collect()
+    assert len(back) == 1 and back[0]["finc_id"] == "ai-34-ok"
