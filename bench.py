@@ -3,25 +3,30 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "runs": {...}, "sf": ...}
 
 Each query is executed four times: a warm-up that also triggers
-JIT/codegen caches, then three timed runs of which the MIN is reported
-(a long suite accumulates JVM garbage; a single timed run can absorb
-a multi-second GC pause that says nothing about the plan — min-of-3
-reports steady-state cost and stops one noisy run from masquerading
-as a plan regression). A System.gc() between queries keeps one
-query's garbage from billing the next. The timed action is a write to
-the `noop` v2 sink: unlike count() — under which Catalyst prunes any
-column the count doesn't need, silently skipping the expensive
-expressions — noop materializes EVERY output column, without paying
-driver-side collection of wide rows.
+JIT/codegen caches, then three timed runs. The per-query stat in
+"queries" (and the suite total in "value") is the MEDIAN of the three
+— same-box re-runs of this suite historically ranged +-20%, so a
+single run (or the min, which systematically understates steady-state
+cost) made round-over-round numbers incomparable; the median resists
+one GC-paused outlier in either direction. All three raw runs are
+emitted under "runs" so any consumer can recompute min/max/spread.
+A System.gc() between queries keeps one query's garbage from billing
+the next. The timed action is a write to the `noop` v2 sink: unlike
+count() — under which Catalyst prunes any column the count doesn't
+need, silently skipping the expensive expressions — noop materializes
+EVERY output column, without paying driver-side collection of wide
+rows.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -48,14 +53,16 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in sorted(queries.items()):
         materialize(fn(spark, sf_dir))  # warm-up: listing, codegen, broadcasts
-        best = float("inf")
+        ts: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            ts.append(round(time.perf_counter() - t0, 4))
+        timings[name] = round(statistics.median(ts), 4)
+        runs[name] = ts
         spark._jvm.System.gc()  # untimed: don't bill this query's garbage to the next
 
     total = round(sum(timings.values()), 4)
@@ -65,7 +72,9 @@ def main() -> None:
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "stat": "median_of_3",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": cpus,

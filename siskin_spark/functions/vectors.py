@@ -81,6 +81,9 @@ def brute_force_topk(
     nested loop, no shuffle of the index — then a per-probe top-k window.
     Ties broken by neighbor id for determinism.
     Returns (probe_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    Exact and index-free: the right pick to ~1M index vectors; beyond
+    that use the IVF or sign-LSH paths below (README.md "Operator
+    selection at scale" has the decision table).
     """
     p = probes.select(*_memo_cols(("bf_p", id_col, vec_col), lambda: [
         F.col(id_col).alias("probe_id"),

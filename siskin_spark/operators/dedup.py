@@ -233,7 +233,8 @@ def cover_labels(
     map-side combine); for record-per-source-per-DOI shapes (bounded
     group size = number of sources) this single pass is strictly
     cheaper. Assumes ``id_col`` is unique per row (the pipeline
-    contract), as does the join-back variant.
+    contract), as does the join-back variant. See README.md
+    "Operator selection at scale" for the decision table.
     """
     prefs = F.array(*[F.lit(p) for p in preferences])
     key = F.lower(F.col(key_col)) if lower_key else F.col(key_col)

@@ -27,11 +27,15 @@ Audio/video container metadata is likewise real from stdlib header
 parses (:func:`parse_wav_header` — channels/rate/duration from
 RIFF/WAVE; :func:`parse_mp4_duration` — duration from the ISO-BMFF
 moov/mvhd box; :func:`parse_y4m_header` — dimensions/rate/colorspace).
-Only CODEC-compressed frame decode (mp4/h264 etc.) remains a declared
-stub (no pyav in this container); :func:`frame_sample` emits real
-per-frame pixel features for y4m and a real metadata-derived sampling
-grid for mp4. The Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signatures — is real and tested at every tier.
+CODEC-compressed frame decode (mp4/h264 etc.) is pyav-gated
+(``_HAS_AV``, same pattern as the Pillow gate):
+:func:`mp4_frame_luminance` decodes real per-frame pixels when pyav
+is importable and tiers down to a null feature otherwise (this
+container ships no pyav, so here mp4 rows get the real
+metadata-derived sampling grid + sample-table frame times with null
+pixel features, while y4m rows always get real per-frame features).
+The Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested at every tier.
 
 Scale notes: binary payloads ride in Parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
@@ -89,6 +93,14 @@ except ImportError:  # container default: header-parse path only
 _PIL_DECODE_ERRORS: tuple[type[BaseException], ...] = (OSError, ValueError)
 if _HAS_PIL and hasattr(_PILImage, "DecompressionBombError"):
     _PIL_DECODE_ERRORS = _PIL_DECODE_ERRORS + (_PILImage.DecompressionBombError,)
+
+try:  # optional dependency: codec'd-video (mp4 etc.) pixel decode
+    import av as _av  # type: ignore
+
+    _HAS_AV = True
+except ImportError:  # container default: header/sample-table tier only
+    _av = None
+    _HAS_AV = False
 
 
 def _malformed_raises_valueerror(fn):
@@ -305,13 +317,21 @@ def extract_features(
                     return wav_pcm_features(c, dim)
                 except (ValueError, struct.error):
                     pass
-            if kind == "video" and c.startswith(b"YUV4MPEG2"):
-                # raw-plane container: REAL first-frame luminance
-                # histogram, the same feature shape as the image tier
-                try:
-                    return y4m_frame_luminance(c, y4m_frame_offsets(c)[0], dim)
-                except (ValueError, struct.error):
-                    pass
+            if kind == "video":
+                if c.startswith(b"YUV4MPEG2"):
+                    # raw-plane container: REAL first-frame luminance
+                    # histogram, same feature shape as the image tier
+                    try:
+                        return y4m_frame_luminance(c, y4m_frame_offsets(c)[0], dim)
+                    except (ValueError, struct.error):
+                        pass
+                elif _HAS_AV:
+                    # codec'd container: REAL first-frame luminance
+                    # through the pyav gate, per-row tier-down
+                    try:
+                        return mp4_frame_luminance(c, 0.0, dim)
+                    except ValueError:
+                        pass
         return f[2]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -417,18 +437,6 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
                 F.lit("resize_h"), F.lit(str(height)),
             ),
         ),
-    )
-
-
-def frame_sample_stub(media: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """Video frame-sampling plumbing: emits one pseudo-frame row per
-    media row per sampled offset (deterministic count from byte length);
-    a real impl would demux with pyav."""
-    n_frames = (F.length(F.col("content")) % 4 + 1).cast("int")
-    return (
-        media.filter(F.col("kind") == "video")
-        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
-        .withColumn("frame_offset_s", F.col("frame_idx") * F.lit(every_s))
     )
 
 
@@ -707,6 +715,65 @@ def y4m_frame_luminance(content: bytes, frame_offset: int, dim: int = 8) -> list
     return (hist / float(width * height)).tolist()
 
 
+def mp4_frame_luminance(
+    content: bytes, seek_time_s: float, dim: int = 8, max_scan_frames: int = 512
+) -> list[float]:
+    """REAL pixel decode of one codec'd-video frame via pyav, when
+    importable (``_HAS_AV``) — same pyav gate pattern as the Pillow
+    image tier. Seeks to the keyframe at/before ``seek_time_s``,
+    decodes forward to the last frame at/before that time (what a
+    demuxer serves for the offset), and returns the same normalized
+    ``dim``-bin luminance histogram as :func:`y4m_frame_luminance` /
+    :func:`image_pixel_features`, so image, raw-plane video, and
+    codec'd video features are comparable downstream.
+
+    Raises ValueError when pyav is absent or the payload is
+    undecodable — callers tier the row down to a null feature, per
+    row, never failing the Arrow batch. The decode scan after the
+    keyframe seek is capped at ``max_scan_frames`` so a malformed
+    index can't trigger an unbounded full-stream decode. pyav's
+    exception hierarchy moved across releases (av.AVError →
+    av.error.FFmpegError), so the decode body normalizes ANY failure
+    to the module's single malformed-payload type instead of naming
+    version-specific classes."""
+    import io
+
+    import numpy as np
+
+    if 256 % dim:
+        raise ValueError("dim must divide 256 for even luminance bins")
+    if not _HAS_AV:
+        raise ValueError(
+            "pyav not available: codec'd video stays at the header/"
+            "sample-table tier"
+        )
+    try:
+        with _av.open(io.BytesIO(bytes(content))) as container:
+            stream = container.streams.video[0]
+            if seek_time_s > 0 and stream.time_base:
+                container.seek(
+                    int(seek_time_s / float(stream.time_base)),
+                    stream=stream,
+                    any_frame=False,
+                )
+            best = None
+            for i, frame in enumerate(container.decode(stream)):
+                t = frame.time
+                if best is None or t is None or t <= seek_time_s + 1e-9:
+                    best = frame
+                if (t is not None and t >= seek_time_s) or i >= max_scan_frames:
+                    break
+            if best is None:
+                raise ValueError("no decodable video frame")
+            y = np.asarray(best.to_ndarray(format="gray")).ravel()
+            hist = np.bincount(y // (256 // dim), minlength=dim)
+            return (hist / float(y.size)).tolist()
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — see docstring
+        raise ValueError(f"undecodable video payload: {e}") from e
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -717,9 +784,10 @@ FRAME_SCHEMA = T.StructType(
         # offset (from the stts sample table); null when the payload
         # has no parseable sample table
         T.StructField("frame_time_s", T.DoubleType()),
-        # REAL pixel feature (y4m payloads only): luminance histogram
-        # of the frame at/before the sampled offset; null when the
-        # container needs a codec library to reach pixels (mp4)
+        # REAL pixel feature: luminance histogram of the frame
+        # at/before the sampled offset — always for y4m (raw planes),
+        # for codec'd containers (mp4) only when pyav is importable;
+        # null when no decode path reaches pixels
         T.StructField("frame_feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -728,9 +796,8 @@ FRAME_SCHEMA = T.StructType(
 def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Real frame-sampling plan for video rows: one row per sampled
     offset in [0, duration), duration read from the mp4 header
-    (:func:`parse_mp4_duration`) — the demux/decode of the frame
-    itself stays a declared stub (no pyav), but the SAMPLING GRID is
-    real. Unparseable payloads yield a single row with null duration
+    (:func:`parse_mp4_duration`) — the SAMPLING GRID is always real.
+    Unparseable payloads yield a single row with null duration
     (frame_idx 0, offset 0.0) so downstream stages see every video.
 
     When the payload carries a parseable stts SAMPLE TABLE
@@ -745,8 +812,11 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     sampled row carries a REAL ``frame_feature`` — the luminance
     histogram of the decoded frame at/before the offset
     (:func:`y4m_frame_luminance`), the same feature shape the image
-    content tier emits. mp4 rows keep ``frame_feature`` null: reaching
-    pixels there needs a codec library, which stays the declared stub.
+    content tier emits. Codec'd containers (mp4) reach pixels through
+    the pyav gate (:func:`mp4_frame_luminance`): a real per-frame
+    luminance histogram when pyav is importable, tier-down to a null
+    ``frame_feature`` per row when it is absent or the payload does
+    not decode — mirroring the Pillow gate on the image tier.
 
     mapInPandas rather than a column expression: the metadata lives
     inside the binary payload, and the per-row work is a bounded
@@ -758,6 +828,16 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     import struct as _struct
 
     _degrade = (ValueError, _struct.error, IndexError)
+
+    def _av_feat(raw: bytes, t: float) -> list[float] | None:
+        # codec'd-video pixel tier: real when pyav is importable,
+        # null otherwise / on any per-row decode failure
+        if not _HAS_AV:
+            return None
+        try:
+            return mp4_frame_luminance(raw, t)
+        except ValueError:
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -797,7 +877,7 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     durs.append(dur)
                     if times is None:
                         fts.append(None)
-                        feats.append(None)
+                        feats.append(_av_feat(raw, off))
                     else:
                         # the frame a demuxer decodes for offset t is
                         # the last sample at/before t (first frame
@@ -807,7 +887,7 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                         feats.append(
                             y4m_frame_luminance(raw, fo[j])
                             if fo is not None
-                            else None
+                            else _av_feat(raw, times[j])
                         )
             yield pd.DataFrame(
                 {

@@ -216,7 +216,10 @@ def exact_jaccard(
     hashes, counts branch reusing that exchange) was measured ~25%
     SLOWER end-to-end — the reused exchange carries 16 hex partials
     per row where this one shuffles bare counts, and the signature's
-    join-back to ``docs`` rides along. Cheap separate pass wins."""
+    join-back to ``docs`` rides along. Cheap separate pass wins.
+
+    See README.md "Operator selection at scale" for the full
+    small-vs-large-input decision table across operators."""
     if broadcast_candidates == "auto":
         broadcast_candidates = (
             corpus_docs is None or corpus_docs >= BROADCAST_CANDIDATES_MIN_DOCS

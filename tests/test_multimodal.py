@@ -10,14 +10,15 @@ import pytest
 from pyspark.sql import functions as F  # noqa: F401 (parity with sibling modules)
 
 from siskin_spark.operators.multimodal import (
+    _HAS_AV,
     _HAS_PIL,
     MEDIA_SCHEMA,
     decode_image,
     extract_features,
     fake_decode_features,
     frame_sample,
-    frame_sample_stub,
     image_pixel_features,
+    mp4_frame_luminance,
     parse_image_header,
     parse_mp4_duration,
     parse_mp4_sample_times,
@@ -97,11 +98,9 @@ def test_multimodal_features(spark):
     # determinism: same bytes -> same feature vector
     again = next(r for r in extract_features(media).collect() if r["media_id"] == 1)
     assert again["feature"] == f1["feature"]
-    # resize/frame-sample plumbing
+    # resize plumbing
     resized = resize_stub(media, 224, 224).first()
     assert resized["meta"]["resize_w"] == "224"
-    frames = frame_sample_stub(media).collect()
-    assert all(r["kind"] == "video" for r in frames) and len(frames) >= 1
     with pytest.raises(ValueError):
         decode_image(b"x")  # not an image container
 
@@ -316,7 +315,8 @@ def test_frame_sample_y4m_real_pixel_features(spark):
     """frame_sample on a y4m payload: duration and per-frame times
     from the frame walk, and frame_feature is the REAL luminance
     histogram of the frame at/before each sampled offset; mp4 rows
-    keep frame_feature null (codec-compressed — declared stub)."""
+    keep frame_feature null when pyav is absent (the codec'd-video
+    pixel tier is pyav-gated, like the Pillow image gate)."""
     import struct
 
     def box(tag, payload):
@@ -630,3 +630,55 @@ def test_frame_sample_real_frame_times(spark):
     b = [r for r in rows if r["media_id"] == 2]
     assert b and all(r["frame_time_s"] is None for r in b)  # no stts
     assert all(r["duration_s"] == 2.5 for r in b)  # mvhd grid still real
+
+
+def test_mp4_frame_luminance_dim_and_gate_contract():
+    """Plan-build errors (bad dim) surface regardless of pyav; without
+    pyav the decode tier raises the module's single malformed-payload
+    type so callers tier down per row — mirroring the Pillow gate."""
+    with pytest.raises(ValueError, match="dim"):
+        mp4_frame_luminance(b"\x00\x00ftypmp4", 0.0, dim=7)
+    if not _HAS_AV:
+        with pytest.raises(ValueError, match="pyav"):
+            mp4_frame_luminance(b"\x00\x00ftypmp4", 0.0)
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="pyav not installed")
+def test_mp4_frame_luminance_real_pyav(spark):
+    """With pyav importable, codec'd video reaches REAL pixels: encode
+    a tiny two-frame mp4 in-memory (black frame then white frame) and
+    assert the luminance histogram matches each frame — the same
+    feature shape as the y4m and image tiers."""
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=1)
+        stream.width, stream.height = 64, 64
+        stream.pix_fmt = "yuv420p"
+        for value in (0, 255):
+            img = np.full((64, 64, 3), value, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    black = mp4_frame_luminance(payload, 0.0)
+    assert len(black) == 8 and abs(sum(black) - 1.0) < 1e-6
+    assert black[0] > 0.9  # lossy-codec tolerance: near-black stays in bin 0
+    white = mp4_frame_luminance(payload, 1.0)
+    assert white[7] > 0.9
+
+    media = spark.createDataFrame(
+        [(1, "video", payload, "video/mp4", None)], MEDIA_SCHEMA
+    )
+    rows = frame_sample(media, every_s=1.0).collect()
+    assert rows and any(
+        r["frame_feature"] is not None and abs(sum(r["frame_feature"]) - 1.0) < 1e-6
+        for r in rows
+    )
