@@ -715,6 +715,89 @@ def y4m_frame_luminance(content: bytes, frame_offset: int, dim: int = 8) -> list
     return (hist / float(width * height)).tolist()
 
 
+def _mp4_best_frame_hist(
+    container, stream, seek_time_s: float, dim: int, max_scan_frames: int
+) -> list[float]:
+    """Decode the frame at/before ``seek_time_s`` from an ALREADY-OPEN
+    pyav container and histogram its luminance. Keyframe-seek, then
+    scan forward to the last frame at/before the target (what a
+    demuxer serves for the offset). A frame reporting no pts
+    (``frame.time is None`` — raw elementary streams) ends the scan:
+    with no timestamps to compare, the first decoded frame IS the
+    answer for any target, and scanning further would both clobber an
+    already-correct best and decode ``max_scan_frames`` frames for
+    nothing."""
+    import numpy as np
+
+    if seek_time_s > 0 and stream.time_base:
+        container.seek(
+            int(seek_time_s / float(stream.time_base)),
+            stream=stream,
+            any_frame=False,
+        )
+    best = None
+    for i, frame in enumerate(container.decode(stream)):
+        t = frame.time
+        if t is None:
+            if best is None:
+                best = frame
+            break
+        if best is None or t <= seek_time_s + 1e-9:
+            best = frame
+        if t >= seek_time_s or i >= max_scan_frames:
+            break
+    if best is None:
+        raise ValueError("no decodable video frame")
+    y = np.asarray(best.to_ndarray(format="gray")).ravel()
+    hist = np.bincount(y // (256 // dim), minlength=dim)
+    return (hist / float(y.size)).tolist()
+
+
+def mp4_frames_luminance(
+    content: bytes,
+    seek_times: list[float],
+    dim: int = 8,
+    max_scan_frames: int = 512,
+) -> list[list[float] | None]:
+    """Batch variant of :func:`mp4_frame_luminance`: opens and parses
+    the container ONCE and keyframe-seeks per target, so a video row
+    sampled at N offsets costs one open + N GOP decodes instead of N
+    full open/parse/seek cycles over the same payload.
+    Per-target decode failures yield None in that slot (the caller's
+    null-feature tier-down); a payload pyav cannot open at all raises
+    ValueError, like the single-frame API."""
+    import io
+
+    if 256 % dim:
+        raise ValueError("dim must divide 256 for even luminance bins")
+    if not _HAS_AV:
+        raise ValueError(
+            "pyav not available: codec'd video stays at the header/"
+            "sample-table tier"
+        )
+    out: list[list[float] | None] = []
+    try:
+        with _av.open(io.BytesIO(bytes(content))) as container:
+            stream = container.streams.video[0]
+            for t in seek_times:
+                try:
+                    out.append(
+                        _mp4_best_frame_hist(
+                            container, stream, t, dim, max_scan_frames
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — per-target tier-down;
+                    # pyav's exception hierarchy moved across releases
+                    # (av.AVError → av.error.FFmpegError), so no
+                    # version-specific class names here
+                    out.append(None)
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — container-level failure
+        raise ValueError(f"undecodable video payload: {e}") from e
+    return out
+
+
 def mp4_frame_luminance(
     content: bytes, seek_time_s: float, dim: int = 8, max_scan_frames: int = 512
 ) -> list[float]:
@@ -727,51 +810,16 @@ def mp4_frame_luminance(
     :func:`image_pixel_features`, so image, raw-plane video, and
     codec'd video features are comparable downstream.
 
-    Raises ValueError when pyav is absent or the payload is
+    Raises ValueError when pyav is absent or the payload/frame is
     undecodable — callers tier the row down to a null feature, per
     row, never failing the Arrow batch. The decode scan after the
     keyframe seek is capped at ``max_scan_frames`` so a malformed
-    index can't trigger an unbounded full-stream decode. pyav's
-    exception hierarchy moved across releases (av.AVError →
-    av.error.FFmpegError), so the decode body normalizes ANY failure
-    to the module's single malformed-payload type instead of naming
-    version-specific classes."""
-    import io
-
-    import numpy as np
-
-    if 256 % dim:
-        raise ValueError("dim must divide 256 for even luminance bins")
-    if not _HAS_AV:
-        raise ValueError(
-            "pyav not available: codec'd video stays at the header/"
-            "sample-table tier"
-        )
-    try:
-        with _av.open(io.BytesIO(bytes(content))) as container:
-            stream = container.streams.video[0]
-            if seek_time_s > 0 and stream.time_base:
-                container.seek(
-                    int(seek_time_s / float(stream.time_base)),
-                    stream=stream,
-                    any_frame=False,
-                )
-            best = None
-            for i, frame in enumerate(container.decode(stream)):
-                t = frame.time
-                if best is None or t is None or t <= seek_time_s + 1e-9:
-                    best = frame
-                if (t is not None and t >= seek_time_s) or i >= max_scan_frames:
-                    break
-            if best is None:
-                raise ValueError("no decodable video frame")
-            y = np.asarray(best.to_ndarray(format="gray")).ravel()
-            hist = np.bincount(y // (256 // dim), minlength=dim)
-            return (hist / float(y.size)).tolist()
-    except ValueError:
-        raise
-    except Exception as e:  # noqa: BLE001 — see docstring
-        raise ValueError(f"undecodable video payload: {e}") from e
+    index can't trigger an unbounded full-stream decode. For many
+    offsets over one payload use :func:`mp4_frames_luminance`."""
+    feat = mp4_frames_luminance(content, [seek_time_s], dim, max_scan_frames)[0]
+    if feat is None:
+        raise ValueError("undecodable video frame")
+    return feat
 
 
 FRAME_SCHEMA = T.StructType(
@@ -829,16 +877,6 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
 
     _degrade = (ValueError, _struct.error, IndexError)
 
-    def _av_feat(raw: bytes, t: float) -> list[float] | None:
-        # codec'd-video pixel tier: real when pyav is importable,
-        # null otherwise / on any per-row decode failure
-        if not _HAS_AV:
-            return None
-        try:
-            return mp4_frame_luminance(raw, t)
-        except ValueError:
-            return None
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, offs, durs, fts, feats = [], [], [], [], [], []
@@ -869,6 +907,10 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                         times = parse_mp4_sample_times(raw)
                     except _degrade:
                         times = None
+                # codec'd-video pixel tier: collect this row's target
+                # times, then ONE batched pyav pass (one container
+                # open + N keyframe seeks) backfills the placeholders
+                pend: list[tuple[int, float]] = []
                 for i in range(n):
                     off = i * every_s
                     ids.append(mid)
@@ -877,18 +919,28 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     durs.append(dur)
                     if times is None:
                         fts.append(None)
-                        feats.append(_av_feat(raw, off))
+                        feats.append(None)
+                        pend.append((len(feats) - 1, off))
                     else:
                         # the frame a demuxer decodes for offset t is
                         # the last sample at/before t (first frame
                         # when t precedes every sample)
                         j = max(bisect.bisect_right(times, off) - 1, 0)
                         fts.append(times[j])
-                        feats.append(
-                            y4m_frame_luminance(raw, fo[j])
-                            if fo is not None
-                            else _av_feat(raw, times[j])
+                        if fo is not None:
+                            feats.append(y4m_frame_luminance(raw, fo[j]))
+                        else:
+                            feats.append(None)
+                            pend.append((len(feats) - 1, times[j]))
+                if pend and _HAS_AV:
+                    try:
+                        hists = mp4_frames_luminance(
+                            raw, [t for _, t in pend]
                         )
+                    except ValueError:
+                        hists = [None] * len(pend)
+                    for (k, _), h in zip(pend, hists):
+                        feats[k] = h
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

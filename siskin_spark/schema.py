@@ -87,6 +87,12 @@ WIRE_TO_COL.update(
 )
 COL_TO_WIRE = {v: k for k, v in WIRE_TO_COL.items()}
 
+#: zstd ndjson artifact spellings the wire reader must route to the
+#: executor-side decompress path: this writer's parts (.json.zst), the
+#: reference's single-file artifacts (date-*.ndj.zst), and the long
+#: spelling — anything else zstd'd would hit spark.read.json raw
+_ZST_NDJSON_SUFFIXES = (".json.zst", ".ndj.zst", ".ndjson.zst")
+
 
 def issns_all(df_or_none=None) -> F.Column:
     """Union of print + e-ISSNs as one array (null-safe) — the join key
@@ -117,10 +123,11 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
     in-flight/orphaned writer temp files (``*._tmp-*``, plus the
     current dot-prefixed naming) are skipped.
 
-    A DIRECT path to one ``.json.zst`` file — the reference's wire
-    artifacts are single compressed files (e.g. ``date-*.ndj.zst``) —
-    or a glob of them routes straight to the executor-side zst
-    reader; it must never fall through to ``spark.read.json`` over
+    A DIRECT path to one zstd ndjson file — the reference's wire
+    artifacts are single compressed files named ``date-*.ndj.zst``
+    (alongside this writer's ``.json.zst`` and the ``.ndjson.zst``
+    spelling) — or a glob of them routes straight to the executor-side
+    zst reader; it must never fall through to ``spark.read.json`` over
     raw compressed bytes, which yields corrupt rows."""
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(path)
@@ -135,9 +142,10 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
     if not is_dir:
         # single file or glob: route by suffix — Hadoop globbing works
         # through the binaryFile source, so both cases share one load
-        if not path.endswith(".json.zst"):
+        if not path.endswith(_ZST_NDJSON_SUFFIXES):
             return _wire_cols(spark.read.schema(_wire_schema()).json(path))
-        zst_src, other_parts = path, []
+        zst_src: str | list[str] = path
+        other_parts: list[str] = []
     else:
         names = [s.getPath().getName() for s in fs.listStatus(hp) if s.isFile()]
         # skip committer metadata + writer temp files: current tmp names
@@ -149,11 +157,20 @@ def read_is_ndjson(spark, path: str) -> DataFrame:
             for n in names
             if not n.startswith(("_", ".")) and "._tmp-" not in n
         ]
-        zst_parts = [n for n in data if n.endswith(".json.zst")]
-        other_parts = [f"{path}/{n}" for n in data if not n.endswith(".json.zst")]
+        zst_parts = [n for n in data if n.endswith(_ZST_NDJSON_SUFFIXES)]
+        other_parts = [
+            f"{path}/{n}" for n in data if not n.endswith(_ZST_NDJSON_SUFFIXES)
+        ]
         if not zst_parts:
-            return _wire_cols(spark.read.schema(_wire_schema()).json(path))
-        zst_src = path + "/*.json.zst"
+            # the explicit-list read keeps the orphan/dotfile filter in
+            # force — json(path) would relist the directory and ingest
+            # pre-dot-prefix tmp orphans as plain JSON
+            if other_parts:
+                return _wire_cols(
+                    spark.read.schema(_wire_schema()).json(other_parts)
+                )
+            return _wire_cols(spark.createDataFrame([], _wire_schema()))
+        zst_src = [f"{path}/{n}" for n in zst_parts]
 
     from collections.abc import Iterator
 

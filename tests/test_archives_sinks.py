@@ -242,10 +242,12 @@ def test_is_ndjson_mixed_zst_and_legacy_parts(tmp_path, spark):
 
 
 def test_is_ndjson_single_file_and_glob(tmp_path, spark):
-    """A direct path to ONE .json.zst file (the reference's wire
-    artifacts are single compressed files) and a glob over several must
-    take the executor-side zst path — falling through to
-    spark.read.json over raw zstd bytes yields corrupt/null rows."""
+    """A direct path to ONE zstd ndjson file — including the
+    reference's single-file artifact naming, date-*.ndj.zst — and a
+    glob over several must take the executor-side zst path; falling
+    through to spark.read.json over raw zstd bytes yields corrupt/null
+    rows. A directory mixing .ndj.zst alongside .json.zst parts must
+    route BOTH to the zst reader, not misread one as legacy JSON."""
     import glob
     import shutil
 
@@ -260,14 +262,18 @@ def test_is_ndjson_single_file_and_glob(tmp_path, spark):
         src,
     )
     (part,) = glob.glob(os.path.join(src, "part-*.json.zst"))
-    single = str(tmp_path / "date-2026-08-14.json.zst")
+    single = str(tmp_path / "date-2026-08-14.ndj.zst")
     shutil.copy(part, single)
     back = read_is_ndjson(spark, single).collect()
     assert {r["finc_id"] for r in back} == {"ai-34-f1", "ai-34-f2"}
     assert all(r["rft_atitle"] is not None for r in back)
     # glob over files takes the same path
-    shutil.copy(part, str(tmp_path / "date-2026-08-15.json.zst"))
-    assert read_is_ndjson(spark, str(tmp_path / "date-*.json.zst")).count() == 4
+    shutil.copy(part, str(tmp_path / "date-2026-08-15.ndj.zst"))
+    assert read_is_ndjson(spark, str(tmp_path / "date-*.ndj.zst")).count() == 4
+    # mixed-suffix directory: the .ndj.zst part must be decompressed,
+    # not unioned in as a legacy plain-JSON part
+    shutil.copy(part, os.path.join(src, "extra-00000.ndj.zst"))
+    assert read_is_ndjson(spark, src).count() == 4
 
 
 def test_is_ndjson_orphan_tmp_files_invisible(tmp_path, spark):
@@ -300,3 +306,24 @@ def test_is_ndjson_orphan_tmp_files_invisible(tmp_path, spark):
     open(os.path.join(dst, f"{base}._tmp-9"), "wb").write(raw[: len(raw) // 2])
     back = read_is_ndjson(spark, dst).collect()
     assert len(back) == 1 and back[0]["finc_id"] == "ai-34-ok"
+
+    # the orphan filter must also hold on the NO-zst-parts path: a
+    # legacy (gzip-only) directory with a stray zst tmp orphan reads
+    # only the committed parts, and a directory holding ONLY orphans
+    # reads as empty — neither may fall back to json(<dir>)
+    gz = str(tmp_path / "wire_gz_orphan")
+    write_is_ndjson(
+        spark.createDataFrame(
+            [("ai-34-gz", "34", "Gz Row")],
+            "finc_id string, finc_source_id string, rft_atitle string",
+        ),
+        gz,
+        compression="gzip",
+    )
+    open(os.path.join(gz, f"{base}._tmp-3"), "wb").write(raw[: len(raw) // 2])
+    back = read_is_ndjson(spark, gz).collect()
+    assert len(back) == 1 and back[0]["finc_id"] == "ai-34-gz"
+    only = str(tmp_path / "wire_only_orphans")
+    os.makedirs(only)
+    open(os.path.join(only, f"{base}._tmp-5"), "wb").write(raw[: len(raw) // 2])
+    assert read_is_ndjson(spark, only).count() == 0

@@ -727,7 +727,7 @@ def test_hash_families_same_verified_pairs(spark):
     base = {i: [_word(i, j) for j in range(200)] for i in range(30)}
     rows = [(i, " ".join(ws)) for i, ws in base.items()]
     planted = set()
-    for k, i in enumerate(range(8)):  # exact duplicates of docs 0..7
+    for i in range(8):  # exact duplicates of docs 0..7
         rows.append((100 + i, " ".join(base[i])))
         planted.add((i, 100 + i))
     for i in range(8, 14):  # near-dups: one word swapped in docs 8..13
