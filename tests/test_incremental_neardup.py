@@ -1,0 +1,141 @@
+"""Incremental near-dup: dedup a new batch against a persisted
+signature index without recomputing the corpus (SURVEY.md §7.5 scale
+extension — the reference recomputes full-corpus artifacts per run;
+a 100 TB corpus can't re-shingle everything to admit a daily batch)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from siskin_spark.operators.neardup import (
+    incremental_keep,
+    incremental_neardup,
+    neardup_index_append,
+    neardup_index_build,
+)
+
+_VOCAB = [f"w{v}" for v in range(50)]
+
+
+def _word(i: int, j: int) -> str:
+    return _VOCAB[
+        int.from_bytes(hashlib.md5(f"{i}-{j}".encode()).digest()[:4], "big") % 50
+    ]
+
+
+def _doc(i: int, n_words: int = 120) -> str:
+    return " ".join(_word(i, j) for j in range(n_words))
+
+
+def _near(i: int, n_words: int = 120) -> str:
+    ws = [_word(i, j) for j in range(n_words)]
+    ws[30] = "changed"
+    return " ".join(ws)
+
+
+@pytest.fixture()
+def index_dir(tmp_path, spark):
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)], "doc_id long, text string"
+    )
+    d = str(tmp_path / "ndidx")
+    neardup_index_build(corpus, d)
+    return d
+
+
+def test_incremental_neardup_batch_vs_index_and_within(spark, index_dir):
+    """One incremental call finds batch-vs-corpus dups (exact and
+    near) AND batch-internal dups, touching only candidate corpus
+    docs' shingles; survivors drop every duplicated new doc."""
+    batch = spark.createDataFrame(
+        [
+            (100, _doc(3)),    # exact dup of corpus doc 3
+            (101, _near(7)),   # near-dup (~0.97) of corpus doc 7
+            (102, _doc(40)),   # unique vs corpus...
+            (103, _doc(40)),   # ...but exact dup within the batch
+            (104, _doc(41)),   # unique everywhere
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_id"], r["dup_of"]): r["jaccard"]
+        for r in incremental_neardup(spark, batch, index_dir).collect()
+    }
+    assert pairs[(100, 3)] == 1.0
+    assert pairs[(101, 7)] > 0.9
+    assert pairs[(103, 102)] == 1.0  # batch-internal: larger id is the drop side
+    assert not any(a == 104 or b == 104 for a, b in pairs)
+    kept = {
+        r["doc_id"]
+        for r in incremental_keep(
+            batch, incremental_neardup(spark, batch, index_dir)
+        ).collect()
+    }
+    assert kept == {102, 104}  # 102 survives (smaller id), 103 drops
+
+
+def test_incremental_equals_full_recompute(spark, index_dir):
+    """Equivalence property: the incremental path over (index, batch)
+    yields EXACTLY the full-recompute pipeline's verified pairs
+    restricted to pairs touching a batch doc — same signatures, same
+    banding, same verification, so the index shortcut changes cost,
+    never results."""
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.neardup import (
+        exact_jaccard,
+        lsh_candidates,
+        shingle_table,
+    )
+
+    corpus_rows = [(i, _doc(i)) for i in range(20)]
+    batch_rows = [(100, _doc(3)), (101, _near(7)), (102, _doc(40)), (103, _doc(40))]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    everything = spark.createDataFrame(
+        corpus_rows + batch_rows, "doc_id long, text string"
+    )
+
+    inc = {
+        frozenset((r["doc_id"], r["dup_of"]))
+        for r in incremental_neardup(spark, batch, index_dir).collect()
+    }
+
+    sh = shingle_table(everything)
+    cands = lsh_candidates(everything, shingles=sh)
+    full = exact_jaccard(cands, sh, broadcast_candidates=False).filter(
+        F.col("jaccard") >= 0.5
+    )
+    new_ids = {r[0] for r in batch_rows}
+    full_touching_batch = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == full_touching_batch
+
+
+def test_index_append_and_param_guard(spark, index_dir, tmp_path):
+    """Appending batch survivors makes them visible to the NEXT batch;
+    mismatched banding params fail before any part file lands."""
+    survivors = spark.createDataFrame(
+        [(102, _doc(40))], "doc_id long, text string"
+    )
+    neardup_index_append(survivors, index_dir)
+    next_batch = spark.createDataFrame(
+        [(200, _doc(40))], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_id"], r["dup_of"])
+        for r in incremental_neardup(spark, next_batch, index_dir).collect()
+    }
+    assert (200, 102) in pairs  # dup of the APPENDED doc is caught
+
+    import os
+
+    before = sorted(os.listdir(os.path.join(index_dir, "bands")))
+    with pytest.raises(ValueError, match="rebuild the index"):
+        neardup_index_build(survivors, index_dir, bands=8, mode="append")
+    # the failed append must not have written any part files
+    assert sorted(os.listdir(os.path.join(index_dir, "bands"))) == before
