@@ -258,6 +258,35 @@ def filter_config() -> dict:
     return cfg
 
 
+def _incremental_leg(spark, docs, results: dict, timed) -> None:
+    """Incremental near-dup vs the persisted index: a daily batch must
+    cost BATCH-sized work. Measures (a) the one-time index build over
+    the 99% corpus, (b) incremental dedup of the held-out 1% batch
+    against it — compare with the full-recompute legs (neardup_s /
+    neardup_xx_s) that re-shingle everything to admit the same docs.
+    xxhash64 family: the index path has no oracle-parity constraint,
+    so it takes the fast family outright."""
+    from siskin_spark.operators.neardup import (
+        incremental_neardup,
+        neardup_index_build,
+    )
+
+    idx_dir = os.path.join(CORPUS, "neardup_index")
+    batch = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus_old = docs.filter(F.col("doc_id") % 100 != 0)
+    t0 = time.perf_counter()
+    neardup_index_build(corpus_old, idx_dir, hash_family="xxhash64")
+    results["neardup_index_build_s"] = time.perf_counter() - t0
+
+    def incr():
+        return incremental_neardup(spark, batch, idx_dir, threshold=0.8)
+
+    timed(incr())
+    results["neardup_incremental_s"] = min(timed(incr()) for _ in range(3))
+    results["neardup_incremental_batch"] = batch.count()
+    results["neardup_incremental_pairs"] = incr().count()
+
+
 def main() -> None:
     import datetime
 
@@ -271,6 +300,25 @@ def main() -> None:
         shutil.rmtree(CORPUS, ignore_errors=True)
         build_corpus(spark, n_records)
         open(marker, "w").close()
+
+    if os.environ.get("SCALE_ONLY") == "neardup_incremental":
+        # iterate on this one leg without the ~25-minute full suite;
+        # emits a partial JSON with only the incremental-leg keys
+        results: dict[str, float] = {}
+
+        def timed_only(df) -> float:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        docs_only = spark.read.parquet(os.path.join(CORPUS, "docs"))
+        _incremental_leg(spark, docs_only, results, timed_only)
+        print(json.dumps({"metric": "records_per_second", "records": n_records, **{
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in results.items()
+        }}))
+        spark.stop()
+        return
 
     from siskin_spark.operators.licensing import apply_oa_flag, attach_labels
 
@@ -366,6 +414,8 @@ def main() -> None:
     timed(collapse())
     results["neardup_collapse_s"] = min(timed(collapse()) for _ in range(2))
     n_survivors = collapse().count()
+
+    _incremental_leg(spark, docs, results, timed)
 
     # -- §7.5 text analysis at full scale ------------------------------
     # text_quality was the flagged 100x-scale cost center (12
@@ -728,6 +778,14 @@ def main() -> None:
         "neardup_survivors": n_survivors,
         "neardup_xx_s": round(results["neardup_xx_s"], 2),
         "neardup_xx_dps": round(n_docs / results["neardup_xx_s"]),
+        "neardup_index_build_s": round(results["neardup_index_build_s"], 2),
+        "neardup_incremental_s": round(results["neardup_incremental_s"], 2),
+        "neardup_incremental_batch": results["neardup_incremental_batch"],
+        "neardup_incremental_pairs": results["neardup_incremental_pairs"],
+        "neardup_incremental_dps": round(
+            results["neardup_incremental_batch"]
+            / results["neardup_incremental_s"]
+        ),
         "text_quality_s": round(results["text_quality_s"], 2),
         "text_quality_docs": n_docs,
         "text_quality_dps": round(n_docs / results["text_quality_s"]),

@@ -17,6 +17,10 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   queries                   list registered queries from __spark_entry__
   deps-dot MODULE:ATTR      Graphviz DOT of a Pipeline's stage DAG
                             (reference `siskin deps-dot`, cli.py:211-298)
+  neardup-index DOCS DIR    build (or --append to) a persisted near-dup
+                            signature index over a doc table
+  neardup-batch DOCS DIR OUT  dedup a new batch against the index:
+                            writes pairs/ (and survivors with --keep)
   bench [SF_DIR]            delegate to bench.py
 
 The remaining pipeline-graph commands (`deps`, `status`, `run`) live on
@@ -82,6 +86,30 @@ def main(argv: list[str] | None = None) -> int:
     p_explain.add_argument("query")
     p_explain.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     sub.add_parser("queries")
+    p_nidx = sub.add_parser("neardup-index")
+    p_nidx.add_argument("docs", help="parquet/ndjson doc table (doc_id, text)")
+    p_nidx.add_argument("index_dir")
+    p_nidx.add_argument("--id-col", default="doc_id")
+    p_nidx.add_argument("--text-col", default="text")
+    p_nidx.add_argument("--n", type=int, default=3)
+    p_nidx.add_argument("--k", type=int, default=16)
+    p_nidx.add_argument("--bands", type=int, default=4)
+    p_nidx.add_argument("--hash-family", default="md5")
+    p_nidx.add_argument(
+        "--append", action="store_true",
+        help="extend an existing index (params come from its meta)",
+    )
+    p_nbatch = sub.add_parser("neardup-batch")
+    p_nbatch.add_argument("docs", help="new-batch doc table (doc_id, text)")
+    p_nbatch.add_argument("index_dir")
+    p_nbatch.add_argument("out_dir", help="writes pairs/ (+ kept/ with --keep)")
+    p_nbatch.add_argument("--id-col", default="doc_id")
+    p_nbatch.add_argument("--text-col", default="text")
+    p_nbatch.add_argument("--threshold", type=float, default=0.5)
+    p_nbatch.add_argument(
+        "--keep", action="store_true",
+        help="also write the batch survivors under keep-first",
+    )
     args = ap.parse_args(argv)
 
     if args.cmd == "queries":
@@ -188,6 +216,47 @@ def main(argv: list[str] | None = None) -> int:
         import __spark_entry__ as entry
 
         entry.queries()[args.query](spark, args.sf_dir).explain("formatted")
+    elif args.cmd == "neardup-index":
+        from siskin_spark.operators.neardup import (
+            neardup_index_append,
+            neardup_index_build,
+        )
+
+        docs = _read(spark, args.docs)
+        if args.append:
+            neardup_index_append(
+                docs, args.index_dir, id_col=args.id_col, text_col=args.text_col
+            )
+        else:
+            neardup_index_build(
+                docs, args.index_dir,
+                id_col=args.id_col, text_col=args.text_col,
+                n=args.n, k=args.k, bands=args.bands,
+                hash_family=args.hash_family,
+            )
+        print(f"index at {args.index_dir}: {docs.count()} docs")
+    elif args.cmd == "neardup-batch":
+        from siskin_spark.operators.neardup import (
+            incremental_keep,
+            incremental_neardup,
+        )
+
+        batch = _read(spark, args.docs)
+        pairs = incremental_neardup(
+            spark, batch, args.index_dir,
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold,
+        )
+        pairs_path = os.path.join(args.out_dir, "pairs")
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        n_pairs = spark.read.parquet(pairs_path).count()
+        print(f"pairs: {n_pairs} at {pairs_path}")
+        if args.keep:
+            kept_path = os.path.join(args.out_dir, "kept")
+            incremental_keep(
+                batch, spark.read.parquet(pairs_path), id_col=args.id_col
+            ).write.mode("overwrite").parquet(kept_path)
+            print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
     return 0
 
 

@@ -68,6 +68,18 @@ def shingle_table(
 _XX_EMPTY_SENTINEL = str(2**63 - 1)  # Long.MAX: "no shingles" sorts last
 
 
+def _family_sentinel(hash_family: str) -> str:
+    """The per-family signature element marking "doc has no shingles"
+    (:func:`minhash_table` coalesces it in). Banding must EXCLUDE
+    all-sentinel signatures: every shingle-less doc carries the same
+    one, so B such docs would band into one clique and emit B^2
+    candidate pairs — quadratic in e.g. the empty-after-cleaning doc
+    count of a web corpus — all of which verification then discards
+    anyway (no counts row -> inner join drops them). The oracle SQL
+    never bands them either (its sig CTE derives FROM shingles)."""
+    return "ffffffff" if hash_family == "md5" else _XX_EMPTY_SENTINEL
+
+
 def minhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -158,7 +170,11 @@ def lsh_candidates(
     sigs = minhash_table(
         docs, id_col, text_col, n, k, shingles=shingles, hash_family=hash_family
     )
-    banded = sigs.select(
+    # shingle-less docs share one all-sentinel signature: exclude them
+    # from banding or they clique quadratically (see _family_sentinel)
+    banded = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_family_sentinel(hash_family))
+    ).select(
         F.col(id_col), F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band")
     )
     a = banded.withColumnRenamed(id_col, "id_a")
@@ -484,10 +500,16 @@ def neardup_index_build(
     (``bands/``: band, doc_id) and the shingle universe (``shingles/``:
     doc_id, shingle) as parquet under ``index_dir``, plus a meta file
     pinning the banding parameters. Built ONCE over the corpus; daily
-    batches then dedup against it via :func:`incremental_neardup` in
-    time proportional to the BATCH, and new survivors extend the index
-    with :func:`neardup_index_append` (mode="append" on the same
-    writer — parquet appends are new part files, no rewrite).
+    batches then dedup against it via :func:`incremental_neardup` —
+    the per-batch corpus cost drops from a full re-shingle + re-hash
+    of all text to two narrow-column parquet scans (bands, shingles;
+    neither ever shuffles) — and new survivors extend the index with
+    :func:`neardup_index_append` (mode="append" on the same writer —
+    parquet appends are new part files, no rewrite). Measured on the
+    3M-doc scale corpus (SCALE.md): build 12.6 s once, then a 30K-doc
+    batch verifies in 4.4 s vs 8.9-28.4 s full recompute — a floor,
+    since those docs are ~50 words; at real document sizes the
+    recompute side grows with corpus text bytes, this path doesn't.
 
     The reference recomputes full-corpus artifacts per run (its
     incremental story is input caching, e.g. workflows/ai.py); a 100 TB
@@ -505,7 +527,9 @@ def neardup_index_build(
         _check_index_meta(index_dir, n, k, bands, hash_family)
     rows = k // bands
     sigs = minhash_table(docs, id_col, text_col, n, k, hash_family=hash_family)
-    banded = sigs.select(
+    banded = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_family_sentinel(hash_family))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band"),
     )
@@ -588,11 +612,12 @@ def incremental_neardup(
     jaccard) where ``doc_id`` is always from the new batch and
     ``dup_of`` is an index doc or a smaller-id batch doc.
 
-    Plan, sized by the BATCH throughout: the batch is shingled and
-    banded fresh (params from the index meta); its band keys join the
-    persisted band index — the batch side is broadcast, so the
-    corpus-scale index is scanned (2 narrow columns) but never
-    shuffled. Exact-Jaccard verification reads only the candidate
+    Plan: all CPU-heavy work (shingling, hashing, banding) runs over
+    the batch only; the corpus contributes two narrow-column parquet
+    scans and no shuffle. The batch is shingled and banded fresh
+    (params from the index meta); its band keys join the persisted
+    band index — the batch side is broadcast, so the corpus-scale
+    index is scanned (2 narrow columns) but never shuffled. Exact-Jaccard verification reads only the candidate
     corpus docs' shingles via a broadcast semi-filter (candidates are
     near-dup-rate-sized), unioned with the batch's own shingles —
     :func:`exact_jaccard` then verifies index hits and batch-internal
@@ -612,7 +637,9 @@ def incremental_neardup(
         shingles=sh_new.withColumnRenamed("doc_id", id_col),
         hash_family=fam,
     )
-    new_bands = sigs.select(
+    new_bands = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_family_sentinel(fam))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             lsh_band_keys(F.col("signature"), meta_bands, rows)

@@ -342,3 +342,38 @@ def test_cli_less_streams_to_pager(sf_dir, tmp_path):
          "no-such-pager-cmd-zz"]
     )
     assert rc != 0
+
+
+def test_cli_neardup_index_and_batch(capsys, tmp_path, spark):
+    """End-to-end through the CLI surface: build an index over a doc
+    table, dedup a batch against it, write pairs + survivors."""
+    from siskin_spark.cli import main
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    docs_path = str(tmp_path / "cli_docs")
+    corpus.write.parquet(docs_path)
+    idx = str(tmp_path / "cli_idx")
+    assert main(["neardup-index", docs_path, idx]) == 0
+    assert "6 docs" in capsys.readouterr().out
+
+    batch = spark.createDataFrame(
+        [(100, corpus.filter("doc_id = 2").first()["text"]),  # dup of 2
+         (101, "totally different words nothing shared here at all "
+               "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    batch_path = str(tmp_path / "cli_batch")
+    batch.write.parquet(batch_path)
+    out_dir = str(tmp_path / "cli_out")
+    assert main(
+        ["neardup-batch", batch_path, idx, out_dir, "--keep"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "pairs: 1" in out and "kept: 1" in out
+    got = spark.read.parquet(out_dir + "/pairs").first()
+    assert (got["doc_id"], got["dup_of"]) == (100, 2)
+    kept = spark.read.parquet(out_dir + "/kept").first()
+    assert kept["doc_id"] == 101

@@ -116,6 +116,22 @@ def test_incremental_equals_full_recompute(spark, index_dir):
     assert inc == full_touching_batch
 
 
+def test_incremental_plan_is_scale_safe(spark, index_dir):
+    """Plan audit for the incremental path (same bar as
+    test_plan_audit.py): the batch side BROADCASTS against the band
+    index and the shingle store — no cartesian, no nested-loop join,
+    no shuffle of either index table, no Python stage."""
+    batch = spark.createDataFrame(
+        [(100, _doc(3)), (101, _doc(40))], "doc_id long, text string"
+    )
+    df = incremental_neardup(spark, batch, index_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # batch bands vs index
+
+
 def test_index_append_and_param_guard(spark, index_dir, tmp_path):
     """Appending batch survivors makes them visible to the NEXT batch;
     mismatched banding params fail before any part file lands."""

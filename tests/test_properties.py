@@ -748,6 +748,33 @@ def test_hash_families_same_verified_pairs(spark):
     assert got["md5"] == got["xxhash64"]
 
 
+def test_shingleless_docs_never_band(spark):
+    """Shingle-less docs (empty / under n words) all carry the same
+    all-sentinel signature; banding must EXCLUDE them or B such docs
+    clique into B^2 candidate pairs — quadratic in the
+    empty-after-cleaning doc count of a real corpus. Verification
+    would discard the pairs anyway (no counts row), so this changes
+    candidate volume, never verified output."""
+    from siskin_spark.operators.neardup import lsh_candidates, shingle_table
+
+    texts = ["", "one two", "x"] * 4 + [
+        "alpha beta gamma delta eps zeta",
+        "alpha beta gamma delta eps zeta",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sh = shingle_table(docs)
+    for fam in ("md5", "xxhash64"):
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidates(docs, shingles=sh, hash_family=fam).collect()
+        }
+        # ONLY the real duplicate pair — no sentinel clique of the 12
+        # shingle-less docs (which alone would add C(12,2)=66 pairs)
+        assert cands == {(12, 13)}, fam
+
+
 def test_minhash_xxhash64_family_contract(spark):
     """The fast hash family keeps the signature CONTRACT: array<string>
     of k elements, Long.MAX sentinel for shingle-less docs, identical
