@@ -148,3 +148,68 @@ def two_phase_agg(
             raise ValueError(f"unsupported agg {spec!r}")
     partial = salted.groupBy(*keys, "_salt").agg(*phase1)
     return partial.groupBy(*keys).agg(*phase2)
+
+
+def hot_key_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top: int = 20,
+    skew_factor: float = 4.0,
+) -> dict:
+    """Key-skew report for a planned groupBy/join on ``keys`` — the
+    measurement that decides between a plain groupBy, AQE skew-split,
+    and :func:`two_phase_agg`. The reference carries no equivalent
+    (its Counter tallies are single-process); at 100 TB you profile
+    BEFORE you shuffle, because a hot key found during the shuffle has
+    already cost the straggler hour.
+
+    One map-side-combined count pass (the per-key partial makes the
+    shuffled rows key-cardinality-sized, not data-sized), then a
+    bounded top-N driver collect. Returns::
+
+        {rows, distinct_keys, mean_rows_per_key,
+         top: [{key, n, share}...],            # heaviest keys
+         max_share,                            # top key's row share
+         skewed,                               # max > skew_factor*mean
+         suggested_salt_buckets}               # 0 if not skewed
+
+    ``suggested_salt_buckets`` sizes :func:`two_phase_agg` so the hot
+    key's largest slice shrinks to ~mean key weight (capped at 256 —
+    beyond that the phase-2 merge rows dominate)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    summary = counts.agg(
+        F.sum("n").alias("rows"),
+        F.count("*").alias("distinct_keys"),
+        F.max("n").alias("max_n"),
+    ).first()
+    rows, distinct_keys = summary["rows"] or 0, summary["distinct_keys"]
+    if not rows:
+        return {
+            "rows": 0,
+            "distinct_keys": 0,
+            "mean_rows_per_key": 0.0,
+            "top": [],
+            "max_share": 0.0,
+            "skewed": False,
+            "suggested_salt_buckets": 0,
+        }
+    mean = rows / distinct_keys
+    top_rows = counts.orderBy(F.desc("n"), *keys).limit(top).collect()
+    max_n = summary["max_n"]
+    skewed = max_n > skew_factor * mean
+    return {
+        "rows": rows,
+        "distinct_keys": distinct_keys,
+        "mean_rows_per_key": mean,
+        "top": [
+            {
+                "key": {k: r[k] for k in keys},
+                "n": r["n"],
+                "share": r["n"] / rows,
+            }
+            for r in top_rows
+        ],
+        "max_share": max_n / rows,
+        "skewed": bool(skewed),
+        "suggested_salt_buckets": int(min(256, -(-max_n // mean))) if skewed else 0,
+    }

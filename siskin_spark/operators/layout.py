@@ -1,0 +1,165 @@
+"""Data-layout operators: target-size compaction and range-clustered
+writes that turn parquet min/max footers into a data-skipping index.
+
+Why this is an operator and not an ops script: at 100 TB the layout IS
+the query plan. A time-window query over an events table laid out
+randomly reads every file (each file's min/max spans the whole
+timeline); the same table written ``repartitionByRange(event_time)``
++ sorted within partitions confines any window to the few files whose
+footer range overlaps it — Spark's parquet reader drops the rest at
+the row-group level from the pushed filter, before any IO beyond the
+footer. The reference gets the equivalent effect from its date-stamped
+artifact directories (one file tree per harvest date, e.g.
+siskin/sources/crossref.py's daily slices); range layout is the
+engine-native generalization to any orderable column.
+
+``skipping_stats`` reads the same footers Spark's reader uses, so the
+claimed skip is verifiable without inspecting executor metrics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_parts(path: str) -> list[str]:
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    ]
+
+
+def _files_for_target(total_bytes: int, target_file_mb: int) -> int:
+    return max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int | None = None,
+    target_file_mb: int = 128,
+    sample_bytes_per_row: float | None = None,
+) -> None:
+    """Write ``df`` range-clustered on ``range_cols``: global range
+    partitioning (sampled range boundaries — one extra pass Spark runs
+    internally) plus a within-partition sort, so every output file owns
+    a disjoint slice of the key space and its footer min/max is tight.
+
+    ``n_files`` defaults from a size estimate: Catalyst's plan-level
+    ``sizeInBytes`` divided by ``target_file_mb`` (the estimate is
+    pre-compression, so files land smaller than target — the safe
+    side; pass ``sample_bytes_per_row`` from a prior run's observed
+    ratio to tighten it). The within-partition sort costs nothing
+    extra at scale: repartitionByRange already shuffles, and sorting
+    the spill-merge output is how Spark materializes it anyway.
+    """
+    if n_files is None:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = float(min(est, 2**63 - 1))
+        if sample_bytes_per_row is not None:
+            est = df.count() * sample_bytes_per_row
+        n_files = _files_for_target(int(est), target_file_mb)
+    cols = [F.col(c) for c in range_cols]
+    (
+        df.repartitionByRange(int(n_files), *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ``target_file_mb``-sized parts,
+    atomically (write-aside + two renames — a racing reader sees old or
+    new, never a mix). Cures the small-files problem every append-mode
+    pipeline accumulates: a 1000-executor scan of 10M tiny files pays
+    more in file-open/footer round-trips than in data, and driver-side
+    listing alone can dominate. ``cluster_by`` keeps (or introduces)
+    key clustering during the rewrite — hash clustering for join/agg
+    keys; use :func:`write_range_layout` instead when the goal is
+    range skipping.
+
+    Returns {files,bytes} before/after. Driver-local paths (mirrors
+    the test environment); the rename dance maps 1:1 onto the Hadoop
+    FileSystem API for cluster storage."""
+    import shutil
+
+    parts = _dir_parts(path)
+    bytes_before = sum(os.path.getsize(p) for p in parts)
+    n_files = _files_for_target(bytes_before, target_file_mb)
+    df = spark.read.parquet(path)
+    rep = (
+        df.repartition(int(n_files), *[F.col(c) for c in cluster_by])
+        if cluster_by
+        else df.repartition(int(n_files))
+    )
+    tmp, old = path + "__compacting", path + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    rep.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = _dir_parts(path)
+    return {
+        "files_before": len(parts),
+        "files_after": len(after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(p) for p in after),
+    }
+
+
+def skipping_stats(path: str, column: str, lo, hi) -> dict:
+    """How much of a parquet layout a ``lo <= column <= hi`` predicate
+    can skip, computed from the SAME per-row-group min/max footer stats
+    Spark's reader consults for pushed filters — so this certifies the
+    skip a layout enables, independent of any engine's metrics.
+
+    Returns files/row-groups/rows total vs needed (footer range
+    overlaps [lo, hi]). A row group with no stats for ``column`` counts
+    as needed (the reader must assume it matches)."""
+    import pyarrow.parquet as pq
+
+    files = rgs = rows = files_needed = rgs_needed = rows_needed = 0
+    for part in _dir_parts(path):
+        meta = pq.ParquetFile(part).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        if column not in idx:
+            raise KeyError(f"{column} not in {part}")
+        ci = idx[column]
+        file_hit = False
+        files += 1
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            rgs += 1
+            rows += rg.num_rows
+            st = rg.column(ci).statistics
+            need = (
+                st is None
+                or not st.has_min_max
+                or (st.min <= hi and st.max >= lo)
+            )
+            if need:
+                rgs_needed += 1
+                rows_needed += rg.num_rows
+                file_hit = True
+        files_needed += int(file_hit)
+    return {
+        "files": files,
+        "files_needed": files_needed,
+        "row_groups": rgs,
+        "row_groups_needed": rgs_needed,
+        "rows": rows,
+        "rows_needed": rows_needed,
+    }

@@ -702,3 +702,46 @@ def incremental_keep(
     drop side is duplicate-rate-sized, so the anti-join broadcasts."""
     dropped = pairs.select(F.col(id_col)).distinct()
     return new_docs.join(dropped, on=id_col, how="left_anti")
+
+
+def neardup_index_compact(
+    spark,
+    index_dir: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Rewrite the index's band and shingle tables into key-clustered,
+    target-sized part files, preserving content and meta.
+
+    Why: every :func:`neardup_index_append` lands a fresh set of part
+    files (parquet append never rewrites), so after N daily batches
+    each table is N small-file layers and — worse for the read path —
+    the per-append ``repartition`` clustering only clusters WITHIN a
+    layer: a given band key's rows spread across one file per layer,
+    so the incremental scan's row-group pruning decays from "read the
+    few files holding these keys" toward "read every layer". Periodic
+    compaction (weekly, or when the layer count passes ~20) restores
+    the single-layer clustered layout at one-rewrite cost.
+
+    File count is sized from the table's current on-disk bytes /
+    ``target_file_mb`` — at 100 TB this is what keeps the band index at
+    ~128 MB parquet files instead of millions of batch-sized shards.
+    The rewrite is atomic-by-rename: new layout lands in a sibling
+    ``<table>__compacting`` dir, then a two-step rename swaps it in, so
+    a reader that loses the race sees either the old or the new layout,
+    never a mix. (Paths are driver-local here like the index meta; on a
+    cluster the same dance runs through the Hadoop FileSystem API.)
+
+    Returns per-table stats: files/bytes before and after."""
+    import os
+
+    from siskin_spark.operators.layout import compact_parquet
+
+    return {
+        table: compact_parquet(
+            spark,
+            os.path.join(index_dir, table),
+            target_file_mb=target_file_mb,
+            cluster_by=[key],
+        )
+        for table, key in (("bands", "band"), ("shingles", "doc_id"))
+    }

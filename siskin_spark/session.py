@@ -51,7 +51,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # 512m ReservedCodeCacheSize: the JVM default (~240m) fills after
+        # a few dozen distinct whole-stage-codegen'd queries in one
+        # application; once full the JIT stops compiling (or flushes hot
+        # methods) and generated code runs interpreted — measured as a
+        # bimodal 2.6s/5s flip on the minhash query and a +50% drift
+        # across a 50-query benchmark session. CodeCacheFlushing keeps
+        # the JIT alive if the larger cache still fills.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -XX:ReservedCodeCacheSize=512m "
+            "-XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

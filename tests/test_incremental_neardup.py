@@ -155,3 +155,44 @@ def test_index_append_and_param_guard(spark, index_dir, tmp_path):
         neardup_index_build(survivors, index_dir, bands=8, mode="append")
     # the failed append must not have written any part files
     assert sorted(os.listdir(os.path.join(index_dir, "bands"))) == before
+
+
+def test_index_compact_preserves_results(spark, index_dir):
+    """Compaction after several appends collapses the per-append file
+    layers into the size-targeted layout and changes NOTHING about
+    query results — same pairs, same jaccard values."""
+    import os
+
+    from siskin_spark.operators.neardup import neardup_index_compact
+
+    for i in range(3):  # three append layers of unique docs
+        neardup_index_append(
+            spark.createDataFrame(
+                [(300 + i, _doc(60 + i))], "doc_id long, text string"
+            ),
+            index_dir,
+        )
+    batch = spark.createDataFrame(
+        [(400, _doc(3)), (401, _doc(61)), (402, _doc(90))],
+        "doc_id long, text string",
+    )
+    before = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in incremental_neardup(spark, batch, index_dir).collect()
+    }
+    assert {(a, b) for a, b, _ in before} == {(400, 3), (401, 301)}
+
+    stats = neardup_index_compact(spark, index_dir, target_file_mb=128)
+    for table in ("bands", "shingles"):
+        assert stats[table]["files_after"] == 1  # tiny index -> one file
+        assert stats[table]["files_after"] < stats[table]["files_before"]
+        assert not os.path.exists(
+            os.path.join(index_dir, table + "__compacting")
+        )
+        assert not os.path.exists(os.path.join(index_dir, table + "__old"))
+
+    after = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in incremental_neardup(spark, batch, index_dir).collect()
+    }
+    assert after == before

@@ -1,0 +1,102 @@
+"""Layout operators: range-clustered writes enable footer-level data
+skipping; compaction collapses small-file layers without changing
+content (SURVEY.md §4 — partition strategy at 100 TB)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from siskin_spark.operators.layout import (
+    compact_parquet,
+    skipping_stats,
+    write_range_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def test_range_layout_enables_skipping(spark, events, tmp_path):
+    """The same table, two layouts, one narrow time-window predicate:
+    random layout needs ~every row group (each spans the timeline);
+    range layout confines the window to a small fraction."""
+    rnd = str(tmp_path / "events_random")
+    rng = str(tmp_path / "events_range")
+    # shuffle rows so the "bad" layout really interleaves the timeline
+    events.orderBy(F.crc32(F.concat_ws("|", "event_id"))).repartition(
+        8
+    ).write.parquet(rnd)
+    write_range_layout(events, rng, ["ts"], n_files=8)
+
+    times = events.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = times["hi"] - times["lo"]
+    lo = times["lo"] + span * 45 // 100
+    hi = times["lo"] + span * 55 // 100  # middle 10% window
+
+    bad = skipping_stats(rnd, "ts", lo, hi)
+    good = skipping_stats(rng, "ts", lo, hi)
+    assert bad["rows_needed"] == bad["rows"]  # no skip possible
+    assert good["rows"] == bad["rows"]
+    # range layout: only ~10% of rows live in overlapping row groups
+    assert good["rows_needed"] <= good["rows"] * 0.35
+    assert good["files_needed"] < good["files"]
+
+    # and the layouts agree on the query answer
+    n_rng = (
+        spark.read.parquet(rng)
+        .filter(F.col("ts").between(lo, hi))
+        .count()
+    )
+    n_rnd = (
+        spark.read.parquet(rnd)
+        .filter(F.col("ts").between(lo, hi))
+        .count()
+    )
+    assert n_rng == n_rnd > 0
+
+
+def test_compact_parquet_preserves_content(spark, events, tmp_path):
+    path = str(tmp_path / "shards")
+    events.repartition(24).write.parquet(path)
+    before_cnt = spark.read.parquet(path).count()
+    before_sum = spark.read.parquet(path).agg(
+        F.sum(F.crc32(F.col("event_id").cast("string")))
+    ).first()[0]
+
+    stats = compact_parquet(spark, path, target_file_mb=512)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__old")
+
+    assert spark.read.parquet(path).count() == before_cnt
+    after_sum = spark.read.parquet(path).agg(
+        F.sum(F.crc32(F.col("event_id").cast("string")))
+    ).first()[0]
+    assert after_sum == before_sum
+
+
+def test_compact_parquet_cluster_by_keeps_key_locality(spark, events, tmp_path):
+    """cluster_by during compaction: every key lands in exactly one
+    file (hash clustering), so downstream per-key reads touch one
+    part."""
+    path = str(tmp_path / "bykey")
+    events.repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_file_mb=1, cluster_by=["user_id"])
+    df = spark.read.parquet(path).select(
+        "user_id", F.input_file_name().alias("f")
+    )
+    spread = (
+        df.groupBy("user_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf"))
+        .first()[0]
+    )
+    assert spread == 1

@@ -64,3 +64,57 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_hot_key_profile_detects_skew(spark):
+    from siskin_spark.operators.aggregates import hot_key_profile
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i}", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    prof = hot_key_profile(df, ["k"], top=5)
+    assert prof["rows"] == 1000
+    assert prof["distinct_keys"] == 101
+    assert prof["top"][0]["key"] == {"k": "hot"}
+    assert abs(prof["top"][0]["share"] - 0.9) < 1e-9
+    assert prof["skewed"]
+    # hot key is ~91x the mean key weight -> salt to ~mean slices
+    assert 64 <= prof["suggested_salt_buckets"] <= 128
+
+    # the suggestion actually flattens the hot key: with that many
+    # salt buckets, two_phase_agg phase 1 bounds any one reducer's
+    # share of "hot" to <= ceil(900/buckets)
+    agg = two_phase_agg(
+        df, ["k"], {"n": "count"}, salt_buckets=prof["suggested_salt_buckets"]
+    )
+    got = {r["k"]: r["n"] for r in agg.collect()}
+    assert got["hot"] == 900 and got["k3"] == 1
+
+
+def test_hot_key_profile_uniform_not_skewed(spark):
+    from siskin_spark.operators.aggregates import hot_key_profile
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}", i) for i in range(1000)], "k string, v long"
+    )
+    prof = hot_key_profile(df, ["k"])
+    assert not prof["skewed"]
+    assert prof["suggested_salt_buckets"] == 0
+    assert prof["mean_rows_per_key"] == 20.0
+
+
+def test_hot_key_profile_empty(spark):
+    from siskin_spark.operators.aggregates import hot_key_profile
+
+    df = spark.createDataFrame([], "k string, v long")
+    prof = hot_key_profile(df, ["k"])
+    assert prof == {
+        "rows": 0,
+        "distinct_keys": 0,
+        "mean_rows_per_key": 0.0,
+        "top": [],
+        "max_share": 0.0,
+        "skewed": False,
+        "suggested_salt_buckets": 0,
+    }
