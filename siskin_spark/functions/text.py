@@ -266,3 +266,65 @@ def quality_keep(
         & (features["mean_word_len"] <= max_mean_wl)
         & (features["stopword_ratio"] >= min_stopword_ratio)
     )
+
+
+def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
+    """Gopher repetition rule: fraction of non-empty lines that are
+    duplicates of an earlier line (Rae et al. 2021 §A1.1 'duplicate
+    line fraction'). Boilerplate-heavy pages (nav bars, cookie
+    banners) score high. Row-local: split + array_distinct, no
+    shuffle; 0.0 for empty / single-line documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, sep), lambda x: F.length(x) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(
+    text: Column | str, toks: Column | None = None, n: int = 2
+) -> Column:
+    """Gopher repetition rule: fraction of the document's characters
+    covered by its most frequent word n-gram (count * n-gram length /
+    total chars; Rae et al. 2021 §A1.1 'top n-gram fraction' — SEO spam
+    and template text repeat one phrase over and over).
+
+    Row-local, shuffle-free: the n-grams are sorted in-row and a single
+    ``aggregate`` fold counts the longest equal run — equivalent to the
+    explode + groupBy + window formulation (which the oracle SQL uses
+    independently) but without its two corpus-sized shuffles, since
+    per-document state never needs to leave the row. Ties on count
+    resolve to the lexicographically larger n-gram in both forms.
+    Overlapping occurrences each bill the full n-gram length, so the
+    value can exceed 1.0 for degenerate one-phrase documents — callers
+    threshold well below that (Gopher drops at > 0.20 for 2-grams).
+    """
+    from siskin_spark.functions.similarity import word_shingles
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c) if toks is None else toks
+    grams = F.array_sort(word_shingles(toks, n))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best"]) | ((run == acc["best"]) & (x > acc["bg"]))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(grams, zero, step)
+    return F.when(
+        (F.size(grams) > 0) & (F.length(c) > 0),
+        (top["best"] * F.length(top["bg"])).cast("double") / F.length(c).cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -1,0 +1,247 @@
+"""Corpus-curation operators for training-data pipelines
+(SURVEY.md §7.5, beyond-reference): deterministic sampling, stratified
+domain mixing, and benchmark decontamination — the stages a
+RefinedWeb/FineWeb-style pipeline runs between dedup and export.
+
+Scale design:
+
+- **Sampling is a pure map.** Every sampling decision is a per-row
+  comparison of a portable hash of the row's key against a literal
+  threshold — no shuffle, no RNG state, no ``df.sample`` (whose
+  Bernoulli draw is partition-order-dependent and unreproducible
+  across runs/engines). The same row gets the same verdict on every
+  engine, every run, every cluster size — which is what makes
+  incremental pipelines possible: re-admitting yesterday's corpus
+  cannot resurrect documents a sample dropped.
+- **Domain mixing needs one tiny aggregate.** Per-stratum counts (one
+  map-side-combined groupBy on a low-cardinality column) are collected
+  to the driver — bounded by the number of domains, not the corpus —
+  and compiled into literal per-stratum thresholds for the map-side
+  filter.
+- **Decontamination is a broadcast semi-join.** Benchmark/eval suites
+  are tiny next to a training corpus (1e4–1e7 n-grams vs 1e12), so the
+  benchmark n-gram set broadcasts and the corpus-side scan stays
+  shuffle-free up to the per-doc count aggregate (one narrow shuffle,
+  map-side combined).
+
+Reference parity: the reference has no curation stage (its filters are
+metadata predicates, siskin/mappings.py); these operators generalize
+its F1/F2 list filters to content-derived, corpus-statistical keeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from siskin_spark.functions.similarity import seeded_hash
+from siskin_spark.operators.neardup import shingle_table
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+
+#: hex thresholds are 8 lowercase hex chars = a uniform draw in
+#: [0, 2^32); 'g' sorts after every hex digit, so it means "keep all".
+_KEEP_ALL = "g"
+_KEEP_NONE = "00000000"
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 8-hex-char threshold t such that
+    ``seeded_hash(key) < t`` keeps ~``fraction`` of uniform keys.
+
+    Lowercase fixed-width hex compares lexicographically exactly like
+    the underlying 32-bit integer, so the filter is one string
+    comparison — portable to any engine with md5 (the DuckDB oracle
+    recomputes the same threshold via ``printf('%08x', ...)``).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    v = int(round(fraction * 2**32))
+    return _KEEP_ALL if v >= 2**32 else format(v, "08x")
+
+
+def sample_mark(key: Column, fraction: float, seed: int = 0) -> Column:
+    """Boolean column: is ``key`` inside the deterministic ``fraction``
+    sample? Different ``seed`` values give independent draws (e.g.
+    train/holdout splits that provably don't correlate)."""
+    return seeded_hash(key.cast("string"), seed) < F.lit(hex_threshold(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows, decided per-row from a
+    hash of ``key_col`` — no shuffle, no RNG, engine-portable. Unlike
+    ``DataFrame.sample`` the result is a pure function of the data, so
+    it survives re-runs, AQE re-plans, and engine swaps bit-for-bit."""
+    return df.filter(sample_mark(F.col(key_col), fraction, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum -> fraction.
+
+    Compiled to one CASE over literal hex thresholds + one hash
+    comparison — a pure map over the corpus (``df.sampleBy`` is the
+    builtin alternative, but its draws are partition-order-dependent;
+    this is reproducible). Strata absent from ``fractions`` fall back
+    to ``default`` (0.0 = drop, matching sampleBy).
+    """
+    th = F.lit(hex_threshold(default))
+    for stratum, frac in sorted(fractions.items()):
+        th = F.when(F.col(strata_col) == stratum, F.lit(hex_threshold(frac))).otherwise(
+            th
+        )
+    return df.filter(seeded_hash(F.col(key_col).cast("string"), seed) < th)
+
+
+def domain_mix_fractions(
+    counts: dict[str, int], weights: dict[str, float], budget: int | None = None
+) -> dict[str, float]:
+    """Per-stratum sampling fractions that hit a target domain mixture
+    by *downsampling only* (never upsampling): the output corpus is the
+    largest T (capped by ``budget``) such that every stratum s can
+    supply T * w_s documents, i.e. T = min_s(count_s / w_s).
+
+    Driver-side arithmetic over one row per domain — the corpus never
+    moves. Strata with weight 0 (or missing from ``weights``) get
+    fraction 0.0.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
+    missing = [s for s in norm if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"strata in weights but absent from corpus: {missing}")
+    t = min(counts[s] / w for s, w in norm.items())
+    if budget is not None:
+        t = min(t, float(budget))
+    out = {s: 0.0 for s in counts}
+    for s, w in norm.items():
+        out[s] = min(1.0, t * w / counts[s])
+    return out
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    budget: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Resample the corpus toward a target domain mixture (e.g. FineWeb
+    language balancing): one low-cardinality count aggregate, a
+    driver-side fraction solve (:func:`domain_mix_fractions`), then a
+    map-side :func:`stratified_sample`. The collect is bounded by the
+    number of domains — at 100 TB that is still ~tens of rows."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("c")).collect()
+    }
+    fracs = domain_mix_fractions(counts, weights, budget)
+    return stratified_sample(df, fracs, strata_col, key_col, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document overlap with a benchmark/eval-set n-gram universe:
+    ``(id_col, n_shingles, n_overlap, overlap_frac)``.
+
+    The standard eval-leakage check (GPT-3 13-gram, Gopher/FineWeb
+    8–13-gram): a training document sharing long n-grams with a
+    benchmark is contaminated and must not be trained on. Both sides
+    shingle with the same word-n-gram extractor as the near-dup family
+    (:func:`~siskin_spark.operators.neardup.shingle_table`), the
+    benchmark side is deduplicated and **broadcast** (eval suites are
+    tiny next to the corpus), and the per-doc tally is one left
+    broadcast join + one map-side-combined aggregate — the corpus
+    shuffles (id, counts) pairs once, never the benchmark.
+
+    Documents with fewer than ``n`` tokens have no shingles and are
+    reported with ``n_shingles = 0, overlap_frac = 0.0`` (they cannot
+    leak an n-gram they don't contain) — via an OUTER shingle explode
+    that keeps them one NULL-shingle row, so the whole result comes out
+    of the single aggregate with NO join back to ``docs`` (a join-back
+    would be a second corpus-wide shuffle purely to re-admit the short
+    documents).
+    """
+    bcol = text_col if bench_text_col is None else bench_text_col
+    doc_sh = shingle_table(docs, id_col, text_col, n, outer=True)
+    bench_sh = (
+        shingle_table(
+            # synthetic per-row id: the benchmark side only needs
+            # distinct shingles, but a constant id would collapse the
+            # shingling to one partition (shingle_table repartitions by
+            # id); a monotonic id keeps the small side parallel too
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(bcol).alias("_btext"),
+            ),
+            "_bid",
+            "_btext",
+            n,
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tally = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            # count(shingle), not count(*): the NULL row of a
+            # shingle-less doc must not bill a shingle
+            F.count("shingle").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return tally.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    max_overlap_frac: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds
+    ``max_overlap_frac`` (0.0 = any shared n-gram disqualifies, the
+    GPT-3 rule). Keeps all columns of ``docs``; the contamination
+    tally rides a broadcast-join + semi-join back, so ``docs`` itself
+    is never reshuffled."""
+    bad = contamination(docs, benchmark, id_col, text_col, n, bench_text_col).filter(
+        F.col("overlap_frac") > max_overlap_frac
+    )
+    return docs.join(bad.select(id_col), id_col, "left_anti")

@@ -27,9 +27,19 @@ from siskin_spark.functions.text import tokens
 
 
 def shingle_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    outer: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) rows, distinct per doc — the Jaccard universe.
+
+    With ``outer=True`` a document with no shingles (fewer than ``n``
+    tokens) keeps one row with a NULL shingle, so per-doc aggregates
+    downstream cover the whole corpus without a join back to ``docs``
+    (``count(shingle)`` skips the NULL; a join on the shingle column
+    never matches it).
 
     Overlapping word n-grams are extracted with a single
     lookahead-capture regex pass (codegen'd JVM regex) instead of a
@@ -57,9 +67,10 @@ def shingle_table(
     from siskin_spark.functions.vectors import _parallel
 
     docs = _parallel(docs, id_col)
+    explode = F.explode_outer if outer else F.explode
     return docs.select(
         F.col(id_col),
-        F.explode(
+        explode(
             F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1))
         ).alias("shingle"),
     )

@@ -1,0 +1,261 @@
+"""Curation operators: deterministic sampling, stratified domain
+mixing, benchmark decontamination, repetition quality signals."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from siskin_spark.functions.text import dup_line_fraction, top_ngram_char_fraction
+from siskin_spark.operators import curation as C
+
+
+def _expected_mark(key: str, fraction: float, seed: int = 0) -> bool:
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
+    return h < C.hex_threshold(fraction)
+
+
+# ---------------------------------------------------------------------------
+# hex thresholds / deterministic sampling
+
+
+def test_hex_threshold_bounds():
+    assert C.hex_threshold(0.0) == "00000000"
+    assert C.hex_threshold(1.0) == "g"  # sorts after every hex digit
+    assert C.hex_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        C.hex_threshold(1.5)
+    with pytest.raises(ValueError):
+        C.hex_threshold(-0.1)
+
+
+def test_deterministic_sample_matches_reference_hash(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept = {r[0] for r in C.deterministic_sample(df, 0.3).select("doc_id").collect()}
+    expected = {i for i in range(2000) if _expected_mark(str(i), 0.3)}
+    assert kept == expected
+    # ~30% with hash-uniform tolerance
+    assert 0.25 < len(kept) / 2000 < 0.35
+
+
+def test_deterministic_sample_is_stable_and_nested(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    k1 = {r[0] for r in C.deterministic_sample(df, 0.2).collect()}
+    k2 = {r[0] for r in C.deterministic_sample(df, 0.2).collect()}
+    assert k1 == k2  # reproducible across runs
+    # threshold-based draws are nested: the 10% sample is a subset of 20%
+    k_small = {r[0] for r in C.deterministic_sample(df, 0.1).collect()}
+    assert k_small <= k1
+
+
+def test_independent_seeds_decorrelate(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r[0] for r in C.deterministic_sample(df, 0.5, seed=0).collect()}
+    b = {r[0] for r in C.deterministic_sample(df, 0.5, seed=1).collect()}
+    assert a != b
+    # overlap of two independent 50% draws ~ 25% of the corpus
+    assert 0.18 < len(a & b) / 4000 < 0.32
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / domain mix
+
+
+def _docs(spark, counts: dict[str, int]):
+    rows, i = [], 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append(Row(doc_id=i, lang=lang))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    df = _docs(spark, {"en": 1000, "de": 1000})
+    out = C.stratified_sample(df, {"en": 0.5, "de": 0.1})
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert 400 < got["en"] < 600
+    assert 50 < got.get("de", 0) < 175
+    # default 0.0: unknown strata are dropped entirely
+    df2 = _docs(spark, {"en": 100, "fr": 100})
+    out2 = C.stratified_sample(df2, {"en": 1.0})
+    assert {r["lang"] for r in out2.select("lang").distinct().collect()} == {"en"}
+
+
+def test_domain_mix_fractions_math():
+    counts = {"en": 1000, "de": 250, "fr": 50}
+    # equal thirds: fr is the binding stratum -> T = 150, every stratum
+    # contributes 50 docs
+    fr = C.domain_mix_fractions(counts, {"en": 1, "de": 1, "fr": 1})
+    assert fr == {"en": 0.05, "de": 0.2, "fr": 1.0}
+    # budget caps T below the feasible max
+    fr_b = C.domain_mix_fractions(counts, {"en": 1, "de": 1, "fr": 1}, budget=30)
+    assert fr_b == {"en": 0.01, "de": 0.04, "fr": 0.2}
+    # zero-weight strata are dropped, weights renormalize
+    fr_z = C.domain_mix_fractions(counts, {"en": 3, "de": 1, "fr": 0})
+    assert fr_z["fr"] == 0.0 and abs(fr_z["en"] / fr_z["de"] - 0.75) < 1e-9
+    with pytest.raises(ValueError):
+        C.domain_mix_fractions({"en": 10}, {"en": 1, "xx": 1})
+    with pytest.raises(ValueError):
+        C.domain_mix_fractions(counts, {"en": 0})
+
+
+def test_domain_mix_end_to_end(spark):
+    df = _docs(spark, {"en": 2000, "de": 500, "fr": 100})
+    out = C.domain_mix(df, {"en": 1, "de": 1, "fr": 1})
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # binding stratum fr keeps everything; others downsample to ~100
+    assert got["fr"] == 100
+    assert 70 < got["en"] < 130 and 70 < got["de"] < 130
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_contamination_counts_and_fraction(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f"),     # contains the bench 4-gram
+            Row(doc_id=1, text="x y z w v u"),     # disjoint
+            Row(doc_id=2, text="c d e f g h"),     # shares 'c d e f'
+            Row(doc_id=3, text="a b"),             # too short: no 4-grams
+        ]
+    )
+    bench = spark.createDataFrame([Row(text="zz a b c d e f yy")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in C.contamination(docs, bench, n=4).collect()
+    }
+    # doc 0: 3 shingles, all inside the bench window
+    assert out[0]["n_shingles"] == 3 and out[0]["n_overlap"] == 3
+    assert out[0]["overlap_frac"] == 1.0
+    assert out[1]["n_overlap"] == 0 and out[1]["overlap_frac"] == 0.0
+    assert out[2]["n_overlap"] == 1  # only 'c d e f'
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_frac"] == 0.0
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f"),
+            Row(doc_id=1, text="x y z w v u"),
+            Row(doc_id=2, text="c d e f g h"),
+            Row(doc_id=3, text="a b"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(text="zz a b c d e f yy")])
+    # strict rule: any shared 4-gram disqualifies
+    kept = {r["doc_id"] for r in C.decontaminate(docs, bench, 0.0, n=4).collect()}
+    assert kept == {1, 3}
+    # lenient: tolerate up to 50% overlap -> doc 2 (1/3) survives
+    kept2 = {r["doc_id"] for r in C.decontaminate(docs, bench, 0.5, n=4).collect()}
+    assert kept2 == {1, 2, 3}
+    # all columns survive the anti-join
+    assert C.decontaminate(docs, bench, 0.0, n=4).columns == ["doc_id", "text"]
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c d e f")])
+    bench = spark.createDataFrame([Row(text="a b c d")])
+    plan = C.contamination(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+
+
+def test_dup_line_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="nav\nbody text\nnav\nfooter\nnav"),  # 3x 'nav'
+            Row(doc_id=1, text="one\ntwo\nthree"),
+            Row(doc_id=2, text="single line no breaks"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="a\n\n\na"),  # empty lines ignored
+        ]
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_line_fraction("text").alias("f")).collect()
+    }
+    assert got[0] == pytest.approx(2 / 5)  # 5 lines, 3 distinct
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == pytest.approx(1 / 2)
+
+
+def test_top_ngram_char_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            # 'buy now' x3 (2-gram 'buy now' len 7, text len 23): 21/23
+            Row(doc_id=0, text="buy now buy now buy now"),
+            Row(doc_id=1, text="all words here differ totally"),
+            Row(doc_id=2, text="tiny"),  # < n tokens -> no grams
+            Row(doc_id=3, text=""),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", top_ngram_char_fraction("text").alias("f")
+        ).collect()
+    }
+    assert got[0] == pytest.approx(3 * len("buy now") / len("buy now buy now buy now"))
+    # distinct grams: every 2-gram occurs once; fraction = len(top gram)/len(text)
+    assert 0.0 < got[1] < 0.6
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_top_ngram_tie_breaks_to_larger_gram(spark):
+    # 'a b' and 'c d' both occur twice; tie resolves to 'c d'
+    df = spark.createDataFrame([Row(doc_id=0, text="a b x a b y c d z c d")])
+    grams_fold = df.select(top_ngram_char_fraction("text").alias("f")).collect()[0]["f"]
+    text = "a b x a b y c d z c d"
+    assert grams_fold == pytest.approx(2 * len("c d") / len(text))
+
+
+def test_repetition_matches_explode_groupby_formulation(spark):
+    """The row-local fold must equal the shuffle-based explode+count
+    formulation (which the oracle SQL uses) on arbitrary corpora."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(rng.choice(["aa", "bb", "cc", "dd"]) for _ in range(rng.randint(0, 12))),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    fold = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", top_ngram_char_fraction("text").alias("f")).collect()
+    }
+    from siskin_spark.functions.similarity import word_shingles
+    from siskin_spark.functions.text import tokens
+
+    exploded = (
+        df.select("doc_id", F.length("text").alias("nc"),
+                  F.explode_outer(word_shingles(tokens(F.col("text")), 2)).alias("g"))
+        .groupBy("doc_id", "nc", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "nc")
+        .agg(F.max(F.when(F.col("g").isNotNull(), F.struct("c", "g"))).alias("top"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("top").isNotNull() & (F.col("nc") > 0),
+                F.col("top.c") * F.length("top.g") / F.col("nc"),
+            ).otherwise(F.lit(0.0)).alias("f"),
+        )
+    )
+    ref = {r["doc_id"]: r["f"] for r in exploded.collect()}
+    assert fold.keys() == ref.keys()
+    for k in fold:
+        assert fold[k] == pytest.approx(ref[k]), k
