@@ -946,8 +946,18 @@ def _langid_case_sql(toks: str = "toks") -> str:
 @_q(
     "text_quality",
     f"""
-    WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents)
-    SELECT doc_id,
+    WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS g
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    gtop AS (
+      SELECT doc_id, c, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+      FROM gcnt
+    )
+    SELECT t.doc_id,
            len(toks) AS n_tokens,
            length(text) AS n_chars_c,
            CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_word_len,
@@ -961,8 +971,21 @@ def _langid_case_sql(toks: str = "toks") -> str:
             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
                 / len(toks) >= 0.05) AS keep,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
-    FROM t ORDER BY doc_id
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens,
+           substring(md5('0:' || CAST(t.doc_id AS VARCHAR)), 1, 8) < '4ccccccd' AS sample_keep,
+           substring(md5('7:' || CAST(t.doc_id AS VARCHAR)), 1, 8) <
+               CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+                         WHEN 'fr' THEN 'c0000000' WHEN 'zh' THEN '1999999a'
+                         ELSE '00000000' END AS strat_keep,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
+                THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)
+                ELSE 0.0 END AS top_2gram_frac
+    FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
+      ON t.doc_id = top.doc_id
+    ORDER BY t.doc_id
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +996,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — one narrow map over the corpus, no shuffle."""
     from siskin_spark.functions import text as X
 
+    from siskin_spark.operators.curation import sample_mark, stratified_mark
+
     docs = _t(spark, sf_dir, "documents")
     # SORT FIRST, on the narrow (doc_id, text) projection: a global
     # orderBy is a range exchange whose partitioner SAMPLES its child
@@ -980,14 +1005,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole per-row feature map twice (measured 2x on this query).
     # Sorting the narrow input and projecting after keeps row order
     # (all downstream ops are narrow) and samples only the scan.
-    ordered = docs.select("doc_id", "text").orderBy("doc_id")
+    ordered = docs.select("doc_id", "lang", "text").orderBy("doc_id")
     # stage the token array AND the per-language stopword-counts array
     # once: stopword_counts is the single interpreted pass over the
     # corpus tokens (replaces 12 independent HOF filters); language id,
     # stopword_ratio, and the quality_keep floor all read the staged
     # 12-slot _counts column instead of re-scanning tokens
     staged = ordered.select(
-        "doc_id", "text", X.tokens("text").alias("_toks")
+        "doc_id", "lang", "text", X.tokens("text").alias("_toks")
     ).withColumn("_counts", X.stopword_counts(F.col("_toks")))
     ft = X.quality_features(
         F.col("text"),
@@ -1007,6 +1032,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes every match string — measured 3.4x slower)
         X.bpe_token_count("text").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_tokens"),
+        # curation marks (operators/curation.py): deterministic sample
+        # membership and the per-language stratified draw — row-local
+        # hash compares, so the query stays one shuffle-free map
+        sample_mark(F.col("doc_id"), 0.3).alias("sample_keep"),
+        stratified_mark(
+            F.col("lang"),
+            F.col("doc_id"),
+            {"en": 0.5, "de": 0.25, "fr": 0.75, "zh": 0.1},
+            seed=7,
+        ).alias("strat_keep"),
+        # Gopher repetition signals, row-local forms: the synthetic
+        # corpus has no newlines, so the duplicate-line rule is
+        # exercised at token granularity here (newline splitting is
+        # pytest-covered, tests/test_curation.py)
+        X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
+        X.top_ngram_char_fraction("text", toks=F.col("_toks"), n=2).alias(
+            "top_2gram_frac"
+        ),
     )
     return scored.select(
         "doc_id",
@@ -1019,6 +1062,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         "n_bpe_tokens",
         "n_est_tokens",
+        "sample_keep",
+        "strat_keep",
+        "dup_token_frac",
+        "top_2gram_frac",
     )
 
 
@@ -1251,13 +1298,26 @@ _U32 = " + ".join(
       SELECT d.doc_id, {_SIG_COLS}
       FROM documents d LEFT JOIN shingles ON d.doc_id = shingles.doc_id
       GROUP BY d.doc_id
+    ),
+    bsh AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 50 = 0),
+    contam AS (
+      SELECT s.doc_id, count(*) AS n_sh,
+             CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ov
+      FROM shingles s LEFT JOIN bsh b ON s.sh = b.sh
+      GROUP BY s.doc_id
     )
     SELECT d.doc_id, simh.simhash, coalesce(fp.f, '') AS fingerprint,
-           {_SIG_JOIN} AS minhash
+           {_SIG_JOIN} AS minhash,
+           coalesce(contam.n_sh, 0) AS n_shingles,
+           coalesce(contam.n_ov, 0) AS n_overlap,
+           CASE WHEN coalesce(contam.n_sh, 0) > 0
+                THEN CAST(contam.n_ov AS DOUBLE) / CAST(contam.n_sh AS DOUBLE)
+                ELSE 0.0 END AS contam_frac
     FROM documents d
     LEFT JOIN simh ON d.doc_id = simh.doc_id
     LEFT JOIN fp ON d.doc_id = fp.doc_id
     LEFT JOIN sigm ON d.doc_id = sigm.doc_id
+    LEFT JOIN contam ON d.doc_id = contam.doc_id
     ORDER BY d.doc_id
     """,
 )
@@ -1269,7 +1329,12 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter key), and the k=16 MinHash signature (word 3-gram
     shingles, md5-seeded portable hashes — functions/similarity.py;
     merged from the former minhash_signatures query per the ≤50-query
-    registry policy, same per-document grain)."""
+    registry policy, same per-document grain), plus the benchmark
+    decontamination tally (operators/curation.py:contamination — the
+    eval set here is the doc_id %% 50 == 0 corpus slice standing in
+    for a held-out benchmark; its distinct shingles broadcast and the
+    per-doc overlap rides one more groupBy on the same key)."""
+    from siskin_spark.operators.curation import contamination
     from siskin_spark.operators.neardup import (
         fingerprint_table,
         minhash_table,
@@ -1280,10 +1345,18 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_table(docs).select(
         "doc_id", F.array_join("signature", "|").alias("minhash")
     )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    contam = contamination(docs.select("doc_id", "text"), bench, n=3).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.col("overlap_frac").alias("contam_frac"),
+    )
     return (
         simhash_table(docs)
         .join(fingerprint_table(docs), on="doc_id", how="left")
         .join(mh, on="doc_id", how="left")
+        .join(contam, on="doc_id", how="left")
         .orderBy("doc_id")
     )
 

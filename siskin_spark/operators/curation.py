@@ -78,6 +78,23 @@ def deterministic_sample(
     return df.filter(sample_mark(F.col(key_col), fraction, seed))
 
 
+def stratified_mark(
+    strata: Column,
+    key: Column,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> Column:
+    """Boolean column: is ``key`` inside its stratum's deterministic
+    sample? Compiled to one CASE over literal hex thresholds + one hash
+    comparison — a pure map. Strata absent from ``fractions`` fall back
+    to ``default`` (0.0 = drop, matching sampleBy)."""
+    th = F.lit(hex_threshold(default))
+    for stratum, frac in sorted(fractions.items()):
+        th = F.when(strata == stratum, F.lit(hex_threshold(frac))).otherwise(th)
+    return seeded_hash(key.cast("string"), seed) < th
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],
@@ -88,18 +105,13 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling: stratum -> fraction.
 
-    Compiled to one CASE over literal hex thresholds + one hash
-    comparison — a pure map over the corpus (``df.sampleBy`` is the
-    builtin alternative, but its draws are partition-order-dependent;
-    this is reproducible). Strata absent from ``fractions`` fall back
-    to ``default`` (0.0 = drop, matching sampleBy).
+    One :func:`stratified_mark` filter — a pure map over the corpus
+    (``df.sampleBy`` is the builtin alternative, but its draws are
+    partition-order-dependent; this is reproducible).
     """
-    th = F.lit(hex_threshold(default))
-    for stratum, frac in sorted(fractions.items()):
-        th = F.when(F.col(strata_col) == stratum, F.lit(hex_threshold(frac))).otherwise(
-            th
-        )
-    return df.filter(seeded_hash(F.col(key_col).cast("string"), seed) < th)
+    return df.filter(
+        stratified_mark(F.col(strata_col), F.col(key_col), fractions, default, seed)
+    )
 
 
 def domain_mix_fractions(
