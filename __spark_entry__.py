@@ -291,16 +291,37 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "exact_dedup_documents",
     """
-    SELECT min(doc_id) AS doc_id, text
-    FROM documents GROUP BY text ORDER BY doc_id
+    WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    s AS (
+      SELECT doc_id, text,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(str_split(text, ' ')))
+                  OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT doc_id, text, n_tokens,
+           cum - n_tokens AS start_tok,
+           (cum - n_tokens) // 1024 AS seq_first,
+           (cum - n_tokens) % 1024 AS seq_off,
+           CASE WHEN n_tokens > 0 THEN (cum - 1) // 1024
+                ELSE (cum - n_tokens) // 1024 END AS seq_last
+    FROM s ORDER BY doc_id
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 exact duplicate drop with deterministic representative
-    (reference: sort -u, sources/ios.py:118-137)."""
+    (reference: sort -u, sources/ios.py:118-137), then the GPT-style
+    sequence-packing layout over the survivors
+    (operators/curation.py:token_sequence_layout — dedup-then-pack is
+    the real pipeline order; the oracle checks the two-phase parallel
+    prefix sum against a plain SQL window cumsum)."""
+    from siskin_spark.operators.curation import token_sequence_layout
+
     docs = _t(spark, sf_dir, "documents")
     out = dedup.snapshot_earliest(docs, ["text"], ["doc_id"])
-    return out.select("doc_id", "text").orderBy("doc_id")
+    return token_sequence_layout(
+        out.select("doc_id", "text"), budget=1024
+    ).orderBy("doc_id")
 
 
 @_q(

@@ -287,6 +287,57 @@ def _incremental_leg(spark, docs, results: dict, timed) -> None:
     results["neardup_incremental_pairs"] = incr().count()
 
 
+def _curation_leg(spark, docs, results: dict, timed) -> None:
+    """Corpus-curation legs at full scale (operators/curation.py):
+    (a) benchmark decontamination — the eval-set n-gram universe
+    (a 0.1% corpus slice standing in for a held-out benchmark)
+    broadcasts against the corpus-wide 8-gram shingle explode, one
+    map-side-combined tally per doc, then the anti-join drop; (b) the
+    row-local curation-signal map (deterministic + stratified sample
+    marks, Gopher duplicate-token and top-bigram char fractions) —
+    a single shuffle-free projection over every document."""
+    from siskin_spark.functions.text import (
+        dup_line_fraction,
+        tokens,
+        top_ngram_char_fraction,
+    )
+    from siskin_spark.operators.curation import (
+        decontaminate,
+        sample_mark,
+        stratified_mark,
+    )
+
+    n_docs = docs.count()
+    bench = docs.filter(F.col("doc_id") % 1000 == 0).select("text")
+
+    def decon():
+        return decontaminate(docs, bench, n=8)
+
+    timed(decon())
+    results["decontam_s"] = min(timed(decon()) for _ in range(3))
+    results["decontam_docs"] = n_docs
+    results["decontam_bench_docs"] = bench.count()
+    results["decontam_survivors"] = decon().count()
+
+    strata = (F.col("doc_id") % 4).cast("string")
+
+    def signals():
+        return docs.select(
+            "doc_id",
+            sample_mark(F.col("doc_id"), 0.3).alias("sample_keep"),
+            stratified_mark(
+                strata, F.col("doc_id"), {"0": 0.5, "1": 0.25, "2": 0.75}, seed=7
+            ).alias("strat_keep"),
+            dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
+            top_ngram_char_fraction(
+                "text", toks=tokens(F.col("text")), n=2
+            ).alias("top_2gram_frac"),
+        )
+
+    timed(signals())
+    results["curation_signals_s"] = min(timed(signals()) for _ in range(3))
+
+
 def main() -> None:
     import datetime
 
@@ -301,7 +352,7 @@ def main() -> None:
         build_corpus(spark, n_records)
         open(marker, "w").close()
 
-    if os.environ.get("SCALE_ONLY") == "neardup_incremental":
+    if os.environ.get("SCALE_ONLY") in ("neardup_incremental", "curation"):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the incremental-leg keys
         results: dict[str, float] = {}
@@ -312,7 +363,10 @@ def main() -> None:
             return time.perf_counter() - t0
 
         docs_only = spark.read.parquet(os.path.join(CORPUS, "docs"))
-        _incremental_leg(spark, docs_only, results, timed_only)
+        if os.environ["SCALE_ONLY"] == "curation":
+            _curation_leg(spark, docs_only, results, timed_only)
+        else:
+            _incremental_leg(spark, docs_only, results, timed_only)
         print(json.dumps({"metric": "records_per_second", "records": n_records, **{
             k: round(v, 2) if isinstance(v, float) else v
             for k, v in results.items()
@@ -416,6 +470,7 @@ def main() -> None:
     n_survivors = collapse().count()
 
     _incremental_leg(spark, docs, results, timed)
+    _curation_leg(spark, docs, results, timed)
 
     # -- §7.5 text analysis at full scale ------------------------------
     # text_quality was the flagged 100x-scale cost center (12
@@ -785,6 +840,15 @@ def main() -> None:
         "neardup_incremental_dps": round(
             results["neardup_incremental_batch"]
             / results["neardup_incremental_s"]
+        ),
+        "decontam_s": round(results["decontam_s"], 2),
+        "decontam_dps": round(results["decontam_docs"] / results["decontam_s"]),
+        "decontam_docs": results["decontam_docs"],
+        "decontam_bench_docs": results["decontam_bench_docs"],
+        "decontam_survivors": results["decontam_survivors"],
+        "curation_signals_s": round(results["curation_signals_s"], 2),
+        "curation_signals_dps": round(
+            results["decontam_docs"] / results["curation_signals_s"]
         ),
         "text_quality_s": round(results["text_quality_s"], 2),
         "text_quality_docs": n_docs,

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siskin_spark.functions.similarity import seeded_hash
+from siskin_spark.functions.text import tokens
 from siskin_spark.operators.neardup import shingle_table
 
 # ---------------------------------------------------------------------------
@@ -236,6 +237,101 @@ def contamination(
         )
         .otherwise(F.lit(0.0))
         .alias("overlap_frac"),
+    )
+
+
+def token_sequence_layout(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    n_tokens: Column | None = None,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing layout: documents are concatenated in
+    ascending ``id_col`` order and chunked into fixed-``budget`` token
+    training sequences (documents may span a boundary). Adds per-doc
+    columns ``n_tokens, start_tok, seq_first, seq_off, seq_last`` —
+    everything a writer needs to emit packed sequences without ever
+    materializing the concatenation.
+
+    Scale design — the naive form is one global window
+    (``sum(n) OVER (ORDER BY id)``), a single-reducer cumsum that
+    serializes the whole corpus through one task. This runs the classic
+    two-phase parallel prefix sum instead:
+
+    1. docs bucket by a *data-derived* key ``(id - min_id) div chunk``
+       (``chunk`` sized so ~``n_buckets`` buckets exist) — derived from
+       the data, not from ``spark_partition_id``, so the three jobs
+       (bounds, totals, layout) agree without a persist barrier;
+    2. per-bucket token totals (one map-side-combined groupBy over
+       ≤``n_buckets`` groups) collect to the driver, prefix-sum there,
+       and rejoin as a broadcast offset table;
+    3. each bucket cumsums independently (window partitioned by bucket
+       — ``n_buckets``-way parallel) and adds its bucket's offset.
+
+    The only corpus-wide movement is the (id, n) pair shuffle into
+    buckets; token counts never leave the row until then.
+    """
+    n = (
+        F.size(tokens(F.col(text_col))).cast("long")
+        if n_tokens is None
+        else n_tokens.cast("long")
+    )
+    staged = docs.withColumn("_n", n)
+    bounds = staged.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty corpus: emit the layout schema
+        return staged.select(
+            "*",
+            F.col("_n").alias("n_tokens"),
+            F.lit(0).cast("long").alias("start_tok"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_off"),
+            F.lit(0).cast("long").alias("seq_last"),
+        ).drop("_n")
+    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+    chunk = max(1, -(-span // n_buckets))  # ceil
+    staged = staged.withColumn(
+        "_b", ((F.col(id_col) - F.lit(int(bounds["lo"]))) / chunk).cast("long")
+    )
+    totals = sorted(
+        (r["_b"], r["t"])
+        for r in staged.groupBy("_b").agg(F.sum("_n").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += int(t)
+    off_df = docs.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = (
+        staged.join(F.broadcast(off_df), "_b")
+        .withColumn("_cum", F.sum("_n").over(w) + F.col("_off"))
+        .withColumn("start_tok", F.col("_cum") - F.col("_n"))
+    )
+    return (
+        laid.select(
+            *docs.columns,
+            F.col("_n").alias("n_tokens"),
+            "start_tok",
+            F.expr(f"start_tok div {budget}").alias("seq_first"),
+            (F.col("start_tok") % budget).alias("seq_off"),
+            F.when(
+                F.col("_n") > 0,
+                F.expr(f"(start_tok + _n - 1) div {budget}"),
+            )
+            .otherwise(F.expr(f"start_tok div {budget}"))
+            .alias("seq_last"),
+        )
     )
 
 

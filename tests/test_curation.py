@@ -167,6 +167,65 @@ def test_contamination_plan_broadcasts_benchmark(spark):
 
 
 # ---------------------------------------------------------------------------
+# sequence packing layout
+
+
+def test_token_sequence_layout_matches_naive_cumsum(spark):
+    rng_texts = [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 13)))  # 0..12 tokens
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rng_texts, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in C.token_sequence_layout(df, budget=10, n_buckets=7).collect()
+    }
+    # naive reference: python cumsum in doc_id order. NB the engine's
+    # tokens() is a plain split (DuckDB str_split convention), so the
+    # empty string counts as ONE token — mirror that, don't filter.
+    cum = 0
+    for i, text in rng_texts:
+        n = len(text.split(" "))
+        row = out[i]
+        assert row["n_tokens"] == n, i
+        assert row["start_tok"] == cum, i
+        assert row["seq_first"] == cum // 10, i
+        assert row["seq_off"] == cum % 10, i
+        want_last = (cum + n - 1) // 10 if n else cum // 10
+        assert row["seq_last"] == want_last, i
+        cum += n
+    assert len(out) == 200
+
+
+def test_token_sequence_layout_sparse_ids_and_counts(spark):
+    # sparse, shuffled ids + explicit token counts; single bucket edge
+    df = spark.createDataFrame(
+        [(1_000_000, 5), (3, 7), (999, 0), (42, 4)], ["doc_id", "n"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in C.token_sequence_layout(
+            df, budget=8, n_tokens=F.col("n"), n_buckets=2
+        ).collect()
+    }
+    # order: 3(7), 42(4), 999(0), 1000000(5)
+    assert out[3]["start_tok"] == 0 and out[3]["seq_last"] == 0
+    assert out[42]["start_tok"] == 7 and out[42]["seq_first"] == 0
+    assert out[42]["seq_last"] == 1  # spans the 8-token boundary
+    assert out[999]["start_tok"] == 11 and out[999]["seq_last"] == 1  # empty doc
+    assert out[1_000_000]["start_tok"] == 11 and out[1_000_000]["seq_off"] == 3
+
+
+def test_token_sequence_layout_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = C.token_sequence_layout(df)
+    assert out.count() == 0
+    assert {"n_tokens", "start_tok", "seq_first", "seq_off", "seq_last"} <= set(
+        out.columns
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition signals
 
 
