@@ -793,9 +793,53 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.9 scalar function surface (M7/M8/M11/M13 flavored)
 
 
+# PII haystack for the scalar_functions scrub columns: a synthesized
+# per-row string planting 0-4 PII kinds by doc_id residue (same trick
+# as the doi_sniffed haystack). The DuckDB spelling mirrors the Spark
+# expression below it literally.
+_PII_HAY_SQL = (
+    "substring(text, 1, 20) || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+# the scrub chain as staged CTE columns: cK = matches of kind K on the
+# text with kinds 1..K-1 already masked (so an SSN is never also billed
+# as a phone), sK = that text with kind K masked too — the exact
+# semantics of functions/text.py:scrub_pii / pii_counts. Regex literals
+# are injected verbatim from PII_PATTERNS (no f-string: the patterns
+# contain braces), so both engines run the SAME pattern.
+_PII_STAGES_SQL = """
+    p1 AS (SELECT *, len(regexp_extract_all(hay, '__EMAIL__')) AS pc1,
+                  regexp_replace(hay, '__EMAIL__', '<EMAIL>', 'g') AS ps1 FROM h),
+    p2 AS (SELECT *, len(regexp_extract_all(ps1, '__SSN__')) AS pc2,
+                  regexp_replace(ps1, '__SSN__', '<SSN>', 'g') AS ps2 FROM p1),
+    p3 AS (SELECT *, len(regexp_extract_all(ps2, '__IPV4__')) AS pc3,
+                  regexp_replace(ps2, '__IPV4__', '<IPV4>', 'g') AS ps3 FROM p2),
+    p4 AS (SELECT *, len(regexp_extract_all(ps3, '__PHONE__')) AS pc4,
+                  regexp_replace(ps3, '__PHONE__', '<PHONE>', 'g') AS ps4 FROM p3)
+"""
+
+
+def _pii_sql(template: str) -> str:
+    from siskin_spark.functions.text import PII_PATTERNS
+
+    for kind, pat in PII_PATTERNS.items():
+        template = template.replace(f"__{kind.upper()}__", pat)
+    return template
+
+
 @_q(
     "scalar_functions",
-    """
+    _pii_sql(
+        "WITH h AS (SELECT doc_id, text, source, "
+        + _PII_HAY_SQL
+        + " AS hay FROM documents),"
+        + _PII_STAGES_SQL
+        + """
     SELECT doc_id,
            str_split(text, ' ')[1] AS first_word,
            len(str_split(text, ' ')) AS n_tokens,
@@ -818,9 +862,12 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          '(10[.][0-9]{2,8}/[^ "\t]+)', 1) <> ''
                 THEN regexp_extract('see doi:10.' || (1000 + doc_id % 50) || '/j.'
                          || source || '.' || doc_id || ' for details',
-                         '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi_sniffed
-    FROM documents ORDER BY doc_id
-    """,
+                         '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi_sniffed,
+           ps4 AS pii_scrubbed,
+           pc1 + pc2 + pc3 + pc4 AS pii_total
+    FROM p4 ORDER BY doc_id
+    """
+    ),
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 scalar surface in one projection: split/first-of-array (M14
@@ -834,12 +881,35 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-doisniffer regex DOI extraction over a synthesized haystack
     (reference sources/base.py:160-166 — merged from the former
     doi_sniff_docs query per the ≤50-query registry policy, same
-    documents grain)."""
+    documents grain); and PII scrubbing + counting over a second
+    synthesized haystack (functions/text.py:scrub_pii — FineWeb-style
+    pre-training anonymization, kinds planted by doc_id residue)."""
+    from siskin_spark.functions.text import pii_counts, scrub_pii
     from siskin_spark.operators import transforms as T
     from siskin_spark.operators.transforms import doi_sniff
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    d = F.col("doc_id")
+    hay = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" contact u"),
+        d.cast("string"),
+        F.lit("@ex.org"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" call +1 555-010-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pc = pii_counts(hay)
     return docs.select(
         "doc_id",
         F.element_at(toks, 1).alias("first_word"),
@@ -874,6 +944,8 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("doi_sniffed"),
+        scrub_pii(hay).alias("pii_scrubbed"),
+        (pc["email"] + pc["ssn"] + pc["ipv4"] + pc["phone"]).alias("pii_total"),
     ).orderBy("doc_id")
 
 

@@ -328,3 +328,46 @@ def top_ngram_char_fraction(
         (F.size(grams) > 0) & (F.length(c) > 0),
         (top["best"] * F.length(top["bg"])).cast("double") / F.length(c).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+# PII scrubbing (FineWeb-style pre-training anonymization): masks are
+# applied in THIS order — ssn before phone (a dashed SSN also matches
+# the looser phone shape), ipv4 before phone (digit runs). Patterns are
+# deliberately dialect-portable: they use only constructs with
+# identical semantics in Java regex (Spark executors) and RE2 (DuckDB
+# oracle) — \b, \d, \s, bounded/unbounded repetition, character
+# classes; no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d()\-\s]{6,}\d",
+}
+
+
+def scrub_pii(
+    text: Column | str, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Replace each PII span with a ``<KIND>`` placeholder — a chained
+    JVM ``regexp_replace``, one codegen'd pass per kind, no Python.
+    ``kinds`` subsets/reorders :data:`PII_PATTERNS` (default: all, in
+    the declared precedence order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or PII_PATTERNS:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(
+    text: Column | str, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Struct of per-kind PII match counts. Each kind is counted on the
+    text AFTER earlier kinds were masked, so the counts equal the number
+    of replacements :func:`scrub_pii` makes (an SSN already masked is
+    not double-billed as a phone number)."""
+    c = F.col(text) if isinstance(text, str) else text
+    fields = []
+    for kind in kinds or PII_PATTERNS:
+        fields.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(kind))
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return F.struct(*fields)

@@ -159,3 +159,47 @@ def test_bpe_and_symbol_counts_match_regex_forms(spark):
     for r in got:
         assert r["fast"] == r["slow"], r
         assert r["fast_sym"] == r["slow_sym"], r
+
+
+def test_scrub_pii_masks_each_kind(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="mail bob.smith+x@sub.example.co.uk now"),
+            Row(i=1, t="ssn 123-45-6789 and phone +1 (555) 010-4477"),
+            Row(i=2, t="host 192.168.0.1 port 80"),
+            Row(i=3, t="clean text with no identifiers at all"),
+            Row(i=4, t="two mails a@b.io c@d.org one ip 10.0.0.7"),
+        ]
+    )
+    out = {
+        r["i"]: (r["s"], r["n"].asDict())
+        for r in df.select(
+            "i",
+            scrub_pii("t").alias("s"),
+            pii_counts("t").alias("n"),
+        ).collect()
+    }
+    assert out[0][0] == "mail <EMAIL> now"
+    assert out[0][1] == {"email": 1, "ssn": 0, "ipv4": 0, "phone": 0}
+    # the SSN must NOT be double-billed as a phone; the phone is caught
+    assert out[1][0] == "ssn <SSN> and phone <PHONE>"
+    assert out[1][1] == {"email": 0, "ssn": 1, "ipv4": 0, "phone": 1}
+    assert out[2][0] == "host <IPV4> port 80"
+    assert out[3][0] == "clean text with no identifiers at all"
+    assert sum(out[3][1].values()) == 0
+    assert out[4][0] == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
+    assert out[4][1] == {"email": 2, "ssn": 0, "ipv4": 1, "phone": 0}
+
+
+def test_scrub_pii_kind_subset(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([Row(t="a@b.io and 1.2.3.4")])
+    got = df.select(scrub_pii("t", kinds=("ipv4",)).alias("s")).collect()[0]["s"]
+    assert got == "a@b.io and <IPV4>"
