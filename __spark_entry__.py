@@ -1140,9 +1140,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exercised at token granularity here (newline splitting is
         # pytest-covered, tests/test_curation.py)
         X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
-        X.top_ngram_char_fraction("text", toks=F.col("_toks"), n=2).alias(
-            "top_2gram_frac"
-        ),
+        # default (regex-extraction) path — NOT toks=_toks: the staged
+        # token array would route to the interpreted HOF slicer, 6x
+        # slower than the codegen'd regex pass
+        X.top_ngram_char_fraction("text", n=2).alias("top_2gram_frac"),
     )
     return scored.select(
         "doc_id",

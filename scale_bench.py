@@ -298,7 +298,6 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
     a single shuffle-free projection over every document."""
     from siskin_spark.functions.text import (
         dup_line_fraction,
-        tokens,
         top_ngram_char_fraction,
     )
     from siskin_spark.operators.curation import (
@@ -329,9 +328,7 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
                 strata, F.col("doc_id"), {"0": 0.5, "1": 0.25, "2": 0.75}, seed=7
             ).alias("strat_keep"),
             dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
-            top_ngram_char_fraction(
-                "text", toks=tokens(F.col("text")), n=2
-            ).alias("top_2gram_frac"),
+            top_ngram_char_fraction("text", n=2).alias("top_2gram_frac"),
         )
 
     timed(signals())

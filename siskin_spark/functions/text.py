@@ -268,19 +268,39 @@ def quality_keep(
     )
 
 
+def let_once(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` exactly
+    once per row and pass it to ``body`` as a bound reference.
+
+    Catalyst DUPLICATES an expression subtree at every reuse site, and
+    a projection containing higher-order functions runs interpreted
+    (HOFs are never whole-stage-codegen'd), where each copy really is
+    re-evaluated per row — referencing a fold result twice re-runs the
+    whole fold. ``transform`` evaluates its input array exactly once
+    and its lambda variable is an O(1) bound slot, so wrapping the
+    value in a 1-element array + transform + element_at is a let.
+    Measured: the curation-signal projection over 3M docs dropped
+    119s -> 15s from exactly this change."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     """Gopher repetition rule: fraction of non-empty lines that are
     duplicates of an earlier line (Rae et al. 2021 §A1.1 'duplicate
     line fraction'). Boilerplate-heavy pages (nav bars, cookie
-    banners) score high. Row-local: split + array_distinct, no
-    shuffle; 0.0 for empty / single-line documents."""
+    banners) score high. Row-local: ONE split + distinct per row
+    (:func:`let_once` — the naive form re-evaluates the split per
+    reference), no shuffle; 0.0 for empty / single-line documents."""
     c = F.col(text) if isinstance(text, str) else text
     lines = F.filter(F.split(c, sep), lambda x: F.length(x) > 0)
-    n = F.size(lines)
-    return F.when(
-        n > 0,
-        (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double"),
-    ).otherwise(F.lit(0.0))
+    return let_once(
+        lines,
+        lambda ls: F.when(
+            F.size(ls) > 0,
+            (F.size(ls) - F.size(F.array_distinct(ls))).cast("double")
+            / F.size(ls).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def top_ngram_char_fraction(
@@ -300,12 +320,23 @@ def top_ngram_char_fraction(
     Overlapping occurrences each bill the full n-gram length, so the
     value can exceed 1.0 for degenerate one-phrase documents — callers
     threshold well below that (Gopher drops at > 0.20 for 2-grams).
-    """
-    from siskin_spark.functions.similarity import word_shingles
 
+    By default the n-grams come from one lookahead-capture regex pass
+    over the text (codegen'd JVM regex, same trick as
+    ``operators/neardup.py:shingle_table`` — measured 6x over the
+    ``transform``/``slice`` HOF form, which Catalyst interprets per
+    element). Like there, the regex assumes single-space-separated
+    text; pass ``toks`` for custom tokenization and the general
+    (slower) slicing path is used instead.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c) if toks is None else toks
-    grams = F.array_sort(word_shingles(toks, n))
+    if toks is None:
+        pat = "(?=((" + r"\S+ " * (n - 1) + r"\S+)))\S+ ?"
+        grams = F.array_sort(F.regexp_extract_all(c, F.lit(pat), 1))
+    else:
+        from siskin_spark.functions.similarity import word_shingles
+
+        grams = F.array_sort(word_shingles(toks, n))
     zero = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
@@ -324,10 +355,19 @@ def top_ngram_char_fraction(
         )
 
     top = F.aggregate(grams, zero, step)
-    return F.when(
-        (F.size(grams) > 0) & (F.length(c) > 0),
-        (top["best"] * F.length(top["bg"])).cast("double") / F.length(c).cast("double"),
-    ).otherwise(F.lit(0.0))
+    # guard only on text length: with no grams the fold's best stays 0,
+    # so the numerator is already 0.0 — re-testing size(grams) here
+    # would evaluate the whole extraction a second time per row. The
+    # let binds the fold result once: .best and .bg as raw references
+    # would each re-run the entire fold (and its gram extraction).
+    return let_once(
+        top,
+        lambda s: F.when(
+            F.length(c) > 0,
+            (s["best"] * F.length(s["bg"])).cast("double")
+            / F.length(c).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 # PII scrubbing (FineWeb-style pre-training anonymization): masks are

@@ -293,9 +293,11 @@ def token_sequence_layout(
         ).drop("_n")
     span = int(bounds["hi"]) - int(bounds["lo"]) + 1
     chunk = max(1, -(-span // n_buckets))  # ceil
+    # exact integer division (a float-division + cast would lose
+    # precision past 2^53 on wide id spans)
     staged = staged.withColumn(
-        "_b", ((F.col(id_col) - F.lit(int(bounds["lo"]))) / chunk).cast("long")
-    )
+        "_delta", F.col(id_col).cast("long") - F.lit(int(bounds["lo"]))
+    ).withColumn("_b", F.expr(f"_delta div {chunk}"))
     totals = sorted(
         (r["_b"], r["t"])
         for r in staged.groupBy("_b").agg(F.sum("_n").alias("t")).collect()

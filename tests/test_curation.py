@@ -167,6 +167,48 @@ def test_contamination_plan_broadcasts_benchmark(spark):
 
 
 # ---------------------------------------------------------------------------
+# full pipeline composition
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The FineWeb-style chain: quality gate -> decontaminate ->
+    domain mix -> deterministic sample -> packing layout, composed as
+    ONE lazy plan over the sf0.001 documents table."""
+    from siskin_spark.functions.text import quality_keep
+    from siskin_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+
+    kept = docs.filter(quality_keep(F.col("text"), min_tokens=5))
+    clean = C.decontaminate(kept, bench, n=8)
+    mixed = C.domain_mix(clean, {"en": 2, "de": 1, "fr": 1}, budget=40)
+    sampled = C.deterministic_sample(mixed, 0.9)
+    packed = C.token_sequence_layout(sampled, budget=256)
+
+    rows = packed.collect()
+    assert 0 < len(rows) <= 40
+    # layout invariants hold over the composed survivors
+    rows.sort(key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:
+        assert r["start_tok"] == cum
+        assert r["seq_first"] == cum // 256
+        cum += r["n_tokens"]
+    # the bench docs themselves never survive decontamination
+    bench_ids = {r[0] for r in docs.filter(F.col("doc_id") % 25 == 0)
+                 .select("doc_id").collect()}
+    assert not bench_ids & {r["doc_id"] for r in rows}
+    # determinism: the same plan yields the same corpus
+    again = {r["doc_id"] for r in C.token_sequence_layout(
+        C.deterministic_sample(
+            C.domain_mix(C.decontaminate(kept, bench, n=8),
+                         {"en": 2, "de": 1, "fr": 1}, budget=40), 0.9),
+        budget=256).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
 # sequence packing layout
 
 
