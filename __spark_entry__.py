@@ -1107,6 +1107,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = ordered.select(
         "doc_id", "lang", "text", X.tokens("text").alias("_toks")
     ).withColumn("_counts", X.stopword_counts(F.col("_toks")))
+    # staged DataFrame form of the top-bigram signal: the Column fold
+    # is JIT-bimodal at scale (52s vs 11s over 3M docs on the same
+    # box); the staged run-length shape is the stable-fast one
+    staged = X.with_top_ngram_frac(staged)
     ft = X.quality_features(
         F.col("text"),
         toks=F.col("_toks"),
@@ -1140,10 +1144,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exercised at token granularity here (newline splitting is
         # pytest-covered, tests/test_curation.py)
         X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
-        # default (regex-extraction) path — NOT toks=_toks: the staged
-        # token array would route to the interpreted HOF slicer, 6x
-        # slower than the codegen'd regex pass
-        X.top_ngram_char_fraction("text", n=2).alias("top_2gram_frac"),
+        "top_2gram_frac",
     )
     return scored.select(
         "doc_id",

@@ -298,7 +298,7 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
     a single shuffle-free projection over every document."""
     from siskin_spark.functions.text import (
         dup_line_fraction,
-        top_ngram_char_fraction,
+        with_top_ngram_frac,
     )
     from siskin_spark.operators.curation import (
         decontaminate,
@@ -321,18 +321,30 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
     strata = (F.col("doc_id") % 4).cast("string")
 
     def signals():
-        return docs.select(
+        return with_top_ngram_frac(docs).select(
             "doc_id",
             sample_mark(F.col("doc_id"), 0.3).alias("sample_keep"),
             stratified_mark(
                 strata, F.col("doc_id"), {"0": 0.5, "1": 0.25, "2": 0.75}, seed=7
             ).alias("strat_keep"),
             dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
-            top_ngram_char_fraction("text", n=2).alias("top_2gram_frac"),
+            "top_2gram_frac",
         )
 
     timed(signals())
     results["curation_signals_s"] = min(timed(signals()) for _ in range(3))
+
+    # corpus-level boilerplate removal at token granularity (this
+    # corpus has no newlines; the shape is identical — explode, count,
+    # anti-join, reassemble): drops units occurring >= 100K times
+    # across the corpus ('tail0'..'tail9' at ~300K each)
+    from siskin_spark.operators.curation import drop_duplicate_lines
+
+    def line_dedup():
+        return drop_duplicate_lines(docs, min_count=100_000, sep=" ")
+
+    timed(line_dedup())
+    results["line_dedup_s"] = min(timed(line_dedup()) for _ in range(3))
 
 
 def main() -> None:
@@ -846,6 +858,10 @@ def main() -> None:
         "curation_signals_s": round(results["curation_signals_s"], 2),
         "curation_signals_dps": round(
             results["decontam_docs"] / results["curation_signals_s"]
+        ),
+        "line_dedup_s": round(results["line_dedup_s"], 2),
+        "line_dedup_dps": round(
+            results["decontam_docs"] / results["line_dedup_s"]
         ),
         "text_quality_s": round(results["text_quality_s"], 2),
         "text_quality_docs": n_docs,

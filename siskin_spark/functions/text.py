@@ -370,6 +370,78 @@ def top_ngram_char_fraction(
     )
 
 
+def with_top_ngram_frac(
+    df,
+    text_col: str = "text",
+    n: int = 2,
+    out_col: str = "top_2gram_frac",
+):
+    """DataFrame-level top-n-gram char fraction (same value as
+    :func:`top_ngram_char_fraction`, different physical shape): stages
+    the sorted gram array, the run-start positions, and the run list
+    as MATERIALIZED columns across chained projections, then takes
+    ``array_max`` over (count, gram) structs.
+
+    Why a DataFrame operator and not a Column: the run-length
+    formulation needs ``element_at(grams, i)`` inside lambdas, and as
+    a single inlined expression Catalyst would re-evaluate the whole
+    gram extraction per element (measured 457s vs 3s on a 50K-doc
+    slice). Staged columns are attribute references — O(1) in the
+    lambda — and CollapseProject keeps the stages separate because
+    inlining would duplicate a non-cheap expression. The struct-fold
+    Column form is portable but JIT-sensitive: its per-element
+    interpreted eval ran 52s vs 11s for this staged form over 3M docs
+    on the same box (SCALE.md, curation section).
+
+    Appends ``out_col``; all other columns pass through. Intermediate
+    ``_tng_*`` columns are dropped.
+    """
+    c = F.col(text_col)
+    pat = "(?=((" + r"\S+ " * (n - 1) + r"\S+)))\S+ ?"
+    g = F.col("_tng_g")
+    st = F.col("_tng_starts")
+    runs = F.col("_tng_runs")
+    staged = (
+        df.withColumn(
+            "_tng_g", F.array_sort(F.regexp_extract_all(c, F.lit(pat), 1))
+        )
+        .withColumn(
+            "_tng_starts",
+            # sequence(1, 0) DESCENDS in Spark — guard the empty case
+            F.when(
+                F.size(g) >= 1,
+                F.filter(
+                    F.sequence(F.lit(1), F.size(g)),
+                    lambda i: (i == 1)
+                    | (F.element_at(g, i) != F.element_at(g, i - 1)),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "_tng_runs",
+            F.zip_with(
+                st,
+                F.slice(F.concat(st, F.array(F.size(g) + 1)), 2, F.size(st)),
+                lambda s, e: F.struct(
+                    (e - s).alias("c"), F.element_at(g, s).alias("g")
+                ),
+            ),
+        )
+        .withColumn(
+            out_col,
+            let_once(
+                F.array_max(runs),
+                lambda top: F.when(
+                    (F.size(runs) > 0) & (F.length(c) > 0),
+                    (top["c"] * F.length(top["g"])).cast("double")
+                    / F.length(c).cast("double"),
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+    )
+    return staged.drop("_tng_g", "_tng_starts", "_tng_runs")
+
+
 # PII scrubbing (FineWeb-style pre-training anonymization): masks are
 # applied in THIS order — ssn before phone (a dashed SSN also matches
 # the looser phone shape), ipv4 before phone (digit runs). Patterns are

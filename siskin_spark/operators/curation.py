@@ -240,6 +240,81 @@ def contamination(
     )
 
 
+def drop_duplicate_lines(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    keep_first: bool = False,
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """C4/FineWeb-style corpus-level boilerplate removal: delete every
+    line that occurs at least ``min_count`` times ACROSS THE CORPUS
+    (nav bars, cookie banners, license footers), then reassemble each
+    document from its surviving lines in original order.
+
+    ``keep_first=False`` (default) drops all occurrences of a
+    boilerplate line (the Gopher/FineWeb rule); ``keep_first=True``
+    keeps the single earliest occurrence by (doc id, line position)
+    (the C4 rule) — that variant rides one window over the same
+    line-keyed shuffle the count uses, so both modes cost one corpus
+    line shuffle.
+
+    Scale: the explode is linear; the duplicate-line table is the
+    count aggregate's output filtered to ``count >= min_count`` —
+    boilerplate is by construction a tiny distinct set repeated many
+    times, so the anti-join's build side is orders smaller than the
+    line table (AQE picks broadcast when it fits; no hint is forced,
+    because a pathological corpus can have a huge dup set).
+    Reassembly is one groupBy(id) whose state is bounded by document
+    size. ``sep`` is used as a split REGEX and a join literal — fine
+    for ``\\n``; escape regex metacharacters for exotic separators.
+
+    Documents whose every line was boilerplate come back with empty
+    text (``drop_empty_docs=True`` removes them instead) — the
+    re-admission rides the reassembly join, not a second shuffle.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).filter(F.length("_line") > 0)
+    if keep_first:
+        w = Window.partitionBy("_line")
+        wo = w.orderBy(id_col, "_pos")
+        kept = (
+            lines.withColumn("_c", F.count("*").over(w))
+            .withColumn("_rn", F.row_number().over(wo))
+            .filter((F.col("_c") < min_count) | (F.col("_rn") == 1))
+            .select(id_col, "_pos", "_line")
+        )
+    else:
+        dups = (
+            lines.groupBy("_line")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= min_count)
+            .select("_line")
+        )
+        kept = lines.join(dups, "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    out = (
+        docs.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return out.filter(F.length(text_col) > 0) if drop_empty_docs else out
+
+
 def token_sequence_layout(
     docs: DataFrame,
     budget: int = 2048,

@@ -167,6 +167,62 @@ def test_contamination_plan_broadcasts_benchmark(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus-level duplicate-line removal
+
+
+def _line_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="cookie banner\nunique zero\nfooter"),
+            Row(doc_id=1, text="cookie banner\nunique one\nfooter"),
+            Row(doc_id=2, text="unique two a\nunique two b"),
+            Row(doc_id=3, text="cookie banner\nfooter"),  # all boilerplate
+            Row(doc_id=4, text="repeat me\nrepeat me\nunique four"),
+        ]
+    )
+
+
+def test_drop_duplicate_lines_drops_all_occurrences(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_lines(_line_docs(spark)).collect()
+    }
+    assert out[0] == "unique zero"
+    assert out[1] == "unique one"
+    assert out[2] == "unique two a\nunique two b"  # untouched, order kept
+    assert out[3] == ""  # fully-boilerplate doc survives, empty
+    # within-doc repetition counts toward the corpus tally too
+    assert out[4] == "unique four"
+    # drop_empty_docs removes doc 3
+    kept = {r["doc_id"] for r in C.drop_duplicate_lines(
+        _line_docs(spark), drop_empty_docs=True).collect()}
+    assert kept == {0, 1, 2, 4}
+
+
+def test_drop_duplicate_lines_keep_first(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_lines(_line_docs(spark), keep_first=True).collect()
+    }
+    # earliest (doc_id, pos) occurrence survives: doc 0 keeps both
+    assert out[0] == "cookie banner\nunique zero\nfooter"
+    assert out[1] == "unique one"
+    assert out[3] == ""
+    assert out[4] == "repeat me\nunique four"
+
+
+def test_drop_duplicate_lines_threshold(spark):
+    # min_count=3: 'footer' (3x) drops, 'repeat me' (2x) survives
+    out = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_lines(_line_docs(spark), min_count=3).collect()
+    }
+    assert out[0] == "unique zero"  # 'cookie banner' is also 3x
+    assert out[4] == "repeat me\nrepeat me\nunique four"
+    assert out[2] == "unique two a\nunique two b"
+
+
+# ---------------------------------------------------------------------------
 # full pipeline composition
 
 
@@ -318,6 +374,37 @@ def test_top_ngram_tie_breaks_to_larger_gram(spark):
     grams_fold = df.select(top_ngram_char_fraction("text").alias("f")).collect()[0]["f"]
     text = "a b x a b y c d z c d"
     assert grams_fold == pytest.approx(2 * len("c d") / len(text))
+
+
+def test_with_top_ngram_frac_equals_column_form(spark):
+    """The staged DataFrame operator must equal the Column fold on
+    arbitrary corpora, including the no-gram / empty / null edges."""
+    import random
+
+    from siskin_spark.functions.text import with_top_ngram_frac
+
+    rng = random.Random(11)
+    rows = [
+        Row(doc_id=i, text=" ".join(
+            rng.choice(["aa", "bb", "cc"]) for _ in range(rng.randint(0, 9))))
+        for i in range(80)
+    ] + [Row(doc_id=100, text="solo"), Row(doc_id=101, text=""),
+         Row(doc_id=102, text=None)]
+    df = spark.createDataFrame(rows)
+    staged = {
+        r["doc_id"]: r["top_2gram_frac"]
+        for r in with_top_ngram_frac(df).collect()
+    }
+    fold = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", top_ngram_char_fraction("text").alias("f")).collect()
+    }
+    assert staged.keys() == fold.keys()
+    for k in fold:
+        assert staged[k] == pytest.approx(fold[k]), k
+    # all original columns survive, no _tng_ leftovers
+    assert set(with_top_ngram_frac(df).columns) == {"doc_id", "text", "top_2gram_frac"}
 
 
 def test_repetition_matches_explode_groupby_formulation(spark):
