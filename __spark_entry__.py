@@ -1075,7 +1075,13 @@ def _langid_case_sql(toks: str = "toks") -> str:
                 ELSE 0.0 END AS dup_token_frac,
            CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
                 THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)
-                ELSE 0.0 END AS top_2gram_frac
+                ELSE 0.0 END AS top_2gram_frac,
+           (CASE WHEN len(toks) > 0
+                 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END <= 0.30
+            AND CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
+                     THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)
+                     ELSE 0.0 END <= 0.20) AS rep_keep
     FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
       ON t.doc_id = top.doc_id
     ORDER BY t.doc_id
@@ -1145,6 +1151,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pytest-covered, tests/test_curation.py)
         X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
         "top_2gram_frac",
+    ).withColumn(
+        # Gopher repetition gate over the two fractions (published
+        # 2-gram thresholds); rides the same projection chain
+        "rep_keep",
+        X.repetition_keep(F.col("dup_token_frac"), F.col("top_2gram_frac")),
     )
     return scored.select(
         "doc_id",
@@ -1161,6 +1172,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strat_keep",
         "dup_token_frac",
         "top_2gram_frac",
+        "rep_keep",
     )
 
 

@@ -370,6 +370,22 @@ def top_ngram_char_fraction(
     )
 
 
+def repetition_keep(
+    dup_line_frac: Column,
+    top_ngram_frac: Column,
+    max_dup_line_frac: float = 0.30,
+    max_top_ngram_frac: float = 0.20,
+) -> Column:
+    """Gopher repetition gate (Rae et al. 2021 Table A1): drop a
+    document when too much of it is duplicated lines or one repeated
+    n-gram. Combines with :func:`quality_keep` for the full
+    quality+repetition filter; thresholds are the published 2-gram
+    defaults."""
+    return (dup_line_frac <= max_dup_line_frac) & (
+        top_ngram_frac <= max_top_ngram_frac
+    )
+
+
 def with_top_ngram_frac(
     df,
     text_col: str = "text",

@@ -203,3 +203,36 @@ def test_scrub_pii_kind_subset(spark):
     df = spark.createDataFrame([Row(t="a@b.io and 1.2.3.4")])
     got = df.select(scrub_pii("t", kinds=("ipv4",)).alias("s")).collect()[0]["s"]
     assert got == "a@b.io and <IPV4>"
+
+
+def test_repetition_keep_gate(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import (
+        dup_line_fraction,
+        repetition_keep,
+        top_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="spam spam spam spam spam spam"),      # top-2gram heavy
+            # long diverse text: any single bigram is well under 20%
+            # of the chars (the Gopher thresholds assume real docs,
+            # not 6-word strings)
+            Row(i=1, t=" ".join(f"word{k}" for k in range(40))),
+            Row(i=2, t="nav\nbody one\nnav\nbody two\nnav"),  # dup lines
+        ]
+    )
+    got = {
+        r["i"]: r["keep"]
+        for r in df.select(
+            "i",
+            repetition_keep(
+                dup_line_fraction("t"), top_ngram_char_fraction("t")
+            ).alias("keep"),
+        ).collect()
+    }
+    assert got[0] is False   # one repeated bigram covers ~the whole doc
+    assert got[1] is True
+    assert got[2] is False   # 2/5 duplicate lines > 0.30
