@@ -274,6 +274,8 @@ def drop_duplicate_lines(
     Documents whose every line was boilerplate come back with empty
     text (``drop_empty_docs=True`` removes them instead) — the
     re-admission rides the reassembly join, not a second shuffle.
+    NULL text normalizes to empty text on the way through (a NULL
+    splits to no lines).
     """
     from pyspark.sql import Window
 
@@ -353,58 +355,58 @@ def token_sequence_layout(
         if n_tokens is None
         else n_tokens.cast("long")
     )
-    staged = docs.withColumn("_n", n)
+    staged = docs.withColumn("_tsl_n", n)
     bounds = staged.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
     if bounds["lo"] is None:  # empty corpus: emit the layout schema
         return staged.select(
             "*",
-            F.col("_n").alias("n_tokens"),
+            F.col("_tsl_n").alias("n_tokens"),
             F.lit(0).cast("long").alias("start_tok"),
             F.lit(0).cast("long").alias("seq_first"),
             F.lit(0).cast("long").alias("seq_off"),
             F.lit(0).cast("long").alias("seq_last"),
-        ).drop("_n")
+        ).drop("_tsl_n")
     span = int(bounds["hi"]) - int(bounds["lo"]) + 1
     chunk = max(1, -(-span // n_buckets))  # ceil
     # exact integer division (a float-division + cast would lose
     # precision past 2^53 on wide id spans)
     staged = staged.withColumn(
-        "_delta", F.col(id_col).cast("long") - F.lit(int(bounds["lo"]))
-    ).withColumn("_b", F.expr(f"_delta div {chunk}"))
+        "_tsl_delta", F.col(id_col).cast("long") - F.lit(int(bounds["lo"]))
+    ).withColumn("_tsl_b", F.expr(f"_tsl_delta div {chunk}"))
     totals = sorted(
-        (r["_b"], r["t"])
-        for r in staged.groupBy("_b").agg(F.sum("_n").alias("t")).collect()
+        (r["_tsl_b"], r["t"])
+        for r in staged.groupBy("_tsl_b").agg(F.sum("_tsl_n").alias("t")).collect()
     )
     offsets, acc = [], 0
     for b, t in totals:
         offsets.append((b, acc))
         acc += int(t)
-    off_df = docs.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+    off_df = docs.sparkSession.createDataFrame(offsets, ["_tsl_b", "_tsl_off"])
 
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("_b")
+        Window.partitionBy("_tsl_b")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     laid = (
-        staged.join(F.broadcast(off_df), "_b")
-        .withColumn("_cum", F.sum("_n").over(w) + F.col("_off"))
-        .withColumn("start_tok", F.col("_cum") - F.col("_n"))
+        staged.join(F.broadcast(off_df), "_tsl_b")
+        .withColumn("_tsl_cum", F.sum("_tsl_n").over(w) + F.col("_tsl_off"))
+        .withColumn("start_tok", F.col("_tsl_cum") - F.col("_tsl_n"))
     )
     return (
         laid.select(
             *docs.columns,
-            F.col("_n").alias("n_tokens"),
+            F.col("_tsl_n").alias("n_tokens"),
             "start_tok",
             F.expr(f"start_tok div {budget}").alias("seq_first"),
             (F.col("start_tok") % budget).alias("seq_off"),
             F.when(
-                F.col("_n") > 0,
-                F.expr(f"(start_tok + _n - 1) div {budget}"),
+                F.col("_tsl_n") > 0,
+                F.expr(f"(start_tok + _tsl_n - 1) div {budget}"),
             )
             .otherwise(F.expr(f"start_tok div {budget}"))
             .alias("seq_last"),
