@@ -1070,14 +1070,18 @@ def _langid_case_sql(toks: str = "toks") -> str:
                CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
                          WHEN 'fr' THEN 'c0000000' WHEN 'zh' THEN '1999999a'
                          ELSE '00000000' END AS strat_keep,
-           CASE WHEN len(toks) > 0
-                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           CASE WHEN len(list_filter(toks, x -> len(x) > 0)) > 0
+                THEN CAST(len(list_filter(toks, x -> len(x) > 0))
+                          - len(list_distinct(list_filter(toks, x -> len(x) > 0))) AS DOUBLE)
+                     / len(list_filter(toks, x -> len(x) > 0))
                 ELSE 0.0 END AS dup_token_frac,
            CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
                 THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)
                 ELSE 0.0 END AS top_2gram_frac,
-           (CASE WHEN len(toks) > 0
-                 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           (CASE WHEN len(list_filter(toks, x -> len(x) > 0)) > 0
+                 THEN CAST(len(list_filter(toks, x -> len(x) > 0))
+                           - len(list_distinct(list_filter(toks, x -> len(x) > 0))) AS DOUBLE)
+                      / len(list_filter(toks, x -> len(x) > 0))
                  ELSE 0.0 END <= 0.30
             AND CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
                      THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)

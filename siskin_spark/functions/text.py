@@ -481,7 +481,7 @@ def scrub_pii(
     ``kinds`` subsets/reorders :data:`PII_PATTERNS` (default: all, in
     the declared precedence order)."""
     c = F.col(text) if isinstance(text, str) else text
-    for kind in kinds or PII_PATTERNS:
+    for kind in PII_PATTERNS if kinds is None else kinds:
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return c
 
@@ -495,7 +495,7 @@ def pii_counts(
     not double-billed as a phone number)."""
     c = F.col(text) if isinstance(text, str) else text
     fields = []
-    for kind in kinds or PII_PATTERNS:
+    for kind in PII_PATTERNS if kinds is None else kinds:
         fields.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(kind))
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return F.struct(*fields)

@@ -65,8 +65,14 @@ def hex_threshold(fraction: float) -> str:
 def sample_mark(key: Column, fraction: float, seed: int = 0) -> Column:
     """Boolean column: is ``key`` inside the deterministic ``fraction``
     sample? Different ``seed`` values give independent draws (e.g.
-    train/holdout splits that provably don't correlate)."""
-    return seeded_hash(key.cast("string"), seed) < F.lit(hex_threshold(fraction))
+    train/holdout splits that provably don't correlate).
+
+    NULL keys coalesce to a ``\\x00`` sentinel so they still get a
+    deterministic verdict (all NULL-keyed rows share one draw) instead
+    of silently failing the predicate and vanishing even at
+    ``fraction=1.0``."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00"))
+    return seeded_hash(k, seed) < F.lit(hex_threshold(fraction))
 
 
 def deterministic_sample(
@@ -89,11 +95,20 @@ def stratified_mark(
     """Boolean column: is ``key`` inside its stratum's deterministic
     sample? Compiled to one CASE over literal hex thresholds + one hash
     comparison — a pure map. Strata absent from ``fractions`` fall back
-    to ``default`` (0.0 = drop, matching sampleBy)."""
+    to ``default`` (0.0 = drop, matching sampleBy); a NULL stratum
+    never equals any CASE branch, so NULL-strata rows also take
+    ``default``. A ``None`` key in ``fractions`` is rejected (it could
+    never match — NULL == NULL is not true in SQL)."""
+    if None in fractions:
+        raise ValueError(
+            "fractions cannot key on None: a NULL stratum never compares "
+            "equal; NULL-strata rows always take `default`"
+        )
     th = F.lit(hex_threshold(default))
     for stratum, frac in sorted(fractions.items()):
         th = F.when(strata == stratum, F.lit(hex_threshold(frac))).otherwise(th)
-    return seeded_hash(key.cast("string"), seed) < th
+    k = F.coalesce(key.cast("string"), F.lit("\x00"))
+    return seeded_hash(k, seed) < th
 
 
 def stratified_sample(
@@ -125,7 +140,9 @@ def domain_mix_fractions(
 
     Driver-side arithmetic over one row per domain — the corpus never
     moves. Strata with weight 0 (or missing from ``weights``) get
-    fraction 0.0.
+    fraction 0.0. A ``None`` stratum (NULL strata column) is excluded
+    from the output — :func:`stratified_mark` cannot key on it, and
+    NULL-strata rows take its ``default`` (0.0 = dropped) anyway.
     """
     total_w = sum(weights.values())
     if total_w <= 0:
@@ -137,7 +154,7 @@ def domain_mix_fractions(
     t = min(counts[s] / w for s, w in norm.items())
     if budget is not None:
         t = min(t, float(budget))
-    out = {s: 0.0 for s in counts}
+    out = {s: 0.0 for s in counts if s is not None}
     for s, w in norm.items():
         out[s] = min(1.0, t * w / counts[s])
     return out
@@ -271,6 +288,8 @@ def drop_duplicate_lines(
     size. ``sep`` is used as a split REGEX and a join literal — fine
     for ``\\n``; escape regex metacharacters for exotic separators.
 
+    Blank lines are never counted as boilerplate and never removed —
+    paragraph breaks and trailing newlines survive reassembly intact.
     Documents whose every line was boilerplate come back with empty
     text (``drop_empty_docs=True`` removes them instead) — the
     re-admission rides the reassembly join, not a second shuffle.
@@ -282,24 +301,30 @@ def drop_duplicate_lines(
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
-    ).filter(F.length("_line") > 0)
+    )
+    # blank lines bypass the line-keyed shuffle entirely: besides being
+    # semantically exempt, the '' key would concentrate every paragraph
+    # break in the corpus onto one reducer
+    blanks = lines.filter(F.length("_line") == 0)
+    nb = lines.filter(F.length("_line") > 0)
     if keep_first:
         w = Window.partitionBy("_line")
         wo = w.orderBy(id_col, "_pos")
         kept = (
-            lines.withColumn("_c", F.count("*").over(w))
+            nb.withColumn("_c", F.count("*").over(w))
             .withColumn("_rn", F.row_number().over(wo))
             .filter((F.col("_c") < min_count) | (F.col("_rn") == 1))
             .select(id_col, "_pos", "_line")
         )
     else:
         dups = (
-            lines.groupBy("_line")
+            nb.groupBy("_line")
             .agg(F.count("*").alias("_c"))
             .filter(F.col("_c") >= min_count)
             .select("_line")
         )
-        kept = lines.join(dups, "_line", "left_anti")
+        kept = nb.join(dups, "_line", "left_anti")
+    kept = kept.select(id_col, "_pos", "_line").unionByName(blanks)
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,
@@ -324,6 +349,7 @@ def token_sequence_layout(
     n_tokens: Column | None = None,
     text_col: str = "text",
     n_buckets: int = 4096,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """GPT-style sequence packing layout: documents are concatenated in
     ascending ``id_col`` order and chunked into fixed-``budget`` token
@@ -355,7 +381,19 @@ def token_sequence_layout(
         if n_tokens is None
         else n_tokens.cast("long")
     )
-    staged = docs.withColumn("_tsl_n", n)
+    # NULL text (or a NULL provided count) = 0 tokens: without the
+    # coalesce, a bucket of all-NULL counts sums to NULL and the
+    # driver-side prefix sum crashes on int(None)
+    staged = docs.withColumn("_tsl_n", F.coalesce(n, F.lit(0)))
+    # the operator runs three jobs (bounds, bucket totals, layout);
+    # without a lineage cut each re-executes everything upstream of
+    # ``docs`` — e.g. a dedup shuffle feeding this would run 3x. The
+    # lazy localCheckpoint materializes on the first job and the other
+    # two read the stored blocks (executor memory+disk, roughly what
+    # one extra shuffle would write). checkpoint=False opts out when
+    # the input is already persisted or trivially re-scannable.
+    if checkpoint:
+        staged = staged.localCheckpoint(eager=False)
     bounds = staged.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
@@ -375,10 +413,13 @@ def token_sequence_layout(
     staged = staged.withColumn(
         "_tsl_delta", F.col(id_col).cast("long") - F.lit(int(bounds["lo"]))
     ).withColumn("_tsl_b", F.expr(f"_tsl_delta div {chunk}"))
-    totals = sorted(
-        (r["_tsl_b"], r["t"])
-        for r in staged.groupBy("_tsl_b").agg(F.sum("_tsl_n").alias("t")).collect()
-    )
+    buckets = staged.groupBy("_tsl_b").agg(F.sum("_tsl_n").alias("t")).collect()
+    if any(r["_tsl_b"] is None for r in buckets):
+        raise ValueError(
+            f"{id_col} contains NULLs — packing order is undefined for them; "
+            "filter or assign ids first"
+        )
+    totals = sorted((r["_tsl_b"], r["t"]) for r in buckets)
     offsets, acc = [], 0
     for b, t in totals:
         offsets.append((b, acc))

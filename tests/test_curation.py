@@ -167,6 +167,62 @@ def test_contamination_plan_broadcasts_benchmark(spark):
 
 
 # ---------------------------------------------------------------------------
+# review-finding regressions (nulls, empty selections, blank lines)
+
+
+def test_null_edges_across_curation_ops(spark):
+    # NULL doc_id still gets a deterministic sampling verdict
+    df = spark.createDataFrame([(None, "en"), (1, "en"), (2, None)],
+                               "doc_id long, lang string")
+    marked = df.select("doc_id", C.sample_mark(F.col("doc_id"), 1.0).alias("k"))
+    assert all(r["k"] for r in marked.collect())  # fraction 1.0 keeps NULLs too
+    # NULL strata rows take the default (dropped), no TypeError
+    out = C.domain_mix(
+        df.withColumn("doc_id", F.coalesce("doc_id", F.lit(99))),
+        {"en": 1.0},
+    )
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} <= {"en"}
+    with pytest.raises(ValueError):
+        C.stratified_sample(df, {None: 1.0})
+    # NULL text packs as a 0-token doc instead of crashing the driver
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in C.token_sequence_layout(docs, budget=8).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["start_tok"] == 3
+    assert rows[3]["start_tok"] == 3
+
+
+def test_drop_duplicate_lines_preserves_blank_lines(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="para one\n\npara two\n"),
+         Row(doc_id=1, text="banner\nunique\nbanner")],
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in C.drop_duplicate_lines(docs).collect()}
+    # paragraph break and trailing newline survive untouched
+    assert out[0] == "para one\n\npara two\n"
+    assert out[1] == "unique"
+    # keep_first mode also leaves every blank line in place
+    outf = {r["doc_id"]: r["text"]
+            for r in C.drop_duplicate_lines(docs, keep_first=True).collect()}
+    assert outf[0] == "para one\n\npara two\n"
+
+
+def test_scrub_pii_empty_kinds_is_noop(spark):
+    from siskin_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame([Row(t="a@b.io and 1.2.3.4")])
+    got = df.select(
+        scrub_pii("t", kinds=()).alias("s"),
+        pii_counts("t", kinds=("email",)).alias("n"),
+    ).collect()[0]
+    assert got["s"] == "a@b.io and 1.2.3.4"  # explicit empty selection masks nothing
+    assert got["n"].asDict() == {"email": 1}
+
+
+# ---------------------------------------------------------------------------
 # corpus-level duplicate-line removal
 
 
@@ -226,14 +282,14 @@ def test_drop_duplicate_lines_threshold(spark):
 # full pipeline composition
 
 
-def test_curation_pipeline_end_to_end(spark):
+def test_curation_pipeline_end_to_end(spark, sf_dir):
     """The FineWeb-style chain: quality gate -> decontaminate ->
     domain mix -> deterministic sample -> packing layout, composed as
-    ONE lazy plan over the sf0.001 documents table."""
+    ONE lazy plan over the documents table."""
     from siskin_spark.functions.text import quality_keep
     from siskin_spark.sources.readers import read_table
 
-    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = read_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
 
     kept = docs.filter(quality_keep(F.col("text"), min_tokens=5))
