@@ -455,6 +455,47 @@ def token_sequence_layout(
     )
 
 
+def sequence_manifest(
+    layout: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Writer instructions from a :func:`token_sequence_layout` result:
+    one row per (training sequence, contributing document) with the
+    exact token slice to copy —
+
+    ``(seq_id, id_col, doc_from, seq_off, n_slice)``
+
+    meaning: tokens ``[doc_from, doc_from + n_slice)`` of the document
+    land at position ``seq_off`` of sequence ``seq_id``. A writer
+    groups by ``seq_id`` and emits slices in ``seq_off`` order; every
+    sequence except the corpus tail sums to exactly ``budget`` tokens.
+
+    Scale: one narrow explode (a document yields one row per sequence
+    it touches — 1 + n_tokens/budget, almost always 1-2), pure
+    arithmetic after; no shuffle at all until the writer's own
+    group-by-sequence, whose state is bounded by docs-per-sequence.
+    Zero-token documents contribute no slices and are dropped.
+    """
+    q = F.col("_sm_q")
+    gs = F.greatest(F.col("start_tok"), q * budget)
+    ge = F.least(F.col("start_tok") + F.col("n_tokens"), (q + 1) * budget)
+    return (
+        layout.select(
+            id_col,
+            "n_tokens",
+            "start_tok",
+            F.explode(F.sequence("seq_first", "seq_last")).alias("_sm_q"),
+        )
+        .select(
+            q.alias("seq_id"),
+            id_col,
+            (gs - F.col("start_tok")).alias("doc_from"),
+            (gs - q * budget).alias("seq_off"),
+            (ge - gs).alias("n_slice"),
+        )
+        .filter(F.col("n_slice") > 0)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

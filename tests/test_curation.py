@@ -370,6 +370,45 @@ def test_token_sequence_layout_sparse_ids_and_counts(spark):
     assert out[1_000_000]["start_tok"] == 11 and out[1_000_000]["seq_off"] == 3
 
 
+def test_sequence_manifest_invariants(spark):
+    """Slices reconstruct every sequence exactly: full sequences sum to
+    budget, offsets tile contiguously, and each doc's slices partition
+    [0, n_tokens)."""
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 5) % 23 + 1)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    B = 16
+    layout = C.token_sequence_layout(df, budget=B)
+    man = C.sequence_manifest(layout, budget=B).collect()
+
+    total = sum(r["n_tokens"] for r in layout.collect())
+    last_seq = (total - 1) // B
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in man:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every sequence 0..last_seq present; full ones sum to B and tile
+    assert set(by_seq) == set(range(last_seq + 1))
+    for s, parts in by_seq.items():
+        parts.sort(key=lambda r: r["seq_off"])
+        want = B if s < last_seq else total - last_seq * B
+        assert sum(p["n_slice"] for p in parts) == want, s
+        off = 0
+        for p in parts:
+            assert p["seq_off"] == off, (s, p)
+            off += p["n_slice"]
+    # each doc's slices partition [0, n_tokens)
+    n_by_doc = {r["doc_id"]: r["n_tokens"] for r in layout.collect()}
+    for d, parts in by_doc.items():
+        parts.sort(key=lambda r: r["doc_from"])
+        pos = 0
+        for p in parts:
+            assert p["doc_from"] == pos, (d, p)
+            pos += p["n_slice"]
+        assert pos == n_by_doc[d], d
+
+
 def test_token_sequence_layout_empty(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     out = C.token_sequence_layout(df)
