@@ -192,6 +192,7 @@ def contamination(
     text_col: str = "text",
     n: int = 8,
     bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document overlap with a benchmark/eval-set n-gram universe:
     ``(id_col, n_shingles, n_overlap, overlap_frac)``.
@@ -234,8 +235,14 @@ def contamination(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    # eval suites are normally tiny next to the corpus, so the bench
+    # shingle set broadcasts; for an unusually large decontamination
+    # list (e.g. a whole held-out corpus), broadcast_bench=False leaves
+    # the strategy to AQE (shuffle join keyed on shingle)
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     tally = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        doc_sh.join(bench_sh, "shingle", "left")
         .groupBy(id_col)
         .agg(
             # count(shingle), not count(*): the NULL row of a
@@ -504,13 +511,14 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Drop documents whose benchmark n-gram overlap exceeds
     ``max_overlap_frac`` (0.0 = any shared n-gram disqualifies, the
     GPT-3 rule). Keeps all columns of ``docs``; the contamination
     tally rides a broadcast-join + semi-join back, so ``docs`` itself
     is never reshuffled."""
-    bad = contamination(docs, benchmark, id_col, text_col, n, bench_text_col).filter(
-        F.col("overlap_frac") > max_overlap_frac
-    )
+    bad = contamination(
+        docs, benchmark, id_col, text_col, n, bench_text_col, broadcast_bench
+    ).filter(F.col("overlap_frac") > max_overlap_frac)
     return docs.join(bad.select(id_col), id_col, "left_anti")
