@@ -996,3 +996,97 @@ def test_bpe_and_symbol_counts_match_re(spark, texts):
     for i, t in enumerate(texts):
         want = (len(tok_re.findall(t)), len(sym_re.findall(t)))
         assert got[i] == want, (t, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# curation: two-phase prefix sum and line-dedup reassembly
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),   # sparse, unordered ids
+        st.integers(0, 40),       # explicit token count (0 = empty doc)
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(docs=_pack_docs, budget=st.integers(1, 17), n_buckets=st.integers(1, 6))
+def test_token_sequence_layout_matches_naive_prefix_sum(
+    spark, docs, budget, n_buckets
+):
+    """The bucketed two-phase prefix sum must equal a plain Python
+    cumsum in id order for ANY id spacing, bucket count, and budget —
+    bucket-boundary arithmetic is exactly where off-by-ones live."""
+    from siskin_spark.operators.curation import token_sequence_layout
+
+    df = (
+        spark.createDataFrame(docs, "doc_id long, n long")
+        if docs
+        else spark.createDataFrame([], "doc_id long, n long")
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in token_sequence_layout(
+            df, budget=budget, n_tokens=F.col("n"), n_buckets=n_buckets
+        ).collect()
+    }
+    cum = 0
+    for i, n in sorted(docs):
+        r = out[i]
+        assert r["start_tok"] == cum, (i, budget, n_buckets)
+        assert r["seq_first"] == cum // budget
+        assert r["seq_off"] == cum % budget
+        assert r["seq_last"] == ((cum + n - 1) // budget if n else cum // budget)
+        cum += n
+    assert len(out) == len(docs)
+
+
+_line_texts = st.lists(
+    st.lists(
+        st.sampled_from(["banner", "footer", "body a", "body b", "x", ""]),
+        min_size=0,
+        max_size=6,
+    ).map("\n".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@_slow
+@given(texts=_line_texts, min_count=st.integers(2, 3), keep_first=st.booleans())
+def test_drop_duplicate_lines_matches_naive(spark, texts, min_count, keep_first):
+    from siskin_spark.operators.curation import drop_duplicate_lines
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicate_lines(
+            df, min_count=min_count, keep_first=keep_first
+        ).collect()
+    }
+    # naive reference: count non-blank lines corpus-wide, then filter
+    from collections import Counter
+
+    counts = Counter(
+        ln for _, t in rows for ln in t.split("\n") if ln
+    )
+    seen: set[str] = set()
+    want = {}
+    for i, t in sorted(rows):
+        kept = []
+        for ln in t.split("\n"):
+            if not ln or counts[ln] < min_count:
+                kept.append(ln)
+            elif keep_first and ln not in seen:
+                kept.append(ln)
+                seen.add(ln)
+        want[i] = "\n".join(kept)
+    assert got == want
