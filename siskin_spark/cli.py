@@ -21,6 +21,11 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             signature index over a doc table
   neardup-batch DOCS DIR OUT  dedup a new batch against the index:
                             writes pairs/ (and survivors with --keep)
+  curate DOCS OUT [flags]   the training-data curation chain, stages
+                            opt-in: --quality (Gopher gates),
+                            --line-dedup N, --decontaminate BENCH,
+                            --mix STRATUM=W..., --sample FRAC,
+                            --pack BUDGET (writes layout + manifest)
   bench [SF_DIR]            delegate to bench.py
 
 The remaining pipeline-graph commands (`deps`, `status`, `run`) live on
@@ -110,6 +115,27 @@ def main(argv: list[str] | None = None) -> int:
         "--keep", action="store_true",
         help="also write the batch survivors under keep-first",
     )
+    p_cur = sub.add_parser("curate")
+    p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
+    p_cur.add_argument("out_dir", help="writes docs/ (+ layout/ manifest/ with --pack)")
+    p_cur.add_argument("--id-col", default="doc_id")
+    p_cur.add_argument("--text-col", default="text")
+    p_cur.add_argument("--quality", action="store_true",
+                       help="Gopher quality + repetition gates")
+    p_cur.add_argument("--line-dedup", type=int, default=0, metavar="MIN_COUNT",
+                       help="drop lines occurring >= MIN_COUNT times corpus-wide")
+    p_cur.add_argument("--decontaminate", metavar="BENCH",
+                       help="benchmark table; drop docs sharing n-grams with it")
+    p_cur.add_argument("--decontam-n", type=int, default=8)
+    p_cur.add_argument("--mix", action="append", default=[], metavar="STRATUM=W",
+                       help="target domain weights (repeatable)")
+    p_cur.add_argument("--strata-col", default="lang")
+    p_cur.add_argument("--mix-budget", type=int, default=None)
+    p_cur.add_argument("--sample", type=float, default=1.0,
+                       help="deterministic keep fraction")
+    p_cur.add_argument("--pack", type=int, default=0, metavar="BUDGET",
+                       help="emit sequence-packing layout + writer manifest")
+    p_cur.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     if args.cmd == "queries":
@@ -257,6 +283,73 @@ def main(argv: list[str] | None = None) -> int:
                 batch, spark.read.parquet(pairs_path), id_col=args.id_col
             ).write.mode("overwrite").parquet(kept_path)
             print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
+    elif args.cmd == "curate":
+        # the FineWeb-style curation chain, stages opt-in by flag,
+        # composed as ONE lazy plan up to the final write:
+        # quality -> line-dedup -> decontaminate -> mix -> sample -> pack
+        from pyspark.sql import functions as F
+
+        from siskin_spark.functions.text import (
+            dup_line_fraction,
+            quality_keep,
+            repetition_keep,
+            top_ngram_char_fraction,
+        )
+        from siskin_spark.operators import curation as cur
+
+        df = _read(spark, args.docs)
+        n_in = df.count()
+        tc = args.text_col
+        if args.quality:
+            df = df.filter(
+                quality_keep(F.col(tc))
+                & repetition_keep(
+                    dup_line_fraction(tc), top_ngram_char_fraction(tc)
+                )
+            )
+        if args.line_dedup:
+            df = cur.drop_duplicate_lines(
+                df, min_count=args.line_dedup,
+                id_col=args.id_col, text_col=tc, drop_empty_docs=True,
+            )
+        if args.decontaminate:
+            df = cur.decontaminate(
+                df, _read(spark, args.decontaminate),
+                n=args.decontam_n, id_col=args.id_col, text_col=tc,
+            )
+        if args.mix:
+            weights = {}
+            for pair in args.mix:
+                k, _, v = pair.partition("=")
+                weights[k] = float(v)
+            df = cur.domain_mix(
+                df, weights, strata_col=args.strata_col,
+                key_col=args.id_col, budget=args.mix_budget, seed=args.seed,
+            )
+        if args.sample < 1.0:
+            df = cur.deterministic_sample(
+                df, args.sample, key_col=args.id_col, seed=args.seed
+            )
+        docs_path = os.path.join(args.out_dir, "docs")
+        if args.pack:
+            layout = cur.token_sequence_layout(
+                df, budget=args.pack, id_col=args.id_col, text_col=tc
+            )
+            layout.write.mode("overwrite").parquet(docs_path)
+            out = spark.read.parquet(docs_path)
+            man_path = os.path.join(args.out_dir, "manifest")
+            cur.sequence_manifest(
+                out, budget=args.pack, id_col=args.id_col
+            ).write.mode("overwrite").parquet(man_path)
+            n_seq = (
+                spark.read.parquet(man_path)
+                .agg(F.countDistinct("seq_id")).first()[0]
+            )
+            print(f"sequences: {n_seq} (budget {args.pack}) at {man_path}")
+        else:
+            df.write.mode("overwrite").parquet(docs_path)
+        n_out = spark.read.parquet(docs_path).count()
+        print(f"docs: {n_in} -> {n_out} at {docs_path}")
     return 0
 
 

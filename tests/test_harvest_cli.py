@@ -377,3 +377,46 @@ def test_cli_neardup_index_and_batch(capsys, tmp_path, spark):
     assert (got["doc_id"], got["dup_of"]) == (100, 2)
     kept = spark.read.parquet(out_dir + "/kept").first()
     assert kept["doc_id"] == 101
+
+
+def test_cli_curate_end_to_end(capsys, tmp_path, spark):
+    """The curation chain through the CLI: quality + decontaminate +
+    mix + sample + pack, writing layout and writer manifest."""
+    from siskin_spark.cli import main
+
+    rows = []
+    for i in range(60):
+        lang = ["en", "en", "de", "fr"][i % 4]
+        # long diverse text with enough English stopwords to pass the
+        # quality gate
+        body = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, f"the a of and in to is {body}", lang))
+    # a contaminated doc: shares an 8-gram with the benchmark below
+    rows.append((900, "the quick brown fox jumps over the lazy dog tonight "
+                      "and the a of and in to is extra words here", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs_path = str(tmp_path / "cur_docs")
+    docs.write.parquet(docs_path)
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)], ["text"]
+    )
+    bench_path = str(tmp_path / "cur_bench")
+    bench.write.parquet(bench_path)
+
+    out_dir = str(tmp_path / "cur_out")
+    assert main([
+        "curate", docs_path, out_dir,
+        "--quality",
+        "--decontaminate", bench_path,
+        "--mix", "en=2", "--mix", "de=1", "--mix", "fr=1",
+        "--sample", "0.9",
+        "--pack", "32",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "docs: 61 ->" in out and "sequences:" in out
+    layout = spark.read.parquet(out_dir + "/docs")
+    assert {"start_tok", "seq_first", "seq_last"} <= set(layout.columns)
+    ids = {r["doc_id"] for r in layout.select("doc_id").collect()}
+    assert 900 not in ids  # decontaminated
+    man = spark.read.parquet(out_dir + "/manifest")
+    assert man.count() > 0
