@@ -202,3 +202,52 @@ def test_windowed_counts_streaming_append(tmp_path, spark):
         <= watermark
     }
     assert streamed == want and len(streamed) == 4
+
+
+def test_streaming_curation_marks(tmp_path, spark):
+    """The row-local curation surface (deterministic sample marks, PII
+    scrub, quality fractions) is stateless, so it composes directly
+    onto a stream — same verdicts the batch path gives, exactly-once
+    per file via availableNow."""
+    import json as _json
+
+    from siskin_spark.functions.text import dup_line_fraction, scrub_pii
+    from siskin_spark.operators.curation import sample_mark
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"doc {i} mail u{i}@ex.org body words here"}
+        for i in range(20)
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out, ckpt = str(tmp_path / "cur_out"), str(tmp_path / "cur_ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        stream.select(
+            "doc_id",
+            sample_mark(F.col("doc_id"), 0.5).alias("keep"),
+            scrub_pii("text").alias("clean"),
+            dup_line_fraction("text", sep=" ").alias("dup_frac"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert len(got) == 20
+    assert all("@" not in r["clean"] and "<EMAIL>" in r["clean"] for r in got.values())
+    # stream verdicts == batch verdicts (engine-stable sampling)
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in spark.read.json(str(src), schema=schema)
+        .select("doc_id", sample_mark(F.col("doc_id"), 0.5).alias("keep"))
+        .collect()
+    }
+    assert {k: v["keep"] for k, v in got.items()} == batch
