@@ -1441,33 +1441,30 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, md5-seeded portable hashes — functions/similarity.py;
     merged from the former minhash_signatures query per the ≤50-query
     registry policy, same per-document grain), plus the benchmark
-    decontamination tally (operators/curation.py:contamination — the
-    eval set here is the doc_id %% 50 == 0 corpus slice standing in
-    for a held-out benchmark; its distinct shingles broadcast and the
-    per-doc overlap rides one more groupBy on the same key)."""
-    from siskin_spark.operators.curation import contamination
-    from siskin_spark.operators.neardup import (
-        fingerprint_table,
-        minhash_table,
-        simhash_table,
-    )
+    decontamination tally (the eval set is the doc_id %% 50 == 0
+    corpus slice standing in for a held-out benchmark).
+
+    All shingle-derived outputs come from neardup.signature_panel —
+    ONE shingle explode and ONE doc-keyed groupBy with the benchmark
+    shingles broadcast onto it, replacing the minhash_table +
+    fingerprint_table + contamination composition (3 shingle passes,
+    3 shuffles, 3 joins). Only the token-grain SimHash keeps its own
+    aggregate and the single remaining join."""
+    from siskin_spark.operators.neardup import signature_panel, simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    mh = minhash_table(docs).select(
-        "doc_id", F.array_join("signature", "|").alias("minhash")
-    )
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
-    contam = contamination(docs.select("doc_id", "text"), bench, n=3).select(
-        "doc_id",
-        "n_shingles",
-        "n_overlap",
-        F.col("overlap_frac").alias("contam_frac"),
-    )
+    panel = signature_panel(docs.select("doc_id", "text"), benchmark=bench, n=3)
     return (
-        simhash_table(docs)
-        .join(fingerprint_table(docs), on="doc_id", how="left")
-        .join(mh, on="doc_id", how="left")
-        .join(contam, on="doc_id", how="left")
+        panel.select(
+            "doc_id",
+            F.array_join("signature", "|").alias("minhash"),
+            "fingerprint",
+            "n_shingles",
+            "n_overlap",
+            F.col("overlap_frac").alias("contam_frac"),
+        )
+        .join(simhash_table(docs), on="doc_id", how="left")
         .orderBy("doc_id")
     )
 

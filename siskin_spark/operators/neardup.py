@@ -377,6 +377,94 @@ def fingerprint_table(
     )
 
 
+def signature_panel(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    fp_k: int = 4,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Fused per-document signature panel: the k=16 MinHash signature,
+    the winnowing fingerprint, and (with ``benchmark``) the
+    decontamination tally — out of ONE shingle explode and ONE groupBy.
+
+    Composing :func:`minhash_table` + :func:`fingerprint_table` +
+    ``curation.contamination`` costs three shingle passes, three
+    doc-keyed shuffles, and three joins back together; every aggregate
+    here rides the same exchange instead (the benchmark's distinct
+    shingles broadcast-join onto the shingle table BEFORE the groupBy,
+    so the tally is map-side work). The outer shingle explode keeps
+    shingle-less docs as one NULL row, so no join back to ``docs`` is
+    needed either: ``min``/``collect_set``/``count`` all skip the NULL.
+    Values are identical to the composed form (same hash family, same
+    fingerprint slice, same counts) — the DuckDB oracle pins them.
+    """
+    from siskin_spark.functions.similarity import seeded_hash
+
+    sh = shingle_table(docs, id_col, text_col, n, outer=True)
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                (i % 4) * 8 + 1,
+                8,
+            )
+        ).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    aggs.append(
+        F.concat_ws(
+            "|",
+            F.slice(
+                F.array_sort(F.collect_set(seeded_hash(F.col("shingle"), 0))),
+                1,
+                fp_k,
+            ),
+        ).alias("fingerprint")
+    )
+    if benchmark is not None:
+        bench_sh = (
+            shingle_table(
+                benchmark.select(
+                    F.monotonically_increasing_id().alias("_bid"),
+                    F.col(bench_text_col).alias("_btext"),
+                ),
+                "_bid",
+                "_btext",
+                n,
+            )
+            .select("shingle")
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        sh = sh.join(F.broadcast(bench_sh), "shingle", "left")
+        aggs.append(F.count("shingle").alias("n_shingles"))
+        aggs.append(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap")
+        )
+    panel = sh.groupBy(id_col).agg(*aggs)
+    sig = F.array(
+        *[F.coalesce(F.col(f"_s{i}"), F.lit("ffffffff")) for i in range(k)]
+    ).alias("signature")
+    cols = [F.col(id_col), sig, F.col("fingerprint")]
+    if benchmark is not None:
+        cols += [
+            F.col("n_shingles"),
+            F.col("n_overlap"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        ]
+    return panel.select(*cols)
+
+
 def keep_canonical(
     docs: DataFrame, verified_pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

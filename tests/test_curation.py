@@ -542,3 +542,49 @@ def test_repetition_matches_explode_groupby_formulation(spark):
     assert fold.keys() == ref.keys()
     for k in fold:
         assert fold[k] == pytest.approx(ref[k]), k
+
+
+# ---------------------------------------------------------------------------
+# fused signature panel
+
+
+def test_signature_panel_equals_composition(spark):
+    """signature_panel must equal minhash_table + fingerprint_table +
+    contamination composed, while shuffling far less."""
+    from siskin_spark.operators.neardup import (
+        fingerprint_table,
+        minhash_table,
+        signature_panel,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(i % 9)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    panel = {
+        r["doc_id"]: r.asDict()
+        for r in signature_panel(docs, benchmark=bench).collect()
+    }
+    mh = {r["doc_id"]: r["signature"] for r in minhash_table(docs).collect()}
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint_table(docs).collect()}
+    ct = {
+        r["doc_id"]: r.asDict()
+        for r in C.contamination(docs, bench, n=3).collect()
+    }
+    assert panel.keys() == mh.keys() == fp.keys() == ct.keys()
+    for d, row in panel.items():
+        assert row["signature"] == mh[d], d
+        assert row["fingerprint"] == fp[d], d
+        assert row["n_shingles"] == ct[d]["n_shingles"], d
+        assert row["n_overlap"] == ct[d]["n_overlap"], d
+        assert row["overlap_frac"] == pytest.approx(ct[d]["overlap_frac"]), d
+    # the fused plan carries ONE doc-keyed aggregate exchange (plus the
+    # small broadcast); the composition needs three + joins
+    plan = (
+        signature_panel(docs, benchmark=bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
