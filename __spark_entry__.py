@@ -837,7 +837,9 @@ def _pii_sql(template: str) -> str:
     _pii_sql(
         "WITH h AS (SELECT doc_id, text, source, "
         + _PII_HAY_SQL
-        + " AS hay FROM documents),"
+        + " AS hay, CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 15)"
+        + " || ' caf� â€œquoted Ã©'"
+        + " ELSE substring(text, 1, 15) END AS mh FROM documents),"
         + _PII_STAGES_SQL
         + """
     SELECT doc_id,
@@ -864,7 +866,12 @@ def _pii_sql(template: str) -> str:
                          || source || '.' || doc_id || ' for details',
                          '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi_sniffed,
            ps4 AS pii_scrubbed,
-           pc1 + pc2 + pc3 + pc4 AS pii_total
+           pc1 + pc2 + pc3 + pc4 AS pii_total,
+           CASE WHEN length(mh) > 0 THEN
+             CAST(CAST((length(mh) - length(translate(mh, '�ÃÂ', '')))
+                  + (length(mh) - length(replace(mh, 'â€', ''))) / 2
+                  AS BIGINT) AS DOUBLE) / length(mh)
+           ELSE 0.0 END AS moji_frac
     FROM p4 ORDER BY doc_id
     """
     ),
@@ -884,7 +891,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents grain); and PII scrubbing + counting over a second
     synthesized haystack (functions/text.py:scrub_pii — FineWeb-style
     pre-training anonymization, kinds planted by doc_id residue)."""
-    from siskin_spark.functions.text import pii_counts, scrub_pii
+    from siskin_spark.functions.text import mojibake_frac, pii_counts, scrub_pii
     from siskin_spark.operators import transforms as T
     from siskin_spark.operators.transforms import doi_sniff
 
@@ -946,6 +953,16 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doi_sniffed"),
         scrub_pii(hay).alias("pii_scrubbed"),
         (pc["email"] + pc["ssn"] + pc["ipv4"] + pc["phone"]).alias("pii_total"),
+        # encoding-quality signal over a second haystack planting
+        # mojibake sequences on the doc_id % 7 residue
+        mojibake_frac(
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.substring("text", 1, 15), F.lit(" caf� â€œquoted Ã©")
+                ),
+            ).otherwise(F.substring("text", 1, 15))
+        ).alias("moji_frac"),
     ).orderBy("doc_id")
 
 

@@ -499,3 +499,33 @@ def pii_counts(
         fields.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(kind))
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return F.struct(*fields)
+
+
+# Encoding-quality (mojibake) signal: UTF-8 bytes decoded as
+# Latin-1/cp1252 leave telltale sequences — 'Ã'/'Â' lead letters
+# (uppercase tilde/circumflex A is vanishingly rare mid-text in real
+# language), the 'â€' pair (curly quotes/dashes through cp1252), and
+# U+FFFD replacement characters from failed decodes. CCNet/FineWeb-
+# style pipelines drop or re-decode documents that score high.
+_MOJIBAKE_CHARS = "�ÃÂ"  # U+FFFD, Ã, Â
+
+
+def mojibake_count(text: Column | str) -> Column:
+    """Count of mojibake indicators: replacement chars + 'Ã'/'Â' lead
+    letters + 'â€' pairs. Single-pass ``translate``/``replace`` length
+    arithmetic — no regex, no HOFs, engine-portable (the DuckDB oracle
+    runs the same expressions)."""
+    c = F.col(text) if isinstance(text, str) else text
+    singles = F.length(c) - F.length(F.translate(c, _MOJIBAKE_CHARS, ""))
+    pairs = (F.length(c) - F.length(F.replace(c, F.lit("â€")))) / 2
+    return (singles + pairs).cast("long")
+
+
+def mojibake_frac(text: Column | str) -> Column:
+    """Mojibake indicators per character; 0.0 for empty text. Gate on
+    e.g. > 0.001 to catch wrongly-decoded documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.length(c) > 0,
+        mojibake_count(c).cast("double") / F.length(c).cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -236,3 +236,30 @@ def test_repetition_keep_gate(spark):
     assert got[0] is False   # one repeated bigram covers ~the whole doc
     assert got[1] is True
     assert got[2] is False   # 2/5 duplicate lines > 0.30
+
+
+def test_mojibake_signal(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import mojibake_count, mojibake_frac
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="perfectly clean ascii text"),
+            Row(i=1, t="cafÃ© naÃ¯ve â€œquotedâ€"),   # cp1252 mojibake
+            Row(i=2, t="failed �� decode"),  # replacement chars
+            Row(i=3, t="légitime français: âge, être"),  # real accents: clean
+            Row(i=4, t=""),
+        ]
+    )
+    got = {
+        r["i"]: (r["n"], r["f"])
+        for r in df.select(
+            "i", mojibake_count("t").alias("n"), mojibake_frac("t").alias("f")
+        ).collect()
+    }
+    assert got[0] == (0, 0.0)
+    assert got[1][0] == 4 and got[1][1] > 0.1   # 2x Ã + 2x â€
+    assert got[2][0] == 2
+    assert got[3] == (0, 0.0)                   # lowercase accents don't trip it
+    assert got[4] == (0, 0.0)
