@@ -334,6 +334,31 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
     timed(signals())
     results["curation_signals_s"] = min(timed(signals()) for _ in range(3))
 
+    # fused signature panel vs the 3-pass composition it replaces:
+    # same values (test-pinned), one shingle exchange vs three + joins
+    from siskin_spark.operators.neardup import (
+        fingerprint_table,
+        minhash_table,
+        signature_panel,
+    )
+
+    def panel():
+        return signature_panel(docs, benchmark=bench)
+
+    def composed():
+        from siskin_spark.operators.curation import contamination
+
+        return (
+            minhash_table(docs)
+            .join(fingerprint_table(docs), "doc_id", "left")
+            .join(contamination(docs, bench, n=3), "doc_id", "left")
+        )
+
+    timed(panel())
+    results["signature_panel_s"] = min(timed(panel()) for _ in range(3))
+    timed(composed())
+    results["signatures_composed_s"] = min(timed(composed()) for _ in range(3))
+
     # corpus-level boilerplate removal at token granularity (this
     # corpus has no newlines; the shape is identical — explode, count,
     # anti-join, reassemble): drops units occurring >= 100K times
@@ -863,6 +888,8 @@ def main() -> None:
         "line_dedup_dps": round(
             results["decontam_docs"] / results["line_dedup_s"]
         ),
+        "signature_panel_s": round(results["signature_panel_s"], 2),
+        "signatures_composed_s": round(results["signatures_composed_s"], 2),
         "text_quality_s": round(results["text_quality_s"], 2),
         "text_quality_docs": n_docs,
         "text_quality_dps": round(n_docs / results["text_quality_s"]),
