@@ -117,13 +117,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
-    p_cur.add_argument("out_dir", help="writes docs/ (+ layout/ manifest/ with --pack)")
+    p_cur.add_argument(
+        "out_dir",
+        help="writes docs/ (+ manifest/ with --pack; the layout columns "
+        "land in docs/ itself)",
+    )
     p_cur.add_argument("--id-col", default="doc_id")
     p_cur.add_argument("--text-col", default="text")
     p_cur.add_argument("--quality", action="store_true",
                        help="Gopher quality + repetition gates")
     p_cur.add_argument("--line-dedup", type=int, default=0, metavar="MIN_COUNT",
                        help="drop lines occurring >= MIN_COUNT times corpus-wide")
+    p_cur.add_argument("--profile-lines", action="store_true",
+                       help="with --line-dedup: print the line-key skew "
+                       "report (hot boilerplate, dup-table size) before "
+                       "deduping — one extra count pass")
     p_cur.add_argument("--decontaminate", metavar="BENCH",
                        help="benchmark table; drop docs sharing n-grams with it")
     p_cur.add_argument("--decontam-n", type=int, default=8)
@@ -308,6 +316,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         if args.line_dedup:
+            if args.profile_lines:
+                prof = cur.line_skew_profile(df, id_col=args.id_col, text_col=tc)
+                print(
+                    f"line skew: {prof['rows']} lines, "
+                    f"{prof['distinct_keys']} distinct, "
+                    f"max_share={prof['max_share']:.4f}"
+                    f"{' SKEWED' if prof['skewed'] else ''}"
+                )
+                for t in prof["top"]:
+                    print(f"  {t['n']:>10}  {t['key']['_line'][:70]!r}")
             df = cur.drop_duplicate_lines(
                 df, min_count=args.line_dedup,
                 id_col=args.id_col, text_col=tc, drop_empty_docs=True,
@@ -327,8 +345,14 @@ def main(argv: list[str] | None = None) -> int:
                 key_col=args.id_col, budget=args.mix_budget, seed=args.seed,
             )
         if args.sample < 1.0:
+            # seed+1, NOT args.seed: two same-seed hash draws over the
+            # same key column are perfectly correlated (keep = h <
+            # min(mix_frac, sample_frac)), so --sample after --mix
+            # would thin only the binding stratum and distort the mix;
+            # distinct seeds give independent draws that compose
+            # multiplicatively (the intended nesting)
             df = cur.deterministic_sample(
-                df, args.sample, key_col=args.id_col, seed=args.seed
+                df, args.sample, key_col=args.id_col, seed=args.seed + 1
             )
         docs_path = os.path.join(args.out_dir, "docs")
         if args.pack:

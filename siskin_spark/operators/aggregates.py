@@ -164,8 +164,9 @@ def hot_key_profile(
     already cost the straggler hour.
 
     One map-side-combined count pass (the per-key partial makes the
-    shuffled rows key-cardinality-sized, not data-sized), then a
-    bounded top-N driver collect. Returns::
+    shuffled rows key-cardinality-sized, not data-sized), persisted so
+    the summary agg and the bounded top-N collect share it instead of
+    re-running the input shuffle twice, then unpersisted. Returns::
 
         {rows, distinct_keys, mean_rows_per_key,
          top: [{key, n, share}...],            # heaviest keys
@@ -176,25 +177,28 @@ def hot_key_profile(
     ``suggested_salt_buckets`` sizes :func:`two_phase_agg` so the hot
     key's largest slice shrinks to ~mean key weight (capped at 256 —
     beyond that the phase-2 merge rows dominate)."""
-    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
-    summary = counts.agg(
-        F.sum("n").alias("rows"),
-        F.count("*").alias("distinct_keys"),
-        F.max("n").alias("max_n"),
-    ).first()
-    rows, distinct_keys = summary["rows"] or 0, summary["distinct_keys"]
-    if not rows:
-        return {
-            "rows": 0,
-            "distinct_keys": 0,
-            "mean_rows_per_key": 0.0,
-            "top": [],
-            "max_share": 0.0,
-            "skewed": False,
-            "suggested_salt_buckets": 0,
-        }
-    mean = rows / distinct_keys
-    top_rows = counts.orderBy(F.desc("n"), *keys).limit(top).collect()
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n")).persist()
+    try:
+        summary = counts.agg(
+            F.sum("n").alias("rows"),
+            F.count("*").alias("distinct_keys"),
+            F.max("n").alias("max_n"),
+        ).first()
+        rows, distinct_keys = summary["rows"] or 0, summary["distinct_keys"]
+        if not rows:
+            return {
+                "rows": 0,
+                "distinct_keys": 0,
+                "mean_rows_per_key": 0.0,
+                "top": [],
+                "max_share": 0.0,
+                "skewed": False,
+                "suggested_salt_buckets": 0,
+            }
+        mean = rows / distinct_keys
+        top_rows = counts.orderBy(F.desc("n"), *keys).limit(top).collect()
+    finally:
+        counts.unpersist()
     max_n = summary["max_n"]
     skewed = max_n > skew_factor * mean
     return {

@@ -281,9 +281,7 @@ def drop_duplicate_lines(
     ``keep_first=False`` (default) drops all occurrences of a
     boilerplate line (the Gopher/FineWeb rule); ``keep_first=True``
     keeps the single earliest occurrence by (doc id, line position)
-    (the C4 rule) — that variant rides one window over the same
-    line-keyed shuffle the count uses, so both modes cost one corpus
-    line shuffle.
+    (the C4 rule).
 
     Scale: the explode is linear; the duplicate-line table is the
     count aggregate's output filtered to ``count >= min_count`` —
@@ -291,6 +289,13 @@ def drop_duplicate_lines(
     times, so the anti-join's build side is orders smaller than the
     line table (AQE picks broadcast when it fits; no hint is forced,
     because a pathological corpus can have a huge dup set).
+    ``keep_first`` costs the same single map-side-combined line
+    shuffle: the earliest occurrence is ``min(struct(id, pos))``
+    folded into the count aggregate — each map task ships ONE partial
+    per distinct line, so a cookie-banner line occurring 10⁸ times
+    lands ~n_map_tasks rows on its reducer, not 10⁸ (the
+    ``partitionBy(_line)`` window form this replaced concentrated
+    every occurrence of a hot line onto one task).
     Reassembly is one groupBy(id) whose state is bounded by document
     size. ``sep`` is used as a split REGEX and a join literal — fine
     for ``\\n``; escape regex metacharacters for exotic separators.
@@ -303,8 +308,6 @@ def drop_duplicate_lines(
     NULL text normalizes to empty text on the way through (a NULL
     splits to no lines).
     """
-    from pyspark.sql import Window
-
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
@@ -315,12 +318,26 @@ def drop_duplicate_lines(
     blanks = lines.filter(F.length("_line") == 0)
     nb = lines.filter(F.length("_line") > 0)
     if keep_first:
-        w = Window.partitionBy("_line")
-        wo = w.orderBy(id_col, "_pos")
+        dups = (
+            nb.groupBy("_line")
+            .agg(
+                F.count("*").alias("_c"),
+                F.min(
+                    F.struct(F.col(id_col).alias("_fid"), F.col("_pos").alias("_fpos"))
+                ).alias("_first"),
+            )
+            .filter(F.col("_c") >= min_count)
+            .select("_line", "_first")
+        )
         kept = (
-            nb.withColumn("_c", F.count("*").over(w))
-            .withColumn("_rn", F.row_number().over(wo))
-            .filter((F.col("_c") < min_count) | (F.col("_rn") == 1))
+            nb.join(dups, "_line", "left")
+            .filter(
+                F.col("_first").isNull()
+                | (
+                    (F.col("_first._fid") == F.col(id_col))
+                    & (F.col("_first._fpos") == F.col("_pos"))
+                )
+            )
             .select(id_col, "_pos", "_line")
         )
     else:
@@ -347,6 +364,35 @@ def drop_duplicate_lines(
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
     return out.filter(F.length(text_col) > 0) if drop_empty_docs else out
+
+
+def line_skew_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    top: int = 10,
+) -> dict:
+    """Skew report over the corpus line table that
+    :func:`drop_duplicate_lines` shuffles on — run BEFORE a 100 TB
+    line-dedup to see which boilerplate lines dominate and how hot the
+    hottest key is (the measurement
+    :func:`~siskin_spark.operators.aggregates.hot_key_profile`
+    provides, applied to the exploded non-blank lines; blank lines are
+    exempt from the dedup shuffle and excluded here too).
+
+    Both ``drop_duplicate_lines`` modes are skew-safe by construction
+    (map-side-combined aggregates, never a per-line window), so this is
+    diagnostic: it names the boilerplate (``top``), sizes the dup table
+    the anti-join will broadcast (``distinct_keys`` with high ``n``),
+    and flags corpora where ``min_count`` is set so low the "tiny dup
+    set" assumption breaks. One extra map-side-combined count pass."""
+    from siskin_spark.operators.aggregates import hot_key_profile
+
+    lines = docs.select(
+        F.explode(F.split(F.col(text_col), sep)).alias("_line")
+    ).filter(F.length("_line") > 0)
+    return hot_key_profile(lines, ["_line"], top=top)
 
 
 def token_sequence_layout(

@@ -38,6 +38,13 @@ def _files_for_target(total_bytes: int, target_file_mb: int) -> int:
     return max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
 
+#: ~512 TB at the default 128 MB target — generous for any real table,
+#: far below the Int.MaxValue partition-count ceiling, and orders of
+#: magnitude under the ~7e10 a stats-less plan's Long.MaxValue default
+#: derives.
+_MAX_DERIVED_FILES = 4_000_000
+
+
 def write_range_layout(
     df: DataFrame,
     path: str,
@@ -51,20 +58,36 @@ def write_range_layout(
     internally) plus a within-partition sort, so every output file owns
     a disjoint slice of the key space and its footer min/max is tight.
 
-    ``n_files`` defaults from a size estimate: Catalyst's plan-level
-    ``sizeInBytes`` divided by ``target_file_mb`` (the estimate is
-    pre-compression, so files land smaller than target — the safe
-    side; pass ``sample_bytes_per_row`` from a prior run's observed
-    ratio to tighten it). The within-partition sort costs nothing
-    extra at scale: repartitionByRange already shuffles, and sorting
-    the spill-merge output is how Spark materializes it anyway.
+    ``n_files`` defaults from a size estimate: ``sample_bytes_per_row``
+    times an exact count when given (one count job, no plan stats), else
+    Catalyst's plan-level ``sizeInBytes`` divided by ``target_file_mb``
+    (the estimate is pre-compression, so files land smaller than target
+    — the safe side). Plan stats are only trustworthy for plans with
+    real statistics (file scans, CBO-analyzed tables): stats-less plans
+    default to ``spark.sql.defaultSizeInBytes`` (Long.MaxValue) and
+    joins MULTIPLY child sizes, so a nonsense estimate would derive
+    billions of files and break ``repartitionByRange`` (partition
+    counts above Int.MaxValue). Derivations beyond
+    ``_MAX_DERIVED_FILES`` are therefore rejected with instructions to
+    pass ``n_files`` or ``sample_bytes_per_row`` explicitly. The
+    within-partition sort costs nothing extra at scale:
+    repartitionByRange already shuffles, and sorting the spill-merge
+    output is how Spark materializes it anyway.
     """
     if n_files is None:
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        est = float(min(est, 2**63 - 1))
         if sample_bytes_per_row is not None:
             est = df.count() * sample_bytes_per_row
+        else:
+            est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = float(min(est, 2**63 - 1))
         n_files = _files_for_target(int(est), target_file_mb)
+        if n_files > _MAX_DERIVED_FILES:
+            raise ValueError(
+                f"derived n_files={n_files} from a {int(est)}-byte estimate — "
+                "the plan has no real size statistics (Catalyst defaults "
+                "stats-less plans to Long.MaxValue and multiplies across "
+                "joins); pass n_files or sample_bytes_per_row explicitly"
+            )
     cols = [F.col(c) for c in range_cols]
     (
         df.repartitionByRange(int(n_files), *cols)
@@ -80,15 +103,26 @@ def compact_parquet(
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
 ) -> dict:
-    """Rewrite a parquet directory into ``target_file_mb``-sized parts,
-    atomically (write-aside + two renames — a racing reader sees old or
-    new, never a mix). Cures the small-files problem every append-mode
-    pipeline accumulates: a 1000-executor scan of 10M tiny files pays
-    more in file-open/footer round-trips than in data, and driver-side
-    listing alone can dominate. ``cluster_by`` keeps (or introduces)
-    key clustering during the rewrite — hash clustering for join/agg
-    keys; use :func:`write_range_layout` instead when the goal is
-    range skipping.
+    """Rewrite a parquet directory into ``target_file_mb``-sized parts
+    via write-aside + two renames. Cures the small-files problem every
+    append-mode pipeline accumulates: a 1000-executor scan of 10M tiny
+    files pays more in file-open/footer round-trips than in data, and
+    driver-side listing alone can dominate. ``cluster_by`` keeps (or
+    introduces) key clustering during the rewrite — hash clustering for
+    join/agg keys; use :func:`write_range_layout` instead when the goal
+    is range skipping.
+
+    Consistency, stated honestly: each rename is atomic but the PAIR is
+    not — between ``rename(path, old)`` and ``rename(tmp, path)`` the
+    path briefly does not exist, and a reader that listed files before
+    the swap can hit deleted parts mid-scan. The previous data is
+    therefore KEPT at ``path + "__old"`` (removed only at the start of
+    the next compaction): a crash inside the swap window is recoverable
+    by renaming ``__old`` back, and a racing reader's retry window is
+    the full inter-compaction gap rather than zero. True
+    serve-while-compacting needs a manifest/snapshot layer (Delta/
+    Iceberg); this is the strongest contract plain directory renames
+    can give.
 
     Returns {files,bytes} before/after. Driver-local paths (mirrors
     the test environment); the rename dance maps 1:1 onto the Hadoop
@@ -110,7 +144,6 @@ def compact_parquet(
     rep.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
     after = _dir_parts(path)
     return {
         "files_before": len(parts),

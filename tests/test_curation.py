@@ -267,6 +267,55 @@ def test_drop_duplicate_lines_keep_first(spark):
     assert out[4] == "repeat me\nunique four"
 
 
+def test_drop_duplicate_lines_keep_first_matches_window_form(spark):
+    """The de-skewed min(struct) form must equal the window form it
+    replaced, on a hot-line fixture where one line is >50% of all
+    lines — exactly the shape the old ``partitionBy(_line)`` window
+    concentrated onto one reducer."""
+    from pyspark.sql import Window
+
+    hot = [Row(doc_id=i, text=f"HOT LINE\nunique {i}\nHOT LINE") for i in range(40)]
+    hot += [Row(doc_id=100 + i, text=f"only {i}") for i in range(5)]
+    docs = spark.createDataFrame(hot)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_lines(docs, keep_first=True).collect()
+    }
+
+    # window-form reference (the pre-r8 implementation, inline)
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("_pos", "_line")
+    )
+    blanks = lines.filter(F.length("_line") == 0)
+    nb = lines.filter(F.length("_line") > 0)
+    w = Window.partitionBy("_line")
+    wo = w.orderBy("doc_id", "_pos")
+    kept = (
+        nb.withColumn("_c", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter((F.col("_c") < 2) | (F.col("_rn") == 1))
+        .select("doc_id", "_pos", "_line")
+        .unionByName(blanks)
+    )
+    want = {
+        r["doc_id"]: r["text"]
+        for r in kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text")
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[0] == "HOT LINE\nunique 0"  # first (doc,pos) occurrence survives
+    assert got[1] == "unique 1"
+
+
 def test_drop_duplicate_lines_threshold(spark):
     # min_count=3: 'footer' (3x) drops, 'repeat me' (2x) survives
     out = {
@@ -276,6 +325,27 @@ def test_drop_duplicate_lines_threshold(spark):
     assert out[0] == "unique zero"  # 'cookie banner' is also 3x
     assert out[4] == "repeat me\nrepeat me\nunique four"
     assert out[2] == "unique two a\nunique two b"
+
+
+def test_line_skew_profile_flags_hot_boilerplate(spark):
+    """On a corpus where one boilerplate line dominates, the profile
+    must flag skew, name the hot line first, and size salt buckets —
+    the pre-shuffle measurement a 100 TB line-dedup runs first."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="ACCEPT COOKIES\nACCEPT COOKIES\n" + f"unique {i}")
+         for i in range(30)]
+    )
+    prof = C.line_skew_profile(docs)
+    assert prof["rows"] == 90 and prof["distinct_keys"] == 31
+    assert prof["skewed"] is True
+    assert prof["top"][0]["key"]["_line"] == "ACCEPT COOKIES"
+    assert prof["top"][0]["n"] == 60
+    assert prof["suggested_salt_buckets"] > 0
+    # blank lines are exempt from the dedup shuffle and from the profile
+    with_blanks = spark.createDataFrame(
+        [Row(doc_id=0, text="a\n\n\nb"), Row(doc_id=1, text="a\nc")]
+    )
+    assert C.line_skew_profile(with_blanks)["rows"] == 4
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from siskin_spark.sources.harvest import oai_harvest, paged_rest_harvest
 
@@ -420,3 +421,41 @@ def test_cli_curate_end_to_end(capsys, tmp_path, spark):
     assert 900 not in ids  # decontaminated
     man = spark.read.parquet(out_dir + "/manifest")
     assert man.count() > 0
+
+
+def test_cli_curate_sample_independent_of_mix(capsys, tmp_path, spark):
+    """--sample after --mix must thin EVERY stratum, not just the
+    binding one: same-seed hash draws over the same key are perfectly
+    correlated (keep = h < min(mix_frac, sample_frac)), so before the
+    per-stage seed offset a stratum whose mix fraction <= sample was
+    untouched by --sample, silently distorting the target mixture."""
+    from siskin_spark.cli import main
+
+    rows = [(i, f"doc body {i}", "en" if i < 200 else "de") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs_path = str(tmp_path / "mix_docs")
+    docs.write.parquet(docs_path)
+
+    # equal weights, 200 en vs 100 de -> en downsamples to ~0.5, de keeps 1.0
+    mix_args = ["--mix", "en=1", "--mix", "de=1"]
+    out_mix = str(tmp_path / "out_mix")
+    assert main(["curate", docs_path, out_mix, *mix_args]) == 0
+    out_both = str(tmp_path / "out_both")
+    assert main(
+        ["curate", docs_path, out_both, *mix_args, "--sample", "0.5"]
+    ) == 0
+    capsys.readouterr()
+
+    def by_lang(path):
+        return {
+            r["lang"]: r["n"]
+            for r in spark.read.parquet(path + "/docs")
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+    mixed, sampled = by_lang(out_mix), by_lang(out_both)
+    # correlated draws left the en stratum (mix frac ~0.5 <= 0.5) EXACTLY
+    # equal; independent draws thin both strata to ~half
+    assert sampled["en"] < mixed["en"]
+    assert sampled["de"] < mixed["de"]
+    for lang in ("en", "de"):
+        assert 0.2 * mixed[lang] < sampled[lang] < 0.8 * mixed[lang]

@@ -74,13 +74,40 @@ def test_compact_parquet_preserves_content(spark, events, tmp_path):
     assert stats["files_before"] == 24
     assert stats["files_after"] == 1
     assert not os.path.exists(path + "__compacting")
-    assert not os.path.exists(path + "__old")
+    # the previous data is KEPT for crash recovery (a rename pair is
+    # not atomic); the next compaction cleans it
+    assert os.path.exists(path + "__old")
+    assert spark.read.parquet(path + "__old").count() == before_cnt
 
     assert spark.read.parquet(path).count() == before_cnt
     after_sum = spark.read.parquet(path).agg(
         F.sum(F.crc32(F.col("event_id").cast("string")))
     ).first()[0]
     assert after_sum == before_sum
+
+    compact_parquet(spark, path, target_file_mb=512)
+    # second compaction rotated __old: it now holds the 1-file layout
+    assert len([f for f in os.listdir(path + "__old")
+                if f.endswith(".parquet")]) == 1
+
+
+def test_write_range_layout_rejects_statsless_estimate(spark, tmp_path):
+    """A plan with no real size statistics defaults to Long.MaxValue
+    sizeInBytes — deriving n_files from it must raise, not launch a
+    70-billion-partition shuffle."""
+    import pytest
+
+    base = spark.range(10).toDF("k")
+    # RDD-backed plans carry no stats: sizeInBytes = Long.MaxValue
+    df = spark.createDataFrame(base.rdd, base.schema)
+    joined = df.crossJoin(spark.range(3).toDF("v"))  # stats multiply
+    with pytest.raises(ValueError, match="n_files or sample_bytes_per_row"):
+        write_range_layout(joined, str(tmp_path / "nope"), ["k"])
+    # explicit sample_bytes_per_row skips plan stats and succeeds
+    write_range_layout(
+        joined, str(tmp_path / "ok"), ["k"], sample_bytes_per_row=16.0
+    )
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 30
 
 
 def test_compact_parquet_cluster_by_keeps_key_locality(spark, events, tmp_path):
