@@ -91,6 +91,40 @@ def _family_sentinel(hash_family: str) -> str:
     return "ffffffff" if hash_family == "md5" else _XX_EMPTY_SENTINEL
 
 
+def _minhash_aggs(hash_family: str, k: int):
+    """The k-min signature aggregate, shared by every signature
+    producer (:func:`minhash_table`, :func:`signature_panel`,
+    :func:`neardup_index_build`): returns ``(aggs, sentinel, elem)``
+    where ``aggs`` are the k ``min()`` expressions over a ``shingle``
+    column, ``sentinel`` is the per-family "no shingles" element, and
+    ``elem(i)`` renders signature element i as its canonical string
+    column. One definition means the persisted index, the fused panel,
+    and the ad-hoc table can never drift apart."""
+    if hash_family == "md5":
+        aggs = [
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        sentinel = "ffffffff"
+        elem = lambda i: F.col(f"_s{i}")  # noqa: E731
+    elif hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        sentinel = _XX_EMPTY_SENTINEL
+        elem = lambda i: F.col(f"_s{i}").cast("string")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return aggs, sentinel, elem
+
+
 def minhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -126,28 +160,7 @@ def minhash_table(
       remains the cross-engine-checkable default.
     """
     sh = shingle_table(docs, id_col, text_col, n) if shingles is None else shingles
-    if hash_family == "md5":
-        aggs = [
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"_s{i}")
-            for i in range(k)
-        ]
-        sentinel = "ffffffff"
-        elem = lambda i: F.col(f"_s{i}")  # noqa: E731
-    elif hash_family == "xxhash64":
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_s{i}")
-            for i in range(k)
-        ]
-        sentinel = _XX_EMPTY_SENTINEL
-        elem = lambda i: F.col(f"_s{i}").cast("string")  # noqa: E731
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    aggs, sentinel, elem = _minhash_aggs(hash_family, k)
     sig = sh.groupBy(id_col).agg(*aggs)
     out = docs.select(id_col).join(sig, on=id_col, how="left")
     return out.select(
@@ -405,16 +418,8 @@ def signature_panel(
     from siskin_spark.functions.similarity import seeded_hash
 
     sh = shingle_table(docs, id_col, text_col, n, outer=True)
-    aggs = [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
-                (i % 4) * 8 + 1,
-                8,
-            )
-        ).alias(f"_s{i}")
-        for i in range(k)
-    ]
+    aggs, sentinel, elem = _minhash_aggs("md5", k)
+    aggs = list(aggs)
     aggs.append(
         F.concat_ws(
             "|",
@@ -447,7 +452,7 @@ def signature_panel(
         )
     panel = sh.groupBy(id_col).agg(*aggs)
     sig = F.array(
-        *[F.coalesce(F.col(f"_s{i}"), F.lit("ffffffff")) for i in range(k)]
+        *[F.coalesce(elem(i), F.lit(sentinel)) for i in range(k)]
     ).alias("signature")
     cols = [F.col(id_col), sig, F.col("fingerprint")]
     if benchmark is not None:
@@ -625,6 +630,20 @@ def neardup_index_build(
     if mode != "overwrite" and os.path.exists(_index_meta_path(index_dir)):
         _check_index_meta(index_dir, n, k, bands, hash_family)
     rows = k // bands
+    # Deliberately TWO text scans (bands job, shingles job), not a
+    # fused single-shingle-pass build. Fusion was measured three ways
+    # at 3M docs/118M shingles and every variant lost: write-shingles-
+    # then-aggregate-the-parquet 40.9s, persist(MEMORY_AND_DISK) the
+    # shingle frame 112.7s, one groupBy emitting signature +
+    # collect_list(shingle) 96.8s — vs 35.5s composed (same session,
+    # same cold JIT). The unavoidable cost is materializing/moving the
+    # shingle table, which is ~3x the text bytes plus per-row overhead
+    # (each word appears in n shingles); the composed form pays that
+    # exactly once (the clustered shingles write) and re-derives
+    # shingles from the much smaller text with a cheap map-side regex,
+    # while every fusion round-trips or caches the big table instead.
+    # The same economics hold at 100 TB: shingle-table bytes > text
+    # bytes by construction.
     sigs = minhash_table(docs, id_col, text_col, n, k, hash_family=hash_family)
     banded = sigs.filter(
         F.element_at("signature", 1) != F.lit(_family_sentinel(hash_family))

@@ -132,6 +132,59 @@ def test_incremental_plan_is_scale_safe(spark, index_dir):
     assert "BroadcastHashJoin" in plan  # batch bands vs index
 
 
+def test_index_build_contents_pinned(spark, tmp_path):
+    """The persisted index must hold EXACTLY the rows the
+    minhash_table + sentinel-filter + shingle_table composition
+    defines — same band rows, same shingle rows — including a
+    shingle-less doc (too few tokens), which must appear in neither
+    table. Pins the on-disk contract so any future build reshape
+    (e.g. the fusion variants SCALE.md measured and rejected) can't
+    silently change index contents."""
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.neardup import (
+        _family_sentinel,
+        lsh_band_keys,
+        minhash_table,
+        shingle_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)] + [(99, "just two")],
+        "doc_id long, text string",
+    )
+    d2 = str(tmp_path / "ndidx2")
+    neardup_index_build(corpus, d2)
+    got_bands = {
+        (r["doc_id"], r["band"])
+        for r in spark.read.parquet(d2 + "/bands").collect()
+    }
+    got_sh = {
+        (r["doc_id"], r["shingle"])
+        for r in spark.read.parquet(d2 + "/shingles").collect()
+    }
+
+    sigs = minhash_table(corpus, hash_family="md5")
+    want_bands = {
+        (r["doc_id"], r["band"])
+        for r in sigs.filter(
+            F.element_at("signature", 1) != F.lit(_family_sentinel("md5"))
+        )
+        .select(
+            "doc_id",
+            F.explode(lsh_band_keys(F.col("signature"), 4, 4)).alias("band"),
+        )
+        .collect()
+    }
+    want_sh = {
+        (r["doc_id"], r["shingle"])
+        for r in shingle_table(corpus).collect()
+    }
+    assert got_bands == want_bands
+    assert got_sh == want_sh
+    assert not any(d == 99 for d, _ in got_bands)  # shingle-less doc excluded
+
+
 def test_index_append_and_param_guard(spark, index_dir, tmp_path):
     """Appending batch survivors makes them visible to the NEXT batch;
     mismatched banding params fail before any part file lands."""
@@ -189,7 +242,9 @@ def test_index_compact_preserves_results(spark, index_dir):
         assert not os.path.exists(
             os.path.join(index_dir, table + "__compacting")
         )
-        assert not os.path.exists(os.path.join(index_dir, table + "__old"))
+        # the pre-compaction layout is KEPT for crash recovery (removed
+        # by the next compaction) — a rename pair is not atomic
+        assert os.path.exists(os.path.join(index_dir, table + "__old"))
 
     after = {
         (r["doc_id"], r["dup_of"], r["jaccard"])
