@@ -291,15 +291,30 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "exact_dedup_documents",
     """
-    WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-    s AS (
+    WITH d AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    c AS (
       SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+             ) <= 15 AS cap_keep
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, text, cap_keep,
              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(sum(len(str_split(text, ' ')))
                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      FROM d
+      FROM c
     )
-    SELECT doc_id, text, n_tokens,
+    SELECT doc_id, text, cap_keep, n_tokens,
            cum - n_tokens AS start_tok,
            (cum - n_tokens) // 1024 AS seq_first,
            (cum - n_tokens) % 1024 AS seq_off,
@@ -310,17 +325,26 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 exact duplicate drop with deterministic representative
-    (reference: sort -u, sources/ios.py:118-137), then the GPT-style
-    sequence-packing layout over the survivors
-    (operators/curation.py:token_sequence_layout — dedup-then-pack is
-    the real pipeline order; the oracle checks the two-phase parallel
-    prefix sum against a plain SQL window cumsum)."""
-    from siskin_spark.operators.curation import token_sequence_layout
+    (reference: sort -u, sources/ios.py:118-137), then the FineWeb-style
+    per-domain cap mark (operators/curation.py:domain_cap_mark, exact
+    mode — a crawl-heavy domain must not dominate the mixture), then
+    the GPT-style sequence-packing layout over the survivors
+    (operators/curation.py:token_sequence_layout) — dedup -> cap ->
+    pack is the real pipeline order; the oracle checks the two-phase
+    parallel prefix sum against a plain SQL window cumsum and the cap
+    against a row_number window over the same seeded hash."""
+    from siskin_spark.operators.curation import (
+        domain_cap_mark,
+        token_sequence_layout,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     out = dedup.snapshot_earliest(docs, ["text"], ["doc_id"])
+    capped = domain_cap_mark(
+        out, cap=15, domain_col="source", key_col="doc_id", exact=True
+    )
     return token_sequence_layout(
-        out.select("doc_id", "text"), budget=1024
+        capped.select("doc_id", "text", "cap_keep"), budget=1024
     ).orderBy("doc_id")
 
 
@@ -1053,6 +1077,19 @@ def _langid_case_sql(toks: str = "toks") -> str:
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
+# hashed-BoW classifier demo weights (functions/text.py:hashed_bow_logit):
+# deterministic stand-ins for a trained linear model's exported
+# fixed-point weights — the same Python list feeds the Spark literal
+# array and the DuckDB SQL literal, so the two engines cannot drift
+_CLF_W = [((b * 2654435761) % 4096) - 2048 for b in range(256)]
+_CLF_W_SQL = "[" + ",".join(map(str, _CLF_W)) + "]"
+# first byte of md5('0:' || token) as an int (the 256-bucket hash)
+_CLF_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5('0:' || t), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5('0:' || t), 2, 1)) - 1))"
+)
+
+
 @_q(
     "text_quality",
     f"""
@@ -1102,7 +1139,16 @@ def _langid_case_sql(toks: str = "toks") -> str:
                  ELSE 0.0 END <= 0.30
             AND CASE WHEN top.g IS NOT NULL AND length(t.text) > 0
                      THEN CAST(top.c * length(top.g) AS DOUBLE) / length(t.text)
-                     ELSE 0.0 END <= 0.20) AS rep_keep
+                     ELSE 0.0 END <= 0.20) AS rep_keep,
+           length(array_to_string(
+             list_filter(toks, (x, i) -> len(x) = 0 OR list_position(toks, x) = i),
+             ' ')) AS wd_dedup_chars,
+           CAST(coalesce(list_sum(
+             list_transform(toks, t -> ({_CLF_W_SQL})[{_CLF_BUCKET_SQL} + 1])
+           ), 0) AS BIGINT) AS clf_logit,
+           CAST(coalesce(list_sum(
+             list_transform(toks, t -> ({_CLF_W_SQL})[{_CLF_BUCKET_SQL} + 1])
+           ), 0) AS BIGINT) > 0 AS clf_keep
     FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
       ON t.doc_id = top.doc_id
     ORDER BY t.doc_id
@@ -1172,12 +1218,22 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pytest-covered, tests/test_curation.py)
         X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
         "top_2gram_frac",
+        # within-doc duplicate-line removal (token granularity here —
+        # the synthetic corpus has no newlines), surfaced as the
+        # deduped text's length; still a pure map
+        F.length(X.dedup_lines_within_doc("text", sep=" ")).alias(
+            "wd_dedup_chars"
+        ),
+        # hashed-BoW linear classifier logit (fixed-point, exact in
+        # any engine) + threshold keep — fastText-style model scoring
+        # at corpus-scan cost, pure map like everything else here
+        X.hashed_bow_logit("text", _CLF_W, seed=0).alias("clf_logit"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
         "rep_keep",
         X.repetition_keep(F.col("dup_token_frac"), F.col("top_2gram_frac")),
-    )
+    ).withColumn("clf_keep", F.col("clf_logit") > 0)
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -1194,6 +1250,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_token_frac",
         "top_2gram_frac",
         "rep_keep",
+        "wd_dedup_chars",
+        "clf_logit",
+        "clf_keep",
     )
 
 

@@ -371,6 +371,32 @@ def _curation_leg(spark, docs, results: dict, timed) -> None:
     timed(line_dedup())
     results["line_dedup_s"] = min(timed(line_dedup()) for _ in range(3))
 
+    # skewed-corpus leg: ONE unit at ~9% of the whole corpus line table
+    # (five 'hotline' tokens appended to every ~50-word doc) — the hot
+    # boilerplate shape that killed the old keep_first window form,
+    # which shipped all ~15M occurrences to one reducer. keep_first must
+    # stay within ~2x of the skew-safe drop-all mode on the same input.
+    hot_docs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "text", F.lit("hotline hotline hotline hotline hotline")
+        ).alias("text"),
+    )
+
+    def hot_dedup(keep_first: bool):
+        return drop_duplicate_lines(
+            hot_docs, min_count=100_000, sep=" ", keep_first=keep_first
+        )
+
+    timed(hot_dedup(False))
+    results["line_dedup_hot_all_s"] = min(
+        timed(hot_dedup(False)) for _ in range(3)
+    )
+    timed(hot_dedup(True))
+    results["line_dedup_hot_keepfirst_s"] = min(
+        timed(hot_dedup(True)) for _ in range(3)
+    )
+
 
 def main() -> None:
     import datetime

@@ -303,6 +303,80 @@ def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     )
 
 
+def dedup_lines_within_doc(text: Column | str, sep: str = "\n") -> Column:
+    """WITHIN-document duplicate-line removal (the C4 preprocessing
+    sibling of the corpus-level
+    :func:`~siskin_spark.operators.curation.drop_duplicate_lines`):
+    keep only the FIRST occurrence of each repeated line inside a
+    document, preserving original order; blank lines are exempt (they
+    are structure, not content — collapsing them to one would merge
+    paragraphs).
+
+    Pure map — per-document work only, no shuffle at any corpus size
+    (the corpus-level rule needs a line-key aggregate; the within-doc
+    rule by definition doesn't). The first-occurrence test is
+    ``array_position(lines, x) == own position`` inside an indexed
+    ``filter`` over a :func:`let_once`-bound split (without the
+    binding, the interpreted HOF would re-split the text per line).
+    O(lines²) comparisons per document — lines-per-doc is bounded and
+    small, so this beats shipping the doc through a shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return let_once(
+        F.split(c, sep),
+        lambda ls: F.array_join(
+            F.filter(
+                ls,
+                lambda x, i: (F.length(x) == 0)
+                | (F.array_position(ls, x) == i + F.lit(1).cast("long")),
+            ),
+            sep,
+        ),
+    )
+
+
+def hashed_bow_logit(
+    text: Column | str, weights: list[int], seed: int = 0
+) -> Column:
+    """Linear text-classifier logit over a hashed bag of words — the
+    fastText-style quality/domain scoring shape (score each document
+    against a trained linear model at corpus-scan cost). Each
+    whitespace token hashes to a bucket; the logit is the sum of the
+    bucket weights (a unigram linear model; train elsewhere, export
+    ``weights``, score at 100 TB here).
+
+    ``weights`` are FIXED-POINT integers (e.g. millis of the learned
+    float weights): the sum is then exact 64-bit arithmetic —
+    bit-identical in any engine, no float summation-order drift —
+    and the caller applies threshold/sigmoid on the integer logit.
+    With ``len(weights) == 256`` the bucket is the first byte of the
+    seeded md5 (portable to any engine with md5 — the DuckDB oracle
+    recomputes it); other dims take the first 8 hex chars mod dim.
+
+    Pure map: a per-row ``transform`` + integer-fold over the token
+    array (the weights array constant-folds to one literal), no
+    explode, no shuffle, no weight-table join. For dims too large for
+    a literal array (~100K+), reshape to explode + broadcast-join the
+    weight table + one map-side-combined sum — same values, one narrow
+    shuffle."""
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty")
+    c = F.col(text) if isinstance(text, str) else text
+    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+
+    def bucket(tok: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{seed}:"), tok))
+        if dim == 256:
+            return F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+
+    return F.aggregate(
+        F.transform(tokens(c), lambda t: F.element_at(w_arr, (bucket(t) + 1).cast("int"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def top_ngram_char_fraction(
     text: Column | str, toks: Column | None = None, n: int = 2
 ) -> Column:

@@ -366,6 +366,74 @@ def drop_duplicate_lines(
     return out.filter(F.length(text_col) > 0) if drop_empty_docs else out
 
 
+def domain_cap_mark(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    exact: bool = True,
+    mark_col: str = "cap_keep",
+) -> DataFrame:
+    """FineWeb-style per-domain document cap: mark at most ``cap``
+    documents per ``domain_col`` value as kept, chosen uniformly (and
+    reproducibly) by seeded-hash order — the defense against a single
+    crawl-heavy domain dominating the training mixture. Adds boolean
+    ``mark_col``; filter on it to apply the cap.
+
+    Two plans, picked by ``exact``:
+
+    - ``exact=True``: rank by ``row_number() OVER (PARTITION BY domain
+      ORDER BY hash, key)`` — the cap is exactly ``cap``. The window
+      ships every row of a domain to one task: correct up to domains of
+      ~low-millions of rows, a straggler beyond (the same hot-key
+      shape :func:`drop_duplicate_lines` avoids).
+    - ``exact=False``: per-domain counts (one map-side-combined
+      aggregate) compile to per-domain keep FRACTIONS applied as a
+      row-local hash threshold — zero per-key concentration at any
+      domain size; the kept count is binomial around ``cap`` (~±2√cap)
+      rather than exact. The fraction table joins back on ``domain_col``
+      — one row per domain, so AQE broadcasts it when domains are few
+      and skew-splits the probe side when one domain dominates.
+
+    At 100 TB: ``exact=False``. A statistical cap is what the use case
+    needs (nobody's mixture cares about cap=10000 vs 10043), and it is
+    the only shape with no hot-domain reducer."""
+    h = seeded_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")), seed)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(key_col))
+        return df.withColumn(
+            mark_col, F.row_number().over(w) <= F.lit(cap)
+        )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_dc_n"))
+    fracs = counts.select(
+        domain_col,
+        F.when(F.col("_dc_n") <= cap, F.lit(_KEEP_ALL))
+        .otherwise(
+            # per-domain hex threshold: keep ~cap/n of the domain
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.lit(2**32 - 1),
+                            F.round(F.lit(cap) * F.lit(2.0**32) / F.col("_dc_n"))
+                            .cast("long"),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("_dc_thresh"),
+    )
+    return df.join(fracs, domain_col, "left").withColumn(
+        mark_col, h < F.coalesce(F.col("_dc_thresh"), F.lit(_KEEP_ALL))
+    ).drop("_dc_thresh")
+
+
 def line_skew_profile(
     docs: DataFrame,
     id_col: str = "doc_id",

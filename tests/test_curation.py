@@ -658,3 +658,55 @@ def test_signature_panel_equals_composition(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per-domain document caps
+
+
+def _cap_docs(spark):
+    rows = [Row(doc_id=i, source="big") for i in range(20)]
+    rows += [Row(doc_id=100 + i, source="small") for i in range(3)]
+    rows += [Row(doc_id=200, source=None)]
+    return spark.createDataFrame(rows)
+
+
+def test_domain_cap_exact(spark):
+    out = C.domain_cap_mark(_cap_docs(spark), cap=5, exact=True)
+    kept = {r["doc_id"] for r in out.filter("cap_keep").collect()}
+    big = {i for i in kept if i < 100}
+    assert len(big) == 5                      # exactly cap from the big domain
+    assert {100, 101, 102} <= kept            # under-cap domain: all kept
+    assert 200 in kept                        # NULL domain is its own group
+    # deterministic: the 5 kept are the 5 smallest by seeded hash
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(f"0:{i}".encode()).hexdigest()[:8]
+
+    want = set(sorted(range(20), key=lambda i: (h(i), i))[:5])
+    assert big == want
+    # reproducible across runs
+    again = {r["doc_id"] for r in C.domain_cap_mark(
+        _cap_docs(spark), cap=5, exact=True).filter("cap_keep").collect()}
+    assert again == kept
+
+
+def test_domain_cap_sampled(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="huge") for i in range(400)]
+        + [Row(doc_id=1000 + i, source="tiny") for i in range(4)]
+    )
+    out = C.domain_cap_mark(docs, cap=100, exact=False)
+    kept = [r["doc_id"] for r in out.filter("cap_keep").collect()]
+    tiny = [i for i in kept if i >= 1000]
+    assert len(tiny) == 4                     # n <= cap: keep all, exactly
+    huge = [i for i in kept if i < 1000]
+    # binomial around cap=100 of 400 (sd ~8.7): generous 4-sigma bounds
+    assert 60 <= len(huge) <= 140
+    # deterministic: same rows kept on re-run
+    again = [r["doc_id"] for r in C.domain_cap_mark(
+        docs, cap=100, exact=False).filter("cap_keep").collect()]
+    assert sorted(again) == sorted(kept)
+    # row count unchanged (mark, not filter)
+    assert out.count() == 404

@@ -1044,6 +1044,56 @@ def test_token_sequence_layout_matches_naive_prefix_sum(
     assert len(out) == len(docs)
 
 
+@_slow
+@given(docs=_pack_docs, budget=st.integers(1, 17))
+def test_sequence_manifest_materializes_packed_sequences(spark, docs, budget):
+    """Execute the writer contract end-to-end: reassemble sequences
+    from manifest slice instructions (group by seq_id, place each
+    doc's tokens[doc_from:doc_from+n_slice] at seq_off) and compare
+    against the naive concat-all-docs-in-id-order-then-chunk packing.
+    Every non-tail sequence must be exactly ``budget`` tokens of the
+    right documents in the right order; slices must tile each sequence
+    with no gaps or overlaps."""
+    from siskin_spark.operators.curation import (
+        sequence_manifest,
+        token_sequence_layout,
+    )
+
+    df = (
+        spark.createDataFrame(docs, "doc_id long, n long")
+        if docs
+        else spark.createDataFrame([], "doc_id long, n long")
+    )
+    layout = token_sequence_layout(df, budget=budget, n_tokens=F.col("n"))
+    man = sequence_manifest(layout, budget=budget)
+
+    # materialize: doc i's token j is the string "i:j"
+    toks = {i: [f"{i}:{j}" for j in range(n)] for i, n in docs}
+    seqs: dict[int, list] = {}
+    for r in man.collect():
+        s = seqs.setdefault(r["seq_id"], [None] * budget)
+        sl = toks[r["doc_id"]][r["doc_from"] : r["doc_from"] + r["n_slice"]]
+        assert len(sl) == r["n_slice"]  # slice stays inside the doc
+        for off, t in enumerate(sl, start=r["seq_off"]):
+            assert s[off] is None  # no overlapping slices
+            s[off] = t
+
+    naive = [t for i, _ in sorted(docs) for t in toks[i]]
+    want = {
+        q: naive[q * budget : (q + 1) * budget]
+        for q in range(-(-len(naive) // budget))
+    }
+    got = {
+        q: [t for t in s if t is not None] for q, s in seqs.items()
+    }
+    # gap-free: every filled prefix is contiguous (tail sequence may
+    # be shorter than budget but never has interior holes)
+    for q, s in seqs.items():
+        filled = [t is not None for t in s]
+        assert filled == sorted(filled, reverse=True), (q, s)
+    assert got == want
+
+
 _line_texts = st.lists(
     st.lists(
         st.sampled_from(["banner", "footer", "body a", "body b", "x", ""]),

@@ -263,3 +263,81 @@ def test_mojibake_signal(spark):
     assert got[2][0] == 2
     assert got[3] == (0, 0.0)                   # lowercase accents don't trip it
     assert got[4] == (0, 0.0)
+
+
+def test_dedup_lines_within_doc(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="a\nb\na\n\nb\nc"),       # repeats of a and b drop
+            Row(i=1, t="x\n\n\nx\nx"),           # blanks all survive
+            Row(i=2, t="only one line"),
+            Row(i=3, t=""),
+            Row(i=4, t=None),
+        ]
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", dedup_lines_within_doc("t").alias("d")
+        ).collect()
+    }
+    assert got[0] == "a\nb\n\nc"          # order kept, blank kept in place
+    assert got[1] == "x\n\n"              # later x's drop, all blanks stay
+    assert got[2] == "only one line"
+    assert got[3] == ""
+    assert got[4] is None
+    # token-granularity variant (sep=' ')
+    tok = df.filter("i = 0").select(
+        dedup_lines_within_doc(F.lit("w1 w2 w1 w3 w2"), sep=" ").alias("d")
+    ).first()["d"]
+    assert tok == "w1 w2 w3"
+
+
+def _py_bucket(tok: str, seed: int, dim: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()
+    return int(h[:2], 16) if dim == 256 else int(h[:8], 16) % dim
+
+
+def test_hashed_bow_logit_matches_python(spark):
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import hashed_bow_logit
+
+    w256 = [((b * 2654435761) % 4096) - 2048 for b in range(256)]
+    w40 = [((b * 97) % 200) - 100 for b in range(40)]
+    texts = ["the quick brown fox", "a a a", "", "one"]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: (r["l256"], r["l40"])
+        for r in df.select(
+            "i",
+            hashed_bow_logit("t", w256, seed=0).alias("l256"),
+            hashed_bow_logit("t", w40, seed=3).alias("l40"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # '' splits to [''] — engine convention
+        want256 = sum(w256[_py_bucket(tok, 0, 256)] for tok in toks)
+        want40 = sum(w40[_py_bucket(tok, 3, 40)] for tok in toks)
+        assert got[i] == (want256, want40), (i, t)
+
+
+def test_hashed_bow_logit_is_a_pure_map(spark):
+    """The classifier score must add NO shuffle — corpus-scan cost."""
+    from siskin_spark.functions.text import hashed_bow_logit
+
+    w = [1] * 256
+    df = spark.range(100).select(
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("t")
+    )
+    plan = (
+        df.select(hashed_bow_logit("t", w).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
