@@ -132,9 +132,24 @@ def main(argv: list[str] | None = None) -> int:
                        help="with --line-dedup: print the line-key skew "
                        "report (hot boilerplate, dup-table size) before "
                        "deduping — one extra count pass")
+    p_cur.add_argument("--wd-dedup", action="store_true",
+                       help="drop repeated lines WITHIN each doc (first "
+                       "occurrence kept; pure map)")
     p_cur.add_argument("--decontaminate", metavar="BENCH",
                        help="benchmark table; drop docs sharing n-grams with it")
     p_cur.add_argument("--decontam-n", type=int, default=8)
+    p_cur.add_argument("--clf", metavar="WEIGHTS_JSON",
+                       help="hashed-BoW linear classifier: JSON file with a "
+                       "list of fixed-point bucket weights; keeps docs whose "
+                       "logit exceeds --clf-threshold")
+    p_cur.add_argument("--clf-threshold", type=int, default=0)
+    p_cur.add_argument("--cap", type=int, default=0, metavar="N",
+                       help="keep at most N docs per --cap-domain value "
+                       "(sampled mode: statistical cap, no hot-domain reducer)")
+    p_cur.add_argument("--cap-domain", default="source")
+    p_cur.add_argument("--cap-exact", action="store_true",
+                       help="exact per-domain cap via window (fine up to "
+                       "~1M docs per domain; straggler beyond)")
     p_cur.add_argument("--mix", action="append", default=[], metavar="STRATUM=W",
                        help="target domain weights (repeatable)")
     p_cur.add_argument("--strata-col", default="lang")
@@ -294,7 +309,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag,
         # composed as ONE lazy plan up to the final write:
-        # quality -> line-dedup -> decontaminate -> mix -> sample -> pack
+        # quality -> line-dedup -> wd-dedup -> decontaminate -> clf
+        # -> cap -> mix -> sample -> pack
         from pyspark.sql import functions as F
 
         from siskin_spark.functions.text import (
@@ -330,11 +346,32 @@ def main(argv: list[str] | None = None) -> int:
                 df, min_count=args.line_dedup,
                 id_col=args.id_col, text_col=tc, drop_empty_docs=True,
             )
+        if args.wd_dedup:
+            from siskin_spark.functions.text import dedup_lines_within_doc
+
+            df = df.withColumn(tc, dedup_lines_within_doc(F.col(tc)))
         if args.decontaminate:
             df = cur.decontaminate(
                 df, _read(spark, args.decontaminate),
                 n=args.decontam_n, id_col=args.id_col, text_col=tc,
             )
+        if args.clf:
+            import json as _json
+
+            from siskin_spark.functions.text import hashed_bow_logit
+
+            with open(args.clf) as fh:
+                clf_w = _json.load(fh)
+            df = df.filter(
+                hashed_bow_logit(F.col(tc), clf_w, seed=args.seed)
+                > args.clf_threshold
+            )
+        if args.cap:
+            df = cur.domain_cap_mark(
+                df, args.cap, domain_col=args.cap_domain,
+                key_col=args.id_col, seed=args.seed + 2,
+                exact=args.cap_exact,
+            ).filter("cap_keep").drop("cap_keep")
         if args.mix:
             weights = {}
             for pair in args.mix:
