@@ -559,3 +559,85 @@ def ivf_fit_centroids(
         [(int(j), [float(x) for x in C[j]]) for j in range(k)],
         f"cid int, cv array<float>",
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_gemm: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest k-means
+    cell, then compare pairs WITHIN each cell by exact cosine — the
+    published recipe for pruning semantically redundant training data
+    (paraphrases, boilerplate rewrites) that exact/minhash dedup
+    cannot see and a similarity threshold alone cannot afford to
+    verify all-pairs.
+
+    Scale: cell assignment is a broadcast of k centroids against the
+    corpus (GEMM-batched by default — :func:`ivf_assign_gemm`,
+    measured 14x over the expression path at 3M vectors); the
+    within-cell self-join is an equi-join on ``cid``, so pair cost is
+    sum(cell²) — k sized so cells hold ~|corpus|/k vectors keeps that
+    quadratic term bounded, exactly the IVF trade. Known recall limit,
+    stated honestly: pairs straddling a cell boundary are missed (the
+    paper accepts this; raise k for tighter cells and fewer
+    comparisons but more boundary misses, or run
+    :func:`embedding_neardup_pairs` when hyperplane-bucket recall
+    suits the corpus better — see the README selection table).
+
+    Returns (id_a, id_b, cid, cos_sim) with id_a < id_b,
+    cos_sim >= threshold; feed to
+    :func:`~siskin_spark.operators.neardup.keep_canonical` (id_col =
+    ``id_a``/``id_b`` orientation already matches) to keep one doc
+    per duplicate relation.
+    """
+    assign = ivf_assign_gemm if use_gemm else ivf_assign
+    assigned = assign(
+        emb.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    )
+    v = assigned.select(
+        F.col(id_col).alias("_id"),
+        "cid",
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    return (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            on=[
+                F.col("a.cid") == F.col("b.cid"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.cid").alias("cid"),
+            _cosine_prenormed(
+                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply :func:`semantic_dedup_pairs` and keep one embedding per
+    semantic-duplicate relation (keep-first: the smaller id wins, the
+    larger drops — one anti-join over the duplicate-rate-sized drop
+    set, the corpus never shuffles)."""
+    from siskin_spark.operators.neardup import keep_canonical
+
+    pairs = semantic_dedup_pairs(emb, centroids, threshold, id_col, vec_col)
+    return keep_canonical(emb, pairs, id_col=id_col)

@@ -167,3 +167,53 @@ def test_ivf_fit_centroids_spherical(spark):
     assigned = ivf_assign_gemm(df, c1)
     cells = {r.cid for r in assigned.select("cid").distinct().collect()}
     assert cells <= {0, 1, 2, 3} and len(cells) >= 2
+
+
+def test_semantic_dedup_matches_within_cell_reference(spark):
+    """SemDeDup pairs must equal the numpy within-cell all-pairs
+    reference computed from the SAME centroid assignment: near-dup
+    pairs land in the same k-means cell (their cosine to every
+    centroid is nearly identical) and are found; decoys score below
+    threshold; keep drops exactly the larger ids of found pairs."""
+    from siskin_spark.functions.vectors import (
+        ivf_fit_centroids,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    df, expected, decoys = _mk_embeddings(spark)
+    cents = ivf_fit_centroids(df, k=4, sample=1000, seed=7)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semantic_dedup_pairs(df, cents, threshold=0.95).collect()
+    }
+    # numpy reference: same assignment (argmax cosine vs the fitted
+    # centroids), all pairs within each cell, exact cosine
+    C = np.array(
+        [r["cv"] for r in sorted(cents.collect(), key=lambda r: r["cid"])],
+        dtype=np.float64,
+    )
+    rows = df.collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cell = np.argmax(Xn @ Cn.T, axis=1)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = ids[i], ids[j]
+            if a < b and cell[i] == cell[j]:
+                cos = float(Xn[i] @ Xn[j])
+                if cos >= 0.95:
+                    want[(a, b)] = cos
+    assert set(got) == set(want)
+    for p, c in got.items():
+        assert abs(c - want[p]) < 1e-5
+    # every planted near-dup pair is recovered (same cell, cos ~0.997)
+    assert expected <= set(got)
+    assert not (decoys & set(got))
+
+    kept = {r["vec_id"] for r in semantic_dedup(df, cents, 0.95).collect()}
+    assert kept == set(ids) - {b for _, b in got}
