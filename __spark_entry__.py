@@ -1221,13 +1221,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # within-doc duplicate-line removal (token granularity here —
         # the synthetic corpus has no newlines), surfaced as the
         # deduped text's length; still a pure map
-        F.length(X.dedup_lines_within_doc("text", sep=" ")).alias(
-            "wd_dedup_chars"
-        ),
+        F.length(
+            X.dedup_lines_within_doc("text", sep=" ", lines=F.col("_toks"))
+        ).alias("wd_dedup_chars"),
         # hashed-BoW linear classifier logit (fixed-point, exact in
         # any engine) + threshold keep — fastText-style model scoring
         # at corpus-scan cost, pure map like everything else here
-        X.hashed_bow_logit("text", _CLF_W, seed=0).alias("clf_logit"),
+        X.hashed_bow_logit(
+            "text", _CLF_W, seed=0, toks=F.col("_toks")
+        ).alias("clf_logit"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain

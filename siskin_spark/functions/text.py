@@ -303,7 +303,9 @@ def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     )
 
 
-def dedup_lines_within_doc(text: Column | str, sep: str = "\n") -> Column:
+def dedup_lines_within_doc(
+    text: Column | str, sep: str = "\n", lines: Column | None = None
+) -> Column:
     """WITHIN-document duplicate-line removal (the C4 preprocessing
     sibling of the corpus-level
     :func:`~siskin_spark.operators.curation.drop_duplicate_lines`):
@@ -319,10 +321,12 @@ def dedup_lines_within_doc(text: Column | str, sep: str = "\n") -> Column:
     ``filter`` over a :func:`let_once`-bound split (without the
     binding, the interpreted HOF would re-split the text per line).
     O(lines²) comparisons per document — lines-per-doc is bounded and
-    small, so this beats shipping the doc through a shuffle."""
+    small, so this beats shipping the doc through a shuffle. Pass a
+    pre-split ``lines`` column (e.g. a staged token array when
+    ``sep=' '``) to skip re-splitting."""
     c = F.col(text) if isinstance(text, str) else text
     return let_once(
-        F.split(c, sep),
+        F.split(c, sep) if lines is None else lines,
         lambda ls: F.array_join(
             F.filter(
                 ls,
@@ -335,7 +339,10 @@ def dedup_lines_within_doc(text: Column | str, sep: str = "\n") -> Column:
 
 
 def hashed_bow_logit(
-    text: Column | str, weights: list[int], seed: int = 0
+    text: Column | str,
+    weights: list[int],
+    seed: int = 0,
+    toks: Column | None = None,
 ) -> Column:
     """Linear text-classifier logit over a hashed bag of words — the
     fastText-style quality/domain scoring shape (score each document
@@ -371,7 +378,10 @@ def hashed_bow_logit(
         return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
 
     return F.aggregate(
-        F.transform(tokens(c), lambda t: F.element_at(w_arr, (bucket(t) + 1).cast("int"))),
+        F.transform(
+            tokens(c) if toks is None else toks,
+            lambda t: F.element_at(w_arr, (bucket(t) + 1).cast("int")),
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

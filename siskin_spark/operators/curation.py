@@ -381,44 +381,50 @@ def domain_cap_mark(
     crawl-heavy domain dominating the training mixture. Adds boolean
     ``mark_col``; filter on it to apply the cap.
 
-    Two plans, picked by ``exact``:
+    Two plans, picked by ``exact`` — BOTH skew-safe (no per-domain
+    window ever sees more than O(cap) rows of one domain):
 
-    - ``exact=True``: rank by ``row_number() OVER (PARTITION BY domain
-      ORDER BY hash, key)`` — the cap is exactly ``cap``. The window
-      ships every row of a domain to one task: correct up to domains of
-      ~low-millions of rows, a straggler beyond (the same hot-key
-      shape :func:`drop_duplicate_lines` avoids).
-    - ``exact=False``: per-domain counts (one map-side-combined
-      aggregate) compile to per-domain keep FRACTIONS applied as a
-      row-local hash threshold — zero per-key concentration at any
-      domain size; the kept count is binomial around ``cap`` (~±2√cap)
-      rather than exact. The fraction table joins back on ``domain_col``
-      — one row per domain, so AQE broadcasts it when domains are few
-      and skew-splits the probe side when one domain dominates.
+    - ``exact=True``: the cap is exactly ``cap``, chosen as the cap
+      smallest seeded hashes per domain. Instead of ranking every row
+      of a domain on one task (the hot-key shape
+      :func:`drop_duplicate_lines` r8-de-skewed), rows are first
+      PRE-FILTERED by a per-domain hash threshold sized to admit
+      ~``cap + 6*sqrt(cap) + 64`` candidates; the exactness window
+      then ranks only those bounded candidates, and the kept key set
+      joins back on the UNIQUE ``key_col`` (uniform, unskewable). The
+      margin makes "the true cap-th hash missed the pre-filter"
+      a <1e-9-per-domain event (6 sigma below the binomial mean plus
+      a flat floor for small caps) — a domain that unlucky keeps
+      slightly fewer than ``cap``, never wrong rows.
+    - ``exact=False``: the per-domain thresholds alone — zero ranking
+      anywhere; the kept count is binomial around ``cap`` (~±2√cap).
 
-    At 100 TB: ``exact=False``. A statistical cap is what the use case
-    needs (nobody's mixture cares about cap=10000 vs 10043), and it is
-    the only shape with no hot-domain reducer."""
+    Both run one map-side-combined per-domain count, whose join back
+    onto the corpus AQE broadcasts when domains are few and
+    skew-splits when one domain dominates. At 100 TB prefer
+    ``exact=False`` when a statistical cap suffices (nobody's mixture
+    cares about 10000 vs 10043); ``exact=True`` now costs only the
+    extra bounded window + unique-key join."""
+    import math
+
     h = seeded_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")), seed)
-    if exact:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(key_col))
-        return df.withColumn(
-            mark_col, F.row_number().over(w) <= F.lit(cap)
-        )
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("_dc_n"))
+    # NULL domains are their own cap group: count/join/window on a
+    # coalesced string key so they don't fall through the equi-join
+    kdom = F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00NULL"))
+    admit = cap if not exact else int(cap + 6 * math.sqrt(cap) + 64)
+    staged = df.withColumn("_dc_k", kdom).withColumn("_dc_h", h)
+    counts = staged.groupBy("_dc_k").agg(F.count("*").alias("_dc_n"))
     fracs = counts.select(
-        domain_col,
-        F.when(F.col("_dc_n") <= cap, F.lit(_KEEP_ALL))
+        "_dc_k",
+        F.when(F.col("_dc_n") <= admit, F.lit(_KEEP_ALL))
         .otherwise(
-            # per-domain hex threshold: keep ~cap/n of the domain
+            # per-domain hex threshold: admit ~admit/n of the domain
             F.lpad(
                 F.lower(
                     F.hex(
                         F.least(
                             F.lit(2**32 - 1),
-                            F.round(F.lit(cap) * F.lit(2.0**32) / F.col("_dc_n"))
+                            F.round(F.lit(admit) * F.lit(2.0**32) / F.col("_dc_n"))
                             .cast("long"),
                         )
                     )
@@ -429,9 +435,27 @@ def domain_cap_mark(
         )
         .alias("_dc_thresh"),
     )
-    return df.join(fracs, domain_col, "left").withColumn(
-        mark_col, h < F.coalesce(F.col("_dc_thresh"), F.lit(_KEEP_ALL))
-    ).drop("_dc_thresh")
+    marked = staged.join(fracs, "_dc_k").withColumn(
+        "_dc_cand", F.col("_dc_h") < F.col("_dc_thresh")
+    )
+    if not exact:
+        return marked.withColumnRenamed("_dc_cand", mark_col).drop(
+            "_dc_k", "_dc_h", "_dc_thresh"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_dc_k").orderBy(F.asc("_dc_h"), F.col(key_col))
+    kept = (
+        marked.filter("_dc_cand")
+        .select("_dc_k", "_dc_h", key_col)
+        .withColumn("_dc_r", F.row_number().over(w))
+        .filter(F.col("_dc_r") <= cap)
+        .select(key_col, F.lit(True).alias(mark_col))
+    )
+    return (
+        df.join(kept, key_col, "left")
+        .withColumn(mark_col, F.coalesce(F.col(mark_col), F.lit(False)))
+    )
 
 
 def line_skew_profile(

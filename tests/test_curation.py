@@ -710,3 +710,36 @@ def test_domain_cap_sampled(spark):
     assert sorted(again) == sorted(kept)
     # row count unchanged (mark, not filter)
     assert out.count() == 404
+
+
+def test_domain_cap_exact_bounded_matches_plain_window(spark):
+    """The skew-safe exact path (hash pre-filter sized cap+6*sqrt(cap)+64,
+    bounded window, unique-key join back) must keep EXACTLY the same
+    rows as a plain row_number window over every row of the domain —
+    on a domain large enough that the pre-filter actually engages."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="mega") for i in range(500)]
+        + [Row(doc_id=10_000 + i, source="mini") for i in range(3)]
+    )
+    cap = 5  # admit ~ 5 + 6*sqrt(5) + 64 = 82 << 500: threshold engages
+    got = {r["doc_id"] for r in C.domain_cap_mark(
+        docs, cap=cap, exact=True).filter("cap_keep").collect()}
+
+    h = F.substring(
+        F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    want = {r["doc_id"] for r in docs.withColumn(
+        "rn", F.row_number().over(w)).filter(F.col("rn") <= cap).collect()}
+    assert got == want
+    assert len([i for i in got if i < 10_000]) == cap  # exactly cap from mega
+    assert {10_000, 10_001, 10_002} <= got             # under-cap: all kept
+    # python cross-check of the winner set
+    py = set(sorted(range(500),
+                    key=lambda i: (hashlib.md5(f"0:{i}".encode())
+                                   .hexdigest()[:8], i))[:cap])
+    assert {i for i in got if i < 10_000} == py
