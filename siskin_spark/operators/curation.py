@@ -458,6 +458,58 @@ def domain_cap_mark(
     )
 
 
+def vocab_table(
+    docs: DataFrame,
+    top: int = 100_000,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus vocabulary builder: the ``top`` most frequent tokens with
+    counts, frequency rank, and cumulative corpus coverage — the
+    measurement a tokenizer-vocab decision needs ("how many types
+    cover 99% of tokens?") and the input to frequency-based filters
+    (OOV-rate gates, rare-token scrubbing).
+
+    Returns (token, n, rank, cum_frac) with rank 1 = most frequent;
+    ``cum_frac`` is the fraction of ALL corpus tokens (not just the
+    top) covered by ranks 1..rank, so the last row's value is the
+    top-``top`` coverage. Ties rank lexicographically (deterministic).
+
+    Scale: the count is one map-side-combined groupBy (shuffled rows =
+    type count, not token count); the top-``top`` selection is
+    Spark's TakeOrdered (per-partition partial top-N, no global sort);
+    rank + cumulative sum run as a window over the ALREADY BOUNDED
+    ``top`` rows — the only full-vocab serialization point holds
+    ``top`` rows by construction, never the corpus. Empty tokens
+    (split artifacts) are excluded, matching the line-dedup exemption.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), sep)).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n")).first()[0] or 0
+    if total == 0:
+        return counts.select(
+            "token",
+            "n",
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0.0).alias("cum_frac"),
+        )
+    head = counts.orderBy(F.desc("n"), F.asc("token")).limit(top)
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return head.select(
+        "token",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
+        (F.sum("n").over(w).cast("double") / F.lit(float(total))).alias("cum_frac"),
+    )
+
+
 def line_skew_profile(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -743,3 +743,26 @@ def test_domain_cap_exact_bounded_matches_plain_window(spark):
                     key=lambda i: (hashlib.md5(f"0:{i}".encode())
                                    .hexdigest()[:8], i))[:cap])
     assert {i for i in got if i < 10_000} == py
+
+
+def test_vocab_table_counts_rank_coverage(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b a c a b"),
+         Row(doc_id=1, text="a  d"),       # double space: empty token excluded
+         Row(doc_id=2, text="")]
+    )
+    rows = {r["token"]: r.asDict() for r in C.vocab_table(docs).collect()}
+    # corpus tokens: a=4, b=2, c=1, d=1 -> total 8
+    assert rows["a"]["n"] == 4 and rows["a"]["rank"] == 1
+    assert rows["b"]["n"] == 2 and rows["b"]["rank"] == 2
+    # tie c/d ranks lexicographically
+    assert rows["c"]["rank"] == 3 and rows["d"]["rank"] == 4
+    assert abs(rows["a"]["cum_frac"] - 0.5) < 1e-12
+    assert abs(rows["d"]["cum_frac"] - 1.0) < 1e-12
+    # top bounds the output; coverage stays a fraction of ALL tokens
+    top2 = {r["token"]: r["cum_frac"]
+            for r in C.vocab_table(docs, top=2).collect()}
+    assert set(top2) == {"a", "b"}
+    assert abs(top2["b"] - 0.75) < 1e-12  # (4+2)/8 of the WHOLE corpus
+    # empty corpus: empty result, no crash
+    assert C.vocab_table(spark.createDataFrame([Row(doc_id=0, text="")])).count() == 0
