@@ -6,7 +6,7 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "runs": {...}, "sf": ...}
 
-Each query runs warm-ups until back-to-back passes converge (min 2,
+Each query runs warm-ups until back-to-back passes converge (min 3,
 max 6 — pays file listing, codegen compile, broadcast build, and JIT
 tier-up), then three timed runs (five when the first three spread >2.5x — a
 GC-pause excursion can hit any single run). The per-query stat in
@@ -125,7 +125,11 @@ def main() -> None:
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "stat": "median_of_3",
+        # run counts vary per query (3, or 5 on a >2.5x spread) — the
+        # label must not claim a fixed 3; per-query counts are in "runs"
+        "stat": "median"
+        if any(len(r) != 3 for r in runs.values())
+        else "median_of_3",
         "queries": timings,
         "runs": runs,
         "warmups": warmups,

@@ -82,6 +82,17 @@ def write_range_layout(
             est = float(min(est, 2**63 - 1))
         n_files = _files_for_target(int(est), target_file_mb)
         if n_files > _MAX_DERIVED_FILES:
+            if sample_bytes_per_row is not None:
+                # the estimate came from an exact count * the caller's
+                # sample — re-suggesting sample_bytes_per_row would be
+                # circular; a legitimately huge table needs n_files
+                raise ValueError(
+                    f"derived n_files={n_files} from count() * "
+                    f"sample_bytes_per_row = {int(est)} bytes — beyond the "
+                    f"{_MAX_DERIVED_FILES}-file sanity cap; pass n_files "
+                    "explicitly (or raise target_file_mb) for a table this "
+                    "large"
+                )
             raise ValueError(
                 f"derived n_files={n_files} from a {int(est)}-byte estimate — "
                 "the plan has no real size statistics (Catalyst defaults "
