@@ -561,6 +561,81 @@ def ivf_fit_centroids(
     )
 
 
+def _within_group_pairs_gemm(
+    v: DataFrame, threshold: float, sim_buffer_bytes: int = 32 << 20
+) -> DataFrame:
+    """Scale engine for the within-cell compare: one numpy GEMM block
+    per (cid, _sub) group via ``applyInPandas`` instead of a Catalyst
+    fold per candidate pair. A group is bounded by the hot-cell guard
+    (``max_cell_rows``), so the dense similarity block is computed in
+    row chunks sized to ``sim_buffer_bytes`` — memory stays flat no
+    matter the group size, and the inner product runs at BLAS speed
+    (the same economics as :func:`ivf_assign_gemm`, ~3 orders over the
+    interpreted fold on a 64-dim corpus).
+
+    Float contract, stated honestly: float64 pairwise-summed GEMM, so
+    cosines can differ from the expression path's sequential fold in
+    the last bits — pairs sitting EXACTLY on the threshold may flip.
+    The default ``engine='expr'`` stays the oracle-exact path; this is
+    the scale family (the md5/xxhash64 split, applied to cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    id_type = v.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
+            StructField("cid", LongType(), False),
+            StructField("cos_sim", DoubleType(), False),
+        ]
+    )
+
+    def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cid": [], "cos_sim": []}
+            ).astype({"cid": "int64", "cos_sim": "float64"})
+        X = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
+        ids = pdf["_id"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        chunk = max(16, sim_buffer_bytes // (8 * n))
+        ia, ib, cs = [], [], []
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n)
+            S = Xn[s:e] @ Xn.T  # (e-s, n) sims
+            # upper triangle only: j > global row index (ids sorted, so
+            # j > i implies id_b > id_a; ids are unique keys)
+            for li in range(e - s):
+                gi = s + li
+                row = S[li, gi + 1 :]
+                hits = np.nonzero(row >= threshold)[0] + gi + 1
+                if len(hits):
+                    ia.append(np.full(len(hits), ids[gi]))
+                    ib.append(ids[hits])
+                    cs.append(row[hits - gi - 1])
+        if not ia:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cid": [], "cos_sim": []}
+            ).astype({"cid": "int64", "cos_sim": "float64"})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia),
+                "id_b": np.concatenate(ib),
+                "cid": cid,
+                "cos_sim": np.concatenate(cs),
+            }
+        )
+
+    return v.groupBy("cid", "_sub").applyInPandas(emit, out_schema)
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     centroids: DataFrame,
@@ -568,6 +643,10 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_gemm: bool = True,
+    max_cell_rows: int | None = 50_000,
+    hot_cell: str = "split",
+    split_seed: int = 11,
+    engine: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest k-means
@@ -579,38 +658,110 @@ def semantic_dedup_pairs(
 
     Scale: cell assignment is a broadcast of k centroids against the
     corpus (GEMM-batched by default — :func:`ivf_assign_gemm`,
-    measured 14x over the expression path at 3M vectors); the
-    within-cell self-join is an equi-join on ``cid``, so pair cost is
-    sum(cell²) — k sized so cells hold ~|corpus|/k vectors keeps that
-    quadratic term bounded, exactly the IVF trade. Known recall limit,
-    stated honestly: pairs straddling a cell boundary are missed (the
-    paper accepts this; raise k for tighter cells and fewer
-    comparisons but more boundary misses, or run
-    :func:`embedding_neardup_pairs` when hyperplane-bucket recall
-    suits the corpus better — see the README selection table).
+    measured 14x over the expression path at 3M vectors), then
+    ``localCheckpoint``-ed ONCE: the assignment feeds the cell
+    histogram and both self-join sides, and without the lineage cut
+    the GEMM pass would re-execute per consumer. The within-cell
+    self-join is an equi-join on the cell key, so pair cost is
+    sum(cell²) — and because k-means cells on real web-scale
+    embeddings are NOT balanced (near-zero vectors, template pages and
+    dense paraphrase clusters routinely capture 5-20% of a corpus in
+    one cell), a HOT-CELL GUARD bounds that quadratic term: one
+    map-side-combined count per cid (bounded by k rows), and any cell
+    above ``max_cell_rows`` is split by a seeded secondary hash into
+    ``ceil(n / max_cell_rows)`` sub-cells compared independently. A
+    10M-row cell that would otherwise put 5e13 cosine pairs on one
+    join key becomes 200 bounded sub-cells — the same de-skew shape as
+    ``drop_duplicate_lines`` / ``domain_cap_mark``. The trade, stated
+    honestly: pairs straddling a sub-cell boundary inside a split cell
+    are missed, exactly like raising k (SemDeDup's recall is already
+    bounded by its cell partition; the guard applies the same
+    accepted trade only where the corpus is degenerate).
+    ``hot_cell='raise'`` instead refuses with the cell histogram;
+    ``max_cell_rows=None`` disables the guard (and the histogram
+    pass). Boundary misses OUTSIDE the guard remain as before: raise k
+    for tighter cells, or run :func:`embedding_neardup_pairs` when
+    hyperplane-bucket recall suits the corpus better — see the README
+    selection table.
+
+    ``engine='expr'`` (default) computes cosines as Catalyst fold
+    expressions — sequential float64 sums, bit-matching the DuckDB
+    oracle. ``engine='gemm'`` routes each (cell, sub-cell) group
+    through :func:`_within_group_pairs_gemm` — the scale family for
+    100 TB runs, where the guard doubles as the GEMM block bound.
 
     Returns (id_a, id_b, cid, cos_sim) with id_a < id_b,
-    cos_sim >= threshold; feed to
-    :func:`~siskin_spark.operators.neardup.keep_canonical` (id_col =
-    ``id_a``/``id_b`` orientation already matches) to keep one doc
-    per duplicate relation.
+    cos_sim >= threshold (cid is the cell of both sides, cast long);
+    feed to :func:`~siskin_spark.operators.neardup.keep_canonical`
+    (id_col = ``id_a``/``id_b`` orientation already matches) to keep
+    one doc per duplicate relation.
     """
+    if hot_cell not in ("split", "raise"):
+        raise ValueError(f"hot_cell must be 'split' or 'raise', got {hot_cell!r}")
+    if engine not in ("expr", "gemm"):
+        raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
     assign = ivf_assign_gemm if use_gemm else ivf_assign
     assigned = assign(
         emb.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     )
     v = assigned.select(
         F.col(id_col).alias("_id"),
-        "cid",
+        F.col("cid").cast("long").alias("cid"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
-    )
+    ).localCheckpoint(eager=True)  # one assignment pass for histogram + both join sides
+
+    if max_cell_rows is not None:
+        hist = v.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn")).collect()
+        hot = {
+            int(r["cid"]): -(-int(r["_cn"]) // max_cell_rows)
+            for r in hist
+            if r["_cn"] > max_cell_rows
+        }
+    else:
+        hot = {}
+    if hot and hot_cell == "raise":
+        top = sorted(((int(r["_cn"]), int(r["cid"])) for r in hist), reverse=True)
+        raise ValueError(
+            f"semantic_dedup_pairs: {len(hot)} cell(s) exceed "
+            f"max_cell_rows={max_cell_rows}; launching the within-cell "
+            f"self-join would put sum(n^2) pairs on single join keys. "
+            f"Heaviest cells (rows, cid): {top[:10]}. Use hot_cell='split', "
+            f"raise k (more/tighter cells), or raise max_cell_rows."
+        )
+    if hot:
+        spark = v.sparkSession
+        splits = spark.createDataFrame(
+            [(c, s) for c, s in sorted(hot.items())], "cid long, _ns long"
+        )
+        v = (
+            v.join(broadcast(splits), "cid", "left")
+            .withColumn(
+                "_sub",
+                F.when(
+                    F.col("_ns").isNotNull(),
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("_id").cast("string"), F.lit(split_seed)
+                        ),
+                        F.col("_ns"),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("_ns")
+        )
+    else:
+        v = v.withColumn("_sub", F.lit(0).cast("long"))
+
+    if engine == "gemm":
+        return _within_group_pairs_gemm(v, threshold)
     return (
         v.alias("a")
         .join(
             v.alias("b"),
             on=[
                 F.col("a.cid") == F.col("b.cid"),
+                F.col("a._sub") == F.col("b._sub"),
                 F.col("a._id") < F.col("b._id"),
             ],
         )
@@ -632,12 +783,16 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    **pair_kwargs,
 ) -> DataFrame:
     """Apply :func:`semantic_dedup_pairs` and keep one embedding per
     semantic-duplicate relation (keep-first: the smaller id wins, the
     larger drops — one anti-join over the duplicate-rate-sized drop
-    set, the corpus never shuffles)."""
+    set, the corpus never shuffles). ``pair_kwargs`` pass through to
+    the pair search (hot-cell guard, engine family)."""
     from siskin_spark.operators.neardup import keep_canonical
 
-    pairs = semantic_dedup_pairs(emb, centroids, threshold, id_col, vec_col)
+    pairs = semantic_dedup_pairs(
+        emb, centroids, threshold, id_col, vec_col, **pair_kwargs
+    )
     return keep_canonical(emb, pairs, id_col=id_col)
