@@ -303,8 +303,51 @@ def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     )
 
 
+def _dedup_lines_sorted(ls: Column, sep: str) -> Column:
+    """O(L log L) first-occurrence form for pathological documents:
+    pair every line with its position, sort by (line, position) so the
+    first occurrence of each line leads its run, mark runs by comparing
+    each sorted element to its predecessor (``element_at`` on a
+    :func:`let_once`-BOUND array is an O(1) slot access — unbound it
+    would re-evaluate the sort per element, the O(L²) trap this form
+    exists to avoid), then restore document order by re-sorting the
+    keepers on position. Blank lines are exempt (kept in place), same
+    contract as the quadratic form."""
+    sp = F.transform(ls, lambda x, i: F.struct(x.alias("l"), i.alias("p")))
+    return let_once(
+        F.array_sort(sp),
+        lambda ssp: F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.transform(
+                            ssp,
+                            lambda s, i: F.struct(
+                                s["p"].alias("p"),
+                                s["l"].alias("l"),
+                                (
+                                    (F.length(s["l"]) == 0)
+                                    | F.when(i == 0, F.lit(True)).otherwise(
+                                        F.element_at(ssp, i)["l"] != s["l"]
+                                    )
+                                ).alias("k"),
+                            ),
+                        ),
+                        lambda m: m["k"],
+                    )
+                ),  # struct(p, ...) sorts by original position
+                lambda m: m["l"],
+            ),
+            sep,
+        ),
+    )
+
+
 def dedup_lines_within_doc(
-    text: Column | str, sep: str = "\n", lines: Column | None = None
+    text: Column | str,
+    sep: str = "\n",
+    lines: Column | None = None,
+    sort_above: int = 512,
 ) -> Column:
     """WITHIN-document duplicate-line removal (the C4 preprocessing
     sibling of the corpus-level
@@ -316,24 +359,33 @@ def dedup_lines_within_doc(
 
     Pure map — per-document work only, no shuffle at any corpus size
     (the corpus-level rule needs a line-key aggregate; the within-doc
-    rule by definition doesn't). The first-occurrence test is
+    rule by definition doesn't). Documents at or under ``sort_above``
+    lines use the direct first-occurrence test —
     ``array_position(lines, x) == own position`` inside an indexed
     ``filter`` over a :func:`let_once`-bound split (without the
     binding, the interpreted HOF would re-split the text per line).
-    O(lines²) comparisons per document — lines-per-doc is bounded and
-    small, so this beats shipping the doc through a shuffle. Pass a
-    pre-split ``lines`` column (e.g. a staged token array when
+    That test is O(lines²) comparisons, the cheapest shape for the
+    normal web-document tail; above the threshold the per-row
+    ``when`` routes to :func:`_dedup_lines_sorted` (O(L log L)) so one
+    pathological 100K-line document costs ~10⁶ comparisons instead of
+    the 10¹⁰ that would stall its task for hours (r8 verdict #3).
+    Pass a pre-split ``lines`` column (e.g. a staged token array when
     ``sep=' '``) to skip re-splitting."""
     c = F.col(text) if isinstance(text, str) else text
     return let_once(
         F.split(c, sep) if lines is None else lines,
-        lambda ls: F.array_join(
-            F.filter(
-                ls,
-                lambda x, i: (F.length(x) == 0)
-                | (F.array_position(ls, x) == i + F.lit(1).cast("long")),
-            ),
-            sep,
+        lambda ls: F.when(
+            F.size(ls) > sort_above,
+            _dedup_lines_sorted(ls, sep),
+        ).otherwise(
+            F.array_join(
+                F.filter(
+                    ls,
+                    lambda x, i: (F.length(x) == 0)
+                    | (F.array_position(ls, x) == i + F.lit(1).cast("long")),
+                ),
+                sep,
+            )
         ),
     )
 
@@ -343,6 +395,7 @@ def hashed_bow_logit(
     weights: list[int],
     seed: int = 0,
     toks: Column | None = None,
+    hash_family: str = "md5",
 ) -> Column:
     """Linear text-classifier logit over a hashed bag of words — the
     fastText-style quality/domain scoring shape (score each document
@@ -355,23 +408,34 @@ def hashed_bow_logit(
     float weights): the sum is then exact 64-bit arithmetic —
     bit-identical in any engine, no float summation-order drift —
     and the caller applies threshold/sigmoid on the integer logit.
-    With ``len(weights) == 256`` the bucket is the first byte of the
-    seeded md5 (portable to any engine with md5 — the DuckDB oracle
-    recomputes it); other dims take the first 8 hex chars mod dim.
+    Two hash families, same split the minhash signatures ship
+    (``operators/neardup.py``): ``'md5'`` (default) buckets by the
+    first byte of the seeded md5 when ``len(weights) == 256`` (first 8
+    hex chars mod dim otherwise) — portable to any engine with md5,
+    the DuckDB oracle recomputes it bit-exactly; ``'xxhash64'``
+    buckets by ``pmod(xxhash64(seed, token), dim)`` — one JVM-intrinsic
+    integer hash per token instead of a full md5 digest + hex
+    round-trip, the scale family for 100 TB scoring runs (bucket
+    assignments differ between families; a model's weights are trained
+    against ONE family — pick it at export time).
 
-    Pure map: a per-row ``transform`` + integer-fold over the token
-    array (the weights array constant-folds to one literal), no
-    explode, no shuffle, no weight-table join. For dims too large for
-    a literal array (~100K+), reshape to explode + broadcast-join the
-    weight table + one map-side-combined sum — same values, one narrow
-    shuffle."""
+    Pure map either way: a per-row ``transform`` + integer-fold over
+    the token array (the weights array constant-folds to one literal),
+    no explode, no shuffle, no weight-table join. For dims too large
+    for a literal array (~100K+), reshape to explode + broadcast-join
+    the weight table + one map-side-combined sum — same values, one
+    narrow shuffle."""
     dim = len(weights)
     if dim == 0:
         raise ValueError("weights must be non-empty")
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     c = F.col(text) if isinstance(text, str) else text
     w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
 
     def bucket(tok: Column) -> Column:
+        if hash_family == "xxhash64":
+            return F.pmod(F.xxhash64(F.lit(seed), tok), F.lit(dim)).cast("long")
         h = F.md5(F.concat(F.lit(f"{seed}:"), tok))
         if dim == 256:
             return F.conv(F.substring(h, 1, 2), 16, 10).cast("long")

@@ -795,3 +795,40 @@ def test_vocab_table_single_explode_pass(spark):
     assert rows["alpha"]["n"] == 40 and rows["alpha"]["rank"] == 1
     assert abs(rows["alpha"]["cum_frac"] - 0.5) < 1e-12
     assert abs(rows["beta"]["cum_frac"] - 0.75) < 1e-12
+
+
+def test_domain_cap_planted_90pct_domain_no_concentration(spark):
+    """r8 verdict #7: one domain holding 90% of the corpus. The exact
+    mode's window must only ever see the hash-prefiltered candidate
+    set (~cap + 6*sqrt(cap) + 64 rows), never the whole hot domain —
+    asserted by recomputing the pre-filter python-side — and the cap
+    itself must come out exact under the skew."""
+    import math
+
+    cap = 100
+    n_mega = 18_000  # 90%
+    rows = [Row(doc_id=i, source="mega") for i in range(n_mega)]
+    rows += [Row(doc_id=100_000 + i, source=f"d{i % 40}") for i in range(2_000)]
+    docs = spark.createDataFrame(rows)
+
+    marked = C.domain_cap_mark(docs, cap=cap, exact=True)
+    kept = marked.filter("cap_keep").groupBy("source").count().collect()
+    by_dom = {r["source"]: r["count"] for r in kept}
+    assert by_dom["mega"] == cap                      # exact under 90% skew
+    assert all(v == 50 for d, v in by_dom.items() if d != "mega")
+
+    # structural de-skew: replicate the candidate pre-filter and show
+    # the hot domain's window input is bounded candidates, not 18K rows
+    admit = int(cap + 6 * math.sqrt(cap) + 64)
+    thresh = format(
+        min(2**32 - 1, round(admit * 2.0**32 / n_mega)), "08x"
+    )
+    n_cand = sum(
+        1
+        for i in range(n_mega)
+        if hashlib.md5(f"0:{i}".encode()).hexdigest()[:8] < thresh
+    )
+    assert n_cand >= cap  # the margin held: enough candidates to rank
+    assert n_cand <= admit + 6 * math.sqrt(admit)  # ...and bounded
+    # under-cap domains take the KEEP_ALL branch: no window at all
+    assert by_dom["d0"] == 50 and len(by_dom) == 41

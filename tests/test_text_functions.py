@@ -341,3 +341,118 @@ def test_hashed_bow_logit_is_a_pure_map(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_hashed_bow_logit_xxhash64_family_golden(spark):
+    """The scale family (r8 verdict ask #4): xxhash64 buckets are a
+    different — pinned — distribution from the md5 oracle family, and
+    the logit matches both a literal golden (regression pin) and an
+    independent explode+join evaluation of the same bucket function."""
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import hashed_bow_logit
+
+    w256 = [((b * 2654435761) % 4096) - 2048 for b in range(256)]
+    w40 = [((b * 97) % 200) - 100 for b in range(40)]
+    texts = ["the quick brown fox", "a a a", "", "one"]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: (r["x256"], r["x40"])
+        for r in df.select(
+            "i",
+            hashed_bow_logit("t", w256, seed=0, hash_family="xxhash64").alias("x256"),
+            hashed_bow_logit("t", w40, seed=3, hash_family="xxhash64").alias("x40"),
+        ).collect()
+    }
+    # golden literals: pinned once from the JVM xxhash64 — any change
+    # to the bucket derivation breaks scoring against exported weights
+    assert got == {0: (-2624, 117), 1: (5298, 138), 2: (-411, 40), 3: (-294, 89)}
+
+    # per-token bucket distributions, both families, pinned side by side
+    toks = ["the", "quick", "brown", "fox", "a", "", "one"]
+    td = spark.createDataFrame([Row(t=t) for t in toks])
+    buckets = {
+        r["t"]: (r["bx"], r["bm"])
+        for r in td.select(
+            "t",
+            F.pmod(F.xxhash64(F.lit(0), F.col("t")), F.lit(256)).alias("bx"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("0:"), F.col("t"))), 1, 2), 16, 10
+            ).cast("long").alias("bm"),
+        ).collect()
+    }
+    assert buckets == {
+        "the": (48, 215), "quick": (210, 105), "brown": (82, 35),
+        "fox": (108, 209), "a": (198, 2), "": (245, 154), "one": (250, 248),
+    }
+    # independent reference: the xxhash64 logit equals summing the
+    # pinned per-token bucket weights
+    for i, t in enumerate(texts):
+        want = sum(w256[buckets[tok][0]] for tok in t.split(" "))
+        assert got[i][0] == want, (i, t)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        df.select(hashed_bow_logit("t", w256, hash_family="sha1"))
+
+
+def _py_dedup_lines(t: str, sep: str = "\n") -> str:
+    seen, out = set(), []
+    for ln in t.split(sep):
+        if ln == "":
+            out.append(ln)
+        elif ln not in seen:
+            seen.add(ln)
+            out.append(ln)
+    return sep.join(out)
+
+
+def test_dedup_lines_sorted_form_matches_quadratic(spark):
+    """Both routing branches must implement the identical contract:
+    random docs (with blanks, repeats, unicode) evaluated with the
+    threshold forcing each form give the python-reference answer."""
+    import random
+
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import dedup_lines_within_doc
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "", "gämma", "x y", "beta", "Z"]
+    docs = [
+        "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(docs)])
+    for thresh in (0, 10_000):  # force sorted form / force quadratic form
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", dedup_lines_within_doc("t", sort_above=thresh).alias("d")
+            ).collect()
+        }
+        for i, t in enumerate(docs):
+            assert got[i] == _py_dedup_lines(t), (thresh, i, t)
+
+
+def test_dedup_lines_adversarial_100k_line_doc(spark):
+    """r8 verdict #3: a pathological 100K-line document must complete in
+    bounded time (the quadratic form would do ~10^10 comparisons; the
+    sort-based route does ~10^6). Value checked against the python
+    reference."""
+    import time
+
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import dedup_lines_within_doc
+
+    # 50K distinct lines, each appearing twice, interleaved
+    lines = [f"line-{i % 50_000}" for i in range(100_000)]
+    doc = "\n".join(lines)
+    df = spark.createDataFrame([Row(t=doc)])
+    t0 = time.perf_counter()
+    out = df.select(dedup_lines_within_doc("t").alias("d")).first()["d"]
+    elapsed = time.perf_counter() - t0
+    assert out == _py_dedup_lines(doc)
+    assert elapsed < 120, f"adversarial doc took {elapsed:.0f}s"
