@@ -313,14 +313,31 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(len(str_split(text, ' ')))
                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM c
+    ),
+    vt AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(str_split(text, ' ')) AS token FROM documents
+      ) WHERE len(token) > 0 GROUP BY token
+    ),
+    vtot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM vt),
+    vhead AS (SELECT token, n FROM vt ORDER BY n DESC, token LIMIT 64),
+    v AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS vrank,
+             CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / t AS vcum
+      FROM vhead, vtot
     )
     SELECT doc_id, text, cap_keep, n_tokens,
            cum - n_tokens AS start_tok,
            (cum - n_tokens) // 1024 AS seq_first,
            (cum - n_tokens) % 1024 AS seq_off,
            CASE WHEN n_tokens > 0 THEN (cum - 1) // 1024
-                ELSE (cum - n_tokens) // 1024 END AS seq_last
-    FROM s ORDER BY doc_id
+                ELSE (cum - n_tokens) // 1024 END AS seq_last,
+           coalesce(v.vrank, -1) AS tok1_rank,
+           coalesce(v.vcum, CAST(-1.0 AS DOUBLE)) AS tok1_cum
+    FROM s LEFT JOIN v ON str_split(s.text, ' ')[1] = v.token
+    ORDER BY doc_id
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,10 +349,21 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:token_sequence_layout) — dedup -> cap ->
     pack is the real pipeline order; the oracle checks the two-phase
     parallel prefix sum against a plain SQL window cumsum and the cap
-    against a row_number window over the same seeded hash."""
+    against a row_number window over the same seeded hash. The C14
+    vocabulary builder (operators/curation.py:vocab_table) rides the
+    same query (≤50-query registry policy): each surviving doc is
+    left-joined on its FIRST whitespace token against the
+    corpus-level top-64 vocab — tok1_rank / tok1_cum oracle-check the
+    count, the deterministic (n DESC, token) ranking and the
+    cumulative-coverage math against a plain SQL window over the
+    bounded head (-1 sentinels for out-of-vocab, not NULL: pandas
+    downcasts NULL-bearing int columns to float and skews the
+    driver's value hash). The vocab side is bounded (64 rows) so the
+    join broadcasts."""
     from siskin_spark.operators.curation import (
         domain_cap_mark,
         token_sequence_layout,
+        vocab_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -343,9 +371,22 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = domain_cap_mark(
         out, cap=15, domain_col="source", key_col="doc_id", exact=True
     )
-    return token_sequence_layout(
+    packed = token_sequence_layout(
         capped.select("doc_id", "text", "cap_keep"), budget=1024
-    ).orderBy("doc_id")
+    )
+    vocab = vocab_table(docs, top=64).select(
+        F.col("token").alias("_t1"),
+        F.col("rank").alias("tok1_rank"),
+        F.col("cum_frac").alias("tok1_cum"),
+    )
+    return (
+        packed.withColumn("_t1", F.element_at(F.split(F.col("text"), " "), 1))
+        .join(F.broadcast(vocab), "_t1", "left")
+        .withColumn("tok1_rank", F.coalesce("tok1_rank", F.lit(-1)))
+        .withColumn("tok1_cum", F.coalesce("tok1_cum", F.lit(-1.0)))
+        .drop("_t1")
+        .orderBy("doc_id")
+    )
 
 
 @_q(
@@ -1623,34 +1664,81 @@ def _hp_bucket_sql(n_planes: int, first_plane: int = 0, vec: str = "v") -> str:
           FROM ip JOIN assigned i USING (cid) WHERE probe_id <> i.vec_id
         )
       ) WHERE rank <= 5
+    ),
+    sall AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS REAL))
+               AS embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    se AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM sall
+    ),
+    sassigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT se.vec_id, se.v, cent.cid,
+               row_number() OVER (PARTITION BY se.vec_id ORDER BY
+                 list_dot_product(se.v, cent.cv) /
+                 (sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM se, cent
+      ) WHERE rn = 1
+    ),
+    sem AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} AS cos_sim,
+             0 AS rank, CAST(a.cid AS BIGINT) AS cid
+      FROM sassigned a JOIN sassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} >= 0.45
     )
-    SELECT 'brute' AS part, * FROM brute
-    UNION ALL SELECT 'lsh', * FROM lsh
-    UNION ALL SELECT 'ivf', * FROM ivf
-    ORDER BY part, probe_id, rank
+    SELECT 'brute' AS part, *, CAST(-1 AS BIGINT) AS cid FROM brute
+    UNION ALL SELECT 'lsh', *, CAST(-1 AS BIGINT) FROM lsh
+    UNION ALL SELECT 'ivf', *, CAST(-1 AS BIGINT) FROM ivf
+    UNION ALL SELECT 'sem', probe_id, neighbor_id, cos_sim, rank, cid FROM sem
+    ORDER BY part, probe_id, rank, neighbor_id
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§7.5 similarity search, all three strategies over one probe set,
+    """§7.5 similarity search, all strategies over one probe set,
     tagged: 'brute' exact top-k (broadcast probes x index — the recall
     oracle), 'lsh' hyperplane-LSH buckets (md5-derived ±1 planes,
     equi-join on bucket — the 100 TB path), 'ivf' IVF-flat (nearest of
-    8 centroid cells, nprobe=1 equi-join). Fold-order-deterministic
-    double math -> bit-identical to the oracle."""
+    8 centroid cells, nprobe=1 equi-join), and 'sem' — the C13
+    SemDeDup operator (functions/vectors.py:semantic_dedup_pairs):
+    within-cell duplicate pairs over the SAME 8 centroids, with
+    exactly-doubled planted duplicates (every 50th vector under
+    id+1000000; doubling is float-exact and scale-invariant, so each
+    planted pair shares its base vector's cell at cos == 1.0) plus the
+    natural within-cell pairs above 0.45 — oracle-checking the cell
+    assignment (cid column), the within-cell join and the cosine math
+    (merged here per the ≤50-query registry policy; the hot-cell
+    guard's split hash has no SQL equivalent and is pinned by planted
+    fixtures in tests/test_vectors.py instead). cid is -1 on the
+    search parts, rank 0 on the dedup part (sentinels, not NULL —
+    NULL-bearing int columns downcast to float in pandas and skew the
+    driver's value hash). Fold-order-deterministic double math ->
+    bit-identical to the oracle."""
     from siskin_spark.functions.vectors import (
         brute_force_topk,
         bucketed_ann_topk,
         ivf_assign,
         ivf_topk,
+        semantic_dedup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
+    no_cid = F.lit(-1).cast("long").alias("cid")
     brute = brute_force_topk(probes, emb, k=5).select(
-        F.lit("brute").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("brute").alias("part"), "probe_id", "neighbor_id", "cos_sim",
+        "rank", no_cid,
     )
     lsh = bucketed_ann_topk(probes, emb, k=5, dims=6).select(
-        F.lit("lsh").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("lsh").alias("part"), "probe_id", "neighbor_id", "cos_sim",
+        "rank", no_cid,
     )
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -1661,12 +1749,31 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side of the cell join.
     probes_ivf = ivf_assign(probes, centroids)
     ivf = ivf_topk(probes_ivf, assigned, k=5).select(
-        F.lit("ivf").alias("part"), "probe_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("ivf").alias("part"), "probe_id", "neighbor_id", "cos_sim",
+        "rank", no_cid,
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 2).cast("float")
+        ).alias("embedding"),
+    )
+    sem = semantic_dedup_pairs(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        centroids, threshold=0.45, use_gemm=False,
+    ).select(
+        F.lit("sem").alias("part"),
+        F.col("id_a").alias("probe_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cos_sim",
+        F.lit(0).cast("int").alias("rank"),
+        "cid",
     )
     return (
         brute.unionByName(lsh)
         .unionByName(ivf)
-        .orderBy("part", "probe_id", "rank")
+        .unionByName(sem)
+        .orderBy("part", "probe_id", "rank", "neighbor_id")
     )
 
 
