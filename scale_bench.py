@@ -258,6 +258,145 @@ def filter_config() -> dict:
     return cfg
 
 
+def _control_leg(spark, results: dict, timed) -> None:
+    """Host-speed calibration (r9, verdict #5): the r8 session measured
+    20-60% uniform slowdown on UNTOUCHED code (hypervisor steal), which
+    made cross-session absolute comparisons guesswork. Two fixed
+    CPU-bound controls run first so every artifact carries its own
+    normalizer — consumers should report operator ratios against the
+    SAME round's control, and compare rounds via control-to-control:
+
+    - ``control_jvm_xxhash_s``: bit_xor(xxhash64(id)) over a pinned
+      2e10-row range — pure JVM whole-stage-codegen arithmetic on all
+      cores, the substrate every operator leg runs on (~3s on an
+      unloaded 32-thread host: long enough to average over scheduler
+      jitter, short enough to run three times).
+    - ``control_py_md5_s``: 2M-iteration single-thread hashlib loop on
+      the driver — catches steal/core-pinning issues independent of
+      the JVM.
+    """
+    import hashlib
+
+    def ctrl():
+        return (
+            spark.range(20_000_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            # bit_xor, not sum: ANSI mode overflows a long sum of 2e10
+            # uniform 64-bit hashes
+            .agg(F.expr("bit_xor(h)").alias("s"))
+        )
+
+    timed(ctrl())
+    results["control_jvm_xxhash_s"] = min(timed(ctrl()) for _ in range(3))
+
+    def py_ctrl() -> float:
+        t0 = time.perf_counter()
+        h = b"seed"
+        for _ in range(2_000_000):
+            h = hashlib.md5(h).digest()
+        return time.perf_counter() - t0
+
+    results["control_py_md5_s"] = min(py_ctrl() for _ in range(3))
+
+
+def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
+    """C13 SemDeDup at full scale (r9, verdict #1 done-criterion): the
+    GEMM pair engine over (a) a balanced fitted-centroid set and (b) a
+    DELIBERATELY skewed one — 64 centroids of which 62 are exact
+    copies of centroid 0 (ties assign to the smaller cid, so the
+    copies never win): the corpus piles onto two cells at ~50% each,
+    the degenerate k-means outcome (duplicate/collapsed centroids from
+    empty-cell reseeding, dense paraphrase clusters) real web
+    embeddings produce. Without the hot-cell guard the skewed case is
+    sum(cell²) ≈ 2·(n/2)² cosine pairs on two join keys — 2.2e12 pairs
+    at 3M vectors, unrunnable; the guard's secondary-hash split bounds
+    every group to ``max_cell_rows`` and the leg records the achieved
+    pair-budget reduction."""
+    from siskin_spark.functions.vectors import (
+        ivf_fit_centroids,
+        semantic_dedup_pairs,
+    )
+
+    max_cell = 20_000
+    cents = ivf_fit_centroids(vectors, k=256, sample=20_000, iters=10).cache()
+    cents.count()
+
+    def bal():
+        return semantic_dedup_pairs(
+            vectors, cents, threshold=0.95, engine="gemm",
+            max_cell_rows=max_cell,
+        )
+
+    timed(bal())
+    results["semdedup_balanced_s"] = min(timed(bal()) for _ in range(2))
+    results["semdedup_balanced_pairs"] = bal().count()
+
+    c0 = cents.filter(F.col("cid") == 0).first()["cv"]
+    c0_lit = F.array(*[F.lit(float(x)).cast("float") for x in c0])
+    skew = cents.filter(F.col("cid") < 64).select(
+        "cid",
+        F.when(F.col("cid") < 2, F.col("cv")).otherwise(c0_lit).alias("cv"),
+    ).cache()
+    skew.count()
+
+    # the skew histogram + implied pair budgets, recorded so the claim
+    # "the guard made this runnable" is checkable from the artifact
+    from siskin_spark.functions.vectors import ivf_assign_gemm
+
+    hist = (
+        ivf_assign_gemm(vectors, skew)
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = sorted((int(r["n"]) for r in hist), reverse=True)
+    results["semdedup_hot_max_cell"] = counts[0]
+    results["semdedup_hot_pairs_unguarded"] = sum(c * (c - 1) // 2 for c in counts)
+    # per cell: s = ceil(c/max_cell) hash sub-cells -> ~c^2/(2s) pairs
+    results["semdedup_hot_pairs_guarded"] = sum(
+        c * c // (2 * (-(-c // max_cell))) for c in counts
+    )
+
+    def hot():
+        return semantic_dedup_pairs(
+            vectors, skew, threshold=0.95, engine="gemm",
+            max_cell_rows=max_cell,
+        )
+
+    timed(hot())
+    results["semdedup_hotcell_s"] = min(timed(hot()) for _ in range(2))
+    results["semdedup_hotcell_pairs"] = hot().count()
+    cents.unpersist()
+    skew.unpersist()
+
+
+def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
+    """r9 verdict #4: the hashed-BoW classifier leg at full scale, both
+    hash families (md5 = oracle parity, xxhash64 = one JVM-intrinsic
+    hash per token), plus the single-pass vocab_table (r9 #2: the
+    corpus total no longer re-runs the explode+count)."""
+    from siskin_spark.functions.text import hashed_bow_logit
+    from siskin_spark.operators.curation import vocab_table
+
+    w = [((b * 2654435761) % 4096) - 2048 for b in range(256)]
+
+    def clf(fam: str):
+        return docs.select(
+            "doc_id",
+            hashed_bow_logit("text", w, seed=7, hash_family=fam).alias("logit"),
+        )
+
+    timed(clf("md5"))
+    results["clf_md5_s"] = min(timed(clf("md5")) for _ in range(3))
+    timed(clf("xxhash64"))
+    results["clf_xxhash64_s"] = min(timed(clf("xxhash64")) for _ in range(3))
+
+    def vocab():
+        return vocab_table(docs, top=100_000)
+
+    timed(vocab())
+    results["vocab_table_s"] = min(timed(vocab()) for _ in range(3))
+
+
 def _incremental_leg(spark, docs, results: dict, timed) -> None:
     """Incremental near-dup vs the persisted index: a daily batch must
     cost BATCH-sized work. Measures (a) the one-time index build over
@@ -412,9 +551,9 @@ def main() -> None:
         build_corpus(spark, n_records)
         open(marker, "w").close()
 
-    if os.environ.get("SCALE_ONLY") in ("neardup_incremental", "curation"):
+    if os.environ.get("SCALE_ONLY") in ("neardup_incremental", "curation", "r9"):
         # iterate on this one leg without the ~25-minute full suite;
-        # emits a partial JSON with only the incremental-leg keys
+        # emits a partial JSON with only the leg's keys
         results: dict[str, float] = {}
 
         def timed_only(df) -> float:
@@ -425,6 +564,11 @@ def main() -> None:
         docs_only = spark.read.parquet(os.path.join(CORPUS, "docs"))
         if os.environ["SCALE_ONLY"] == "curation":
             _curation_leg(spark, docs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "r9":
+            _control_leg(spark, results, timed_only)
+            _clf_vocab_leg(spark, docs_only, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _semdedup_leg(spark, vecs_only, results, timed_only)
         else:
             _incremental_leg(spark, docs_only, results, timed_only)
         print(json.dumps({"metric": "records_per_second", "records": n_records, **{
@@ -448,6 +592,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     results: dict[str, float] = {}
+    _control_leg(spark, results, timed)
 
     oa = lambda: apply_oa_flag(  # noqa: E731
         records,
@@ -531,6 +676,7 @@ def main() -> None:
 
     _incremental_leg(spark, docs, results, timed)
     _curation_leg(spark, docs, results, timed)
+    _clf_vocab_leg(spark, docs, results, timed)
 
     # -- §7.5 text analysis at full scale ------------------------------
     # text_quality was the flagged 100x-scale cost center (12
@@ -617,6 +763,7 @@ def main() -> None:
 
     vectors = spark.read.parquet(os.path.join(CORPUS, "vectors"))
     n_vec = vectors.count()
+    _semdedup_leg(spark, vectors, results, timed)
     probes = vectors.filter(F.col("vec_id") % (n_vec // 200) == 7)
 
     lsh_topk = lambda: bucketed_ann_topk(probes, vectors, k=10, dims=6)  # noqa: E731
@@ -875,6 +1022,13 @@ def main() -> None:
         "metric": "records_per_second",
         "records": n_records,
         "cpus": cpus,
+        # host-speed normalizer (fixed workloads — see _control_leg):
+        # compare rounds via control-to-control, operators via
+        # operator/control within one artifact
+        "control_jvm_xxhash_s": round(results["control_jvm_xxhash_s"], 2),
+        "control_jvm_xxhash_rows": 3_000_000_000,
+        "control_py_md5_s": round(results["control_py_md5_s"], 2),
+        "control_py_md5_iters": 2_000_000,
         "oa_flag_s": round(results["oa_flag_s"], 2),
         "oa_flag_rps": round(n_records / results["oa_flag_s"]),
         "oa_flag_baseline_rps": 41_700,
@@ -948,6 +1102,20 @@ def main() -> None:
         ),
         "stream_window_s": round(results["stream_window_s"], 2),
         "stream_window_rps": round(n_stream / results["stream_window_s"]),
+        "semdedup_balanced_s": round(results["semdedup_balanced_s"], 2),
+        "semdedup_balanced_pairs": results["semdedup_balanced_pairs"],
+        "semdedup_hotcell_s": round(results["semdedup_hotcell_s"], 2),
+        "semdedup_hotcell_pairs": results["semdedup_hotcell_pairs"],
+        "semdedup_hot_max_cell": results["semdedup_hot_max_cell"],
+        "semdedup_hot_pairs_unguarded": results["semdedup_hot_pairs_unguarded"],
+        "semdedup_hot_pairs_guarded": results["semdedup_hot_pairs_guarded"],
+        "clf_md5_s": round(results["clf_md5_s"], 2),
+        "clf_xxhash64_s": round(results["clf_xxhash64_s"], 2),
+        "clf_docs": n_docs,
+        "clf_md5_dps": round(n_docs / results["clf_md5_s"]),
+        "clf_xxhash64_dps": round(n_docs / results["clf_xxhash64_s"]),
+        "vocab_table_s": round(results["vocab_table_s"], 2),
+        "vocab_table_dps": round(n_docs / results["vocab_table_s"]),
         "n_truth_pairs_full": {"cos>=0.95": n_truth95, "cos>=0.8": n_truth80},
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,

@@ -115,6 +115,20 @@ def main(argv: list[str] | None = None) -> int:
         "--keep", action="store_true",
         help="also write the batch survivors under keep-first",
     )
+    p_sd = sub.add_parser("semdedup")
+    p_sd.add_argument("vectors", help="parquet vector table (vec_id, embedding)")
+    p_sd.add_argument("out_dir", help="writes pairs/ and kept/")
+    p_sd.add_argument("--id-col", default="vec_id")
+    p_sd.add_argument("--vec-col", default="embedding")
+    p_sd.add_argument("--k", type=int, default=64,
+                      help="IVF cells for the k-means fit")
+    p_sd.add_argument("--threshold", type=float, default=0.95)
+    p_sd.add_argument("--max-cell-rows", type=int, default=50_000,
+                      help="hot-cell guard: cells above this split into "
+                      "hash sub-cells (0 disables the guard)")
+    p_sd.add_argument("--engine", default="gemm", choices=["expr", "gemm"],
+                      help="within-cell compare: gemm = BLAS scale path")
+    p_sd.add_argument("--seed", type=int, default=7)
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
     p_cur.add_argument(
@@ -143,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
                        "list of fixed-point bucket weights; keeps docs whose "
                        "logit exceeds --clf-threshold")
     p_cur.add_argument("--clf-threshold", type=int, default=0)
+    p_cur.add_argument("--clf-family", default="md5", choices=["md5", "xxhash64"],
+                       help="token-hash family the weights were trained "
+                       "against (xxhash64 = the scale family)")
     p_cur.add_argument("--cap", type=int, default=0, metavar="N",
                        help="keep at most N docs per --cap-domain value "
                        "(sampled mode: statistical cap, no hot-domain reducer)")
@@ -306,6 +323,34 @@ def main(argv: list[str] | None = None) -> int:
                 batch, spark.read.parquet(pairs_path), id_col=args.id_col
             ).write.mode("overwrite").parquet(kept_path)
             print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
+    elif args.cmd == "semdedup":
+        # C13 SemDeDup end-to-end: fit cells on a bounded sample,
+        # within-cell pairs (hot-cell-guarded), keep-first collapse
+        from siskin_spark.functions.vectors import (
+            ivf_fit_centroids,
+            semantic_dedup_pairs,
+        )
+        from siskin_spark.operators.neardup import keep_canonical
+
+        vecs = _read(spark, args.vectors)
+        cents = ivf_fit_centroids(
+            vecs, k=args.k, id_col=args.id_col, vec_col=args.vec_col,
+            seed=args.seed,
+        )
+        pairs = semantic_dedup_pairs(
+            vecs, cents, threshold=args.threshold,
+            id_col=args.id_col, vec_col=args.vec_col,
+            max_cell_rows=args.max_cell_rows or None,
+            engine=args.engine,
+        )
+        pairs_path = os.path.join(args.out_dir, "pairs")
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        print(f"pairs: {spark.read.parquet(pairs_path).count()} at {pairs_path}")
+        kept_path = os.path.join(args.out_dir, "kept")
+        keep_canonical(
+            vecs, spark.read.parquet(pairs_path), id_col=args.id_col
+        ).write.mode("overwrite").parquet(kept_path)
+        print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag,
         # composed as ONE lazy plan up to the final write:
@@ -363,7 +408,10 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.clf) as fh:
                 clf_w = _json.load(fh)
             df = df.filter(
-                hashed_bow_logit(F.col(tc), clf_w, seed=args.seed)
+                hashed_bow_logit(
+                    F.col(tc), clf_w, seed=args.seed,
+                    hash_family=args.clf_family,
+                )
                 > args.clf_threshold
             )
         if args.cap:

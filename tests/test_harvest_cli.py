@@ -507,3 +507,64 @@ def test_cli_curate_new_stages(capsys, tmp_path, spark):
     ]) == 0
     capsys.readouterr()
     assert spark.read.parquet(out2 + "/docs").count() == 0
+
+
+def test_cli_curate_clf_family(capsys, tmp_path, spark):
+    """--clf-family xxhash64 scores with the scale hash family: weights
+    keyed to the xxhash64 bucket of 'alpha' pass the gate under
+    xxhash64 but (with md5 bucketing) not under the default."""
+    import json
+
+    from siskin_spark.cli import main
+
+    rows = [(i, "alpha beta", "s0") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs_path = str(tmp_path / "fam_docs")
+    docs.write.parquet(docs_path)
+
+    bx = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(5), F.lit("alpha")), F.lit(256)).alias("b")
+    ).first()["b"]
+    w = [0] * 256
+    w[int(bx)] = 100
+    clf_path = str(tmp_path / "wx.json")
+    with open(clf_path, "w") as fh:
+        json.dump(w, fh)
+
+    out_x = str(tmp_path / "fam_out_x")
+    assert main([
+        "curate", docs_path, out_x,
+        "--clf", clf_path, "--clf-threshold", "50",
+        "--clf-family", "xxhash64", "--seed", "5",
+    ]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out_x + "/docs").count() == 10
+
+
+def test_cli_semdedup_end_to_end(capsys, tmp_path, spark):
+    """semdedup command: fit -> guarded within-cell pairs -> keep-first
+    collapse; planted exact duplicates drop, everything else survives."""
+    import numpy as np
+
+    from siskin_spark.cli import main
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(80, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 5 exact duplicates under larger ids
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vecs_path = str(tmp_path / "sd_vecs")
+    vecs.write.parquet(vecs_path)
+
+    out_dir = str(tmp_path / "sd_out")
+    assert main([
+        "semdedup", vecs_path, out_dir,
+        "--k", "4", "--threshold", "0.999", "--engine", "gemm",
+    ]) == 0
+    capsys.readouterr()
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(out_dir + "/pairs").collect()}
+    assert pairs == {(i, 1000 + i) for i in range(5)}
+    kept = {r["vec_id"] for r in spark.read.parquet(out_dir + "/kept").collect()}
+    assert kept == set(range(80))
