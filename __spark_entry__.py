@@ -897,6 +897,39 @@ def _pii_sql(template: str) -> str:
     return template
 
 
+# messy per-row URL for the url_canon column: scheme/case/port/
+# tracking-param/fragment noise around a stable page identity
+_URL_HAY_SQL = (
+    "'https://WWW.Example' || CAST(doc_id % 4 AS VARCHAR) || "
+    "'.com:443/p/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=x' || "
+    "CASE WHEN doc_id % 2 = 0 THEN '&id=' || CAST(doc_id % 7 AS VARCHAR) "
+    "ELSE '' END || '&fbclid=zz#frag'"
+)
+
+
+def _canon_url_sql(expr: str) -> str:
+    """The canonical_url regex chain (functions/text.py) spelled as
+    nested DuckDB regexp_replace calls — same RE2-safe literals, same
+    order."""
+    steps = [
+        ("#.*$", ""),
+        ("^https?://", ""),
+        ("^www\\.", ""),
+        (":(80|443)/", "/"),
+        (":(80|443)$", ""),
+        ("(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=[^&#]*&?", ""),
+        ("[?&]$", ""),
+        ("\\?&", "?"),
+        ("/$", ""),
+    ]
+    s = f"lower({expr})"
+    for pat, rep in steps:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    return s
+
+
 @_q(
     "scalar_functions",
     _pii_sql(
@@ -932,6 +965,9 @@ def _pii_sql(template: str) -> str:
                          '(10[.][0-9]{2,8}/[^ "\t]+)', 1) END AS doi_sniffed,
            ps4 AS pii_scrubbed,
            pc1 + pc2 + pc3 + pc4 AS pii_total,
+           """
+    + _canon_url_sql(_URL_HAY_SQL)
+    + """ AS url_canon,
            CASE WHEN length(mh) > 0 THEN
              CAST(CAST((length(mh) - length(translate(mh, '�ÃÂ', '')))
                   + (length(mh) - length(replace(mh, 'â€', ''))) / 2
@@ -956,7 +992,12 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents grain); and PII scrubbing + counting over a second
     synthesized haystack (functions/text.py:scrub_pii — FineWeb-style
     pre-training anonymization, kinds planted by doc_id residue)."""
-    from siskin_spark.functions.text import mojibake_frac, pii_counts, scrub_pii
+    from siskin_spark.functions.text import (
+        canonical_url,
+        mojibake_frac,
+        pii_counts,
+        scrub_pii,
+    )
     from siskin_spark.operators import transforms as T
     from siskin_spark.operators.transforms import doi_sniff
 
@@ -1018,6 +1059,25 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doi_sniffed"),
         scrub_pii(hay).alias("pii_scrubbed"),
         (pc["email"] + pc["ssn"] + pc["ipv4"] + pc["phone"]).alias("pii_total"),
+        # URL-dedup canonicalization key (functions/text.py:
+        # canonical_url — the RefinedWeb/FineWeb pre-dedup stage) over
+        # a synthesized messy URL: scheme/case/www/port/tracking/
+        # fragment variants collapse to the stable page identity
+        canonical_url(
+            F.concat(
+                F.lit("https://WWW.Example"),
+                (d % 4).cast("string"),
+                F.lit(".com:443/p/"),
+                d.cast("string"),
+                F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.lit("?utm_source=x"),
+                F.when(
+                    d % 2 == 0,
+                    F.concat(F.lit("&id="), (d % 7).cast("string")),
+                ).otherwise(F.lit("")),
+                F.lit("&fbclid=zz#frag"),
+            )
+        ).alias("url_canon"),
         # encoding-quality signal over a second haystack planting
         # mojibake sequences on the doc_id % 7 residue
         mojibake_frac(

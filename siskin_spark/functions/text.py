@@ -606,6 +606,50 @@ def with_top_ngram_frac(
     return staged.drop("_tng_g", "_tng_starts", "_tng_runs")
 
 
+#: query parameters stripped by canonical_url: click-tracking noise
+#: that makes otherwise-identical pages distinct URLs
+_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """URL-dedup canonicalization key (the RefinedWeb/FineWeb stage
+    that precedes URL-level exact dedup: CommonCrawl re-fetches the
+    same page under scheme/case/tracking-parameter variants, and
+    keying the dedup on the RAW url silently keeps them all).
+
+    A chain of global JVM regex passes — one codegen'd projection, no
+    UDF, no shuffle; RE2-compatible patterns (no lookaround or
+    backreferences) so an oracle can run the same literals:
+    lowercase -> drop fragment -> drop scheme -> drop leading 'www.'
+    -> drop default :80/:443 port -> strip tracking params
+    (utm_*/fbclid/gclid/...) -> tidy dangling '?'/'&' -> strip one
+    trailing slash. A canonicalization heuristic for DEDUP KEYING,
+    deliberately not a URL parser: it never rejects, and two URLs it
+    maps together are overwhelmingly the same page, which is the
+    right trade for a dedup key (false merges cost one extra dropped
+    page; a parser dependency would cost a Python UDF in the hot
+    path).
+
+    Compose with the exact-dedup operator for URL-level dedup::
+
+        dedup.snapshot_earliest(
+            docs.withColumn("url_key", canonical_url("url")),
+            ["url_key"], ["doc_id"])
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.lower(c)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.regexp_replace(u, ":(80|443)/", "/")
+    u = F.regexp_replace(u, ":(80|443)$", "")
+    u = F.regexp_replace(u, f"(?:{_TRACKING_PARAMS})=[^&#]*&?", "")
+    u = F.regexp_replace(u, "[?&]$", "")
+    u = F.regexp_replace(u, "\\?&", "?")
+    u = F.regexp_replace(u, "/$", "")
+    return u
+
+
 # PII scrubbing (FineWeb-style pre-training anonymization): masks are
 # applied in THIS order — ssn before phone (a dashed SSN also matches
 # the looser phone shape), ipv4 before phone (digit runs). Patterns are

@@ -456,3 +456,33 @@ def test_dedup_lines_adversarial_100k_line_doc(spark):
     elapsed = time.perf_counter() - t0
     assert out == _py_dedup_lines(doc)
     assert elapsed < 120, f"adversarial doc took {elapsed:.0f}s"
+
+
+def test_canonical_url_dedup_key(spark):
+    """URL canonicalization: scheme/case/www/port/tracking/fragment
+    variants of the same page map to one key; distinct pages stay
+    distinct."""
+    from pyspark.sql import Row
+
+    from siskin_spark.functions.text import canonical_url
+
+    cases = {
+        "https://WWW.Example.com/Path/": "example.com/path",
+        "http://example.com:80/Path": "example.com/path",
+        "https://example.com:443/path#section-2": "example.com/path",
+        "example.com/path?utm_source=tw&utm_medium=x": "example.com/path",
+        "https://example.com/path?id=7&utm_campaign=y": "example.com/path?id=7",
+        "https://example.com/path?utm_source=a&id=7": "example.com/path?id=7",
+        "https://example.com/path?fbclid=abc&gclid=Z": "example.com/path",
+        "https://example.com/other": "example.com/other",
+        "https://example.com/path?page=2": "example.com/path?page=2",
+        "HTTPS://sub.example.com/": "sub.example.com",
+        "example.com": "example.com",
+    }
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(cases)])
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", canonical_url("u").alias("k")).collect()
+    }
+    for i, (u, want) in enumerate(cases.items()):
+        assert got[i] == want, (u, got[i], want)
