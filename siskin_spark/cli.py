@@ -138,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cur.add_argument("--id-col", default="doc_id")
     p_cur.add_argument("--text-col", default="text")
+    p_cur.add_argument("--url-dedup", metavar="URL_COL", default=None,
+                       help="canonicalize URL_COL (strip scheme/www/port/"
+                       "tracking params) and keep one doc per canonical "
+                       "URL (smallest id wins)")
     p_cur.add_argument("--quality", action="store_true",
                        help="Gopher quality + repetition gates")
     p_cur.add_argument("--line-dedup", type=int, default=0, metavar="MIN_COUNT",
@@ -354,8 +358,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag,
         # composed as ONE lazy plan up to the final write:
-        # quality -> line-dedup -> wd-dedup -> decontaminate -> clf
-        # -> cap -> mix -> sample -> pack
+        # url-dedup -> quality -> line-dedup -> wd-dedup ->
+        # decontaminate -> clf -> cap -> mix -> sample -> pack
         from pyspark.sql import functions as F
 
         from siskin_spark.functions.text import (
@@ -369,6 +373,16 @@ def main(argv: list[str] | None = None) -> int:
         df = _read(spark, args.docs)
         n_in = df.count()
         tc = args.text_col
+        if args.url_dedup:
+            # URL-level exact dedup FIRST (cheapest key, biggest cut on
+            # crawl data): canonicalize, keep the smallest id per key
+            from siskin_spark.functions.text import canonical_url
+            from siskin_spark.operators.dedup import snapshot_earliest
+
+            df = snapshot_earliest(
+                df.withColumn("_url_key", canonical_url(F.col(args.url_dedup))),
+                ["_url_key"], [args.id_col],
+            ).drop("_url_key")
         if args.quality:
             df = df.filter(
                 quality_keep(F.col(tc))

@@ -568,3 +568,26 @@ def test_cli_semdedup_end_to_end(capsys, tmp_path, spark):
     assert pairs == {(i, 1000 + i) for i in range(5)}
     kept = {r["vec_id"] for r in spark.read.parquet(out_dir + "/kept").collect()}
     assert kept == set(range(80))
+
+
+def test_cli_curate_url_dedup(capsys, tmp_path, spark):
+    """--url-dedup: scheme/tracking variants of one page collapse to a
+    single surviving doc (smallest id), distinct pages all survive."""
+    from siskin_spark.cli import main
+
+    rows = [
+        (0, "a", "https://WWW.Site.com/p?utm_source=x"),
+        (1, "b", "http://site.com/p"),          # same page as 0
+        (2, "c", "site.com/p/"),                # same page as 0
+        (3, "d", "https://site.com/q"),         # distinct
+        (4, "e", "https://other.org/"),         # distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    docs_path = str(tmp_path / "ud_docs")
+    docs.write.parquet(docs_path)
+
+    out_dir = str(tmp_path / "ud_out")
+    assert main(["curate", docs_path, out_dir, "--url-dedup", "url"]) == 0
+    capsys.readouterr()
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir + "/docs").collect()}
+    assert kept == {0, 3, 4}
