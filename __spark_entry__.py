@@ -380,7 +380,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_frac").alias("tok1_cum"),
     )
     return (
-        packed.withColumn("_t1", F.element_at(F.split(F.col("text"), " "), 1))
+        # substring_index, not element_at(split(...), 1): same value
+        # (incl. ''-for-empty/leading-space) without materializing the
+        # full token array per row just to read element 1
+        packed.withColumn("_t1", F.substring_index(F.col("text"), " ", 1))
         .join(F.broadcast(vocab), "_t1", "left")
         .withColumn("tok1_rank", F.coalesce("tok1_rank", F.lit(-1)))
         .withColumn("tok1_cum", F.coalesce("tok1_cum", F.lit(-1.0)))
@@ -911,15 +914,16 @@ _URL_HAY_SQL = (
 
 def _canon_url_sql(expr: str) -> str:
     """The canonical_url regex chain (functions/text.py) spelled as
-    nested DuckDB regexp_replace calls — same RE2-safe literals, same
-    order."""
+    nested DuckDB regexp_replace calls — same RE2-safe patterns, same
+    order; only the capture-reference spelling differs ('\\1' vs the
+    Java side's '$1')."""
     steps = [
         ("#.*$", ""),
         ("^https?://", ""),
         ("^www\\.", ""),
-        (":(80|443)/", "/"),
-        (":(80|443)$", ""),
-        ("(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=[^&#]*&?", ""),
+        ("^([^/?]*):(?:80|443)([/?]|$)", "\\1\\2"),
+        ("[?&](?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=[^&#]*", ""),
+        ("^([^?]*)&", "\\1?"),
         ("[?&]$", ""),
         ("\\?&", "?"),
         ("/$", ""),
@@ -1821,6 +1825,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_dedup_pairs(
         emb.select("vec_id", "embedding").unionByName(planted),
         centroids, threshold=0.45, use_gemm=False,
+        # the oracle SQL joins same-cell pairs UNCONDITIONALLY — pin
+        # the guard off so a larger SF can never split a cell and
+        # silently drop cross-sub-cell pairs the SQL still produces
+        max_cell_rows=None,
     ).select(
         F.lit("sem").alias("part"),
         F.col("id_a").alias("probe_id"),

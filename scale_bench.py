@@ -321,14 +321,24 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
     cents = ivf_fit_centroids(vectors, k=256, sample=20_000, iters=10).cache()
     cents.count()
 
+    # semantic_dedup_pairs is EAGER up front (GEMM assignment +
+    # localCheckpoint + cell histogram run at construction), so the
+    # clock must wrap construction AND materialization — timed(df)
+    # alone would bill only the within-cell join and silently omit the
+    # dominant full-corpus assignment pass
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def bal():
         return semantic_dedup_pairs(
             vectors, cents, threshold=0.95, engine="gemm",
             max_cell_rows=max_cell,
         )
 
-    timed(bal())
-    results["semdedup_balanced_s"] = min(timed(bal()) for _ in range(2))
+    run(bal)
+    results["semdedup_balanced_s"] = min(run(bal) for _ in range(2))
     results["semdedup_balanced_pairs"] = bal().count()
 
     c0 = cents.filter(F.col("cid") == 0).first()["cv"]
@@ -362,8 +372,8 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
             max_cell_rows=max_cell,
         )
 
-    timed(hot())
-    results["semdedup_hotcell_s"] = min(timed(hot()) for _ in range(2))
+    run(hot)
+    results["semdedup_hotcell_s"] = min(run(hot) for _ in range(2))
     results["semdedup_hotcell_pairs"] = hot().count()
     cents.unpersist()
     skew.unpersist()
@@ -390,11 +400,20 @@ def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
     timed(clf("xxhash64"))
     results["clf_xxhash64_s"] = min(timed(clf("xxhash64")) for _ in range(3))
 
+    # vocab_table runs its corpus-total agg eagerly at construction —
+    # wrap construction + materialization so the timing sees BOTH
+    # passes (this is the number that would catch a double-scan
+    # regression of the r9 single-pass fix)
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def vocab():
         return vocab_table(docs, top=100_000)
 
-    timed(vocab())
-    results["vocab_table_s"] = min(timed(vocab()) for _ in range(3))
+    run(vocab)
+    results["vocab_table_s"] = min(run(vocab) for _ in range(3))
 
 
 def _incremental_leg(spark, docs, results: dict, timed) -> None:
@@ -1026,7 +1045,7 @@ def main() -> None:
         # compare rounds via control-to-control, operators via
         # operator/control within one artifact
         "control_jvm_xxhash_s": round(results["control_jvm_xxhash_s"], 2),
-        "control_jvm_xxhash_rows": 3_000_000_000,
+        "control_jvm_xxhash_rows": 20_000_000_000,
         "control_py_md5_s": round(results["control_py_md5_s"], 2),
         "control_py_md5_iters": 2_000_000,
         "oa_flag_s": round(results["oa_flag_s"], 2),

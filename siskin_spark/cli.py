@@ -375,13 +375,21 @@ def main(argv: list[str] | None = None) -> int:
         tc = args.text_col
         if args.url_dedup:
             # URL-level exact dedup FIRST (cheapest key, biggest cut on
-            # crawl data): canonicalize, keep the smallest id per key
+            # crawl data): canonicalize, keep the smallest id per key.
+            # NULL urls get a per-row key (their own id): groupBy
+            # treats all NULLs as ONE key, which would silently drop
+            # every url-less doc but one
             from siskin_spark.functions.text import canonical_url
             from siskin_spark.operators.dedup import snapshot_earliest
 
+            key = F.coalesce(
+                canonical_url(F.col(args.url_dedup)),
+                F.concat(
+                    F.lit("\x00nourl:"), F.col(args.id_col).cast("string")
+                ),
+            )
             df = snapshot_earliest(
-                df.withColumn("_url_key", canonical_url(F.col(args.url_dedup))),
-                ["_url_key"], [args.id_col],
+                df.withColumn("_url_key", key), ["_url_key"], [args.id_col]
             ).drop("_url_key")
         if args.quality:
             df = df.filter(

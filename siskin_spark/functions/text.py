@@ -618,17 +618,21 @@ def canonical_url(url: Column | str) -> Column:
     keying the dedup on the RAW url silently keeps them all).
 
     A chain of global JVM regex passes — one codegen'd projection, no
-    UDF, no shuffle; RE2-compatible patterns (no lookaround or
-    backreferences) so an oracle can run the same literals:
-    lowercase -> drop fragment -> drop scheme -> drop leading 'www.'
-    -> drop default :80/:443 port -> strip tracking params
-    (utm_*/fbclid/gclid/...) -> tidy dangling '?'/'&' -> strip one
-    trailing slash. A canonicalization heuristic for DEDUP KEYING,
-    deliberately not a URL parser: it never rejects, and two URLs it
-    maps together are overwhelmingly the same page, which is the
-    right trade for a dedup key (false merges cost one extra dropped
-    page; a parser dependency would cost a Python UDF in the hot
-    path).
+    UDF, no shuffle; RE2-compatible patterns (no lookaround, no
+    backreferences in PATTERNS — capture-group references appear only
+    in replacements, which both Java and RE2 support) so an oracle
+    can run the same semantics: lowercase -> drop fragment -> drop
+    scheme -> drop leading 'www.' -> drop a default :80/:443 port
+    (host-anchored, whatever follows — '/', '?' or end) -> strip
+    tracking params (utm_*/fbclid/gclid/..., anchored at a '?'/'&'
+    boundary so 'xgclid=1' is NOT corrupted) -> restore '?' when the
+    first real param lost its lead -> tidy dangling '?'/'&' -> strip
+    one trailing slash. A canonicalization heuristic for DEDUP
+    KEYING, deliberately not a URL parser: it never rejects, and two
+    URLs it maps together are overwhelmingly the same page, which is
+    the right trade for a dedup key (false merges cost one extra
+    dropped page; a parser dependency would cost a Python UDF in the
+    hot path).
 
     Compose with the exact-dedup operator for URL-level dedup::
 
@@ -641,9 +645,13 @@ def canonical_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, "#.*$", "")
     u = F.regexp_replace(u, "^https?://", "")
     u = F.regexp_replace(u, "^www\\.", "")
-    u = F.regexp_replace(u, ":(80|443)/", "/")
-    u = F.regexp_replace(u, ":(80|443)$", "")
-    u = F.regexp_replace(u, f"(?:{_TRACKING_PARAMS})=[^&#]*&?", "")
+    # host-anchored default port, delimiter preserved via capture refs
+    u = F.regexp_replace(u, "^([^/?]*):(?:80|443)([/?]|$)", "$1$2")
+    # tracking params only at a parameter boundary (never mid-token)
+    u = F.regexp_replace(u, f"[?&](?:{_TRACKING_PARAMS})=[^&#]*", "")
+    # first surviving param may have lost its '?' lead: '&' with no
+    # '?' anywhere before it becomes '?'
+    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
     u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "\\?&", "?")
     u = F.regexp_replace(u, "/$", "")

@@ -700,6 +700,15 @@ def semantic_dedup_pairs(
         raise ValueError(f"hot_cell must be 'split' or 'raise', got {hot_cell!r}")
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
+    if engine == "gemm" and max_cell_rows is None:
+        # the GEMM engine's executor-memory bound IS max_cell_rows: an
+        # unbounded cell arrives as ONE pandas group (a 10M-row cell is
+        # a ~5 GB float64 matrix in a single python worker)
+        raise ValueError(
+            "engine='gemm' requires the hot-cell guard: max_cell_rows bounds "
+            "the per-group pandas matrix; set max_cell_rows or use "
+            "engine='expr'"
+        )
     assign = ivf_assign_gemm if use_gemm else ivf_assign
     assigned = assign(
         emb.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col

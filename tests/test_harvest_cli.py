@@ -591,3 +591,25 @@ def test_cli_curate_url_dedup(capsys, tmp_path, spark):
     capsys.readouterr()
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir + "/docs").collect()}
     assert kept == {0, 3, 4}
+
+
+def test_cli_curate_url_dedup_null_urls_survive(capsys, tmp_path, spark):
+    """NULL urls must NOT collapse into one group: every url-less doc
+    keeps its own per-row key and survives."""
+    from siskin_spark.cli import main
+
+    rows = [
+        (0, "a", "https://site.com/p"),
+        (1, "b", None),
+        (2, "c", None),
+        (3, "d", "site.com/p"),  # dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    docs_path = str(tmp_path / "un_docs")
+    docs.write.parquet(docs_path)
+
+    out_dir = str(tmp_path / "un_out")
+    assert main(["curate", docs_path, out_dir, "--url-dedup", "url"]) == 0
+    capsys.readouterr()
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir + "/docs").collect()}
+    assert kept == {0, 1, 2}

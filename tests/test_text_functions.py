@@ -478,6 +478,16 @@ def test_canonical_url_dedup_key(spark):
         "https://example.com/path?page=2": "example.com/path?page=2",
         "HTTPS://sub.example.com/": "sub.example.com",
         "example.com": "example.com",
+        # r9 review regressions: param-boundary anchoring (a param
+        # NAMED xgclid is not a tracking param), port before '?', a
+        # path segment that happens to contain ':80/', and a URL whose
+        # first surviving param lost its '?' lead
+        "https://example.com/p?xgclid=1&id=2": "example.com/p?xgclid=1&id=2",
+        "https://example.com:443?a=1": "example.com?a=1",
+        "http://example.com:80?a=1": "example.com?a=1",
+        "https://example.com/t:80/x": "example.com/t:80/x",
+        "https://example.com/p?utm_x=1&id=7": "example.com/p?id=7",
+        "https://example.com/p?utm_a=1&utm_b=2&c=3": "example.com/p?c=3",
     }
     df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(cases)])
     got = {

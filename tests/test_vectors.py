@@ -355,10 +355,13 @@ def test_semantic_dedup_gemm_engine_matches_expr(spark):
     """engine='gemm' (the 100 TB scale family) finds the same pair set
     as the oracle-exact expression path, guarded and unguarded, with
     cosines equal to float tolerance."""
+    import pytest
+
     from siskin_spark.functions.vectors import semantic_dedup_pairs
 
     df, cents, *_ = _hot_cell_fixture(spark)
-    for max_rows in (None, 40):
+    # guard-inactive (bound far above any cell) and guard-active
+    for max_rows in (10**9, 40):
         expr = {
             (r["id_a"], r["id_b"]): r["cos_sim"]
             for r in semantic_dedup_pairs(
@@ -376,3 +379,8 @@ def test_semantic_dedup_gemm_engine_matches_expr(spark):
         for p in expr:
             assert abs(gemm[p] - expr[p]) < 1e-9
         assert expr, "fixture must produce pairs"
+    # the GEMM engine's memory bound IS the guard: disabling it raises
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semantic_dedup_pairs(
+            df, cents, threshold=0.95, max_cell_rows=None, engine="gemm"
+        )
