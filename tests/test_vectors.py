@@ -384,3 +384,30 @@ def test_semantic_dedup_gemm_engine_matches_expr(spark):
         semantic_dedup_pairs(
             df, cents, threshold=0.95, max_cell_rows=None, engine="gemm"
         )
+
+
+def test_semantic_dedup_gemm_string_ids(spark):
+    """The GEMM pair engine must keep id_a < id_b and the declared id
+    type for STRING keys too (pandas sort + utf8 ordering match
+    Spark's binary string comparison for well-formed text)."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import semantic_dedup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(30, 16))
+    rows = [(f"doc-{i:03d}", [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(f"dup-{i:03d}", [float(x) for x in base[i]]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in np.eye(16)[0]]),
+         (1, [float(x) for x in np.eye(16)[1]])],
+        "cid int, cv array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, cents, threshold=0.999, engine="gemm", max_cell_rows=100
+        ).collect()
+    }
+    assert got == {(f"doc-{i:03d}", f"dup-{i:03d}") for i in range(4)}
