@@ -718,9 +718,16 @@ def semantic_dedup_pairs(
         F.col("cid").cast("long").alias("cid"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
-    ).localCheckpoint(eager=True)  # one assignment pass for histogram + both join sides
+    )
 
     if max_cell_rows is not None:
+        # one assignment pass for the histogram AND both join sides —
+        # without the lineage cut the (GEMM) assignment re-executes per
+        # consumer. Guard-disabled callers skip the cut and accept the
+        # per-join-side recompute: they opted out of the histogram
+        # action, so an eager materialization would be pure overhead
+        # on the small/oracle path (the scale path always guards).
+        v = v.localCheckpoint(eager=True)
         hist = v.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn")).collect()
         hot = {
             int(r["cid"]): -(-int(r["_cn"]) // max_cell_rows)
