@@ -593,13 +593,24 @@ def _within_group_pairs_gemm(
         ]
     )
 
+    def empty(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # carry the id column's REAL dtype into the empty frame (an
+        # object-dtype [] would make pandas/Arrow guess, and pandas
+        # warns on all-NA columns during concat)
+        return pd.DataFrame(
+            {
+                "id_a": pdf["_id"].iloc[:0],
+                "id_b": pdf["_id"].iloc[:0],
+                "cid": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+
     def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cid": [], "cos_sim": []}
-            ).astype({"cid": "int64", "cos_sim": "float64"})
+            return empty(pdf)
         X = np.array(list(pdf["_v"]), dtype=np.float64)
         norms = np.linalg.norm(X, axis=1)
         Xn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
@@ -621,9 +632,7 @@ def _within_group_pairs_gemm(
                     ib.append(ids[hits])
                     cs.append(row[hits - gi - 1])
         if not ia:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cid": [], "cos_sim": []}
-            ).astype({"cid": "int64", "cos_sim": "float64"})
+            return empty(pdf)
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(ia),
