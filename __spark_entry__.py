@@ -1599,6 +1599,37 @@ _U32 = " + ".join(
              CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ov
       FROM shingles s LEFT JOIN bsh b ON s.sh = b.sh
       GROUP BY s.doc_id
+    ),
+    sdt AS (
+      SELECT doc_id,
+             list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS tt
+      FROM documents
+    ),
+    sdg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tt[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+      FROM sdt, unnest(generate_series(1, len(tt) - 3)) AS u(i)
+    ),
+    sdc AS (SELECT gram FROM sdg GROUP BY gram HAVING count(*) >= 2),
+    sdocc AS (SELECT g.doc_id, g.pos FROM sdg g JOIN sdc USING (gram)),
+    sdcover AS (
+      SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+      FROM sdocc, unnest(generate_series(pos, pos + 3)) AS u(p)
+    ),
+    sdtok AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS p, tt[CAST(j AS INT)] AS tok
+      FROM sdt, unnest(generate_series(1, len(tt))) AS v(j)
+    ),
+    sdkept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM sdtok t LEFT JOIN sdcover c ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    sdlen AS (
+      SELECT doc_id,
+             CAST(length(string_agg(tok, ' ' ORDER BY p)) AS BIGINT)
+               AS span_kept_chars
+      FROM sdkept GROUP BY doc_id
     )
     SELECT d.doc_id, simh.simhash, coalesce(fp.f, '') AS fingerprint,
            {_SIG_JOIN} AS minhash,
@@ -1606,12 +1637,14 @@ _U32 = " + ".join(
            coalesce(contam.n_ov, 0) AS n_overlap,
            CASE WHEN coalesce(contam.n_sh, 0) > 0
                 THEN CAST(contam.n_ov AS DOUBLE) / CAST(contam.n_sh AS DOUBLE)
-                ELSE 0.0 END AS contam_frac
+                ELSE 0.0 END AS contam_frac,
+           coalesce(sdlen.span_kept_chars, 0) AS span_kept_chars
     FROM documents d
     LEFT JOIN simh ON d.doc_id = simh.doc_id
     LEFT JOIN fp ON d.doc_id = fp.doc_id
     LEFT JOIN sigm ON d.doc_id = sigm.doc_id
     LEFT JOIN contam ON d.doc_id = contam.doc_id
+    LEFT JOIN sdlen ON d.doc_id = sdlen.doc_id
     ORDER BY d.doc_id
     """,
 )
@@ -1632,12 +1665,26 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles broadcast onto it, replacing the minhash_table +
     fingerprint_table + contamination composition (3 shingle passes,
     3 shuffles, 3 joins). Only the token-grain SimHash keeps its own
-    aggregate and the single remaining join."""
+    aggregate and the single remaining join.
+
+    r9 adds ``span_kept_chars``: the text length after corpus-level
+    EXACT duplicated-span removal (ExactSubstr, Lee et al. 2022 —
+    operators/curation.py:drop_duplicate_spans, k=4 here so the
+    synthetic corpus's natural cross-doc 4-gram repeats give the
+    column real work: ~370 of 500 docs carry duplicated spans at
+    sf0.01). The oracle replays the full pipeline — normalize,
+    k-gram table, corpus count, coverage expansion, anti-join,
+    rebuild — in SQL; merged per the ≤50-query registry policy,
+    same per-document grain."""
+    from siskin_spark.operators.curation import drop_duplicate_spans
     from siskin_spark.operators.neardup import signature_panel, simhash_table
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
     panel = signature_panel(docs.select("doc_id", "text"), benchmark=bench, n=3)
+    spans = drop_duplicate_spans(docs.select("doc_id", "text"), k=4).select(
+        "doc_id", F.length("text").alias("span_kept_chars")
+    )
     return (
         panel.select(
             "doc_id",
@@ -1648,6 +1695,7 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("overlap_frac").alias("contam_frac"),
         )
         .join(simhash_table(docs), on="doc_id", how="left")
+        .join(spans, on="doc_id", how="left")
         .orderBy("doc_id")
     )
 

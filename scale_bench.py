@@ -416,6 +416,24 @@ def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
     results["vocab_table_s"] = min(run(vocab) for _ in range(3))
 
 
+def _span_leg(spark, docs, results: dict, timed) -> None:
+    """C16 exact duplicated-span removal at full scale: the synthetic
+    near-dup corpus plants ~3% of docs as same-stream siblings with one
+    perturbed token — long verbatim shared spans, exactly the
+    ExactSubstr target — plus the 'tail<d>' suffix every doc carries.
+    k=8 over ~40-token docs: the gram table is ~33 rows/doc, the dup
+    set is the planted tail, and the rebuild touches every doc."""
+    from siskin_spark.operators.curation import drop_duplicate_spans
+
+    def spans(keep_first: bool):
+        return drop_duplicate_spans(docs, k=8, keep_first=keep_first)
+
+    timed(spans(False))
+    results["span_dedup_s"] = min(timed(spans(False)) for _ in range(2))
+    timed(spans(True))
+    results["span_dedup_keepfirst_s"] = min(timed(spans(True)) for _ in range(2))
+
+
 def _incremental_leg(spark, docs, results: dict, timed) -> None:
     """Incremental near-dup vs the persisted index: a daily batch must
     cost BATCH-sized work. Measures (a) the one-time index build over
@@ -586,6 +604,7 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "r9":
             _control_leg(spark, results, timed_only)
             _clf_vocab_leg(spark, docs_only, results, timed_only)
+            _span_leg(spark, docs_only, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _semdedup_leg(spark, vecs_only, results, timed_only)
         else:
@@ -696,6 +715,7 @@ def main() -> None:
     _incremental_leg(spark, docs, results, timed)
     _curation_leg(spark, docs, results, timed)
     _clf_vocab_leg(spark, docs, results, timed)
+    _span_leg(spark, docs, results, timed)
 
     # -- §7.5 text analysis at full scale ------------------------------
     # text_quality was the flagged 100x-scale cost center (12
@@ -1135,6 +1155,9 @@ def main() -> None:
         "clf_xxhash64_dps": round(n_docs / results["clf_xxhash64_s"]),
         "vocab_table_s": round(results["vocab_table_s"], 2),
         "vocab_table_dps": round(n_docs / results["vocab_table_s"]),
+        "span_dedup_s": round(results["span_dedup_s"], 2),
+        "span_dedup_dps": round(n_docs / results["span_dedup_s"]),
+        "span_dedup_keepfirst_s": round(results["span_dedup_keepfirst_s"], 2),
         "n_truth_pairs_full": {"cos>=0.95": n_truth95, "cos>=0.8": n_truth80},
         "n_isils": N_ISILS,
         "n_holdings_rows": N_HOLDINGS_FILES * HOLDINGS_ROWS_PER_FILE,

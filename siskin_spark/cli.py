@@ -150,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
                        help="with --line-dedup: print the line-key skew "
                        "report (hot boilerplate, dup-table size) before "
                        "deduping — one extra count pass")
+    p_cur.add_argument("--span-dedup", type=int, default=0, metavar="K",
+                       help="remove every K-token span occurring >= 2 times "
+                       "across the corpus (ExactSubstr, Lee et al. 2022)")
+    p_cur.add_argument("--span-keep-first", action="store_true",
+                       help="exempt the earliest occurrence of each "
+                       "duplicated span")
     p_cur.add_argument("--wd-dedup", action="store_true",
                        help="drop repeated lines WITHIN each doc (first "
                        "occurrence kept; pure map)")
@@ -412,6 +418,11 @@ def main(argv: list[str] | None = None) -> int:
             df = cur.drop_duplicate_lines(
                 df, min_count=args.line_dedup,
                 id_col=args.id_col, text_col=tc, drop_empty_docs=True,
+            )
+        if args.span_dedup:
+            df = cur.drop_duplicate_spans(
+                df, k=args.span_dedup, id_col=args.id_col, text_col=tc,
+                keep_first=args.span_keep_first,
             )
         if args.wd_dedup:
             from siskin_spark.functions.text import dedup_lines_within_doc

@@ -366,6 +366,103 @@ def drop_duplicate_lines(
     return out.filter(F.length(text_col) > 0) if drop_empty_docs else out
 
 
+def drop_duplicate_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = False,
+) -> DataFrame:
+    """Corpus-level EXACT duplicated-span removal — the ExactSubstr
+    rule of Lee et al. 2022 (arXiv:2107.06499 §4.1: memorized text is
+    driven by VERBATIM substrings repeated across documents that
+    whole-document and line-level dedup both miss), re-expressed
+    relationally instead of via the paper's suffix array: delete every
+    token covered by a ``k``-token span occurring at least
+    ``min_count`` times across the corpus, then reassemble each
+    document from its surviving tokens. ``keep_first=True`` exempts
+    the single earliest occurrence of each duplicated span (by
+    (doc id, position); a token of that occurrence can still fall to a
+    DIFFERENT span's non-first occurrence covering it). Text is
+    whitespace-normalized (runs of whitespace become one space) — the
+    same single-space contract as ``shingle_table`` — and documents
+    shorter than ``k`` tokens are never cut.
+
+    Scale shape (each stage has a bounded-skew story):
+
+    - the k-gram table comes from the one-pass lookahead-capture regex
+      (``shingle_table``'s trick) + ``posexplode`` — linear, map-side;
+    - the duplicate-span set is ONE map-side-combined count aggregate;
+      ``keep_first`` folds ``min(struct(id, pos))`` into the SAME
+      aggregate (the ``drop_duplicate_lines`` de-skew: a hot
+      boilerplate span ships ~n_map_tasks partials, never its 10⁸
+      occurrences);
+    - the join back to occurrences is an equi-join on the gram (AQE
+      skew-splits a hot gram's occurrence side);
+    - coverage expands ONLY duplicated occurrences by k positions
+      (bounded by k x dup-occurrence count, not corpus tokens), then
+      one distinct and a uniform (id, pos) anti-join;
+    - reassembly is the groupBy(id) rebuild shared with line dedup,
+      state bounded by document size.
+    """
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    staged = docs.select(F.col(id_col), norm.alias("_sdt"))
+    pat = "(?=((" + r"\S+ " * (k - 1) + r"\S+)))\S+ ?"
+    grams = staged.select(
+        id_col,
+        F.posexplode(F.regexp_extract_all(F.col("_sdt"), F.lit(pat), 1)).alias(
+            "_pos", "_gram"
+        ),
+    )
+    first_agg = (
+        [F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first")]
+        if keep_first
+        else []
+    )
+    agg = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_n"), *first_agg)
+    dups = agg.filter(F.col("_n") >= min_count).select(
+        "_gram", *(["_first"] if keep_first else [])
+    )
+    occ = grams.join(dups, "_gram")
+    if keep_first:
+        occ = occ.filter(
+            ~(
+                (F.col(id_col) == F.col("_first")[id_col])
+                & (F.col("_pos") == F.col("_first")["_pos"])
+            )
+        )
+    # no distinct: the coverage rows feed a left_anti join, where
+    # duplicate right-side keys (overlapping spans covering the same
+    # token) change nothing — a distinct would be one more shuffle
+    cover = occ.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+        ).alias("_pos"),
+    )
+    toks = staged.select(
+        id_col, F.posexplode(F.split(F.col("_sdt"), " ")).alias("_pos", "_tok")
+    )
+    kept = toks.join(cover, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        docs.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
 def domain_cap_mark(
     df: DataFrame,
     cap: int,

@@ -832,3 +832,108 @@ def test_domain_cap_planted_90pct_domain_no_concentration(spark):
     assert n_cand <= admit + 6 * math.sqrt(admit)  # ...and bounded
     # under-cap domains take the KEEP_ALL branch: no window at all
     assert by_dom["d0"] == 50 and len(by_dom) == 41
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span removal (ExactSubstr, Lee et al. 2022)
+
+
+def _py_span_dedup(docs: dict[int, str], k: int, min_count: int = 2,
+                   keep_first: bool = False) -> dict[int, str]:
+    toks = {i: t.split() for i, t in docs.items()}
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i in sorted(toks):
+        tt = toks[i]
+        for p in range(len(tt) - k + 1):
+            occ[" ".join(tt[p:p + k])].append((i, p))
+    cut = defaultdict(set)
+    for gram, sites in occ.items():
+        if len(sites) < min_count:
+            continue
+        first = min(sites)
+        for site in sites:
+            if keep_first and site == first:
+                continue
+            i, p = site
+            cut[i].update(range(p, p + k))
+    return {
+        i: " ".join(t for j, t in enumerate(tt) if j not in cut[i])
+        for i, tt in toks.items()
+    }
+
+
+def test_drop_duplicate_spans_matches_python_reference(spark):
+    """Planted verbatim k-spans across otherwise-unique docs are cut in
+    every document (keep_first=False) / all but the earliest occurrence
+    (keep_first=True); unique text survives byte-for-byte."""
+    boiler = "subscribe to our newsletter for updates now"  # 7 tokens
+    docs = {
+        0: f"alpha0 beta0 {boiler} gamma0 delta0",
+        1: f"alpha1 {boiler} omega1",
+        2: "unique2 text2 with2 no2 repeats2 at2 all2 here2",
+        3: f"{boiler}",                      # the span IS the doc
+        4: "short doc",                      # < k tokens: untouched
+        5: f"x5   y5\t{boiler}\nz5",         # whitespace normalization
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    for keep_first in (False, True):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in C.drop_duplicate_spans(
+                df, k=7, keep_first=keep_first
+            ).collect()
+        }
+        want = _py_span_dedup(docs, k=7, keep_first=keep_first)
+        assert got == want, keep_first
+    # sanity on the semantics themselves
+    all_cut = _py_span_dedup(docs, k=7)
+    assert all_cut[3] == "" and boiler not in all_cut[0]
+    assert all_cut[2] == docs[2] and all_cut[4] == docs[4]
+    kept_first = _py_span_dedup(docs, k=7, keep_first=True)
+    assert boiler in kept_first[0] and boiler not in kept_first[1]
+
+
+def test_drop_duplicate_spans_overlapping_spans_and_min_count(spark):
+    """Overlapping duplicated spans merge their coverage; min_count
+    gates how many corpus occurrences make a span 'duplicated'."""
+    import random
+
+    rng = random.Random(3)
+    # two docs share an 8-token run; k=4 -> five overlapping dup 4-grams
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = {
+        0: f"a0 {run} b0",
+        1: f"{run} c1 d1",
+        2: " ".join(f"w{rng.randrange(10**6)}" for _ in range(12)),
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_spans(df, k=4).collect()
+    }
+    assert got == _py_span_dedup(docs, k=4)
+    assert got[0] == "a0 b0" and got[1] == "c1 d1"
+    # min_count=3: the run appears in only 2 docs -> nothing cut
+    got3 = {
+        r["doc_id"]: r["text"]
+        for r in C.drop_duplicate_spans(df, k=4, min_count=3).collect()
+    }
+    assert got3 == {i: " ".join(t.split()) for i, t in docs.items()}
+
+
+def test_drop_duplicate_spans_within_doc_repeat(spark):
+    """A span repeated twice INSIDE one document is a corpus duplicate
+    too (the paper's within-doc case); keep_first keeps the earlier
+    occurrence's tokens unless another dup span covers them."""
+    docs = {0: "p q r s p q r s tail"}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {r["doc_id"]: r["text"]
+           for r in C.drop_duplicate_spans(df, k=4).collect()}
+    assert got == _py_span_dedup(docs, k=4)
+    gotf = {r["doc_id"]: r["text"]
+            for r in C.drop_duplicate_spans(df, k=4, keep_first=True).collect()}
+    assert gotf == _py_span_dedup(docs, k=4, keep_first=True)

@@ -613,3 +613,35 @@ def test_cli_curate_url_dedup_null_urls_survive(capsys, tmp_path, spark):
     capsys.readouterr()
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir + "/docs").collect()}
     assert kept == {0, 1, 2}
+
+
+def test_cli_curate_span_dedup(capsys, tmp_path, spark):
+    """--span-dedup K cuts corpus-duplicated K-token spans from the
+    chain; --span-keep-first exempts the earliest occurrence."""
+    from siskin_spark.cli import main
+
+    boiler = "one two three four"
+    rows = [
+        (0, f"head0 {boiler} tail0"),
+        (1, f"{boiler} tail1"),
+        (2, "totally unique words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_path = str(tmp_path / "sp_docs")
+    docs.write.parquet(docs_path)
+
+    out_dir = str(tmp_path / "sp_out")
+    assert main(["curate", docs_path, out_dir, "--span-dedup", "4"]) == 0
+    capsys.readouterr()
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out_dir + "/docs").collect()}
+    assert got == {0: "head0 tail0", 1: "tail1",
+                   2: "totally unique words here"}
+
+    out_kf = str(tmp_path / "sp_out_kf")
+    assert main(["curate", docs_path, out_kf,
+                 "--span-dedup", "4", "--span-keep-first"]) == 0
+    capsys.readouterr()
+    got_kf = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(out_kf + "/docs").collect()}
+    assert got_kf[0] == f"head0 {boiler} tail0" and got_kf[1] == "tail1"
