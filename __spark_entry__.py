@@ -327,7 +327,8 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
                   AS DOUBLE) / t AS vcum
       FROM vhead, vtot
-    )
+    ),
+    vlist AS (SELECT list(token) AS l FROM vhead)
     SELECT doc_id, text, cap_keep, n_tokens,
            cum - n_tokens AS start_tok,
            (cum - n_tokens) // 1024 AS seq_first,
@@ -335,8 +336,14 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_tokens > 0 THEN (cum - 1) // 1024
                 ELSE (cum - n_tokens) // 1024 END AS seq_last,
            coalesce(v.vrank, -1) AS tok1_rank,
-           coalesce(v.vcum, CAST(-1.0 AS DOUBLE)) AS tok1_cum
-    FROM s LEFT JOIN v ON str_split(s.text, ' ')[1] = v.token
+           coalesce(v.vcum, CAST(-1.0 AS DOUBLE)) AS tok1_cum,
+           CASE WHEN len(list_filter(str_split(s.text, ' '), x -> len(x) > 0)) > 0
+                THEN CAST(len(list_filter(
+                       list_filter(str_split(s.text, ' '), x -> len(x) > 0),
+                       tk -> NOT list_contains(vlist.l, tk))) AS DOUBLE)
+                     / len(list_filter(str_split(s.text, ' '), x -> len(x) > 0))
+                ELSE 0.0 END AS oov_frac
+    FROM s LEFT JOIN v ON str_split(s.text, ' ')[1] = v.token, vlist
     ORDER BY doc_id
     """,
 )
@@ -359,9 +366,15 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded head (-1 sentinels for out-of-vocab, not NULL: pandas
     downcasts NULL-bearing int columns to float and skews the
     driver's value hash). The vocab side is bounded (64 rows) so the
-    join broadcasts."""
+    join broadcasts. ``oov_frac`` (operators/curation.py:oov_fraction
+    — the frequency-based OOV-rate gate the vocab feeds) rides the
+    same vocab: its bounded token list compiles to a literal inside a
+    row-local filter, so the column is pure map. The vocab frame is
+    collected ONCE and serves the literal, the join side, and the
+    oracle's list()."""
     from siskin_spark.operators.curation import (
         domain_cap_mark,
+        oov_fraction,
         token_sequence_layout,
         vocab_table,
     )
@@ -374,10 +387,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = token_sequence_layout(
         capped.select("doc_id", "text", "cap_keep"), budget=1024
     )
-    vocab = vocab_table(docs, top=64).select(
-        F.col("token").alias("_t1"),
-        F.col("rank").alias("tok1_rank"),
-        F.col("cum_frac").alias("tok1_cum"),
+    vrows = vocab_table(docs, top=64).collect()  # 64 rows, one job
+    vocab = spark.createDataFrame(
+        [(r["token"], r["rank"], r["cum_frac"]) for r in vrows],
+        "_t1 string, tok1_rank int, tok1_cum double",
     )
     return (
         # substring_index, not element_at(split(...), 1): same value
@@ -387,6 +400,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "_t1", "left")
         .withColumn("tok1_rank", F.coalesce("tok1_rank", F.lit(-1)))
         .withColumn("tok1_cum", F.coalesce("tok1_cum", F.lit(-1.0)))
+        .withColumn("oov_frac", oov_fraction([r["token"] for r in vrows]))
         .drop("_t1")
         .orderBy("doc_id")
     )

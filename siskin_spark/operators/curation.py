@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siskin_spark.functions.similarity import seeded_hash
+from siskin_spark.functions.text import let_once as let_once_col
 from siskin_spark.functions.text import tokens
 from siskin_spark.operators.neardup import shingle_table
 
@@ -626,6 +627,45 @@ def vocab_table(
         "n",
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
         (F.sum("n").over(w).cast("double") / F.lit(float(total))).alias("cum_frac"),
+    )
+
+
+def oov_fraction(
+    vocab: list[str] | DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+) -> "F.Column":
+    """Column: fraction of a document's non-empty tokens that are
+    OUT-OF-VOCABULARY w.r.t. a bounded vocabulary — the
+    frequency-based quality gate :func:`vocab_table` exists to feed
+    (a doc whose words are mostly rare/garbage types scores high;
+    CCNet/Gopher-style pipelines drop or down-weight it). 0.0 for
+    documents with no tokens.
+
+    ``vocab`` is either the token list itself or a
+    :func:`vocab_table`-shaped frame (its bounded ``token`` column is
+    collected — top-N is driver-sized by construction). The check
+    compiles to ``array_contains`` against a LITERAL array inside a
+    row-local filter: pure map, zero shuffle, no join — at 100 TB the
+    vocab rides the closure exactly like a broadcast, without the
+    join machinery. For vocabularies too large for a literal
+    (~100 K+), reshape to explode + broadcast-join the vocab table +
+    per-doc agg — same values, one narrow shuffle."""
+    if not isinstance(vocab, list):
+        vocab = [r["token"] for r in vocab.select("token").collect()]
+    vlit = F.array(*[F.lit(t) for t in vocab]) if vocab else F.array().cast(
+        "array<string>"
+    )
+    toks = F.filter(F.split(F.col(text_col), sep), lambda t: F.length(t) > 0)
+    return let_once_col(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            F.size(F.filter(ts, lambda t: ~F.array_contains(vlit, t))).cast(
+                "double"
+            )
+            / F.size(ts).cast("double"),
+        ).otherwise(F.lit(0.0)),
     )
 
 

@@ -937,3 +937,26 @@ def test_drop_duplicate_spans_within_doc_repeat(spark):
     gotf = {r["doc_id"]: r["text"]
             for r in C.drop_duplicate_spans(df, k=4, keep_first=True).collect()}
     assert gotf == _py_span_dedup(docs, k=4, keep_first=True)
+
+
+def test_oov_fraction_against_vocab(spark):
+    """OOV rate vs a bounded vocab: exact fractions, empty-doc zero,
+    vocab_table frame accepted directly."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b a zz"),   # 1 of 4 OOV
+         Row(doc_id=1, text="qq ww"),      # all OOV
+         Row(doc_id=2, text="a  b"),       # double space: 0 OOV of 2
+         Row(doc_id=3, text="")]
+    )
+    got = {r["doc_id"]: r["f"] for r in docs.select(
+        "doc_id", C.oov_fraction(["a", "b"]).alias("f")).collect()}
+    assert got == {0: 0.25, 1: 1.0, 2: 0.0, 3: 0.0}
+    # vocab_table frame: top-2 of this corpus is {a, b} -> same values
+    vf = C.vocab_table(docs, top=2)
+    got2 = {r["doc_id"]: r["f"] for r in docs.select(
+        "doc_id", C.oov_fraction(vf).alias("f")).collect()}
+    assert got2 == got
+    # pure map: no exchange in the plan
+    plan = (docs.select(C.oov_fraction(["a"]).alias("f"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
