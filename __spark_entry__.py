@@ -931,13 +931,16 @@ def _canon_url_sql(expr: str) -> str:
     nested DuckDB regexp_replace calls — same RE2-safe patterns, same
     order; only the capture-reference spelling differs ('\\1' vs the
     Java side's '$1')."""
+    _P = "utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid"
     steps = [
         ("#.*$", ""),
         ("^https?://", ""),
         ("^www\\.", ""),
         ("^([^/?]*):(?:80|443)([/?]|$)", "\\1\\2"),
-        ("[?&](?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=[^&#]*", ""),
-        ("^([^?]*)&", "\\1?"),
+        (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
+        (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
+        (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
+        (f"[?&](?:{_P})=[^&#]*$", ""),
         ("[?&]$", ""),
         ("\\?&", "?"),
         ("/$", ""),

@@ -258,6 +258,16 @@ def filter_config() -> dict:
     return cfg
 
 
+def _timed_build(fn) -> float:
+    """Clock CONSTRUCTION + materialization: operators that do eager
+    work up front (semantic_dedup_pairs' assignment/checkpoint/
+    histogram, vocab_table's corpus total) would otherwise escape a
+    timer that only wraps the noop write."""
+    t0 = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def _control_leg(spark, results: dict, timed) -> None:
     """Host-speed calibration (r9, verdict #5): the r8 session measured
     20-60% uniform slowdown on UNTOUCHED code (hypervisor steal), which
@@ -322,14 +332,9 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
     cents.count()
 
     # semantic_dedup_pairs is EAGER up front (GEMM assignment +
-    # localCheckpoint + cell histogram run at construction), so the
-    # clock must wrap construction AND materialization — timed(df)
-    # alone would bill only the within-cell join and silently omit the
-    # dominant full-corpus assignment pass
-    def run(fn) -> float:
-        t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+    # localCheckpoint + cell histogram run at construction) — time via
+    # _timed_build, which wraps construction AND materialization
+    run = _timed_build
 
     def bal():
         return semantic_dedup_pairs(
@@ -401,13 +406,9 @@ def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
     results["clf_xxhash64_s"] = min(timed(clf("xxhash64")) for _ in range(3))
 
     # vocab_table runs its corpus-total agg eagerly at construction —
-    # wrap construction + materialization so the timing sees BOTH
-    # passes (this is the number that would catch a double-scan
-    # regression of the r9 single-pass fix)
-    def run(fn) -> float:
-        t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+    # _timed_build sees BOTH passes (this is the number that would
+    # catch a double-scan regression of the r9 single-pass fix)
+    run = _timed_build
 
     def vocab():
         return vocab_table(docs, top=100_000)

@@ -125,7 +125,9 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--threshold", type=float, default=0.95)
     p_sd.add_argument("--max-cell-rows", type=int, default=50_000,
                       help="hot-cell guard: cells above this split into "
-                      "hash sub-cells (0 disables the guard)")
+                      "hash sub-cells (0 disables the guard — requires "
+                      "--engine expr, whose per-pair folds have no "
+                      "per-group memory bound to protect)")
     p_sd.add_argument("--engine", default="gemm", choices=["expr", "gemm"],
                       help="within-cell compare: gemm = BLAS scale path")
     p_sd.add_argument("--seed", type=int, default=7)
@@ -152,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
                        "deduping — one extra count pass")
     p_cur.add_argument("--span-dedup", type=int, default=0, metavar="K",
                        help="remove every K-token span occurring >= 2 times "
-                       "across the corpus (ExactSubstr, Lee et al. 2022)")
+                       "across the corpus (ExactSubstr, Lee et al. 2022); "
+                       "whitespace-normalizes text, so the chain runs it "
+                       "after the newline-based dedup stages")
     p_cur.add_argument("--span-keep-first", action="store_true",
                        help="exempt the earliest occurrence of each "
                        "duplicated span")
@@ -342,6 +346,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         from siskin_spark.operators.neardup import keep_canonical
 
+        if not args.max_cell_rows and args.engine == "gemm":
+            print(
+                "semdedup: --max-cell-rows 0 (guard off) requires "
+                "--engine expr — the guard is the gemm engine's "
+                "per-group memory bound",
+                file=sys.stderr,
+            )
+            return 2
         vecs = _read(spark, args.vectors)
         cents = ivf_fit_centroids(
             vecs, k=args.k, id_col=args.id_col, vec_col=args.vec_col,
@@ -364,8 +376,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag,
         # composed as ONE lazy plan up to the final write:
-        # url-dedup -> quality -> line-dedup -> wd-dedup ->
-        # decontaminate -> clf -> cap -> mix -> sample -> pack
+        # url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup
+        # -> decontaminate -> clf -> cap -> mix -> sample -> pack.
+        # span-dedup runs AFTER the newline-based stages: it
+        # whitespace-normalizes every doc (newlines become spaces), so
+        # putting it first would silently neuter line/wd dedup
         from pyspark.sql import functions as F
 
         from siskin_spark.functions.text import (
@@ -382,17 +397,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.url_dedup:
             # URL-level exact dedup FIRST (cheapest key, biggest cut on
             # crawl data): canonicalize, keep the smallest id per key.
-            # NULL urls get a per-row key (their own id): groupBy
-            # treats all NULLs as ONE key, which would silently drop
-            # every url-less doc but one
+            # NULL *and empty* urls get a per-row key (their own id):
+            # groupBy treats all NULLs as one key and '' canonicalizes
+            # to '' — either would silently drop every url-less doc
+            # but one
             from siskin_spark.functions.text import canonical_url
             from siskin_spark.operators.dedup import snapshot_earliest
 
-            key = F.coalesce(
-                canonical_url(F.col(args.url_dedup)),
+            canon = canonical_url(F.col(args.url_dedup))
+            key = F.when(F.length(canon) > 0, canon).otherwise(
                 F.concat(
                     F.lit("\x00nourl:"), F.col(args.id_col).cast("string")
-                ),
+                )
             )
             df = snapshot_earliest(
                 df.withColumn("_url_key", key), ["_url_key"], [args.id_col]
@@ -419,15 +435,18 @@ def main(argv: list[str] | None = None) -> int:
                 df, min_count=args.line_dedup,
                 id_col=args.id_col, text_col=tc, drop_empty_docs=True,
             )
-        if args.span_dedup:
-            df = cur.drop_duplicate_spans(
-                df, k=args.span_dedup, id_col=args.id_col, text_col=tc,
-                keep_first=args.span_keep_first,
-            )
         if args.wd_dedup:
             from siskin_spark.functions.text import dedup_lines_within_doc
 
             df = df.withColumn(tc, dedup_lines_within_doc(F.col(tc)))
+        if args.span_dedup:
+            # LAST of the dedup stages: whitespace-normalizes the text
+            # (newlines collapse to spaces), which would neuter the
+            # line-based stages if it ran before them
+            df = cur.drop_duplicate_spans(
+                df, k=args.span_dedup, id_col=args.id_col, text_col=tc,
+                keep_first=args.span_keep_first,
+            )
         if args.decontaminate:
             df = cur.decontaminate(
                 df, _read(spark, args.decontaminate),

@@ -625,14 +625,20 @@ def canonical_url(url: Column | str) -> Column:
     scheme -> drop leading 'www.' -> drop a default :80/:443 port
     (host-anchored, whatever follows — '/', '?' or end) -> strip
     tracking params (utm_*/fbclid/gclid/..., anchored at a '?'/'&'
-    boundary so 'xgclid=1' is NOT corrupted) -> restore '?' when the
-    first real param lost its lead -> tidy dangling '?'/'&' -> strip
-    one trailing slash. A canonicalization heuristic for DEDUP
-    KEYING, deliberately not a URL parser: it never rejects, and two
-    URLs it maps together are overwhelmingly the same page, which is
-    the right trade for a dedup key (false merges cost one extra
-    dropped page; a parser dependency would cost a Python UDF in the
-    hot path).
+    boundary so 'xgclid=1' is NOT corrupted; a mid-list param's
+    LEADING delimiter is preserved via capture so the next param
+    keeps its '?' — each global pass strips every other param of a
+    consecutive run, so three chained passes cover runs up to ~8;
+    longer runs merely survive uncanonicalized, which fails SAFE: no
+    false merge, just a less aggressive key) -> tidy dangling
+    '?'/'&' -> strip one trailing
+    slash. A canonicalization heuristic for DEDUP KEYING,
+    deliberately not a URL parser: it never rejects, every rewrite
+    fires only at a real parameter boundary (a path like
+    '/news&events' with no query is untouched), and two URLs it maps
+    together are overwhelmingly the same page — the right trade for a
+    dedup key (a parser dependency would cost a Python UDF in the hot
+    path).
 
     Compose with the exact-dedup operator for URL-level dedup::
 
@@ -647,11 +653,16 @@ def canonical_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, "^www\\.", "")
     # host-anchored default port, delimiter preserved via capture refs
     u = F.regexp_replace(u, "^([^/?]*):(?:80|443)([/?]|$)", "$1$2")
-    # tracking params only at a parameter boundary (never mid-token)
-    u = F.regexp_replace(u, f"[?&](?:{_TRACKING_PARAMS})=[^&#]*", "")
-    # first surviving param may have lost its '?' lead: '&' with no
-    # '?' anywhere before it becomes '?'
-    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
+    # tracking params only at a parameter boundary (never mid-token).
+    # Mid-list: consume through the FOLLOWING '&' and re-emit the
+    # leading delimiter, so the next param inherits it — one global
+    # pass strips every other param of a consecutive run (the match
+    # consumes the next param's delimiter), so three chained passes
+    # cover runs up to ~8; longer runs survive, fail-safe.
+    # List-final: drop delimiter and param together.
+    for _ in range(3):
+        u = F.regexp_replace(u, f"([?&])(?:{_TRACKING_PARAMS})=[^&#]*&", "$1")
+    u = F.regexp_replace(u, f"[?&](?:{_TRACKING_PARAMS})=[^&#]*$", "")
     u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "\\?&", "?")
     u = F.regexp_replace(u, "/$", "")

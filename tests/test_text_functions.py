@@ -488,6 +488,15 @@ def test_canonical_url_dedup_key(spark):
         "https://example.com/t:80/x": "example.com/t:80/x",
         "https://example.com/p?utm_x=1&id=7": "example.com/p?id=7",
         "https://example.com/p?utm_a=1&utm_b=2&c=3": "example.com/p?c=3",
+        # a literal '&' in a query-less path must NOT be rewritten to
+        # '?' (would falsely merge with the real ?-page) — r9 review
+        "https://example.com/news&events": "example.com/news&events",
+        # each global pass strips every other consecutive tracking
+        # param, so 3 chained passes cover runs up to ~8 (beyond that
+        # params survive — fail-safe: no false merge, weaker key)
+        "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&z=9": "e.com/p?z=9",
+        "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&z=9": "e.com/p?z=9",
+        "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&utm_f=6": "e.com/p",
     }
     df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(cases)])
     got = {
