@@ -1270,7 +1270,16 @@ _CLF_BUCKET_SQL = (
            ), 0) AS BIGINT) AS clf_logit,
            CAST(coalesce(list_sum(
              list_transform(toks, t -> ({_CLF_W_SQL})[{_CLF_BUCKET_SQL} + 1])
-           ), 0) AS BIGINT) > 0 AS clf_keep
+           ), 0) AS BIGINT) > 0 AS clf_keep,
+           CASE WHEN len(toks) <=
+                  (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
+                                        0.3333333333333333) FROM documents)
+                THEN 'head'
+                WHEN len(toks) <=
+                  (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
+                                        0.6666666666666666) FROM documents)
+                THEN 'middle'
+                ELSE 'tail' END AS len_bucket
     FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
       ON t.doc_id = top.doc_id
     ORDER BY t.doc_id
@@ -1281,12 +1290,29 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-ratio language id, keep decision (quality_keep with its
     stopword floor), and the token-counting family (whitespace inside
     quality_features, BPE-ish regex, chars/4 estimate). Pure column
-    expressions — one narrow map over the corpus, no shuffle."""
+    expressions — one narrow map over the corpus, no shuffle.
+
+    r9 adds ``len_bucket``: CCNet-style corpus-percentile buckets
+    (operators/curation.py:quality_bucket_thresholds/_mark — Wenzek et
+    al. 2020's head/middle/tail recipe) over the token count. The
+    thresholds come from ONE eager exact-percentile aggregate whose
+    result becomes literals, so the MARKING plan stays the same pure
+    map (the oracle computes the same quantile_cont scalar
+    subqueries; integer scores make the <= classification immune to
+    last-ulp threshold differences between engines)."""
     from siskin_spark.functions import text as X
 
-    from siskin_spark.operators.curation import sample_mark, stratified_mark
+    from siskin_spark.operators.curation import (
+        quality_bucket_mark,
+        quality_bucket_thresholds,
+        sample_mark,
+        stratified_mark,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    len_th = quality_bucket_thresholds(
+        docs.select(F.size(F.split("text", " ")).alias("nt")), "nt"
+    )
     # SORT FIRST, on the narrow (doc_id, text) projection: a global
     # orderBy is a range exchange whose partitioner SAMPLES its child
     # plan, so putting the sort ABOVE the feature projection executes
@@ -1377,6 +1403,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wd_dedup_chars",
         "clf_logit",
         "clf_keep",
+        quality_bucket_mark("n_tokens", len_th).alias("len_bucket"),
     )
 
 

@@ -669,6 +669,62 @@ def oov_fraction(
     )
 
 
+def quality_bucket_thresholds(
+    df: DataFrame,
+    score_col: Column | str,
+    probs: tuple[float, ...] = (1 / 3, 2 / 3),
+    exact: bool = True,
+) -> list[float]:
+    """Corpus score-percentile thresholds for
+    :func:`quality_bucket_mark` — the CCNet recipe (Wenzek et al.
+    2020: bucket documents into head/middle/tail by corpus-level
+    perplexity terciles, then keep/down-weight by bucket) applied to
+    any numeric score (hashed-BoW logit, token count, ...).
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate
+    (linear interpolation, the numpy/DuckDB ``quantile_cont``
+    definition) — its state is a value->count map, fine for the
+    bounded-cardinality scores curation produces (integer logits,
+    token counts); for continuous scores at 100 TB use
+    ``exact=False`` (``percentile_approx``, bounded-memory sketch,
+    documented rank error). One aggregate pass either way; returns
+    the collected thresholds so the mark itself stays a PURE MAP
+    (thresholds become literals — no join, no second scan in the
+    marking plan)."""
+    c = F.col(score_col) if isinstance(score_col, str) else score_col
+    arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
+    fn = "percentile" if exact else "percentile_approx"
+    row = (
+        df.select(c.alias("_qb_score"))
+        .agg(F.expr(f"{fn}(_qb_score, {arr})").alias("t"))
+        .first()
+    )
+    return [float(x) for x in row["t"]]
+
+
+def quality_bucket_mark(
+    score: Column | str,
+    thresholds: list[float],
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> Column:
+    """Column: the CCNet-style bucket label for ``score`` given the
+    ascending corpus ``thresholds`` from
+    :func:`quality_bucket_thresholds` (len(labels) must be
+    len(thresholds)+1; scores <= thresholds[i] take labels[i], the
+    rest take the last label). Pure map — the thresholds are
+    literals. NULL scores get NULL labels (filter upstream)."""
+    if len(labels) != len(thresholds) + 1:
+        raise ValueError(
+            f"need {len(thresholds) + 1} labels for "
+            f"{len(thresholds)} thresholds, got {len(labels)}"
+        )
+    c = F.col(score) if isinstance(score, str) else score
+    out = F.when(c <= F.lit(float(thresholds[0])), F.lit(labels[0]))
+    for t, lab in zip(thresholds[1:], labels[1:-1]):
+        out = out.when(c <= F.lit(float(t)), F.lit(lab))
+    return out.when(c.isNotNull(), F.lit(labels[-1]))
+
+
 def line_skew_profile(
     docs: DataFrame,
     id_col: str = "doc_id",

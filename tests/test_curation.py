@@ -960,3 +960,42 @@ def test_oov_fraction_against_vocab(spark):
     plan = (docs.select(C.oov_fraction(["a"]).alias("f"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_quality_buckets_ccnet_terciles(spark):
+    """CCNet head/middle/tail: exact-percentile thresholds match
+    numpy's linear interpolation; the mark is a pure map; approx mode
+    agrees on a smooth distribution; NULL scores stay NULL."""
+    import numpy as np
+
+    scores = [int(x) for x in np.random.default_rng(5).integers(-500, 500, 900)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(scores)],
+                               "doc_id long, s long")
+    th = C.quality_bucket_thresholds(df, "s")
+    want = np.percentile(np.array(scores, dtype=float), [100 / 3, 200 / 3],
+                         method="linear")
+    assert abs(th[0] - want[0]) < 1e-9 and abs(th[1] - want[1]) < 1e-9
+
+    marked = df.select("doc_id", "s",
+                       C.quality_bucket_mark("s", th).alias("b"))
+    got = {r["doc_id"]: r["b"] for r in marked.collect()}
+    for i, s in enumerate(scores):
+        exp = "head" if s <= th[0] else ("middle" if s <= th[1] else "tail")
+        assert got[i] == exp
+    # tercile sizes within interpolation slack
+    from collections import Counter
+    sizes = Counter(got.values())
+    assert all(250 <= sizes[b] <= 350 for b in ("head", "middle", "tail"))
+    # pure map
+    plan = (df.select(C.quality_bucket_mark("s", th).alias("b"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    # approx mode lands within a few ranks on this distribution
+    th_a = C.quality_bucket_thresholds(df, "s", exact=False)
+    assert abs(th_a[0] - th[0]) <= 20 and abs(th_a[1] - th[1]) <= 20
+    # NULL score -> NULL label
+    dfn = spark.createDataFrame([(0, None)], "doc_id long, s long")
+    assert dfn.select(C.quality_bucket_mark("s", th).alias("b")).first()["b"] is None
+    import pytest
+    with pytest.raises(ValueError, match="labels"):
+        C.quality_bucket_mark("s", th, labels=("only", "two"))
