@@ -310,19 +310,25 @@ def _control_leg(spark, results: dict, timed) -> None:
 
 
 def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
-    """C13 SemDeDup at full scale (r9, verdict #1 done-criterion): the
-    GEMM pair engine over (a) a balanced fitted-centroid set and (b) a
-    DELIBERATELY skewed one — 64 centroids of which 62 are exact
-    copies of centroid 0 (ties assign to the smaller cid, so the
-    copies never win): the corpus piles onto two cells at ~50% each,
-    the degenerate k-means outcome (duplicate/collapsed centroids from
-    empty-cell reseeding, dense paraphrase clusters) real web
-    embeddings produce. Without the hot-cell guard the skewed case is
-    sum(cell²) ≈ 2·(n/2)² cosine pairs on two join keys — 2.2e12 pairs
-    at 3M vectors, unrunnable; the guard's secondary-hash split bounds
-    every group to ``max_cell_rows`` and the leg records the achieved
-    pair-budget reduction."""
+    """C13 SemDeDup at full scale: the GEMM pair engine over (a) a
+    balanced fitted-centroid set and (b) a DELIBERATELY skewed one —
+    64 centroids of which 62 are exact copies of centroid 0 (ties
+    assign to the smaller cid, so the copies never win): the corpus
+    piles onto two cells at ~50% each, the degenerate k-means outcome
+    (duplicate/collapsed centroids from empty-cell reseeding, dense
+    paraphrase clusters) real web embeddings produce. Without the
+    hot-cell guard the skewed case is sum(cell²) ≈ 2·(n/2)² cosine
+    pairs on two join keys — 2.2e12 pairs at 3M vectors, unrunnable.
+
+    r10: the skewed case runs BOTH guard families — the r9
+    secondary-hash split and the new sub-centroid split (the default)
+    — and scores each against the PLANTED near-dup truth (the
+    corpus's (id-1, id) pairs at cos >= 0.95), recording recall where
+    duplicates concentrate. Pair counts come from the parquet the
+    timed run writes (ADVICE r9: the old ``.count()`` re-executed the
+    whole eager pipeline a third time just to count)."""
     from siskin_spark.functions.vectors import (
+        cosine,
         ivf_fit_centroids,
         semantic_dedup_pairs,
     )
@@ -332,9 +338,20 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
     cents.count()
 
     # semantic_dedup_pairs is EAGER up front (GEMM assignment +
-    # localCheckpoint + cell histogram run at construction) — time via
-    # _timed_build, which wraps construction AND materialization
-    run = _timed_build
+    # localCheckpoint + cell histogram + sub-centroid fit run at
+    # construction) — wrap construction AND materialization; the sink
+    # is the parquet the pair counts are read from afterwards
+    def run_writing(fn, name: str):
+        out = os.path.join(CORPUS, "semdedup_pairs", name)
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").parquet(out)
+            return time.perf_counter() - t0
+
+        once()  # warm-up (scan cache, codegen, Arrow workers)
+        t = min(once() for _ in range(2))
+        return t, spark.read.parquet(out)
 
     def bal():
         return semantic_dedup_pairs(
@@ -342,9 +359,9 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
             max_cell_rows=max_cell,
         )
 
-    run(bal)
-    results["semdedup_balanced_s"] = min(run(bal) for _ in range(2))
-    results["semdedup_balanced_pairs"] = bal().count()
+    t, pairs = run_writing(bal, "balanced")
+    results["semdedup_balanced_s"] = t
+    results["semdedup_balanced_pairs"] = pairs.count()
 
     c0 = cents.filter(F.col("cid") == 0).first()["cv"]
     c0_lit = F.array(*[F.lit(float(x)).cast("float") for x in c0])
@@ -366,20 +383,46 @@ def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
     counts = sorted((int(r["n"]) for r in hist), reverse=True)
     results["semdedup_hot_max_cell"] = counts[0]
     results["semdedup_hot_pairs_unguarded"] = sum(c * (c - 1) // 2 for c in counts)
-    # per cell: s = ceil(c/max_cell) hash sub-cells -> ~c^2/(2s) pairs
+    # per cell: s = ceil(c/max_cell) sub-cells -> ~c^2/(2s) pairs
     results["semdedup_hot_pairs_guarded"] = sum(
         c * c // (2 * (-(-c // max_cell))) for c in counts
     )
 
-    def hot():
-        return semantic_dedup_pairs(
+    # planted truth inside the skewed cells: the corpus's (id-1, id)
+    # near-dup pairs at the operator threshold — the duplicate mass a
+    # recall-preserving split must keep co-located
+    truth_dir = os.path.join(CORPUS, "semdedup_truth")
+    planted = vectors.filter(F.col("planted"))
+    base_v = vectors.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("_b")
+    )
+    (
+        planted.join(base_v, on="vec_id")
+        .select(
+            (F.col("vec_id") - 1).alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            cosine(F.col("_b"), F.col("embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(truth_dir)
+    )
+    truth = spark.read.parquet(truth_dir)
+    results["semdedup_planted_truth_pairs"] = truth.count()
+
+    def hot(mode: str):
+        return lambda: semantic_dedup_pairs(
             vectors, skew, threshold=0.95, engine="gemm",
-            max_cell_rows=max_cell,
+            max_cell_rows=max_cell, hot_cell=mode,
         )
 
-    run(hot)
-    results["semdedup_hotcell_s"] = min(run(hot) for _ in range(2))
-    results["semdedup_hotcell_pairs"] = hot().count()
+    for mode in ("split", "subcentroid"):
+        t, pairs = run_writing(hot(mode), f"hot_{mode}")
+        results[f"semdedup_hot_{mode}_s"] = t
+        results[f"semdedup_hot_{mode}_pairs"] = pairs.count()
+        results[f"semdedup_hot_{mode}_planted_found"] = truth.join(
+            pairs, on=["id_a", "id_b"], how="left_semi"
+        ).count()
     cents.unpersist()
     skew.unpersist()
 
@@ -1142,13 +1185,11 @@ def main() -> None:
         ),
         "stream_window_s": round(results["stream_window_s"], 2),
         "stream_window_rps": round(n_stream / results["stream_window_s"]),
-        "semdedup_balanced_s": round(results["semdedup_balanced_s"], 2),
-        "semdedup_balanced_pairs": results["semdedup_balanced_pairs"],
-        "semdedup_hotcell_s": round(results["semdedup_hotcell_s"], 2),
-        "semdedup_hotcell_pairs": results["semdedup_hotcell_pairs"],
-        "semdedup_hot_max_cell": results["semdedup_hot_max_cell"],
-        "semdedup_hot_pairs_unguarded": results["semdedup_hot_pairs_unguarded"],
-        "semdedup_hot_pairs_guarded": results["semdedup_hot_pairs_guarded"],
+        **{
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in results.items()
+            if k.startswith("semdedup_")
+        },
         "clf_md5_s": round(results["clf_md5_s"], 2),
         "clf_xxhash64_s": round(results["clf_xxhash64_s"], 2),
         "clf_docs": n_docs,

@@ -505,6 +505,34 @@ def ivf_assign_gemm(
     return index.mapInPandas(assign, out_schema)
 
 
+def _spherical_kmeans(X, k: int, iters: int, seed: int):
+    """Driver-side Lloyd's k-means on the unit sphere (assignment by
+    dot product, re-center then re-normalize; empty cells reseed from
+    the farthest point). Deterministic given (X, k, iters, seed) —
+    shared by :func:`ivf_fit_centroids` and the sub-centroid hot-cell
+    split in :func:`semantic_dedup_pairs`. Returns a (k, dim) float64
+    ndarray of unit centroids."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1)
+    X = X / np.where(n == 0.0, 1.0, n)[:, None]
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0:
+                    C[j] = c / nc
+            else:  # empty cell: reseed from the farthest point
+                far = np.argmin((X @ C.T).max(axis=1))
+                C[j] = X[far]
+    return C
+
+
 def ivf_fit_centroids(
     index: DataFrame,
     k: int = 64,
@@ -538,22 +566,7 @@ def ivf_fit_centroids(
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     if len(X) < k:
         raise ValueError(f"need >= k={k} sample vectors, got {len(X)}")
-    n = np.linalg.norm(X, axis=1)
-    X = X / np.where(n == 0.0, 1.0, n)[:, None]
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=k, replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                nc = np.linalg.norm(c)
-                if nc > 0:
-                    C[j] = c / nc
-            else:  # empty cell: reseed from the farthest point
-                far = np.argmin((X @ C.T).max(axis=1))
-                C[j] = X[far]
+    C = _spherical_kmeans(X, k, iters, seed)
     spark = index.sparkSession
     return spark.createDataFrame(
         [(int(j), [float(x) for x in C[j]]) for j in range(k)],
@@ -653,9 +666,11 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     use_gemm: bool = True,
     max_cell_rows: int | None = 50_000,
-    hot_cell: str = "split",
+    hot_cell: str = "subcentroid",
     split_seed: int = 11,
     engine: str = "expr",
+    subcentroid_sample: int = 16_384,
+    subcentroid_iters: int = 6,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest k-means
@@ -677,16 +692,40 @@ def semantic_dedup_pairs(
     dense paraphrase clusters routinely capture 5-20% of a corpus in
     one cell), a HOT-CELL GUARD bounds that quadratic term: one
     map-side-combined count per cid (bounded by k rows), and any cell
-    above ``max_cell_rows`` is split by a seeded secondary hash into
-    ``ceil(n / max_cell_rows)`` sub-cells compared independently. A
-    10M-row cell that would otherwise put 5e13 cosine pairs on one
-    join key becomes 200 bounded sub-cells — the same de-skew shape as
-    ``drop_duplicate_lines`` / ``domain_cap_mark``. The trade, stated
-    honestly: pairs straddling a sub-cell boundary inside a split cell
-    are missed, exactly like raising k (SemDeDup's recall is already
-    bounded by its cell partition; the guard applies the same
-    accepted trade only where the corpus is degenerate).
-    ``hot_cell='raise'`` instead refuses with the cell histogram;
+    above ``max_cell_rows`` is split into ``ceil(n / max_cell_rows)``
+    sub-cells compared independently. A 10M-row cell that would
+    otherwise put 5e13 cosine pairs on one join key becomes 200
+    bounded sub-cells — the same de-skew shape as
+    ``drop_duplicate_lines`` / ``domain_cap_mark``.
+
+    HOW a hot cell splits decides what the guard costs in recall,
+    because degenerate cells are duplicate-RICH (template pages,
+    paraphrase clusters — the operator's most productive cells):
+
+    - ``hot_cell='subcentroid'`` (default): sample the hot cell's
+      members (bounded, ~``subcentroid_sample`` rows per cell), fit
+      ``ceil(n / max_cell_rows)`` SUB-CENTROIDS driver-side
+      (:func:`_spherical_kmeans`, seeded — deterministic), and assign
+      members to their nearest sub-centroid (one GEMM pass over hot
+      rows only, ``mapInPandas``). Semantically-close pairs stay
+      co-located, so recall degrades like RAISING K — the trade
+      SemDeDup already accepts — instead of like random partitioning
+      (the r9 skewed leg measured the hash split at exactly 1/s of
+      the planted duplicate pairs: 753 of 59,962 at s=75). Sub-cells
+      that geometry cannot balance (thousands of IDENTICAL vectors
+      collapse onto one sub-centroid) are re-bounded by a RESIDUAL
+      seeded-hash split, so the pair/memory bound always holds; only
+      where vectors are indistinguishable does recall fall back to
+      the hash trade (and identical vectors pair within ANY slice of
+      themselves, so the residual loss hits exact copies' pair COUNT,
+      not whether each doc appears in some pair).
+    - ``hot_cell='split'``: the seeded secondary hash alone — skips
+      the sample/fit/assign pass, but recall inside a split cell is
+      ~1/n_subs of its pairs uniformly at random: the right pick only
+      when hot cells are known junk (near-zero vectors), not
+      duplicates.
+    - ``hot_cell='raise'`` refuses with the cell histogram.
+
     ``max_cell_rows=None`` disables the guard (and the histogram
     pass). Boundary misses OUTSIDE the guard remain as before: raise k
     for tighter cells, or run :func:`embedding_neardup_pairs` when
@@ -705,8 +744,10 @@ def semantic_dedup_pairs(
     (id_col = ``id_a``/``id_b`` orientation already matches) to keep
     one doc per duplicate relation.
     """
-    if hot_cell not in ("split", "raise"):
-        raise ValueError(f"hot_cell must be 'split' or 'raise', got {hot_cell!r}")
+    if hot_cell not in ("subcentroid", "split", "raise"):
+        raise ValueError(
+            f"hot_cell must be 'subcentroid', 'split' or 'raise', got {hot_cell!r}"
+        )
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
     if engine == "gemm" and max_cell_rows is None:
@@ -754,12 +795,53 @@ def semantic_dedup_pairs(
             f"Heaviest cells (rows, cid): {top[:10]}. Use hot_cell='split', "
             f"raise k (more/tighter cells), or raise max_cell_rows."
         )
-    if hot:
+    sub_cents: dict[int, "object"] = {}
+    if hot and hot_cell == "subcentroid":
+        import numpy as np
+
+        counts = {int(r["cid"]): int(r["_cn"]) for r in hist}
+        spark = v.sparkSession
+        sizes = spark.createDataFrame(
+            [(c, counts[c]) for c in sorted(hot)], "cid long, _hc_n long"
+        )
+        # one bounded per-cell sample in a single pass: the seeded-hash
+        # threshold admits ~subcentroid_sample of each hot cell's rows
+        # (all of them for cells near the guard bound) — never a
+        # per-cell job, never an unbounded collect
+        sampled = (
+            v.join(broadcast(sizes), "cid")
+            .filter(
+                F.pmod(
+                    F.xxhash64(F.col("_id").cast("string"), F.lit(split_seed + 1)),
+                    F.col("_hc_n"),
+                )
+                < F.lit(int(subcentroid_sample))
+            )
+            .select("cid", "_v")
+            .collect()
+        )
+        by_cell: dict[int, list] = {c: [] for c in hot}
+        for r in sampled:
+            by_cell[int(r["cid"])].append(r["_v"])
+        for c in sorted(hot):
+            Xs = np.array(by_cell[c], dtype=np.float64)
+            # need a meaningfully larger sample than sub-centroid count
+            # to fit anything; a cell this starved (pathological
+            # subcentroid_sample setting) falls back to the hash split
+            if len(Xs) >= 2 * hot[c]:
+                sub_cents[c] = _spherical_kmeans(
+                    Xs, hot[c], subcentroid_iters, split_seed
+                )
+
+    # hash-split cells: all hot cells in 'split' mode, plus any
+    # sample-starved fallback cells in 'subcentroid' mode
+    hash_cells = {c: s for c, s in hot.items() if c not in sub_cents}
+    if hash_cells:
         spark = v.sparkSession
         splits = spark.createDataFrame(
-            [(c, s) for c, s in sorted(hot.items())], "cid long, _ns long"
+            [(c, s) for c, s in sorted(hash_cells.items())], "cid long, _ns long"
         )
-        v = (
+        rest = (
             v.join(broadcast(splits), "cid", "left")
             .withColumn(
                 "_sub",
@@ -776,10 +858,98 @@ def semantic_dedup_pairs(
             .drop("_ns")
         )
     else:
-        v = v.withColumn("_sub", F.lit(0).cast("long"))
+        rest = v.withColumn("_sub", F.lit(0).cast("long"))
+
+    if sub_cents:
+        import numpy as np
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        fitted = sorted(sub_cents)
+        # normalize once; closure ships len(hot) small matrices
+        mats = {
+            c: (m / np.linalg.norm(m, axis=1, keepdims=True))
+            for c, m in sub_cents.items()
+        }
+        rest = rest.filter(~F.col("cid").isin(fitted))
+        v_hot = v.filter(F.col("cid").isin(fitted))
+        out_schema = StructType(
+            list(v_hot.schema.fields) + [StructField("_sub", LongType(), False)]
+        )
+
+        def sub_assign(batches):
+            import pandas as pd  # noqa: F401
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["_v"]), dtype=np.float64)
+                nrm = np.linalg.norm(X, axis=1)
+                Xn = X / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+                cids = pdf["cid"].to_numpy()
+                sub = np.zeros(len(pdf), dtype=np.int64)
+                for c in np.unique(cids):
+                    m = cids == c
+                    sub[m] = np.argmax(Xn[m] @ mats[int(c)].T, axis=1)
+                pdf = pdf.copy()
+                pdf["_sub"] = sub
+                yield pdf
+
+        v = rest.unionByName(v_hot.mapInPandas(sub_assign, out_schema))
+        # RESIDUAL guard: a duplicate-degenerate sub-cell (identical
+        # vectors collapsing onto one sub-centroid) can still exceed
+        # the bound — one more bounded histogram (≤ sum(n_subs) rows)
+        # over the fitted cells only, then a seeded-hash split of the
+        # oversize (cid, sub) groups. The checkpoint cuts the
+        # mapInPandas lineage so the sub-assignment GEMM runs once,
+        # not once per histogram/join-side consumer.
+        v = v.localCheckpoint(eager=True)
+        rhist = (
+            v.filter(F.col("cid").isin(fitted))
+            .groupBy("cid", "_sub")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .filter(F.col("_cn") > max_cell_rows)
+            .collect()
+        )
+        if rhist:
+            resid = spark.createDataFrame(
+                [
+                    (int(r["cid"]), int(r["_sub"]),
+                     -(-int(r["_cn"]) // max_cell_rows))
+                    for r in rhist
+                ],
+                "cid long, _sub long, _ns2 long",
+            )
+            v = (
+                v.join(broadcast(resid), ["cid", "_sub"], "left")
+                .withColumn(
+                    "_sub",
+                    F.when(
+                        F.col("_ns2").isNotNull(),
+                        F.col("_sub") * F.lit(1_000_000)
+                        + F.pmod(
+                            F.xxhash64(
+                                F.col("_id").cast("string"),
+                                F.lit(split_seed + 2),
+                            ),
+                            F.col("_ns2"),
+                        ),
+                    ).otherwise(F.col("_sub")),
+                )
+                .drop("_ns2")
+            )
+    else:
+        v = rest
 
     if engine == "gemm":
         return _within_group_pairs_gemm(v, threshold)
+    # zero-norm guard (matches the GEMM engine, which substitutes norm
+    # 1 for zero norms -> cos 0, no pair): without it 0/0 = NaN, and
+    # NaN >= threshold is TRUE under Spark's NaN-greatest ordering —
+    # an all-zero embedding would pair with every co-cell vector
+    pair_cos = _cosine_prenormed(
+        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+    )
     return (
         v.alias("a")
         .join(
@@ -794,9 +964,9 @@ def semantic_dedup_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a.cid").alias("cid"),
-            _cosine_prenormed(
-                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
-            ).alias("cos_sim"),
+            F.when(
+                F.col("a._n") * F.col("b._n") == 0, F.lit(0.0)
+            ).otherwise(pair_cos).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
