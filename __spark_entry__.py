@@ -1272,12 +1272,16 @@ _CLF_BUCKET_SQL = (
              list_transform(toks, t -> ({_CLF_W_SQL})[{_CLF_BUCKET_SQL} + 1])
            ), 0) AS BIGINT) > 0 AS clf_keep,
            CASE WHEN len(toks) <=
-                  (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
-                                        0.3333333333333333) FROM documents)
+                  (SELECT CASE WHEN abs(q - round(q)) < 0.000001
+                               THEN round(q) + 0.5 ELSE q END FROM
+                   (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
+                                         0.3333333333333333) AS q FROM documents))
                 THEN 'head'
                 WHEN len(toks) <=
-                  (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
-                                        0.6666666666666666) FROM documents)
+                  (SELECT CASE WHEN abs(q - round(q)) < 0.000001
+                               THEN round(q) + 0.5 ELSE q END FROM
+                   (SELECT quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE),
+                                         0.6666666666666666) AS q FROM documents))
                 THEN 'middle'
                 ELSE 'tail' END AS len_bucket
     FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
@@ -1298,8 +1302,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds come from ONE eager exact-percentile aggregate whose
     result becomes literals, so the MARKING plan stays the same pure
     map (the oracle computes the same quantile_cont scalar
-    subqueries; integer scores make the <= classification immune to
-    last-ulp threshold differences between engines)."""
+    subqueries; both engines snap near-integral thresholds to k+0.5 —
+    snap_integral — so the <= classification over integer token
+    counts is immune to last-ulp interpolation differences even when
+    a tercile lands exactly ON an integer)."""
     from siskin_spark.functions import text as X
 
     from siskin_spark.operators.curation import (
@@ -1310,8 +1316,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # snap_integral: token counts are integers, and a tercile landing
+    # exactly ON an integer differs by 1 ulp between Spark's and
+    # DuckDB's interpolation forms — the snap (mirrored in the oracle's
+    # CASE) makes the <= classification engine-independent (ADVICE r9)
     len_th = quality_bucket_thresholds(
-        docs.select(F.size(F.split("text", " ")).alias("nt")), "nt"
+        docs.select(F.size(F.split("text", " ")).alias("nt")), "nt",
+        snap_integral=True,
     )
     # SORT FIRST, on the narrow (doc_id, text) projection: a global
     # orderBy is a range exchange whose partitioner SAMPLES its child
@@ -1769,6 +1780,22 @@ def _hp_bucket_sql(n_planes: int, first_plane: int = 0, vec: str = "v") -> str:
     return " + ".join(terms)
 
 
+def _assert_planted_offset_free(emb: DataFrame) -> None:
+    """ADVICE r9: the planted-duplicate legs synthesize partners under
+    ``vec_id + 1_000_000``. Past 1M real ids the planted ids would
+    collide with real vectors — both the Spark leg and the oracle
+    build the same colliding union, so the harness would still PASS
+    while the planted-exact-duplicate check silently degrades. Fail
+    loudly instead (one column-pruned max() aggregate, driver-bounded)."""
+    top = emb.agg(F.max("vec_id")).first()[0]
+    if top is not None and top >= 1_000_000:
+        raise AssertionError(
+            f"planted-duplicate offset collision: max(vec_id)={top} >= "
+            "1000000 — raise the planted offset (in BOTH the Spark leg "
+            "and the oracle SQL) before running at this scale factor"
+        )
+
+
 @_q(
     "similarity_topk",
     f"""
@@ -1908,6 +1935,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("part"), "probe_id", "neighbor_id", "cos_sim",
         "rank", no_cid,
     )
+    _assert_planted_offset_free(emb)
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
@@ -2691,6 +2719,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 5 == 0)
         .select("vec_id", "embedding")
     )
+    _assert_planted_offset_free(emb)
     planted = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(

@@ -404,8 +404,18 @@ def drop_duplicate_spans(
     - coverage expands ONLY duplicated occurrences by k positions
       (bounded by k x dup-occurrence count, not corpus tokens), then
       one distinct and a uniform (id, pos) anti-join;
-    - reassembly is the groupBy(id) rebuild shared with line dedup,
-      state bounded by document size.
+    - the token explode + groupBy(id) reassembly runs over AFFECTED
+      documents only (``cover``'s distinct doc ids semi-join the
+      token table): a document no duplicated span touches — the large
+      majority of a real corpus at k=50 — flows through as the
+      whitespace-normalized map column and never enters the rebuild
+      shuffle, which was the dominant stage (r9 verdict: 83.7 s of
+      the 3 M-doc leg rebuilt every doc). The same semi-join does NOT
+      pay for :func:`drop_duplicate_lines`: its duplicated unit is
+      boilerplate LINES, which in practice occur in most web
+      documents (nav/footer text), so the affected set approaches the
+      corpus and the extra distinct+join would be pure overhead —
+      span dedup's k-token verbatim runs are the rare-touch case.
     """
     norm = F.concat_ws(
         " ", F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
@@ -444,7 +454,10 @@ def drop_duplicate_spans(
             F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
         ).alias("_pos"),
     )
-    toks = staged.select(
+    # rebuild ONLY the documents some duplicated span touches; everyone
+    # else keeps the whitespace-normalized text via a pure map below
+    affected = cover.select(id_col).distinct()
+    toks = staged.join(affected, id_col, "left_semi").select(
         id_col, F.posexplode(F.split(F.col("_sdt"), " ")).alias("_pos", "_tok")
     )
     kept = toks.join(cover, [id_col, "_pos"], "left_anti")
@@ -455,12 +468,19 @@ def drop_duplicate_spans(
                 F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
                 lambda s: s["_tok"],
             ),
-        ).alias(text_col)
+        ).alias("_rb")
+    )
+    # an affected doc whose every token was covered has NO kept rows
+    # (groupBy emits nothing) — it must become '', not fall back to
+    # its normalized text, so the affected set itself anchors the join
+    rebuilt_all = affected.join(rebuilt, id_col, "left").withColumn(
+        "_rb", F.coalesce(F.col("_rb"), F.lit(""))
     )
     return (
-        docs.drop(text_col)
-        .join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        docs.withColumn(text_col, norm)
+        .join(rebuilt_all, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_rb"), F.col(text_col)))
+        .drop("_rb")
     )
 
 
@@ -651,8 +671,9 @@ def oov_fraction(
     measured ~2x slower on a 64-word vocab): pure map, zero shuffle,
     no join — at 100 TB the vocab rides the closure exactly like a
     broadcast, without the join machinery. For vocabularies too large
-    for a literal (~100 K+), reshape to explode + broadcast-join the
-    vocab table + per-doc agg — same values, one narrow shuffle."""
+    for a literal (~10 K+), use :func:`with_oov_fraction`, which
+    switches automatically to the explode + broadcast-join + per-doc
+    aggregate form — same values, one narrow shuffle."""
     if not isinstance(vocab, list):
         vocab = [r["token"] for r in vocab.select("token").collect()]
     toks = F.filter(F.split(F.col(text_col), sep), lambda t: F.length(t) > 0)
@@ -669,11 +690,78 @@ def oov_fraction(
     )
 
 
+def with_oov_fraction(
+    docs: DataFrame,
+    vocab: list[str] | DataFrame,
+    out_col: str = "oov_frac",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    literal_max: int = 8_192,
+) -> DataFrame:
+    """Append the per-document OOV fraction, picking the plan by vocab
+    size (r9 verdict: ``vocab_table``'s DEFAULT is top=100 000, so the
+    natural composition ``with_oov_fraction(docs, vocab_table(docs))``
+    lands exactly in the regime a literal cannot serve):
+
+    - ``len(vocab) <= literal_max``: the :func:`oov_fraction` literal
+      column — InSet hash probe inside a row-local filter, pure map,
+      zero shuffle. The default switch point (8 K) keeps the compiled
+      plan/closure small; a 100 K-element ``isin`` literal bloats both
+      and pays the InSet build per task.
+    - above it: explode the non-empty tokens, LEFT-join the vocab as a
+      broadcast table (a 100 K-token vocab is a few MB — executor-side
+      hash build, the corpus never shuffles for the join), then one
+      map-side-combined per-doc aggregate (token total + vocab hits)
+      and a join back on the unique ``id_col``. Same values as the
+      literal form by construction: (n - hits)/n over the same
+      non-empty token multiset, 0.0 for token-less docs.
+
+    The vocab list is de-duplicated first (duplicate vocab entries
+    would multiply join rows and deflate the OOV rate; ``isin`` is
+    naturally immune, the join form must be made so)."""
+    if not isinstance(vocab, list):
+        vocab = [r["token"] for r in vocab.select("token").collect()]
+    vocab = list(dict.fromkeys(vocab))
+    if len(vocab) <= literal_max:
+        return docs.withColumn(out_col, oov_fraction(vocab, text_col, sep))
+    spark = docs.sparkSession
+    vt = F.broadcast(
+        spark.createDataFrame([(t,) for t in vocab], "_ovf_tok string")
+        .withColumn("_ovf_in", F.lit(1))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), sep), lambda t: F.length(t) > 0)
+        ).alias("_ovf_tok"),
+    )
+    per_doc = (
+        toks.join(vt, "_ovf_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_ovf_n"),
+            F.count("_ovf_in").alias("_ovf_hit"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                (F.col("_ovf_n") - F.col("_ovf_hit")).cast("double")
+                / F.col("_ovf_n").cast("double")
+            ).alias(out_col),
+        )
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0))
+    )
+
+
 def quality_bucket_thresholds(
     df: DataFrame,
     score_col: Column | str,
     probs: tuple[float, ...] = (1 / 3, 2 / 3),
     exact: bool = True,
+    snap_integral: bool = False,
 ) -> list[float]:
     """Corpus score-percentile thresholds for
     :func:`quality_bucket_mark` — the CCNet recipe (Wenzek et al.
@@ -690,7 +778,20 @@ def quality_bucket_thresholds(
     documented rank error). One aggregate pass either way; returns
     the collected thresholds so the mark itself stays a PURE MAP
     (thresholds become literals — no join, no second scan in the
-    marking plan)."""
+    marking plan).
+
+    ``snap_integral=True`` (for INTEGER-valued scores): a threshold
+    landing within 1e-6 of an integer k is snapped to k + 0.5. Linear
+    interpolation that mathematically lands ON an integer can come
+    out k or k±1ulp depending on the engine's interpolation form
+    (``lo+(hi-lo)*f`` vs ``lo*(1-f)+hi*f``), and at exactly-integer
+    thresholds that last ulp flips the ``<=`` classification of the
+    score k itself (ADVICE r9). Snapping to the half-open midpoint is
+    classification-IDENTICAL for integer scores (k <= k+0.5; k+1 >
+    k+0.5, exactly as k <= k under an exact threshold) and makes two
+    engines agree whenever both land within 1e-6 of the same integer.
+    Leave False for continuous scores — there the snap would move
+    real mass across the boundary."""
     c = F.col(score_col) if isinstance(score_col, str) else score_col
     arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
     fn = "percentile" if exact else "percentile_approx"
@@ -699,7 +800,13 @@ def quality_bucket_thresholds(
         .agg(F.expr(f"{fn}(_qb_score, {arr})").alias("t"))
         .first()
     )
-    return [float(x) for x in row["t"]]
+    out = []
+    for x in row["t"]:
+        x = float(x)
+        if snap_integral and abs(x - round(x)) < 1e-6:
+            x = round(x) + 0.5
+        out.append(x)
+    return out
 
 
 def quality_bucket_mark(

@@ -962,6 +962,50 @@ def test_oov_fraction_against_vocab(spark):
     assert "Exchange" not in plan
 
 
+def test_with_oov_fraction_join_form_matches_literal(spark):
+    """r9 verdict #3: the join form (vocab above literal_max) must
+    equal the InSet-literal form value-for-value on a fixture that
+    straddles the switch — including empty docs, all-OOV docs, and
+    duplicate vocab entries (which must NOT multiply join rows)."""
+    rows = [
+        Row(doc_id=0, text="a b a zz"),
+        Row(doc_id=1, text="qq ww"),
+        Row(doc_id=2, text="a  b"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="v1 v2 v3 junk v1"),
+    ]
+    docs = spark.createDataFrame(rows)
+    vocab = ["a", "b"] + [f"v{i}" for i in range(50)]
+    lit_form = {
+        r["doc_id"]: r["oov_frac"]
+        for r in C.with_oov_fraction(docs, vocab, literal_max=1000).collect()
+    }
+    join_form = {
+        r["doc_id"]: r["oov_frac"]
+        for r in C.with_oov_fraction(docs, vocab, literal_max=10).collect()
+    }
+    assert join_form == lit_form
+    assert lit_form == {0: 0.25, 1: 1.0, 2: 0.0, 3: 0.0, 4: 0.2}
+    # duplicate vocab entries are harmless in both forms
+    dup = {
+        r["doc_id"]: r["oov_frac"]
+        for r in C.with_oov_fraction(
+            docs, vocab + vocab, literal_max=10
+        ).collect()
+    }
+    assert dup == lit_form
+    # the join side broadcasts: the corpus never shuffles for the probe
+    plan = (
+        C.with_oov_fraction(docs, vocab, literal_max=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # all other columns pass through in both forms
+    assert set(C.with_oov_fraction(docs, vocab, literal_max=10).columns) == {
+        "doc_id", "text", "oov_frac"
+    }
+
+
 def test_quality_buckets_ccnet_terciles(spark):
     """CCNet head/middle/tail: exact-percentile thresholds match
     numpy's linear interpolation; the mark is a pure map; approx mode
@@ -999,3 +1043,27 @@ def test_quality_buckets_ccnet_terciles(spark):
     import pytest
     with pytest.raises(ValueError, match="labels"):
         C.quality_bucket_mark("s", th, labels=("only", "two"))
+
+
+def test_quality_bucket_thresholds_snap_integral(spark):
+    """ADVICE r9: terciles of 0..900 land EXACTLY on 300/600 — the
+    1-ulp interpolation hazard between engines. snap_integral moves
+    them to 300.5/600.5, which classifies integer scores identically
+    (300 -> head, 301 -> middle) while being engine-independent;
+    non-integral thresholds and the default are untouched."""
+    df = spark.createDataFrame([(i, i) for i in range(901)],
+                               "doc_id long, s long")
+    th = C.quality_bucket_thresholds(df, "s", snap_integral=True)
+    assert th == [300.5, 600.5]
+    # same classification as the exact-integer thresholds under <=
+    marked = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", C.quality_bucket_mark("s", th).alias("b")).collect()}
+    assert marked[300] == "head" and marked[301] == "middle"
+    assert marked[600] == "middle" and marked[601] == "tail"
+    # default stays raw; non-integral thresholds are never snapped
+    assert C.quality_bucket_thresholds(df, "s") == [300.0, 600.0]
+    df2 = spark.createDataFrame([(i, i) for i in range(900)],
+                               "doc_id long, s long")
+    raw = C.quality_bucket_thresholds(df2, "s")
+    snapped = C.quality_bucket_thresholds(df2, "s", snap_integral=True)
+    assert snapped == raw  # 299.666... / 599.333... pass through
