@@ -915,40 +915,55 @@ def _pii_sql(template: str) -> str:
 
 
 # messy per-row URL for the url_canon column: scheme/case/port/
-# tracking-param/fragment noise around a stable page identity
+# tracking-param/fragment noise around a stable page identity, plus an
+# unreserved percent-escape in the path (%7E -> '~') and OUT-OF-ORDER
+# query params ('zz' before 'id') so the r10 param sort provably fires
 _URL_HAY_SQL = (
     "'https://WWW.Example' || CAST(doc_id % 4 AS VARCHAR) || "
-    "'.com:443/p/' || CAST(doc_id AS VARCHAR) || "
+    "'.com:443/p%7E' || CAST(doc_id AS VARCHAR) || "
     "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
-    "'?utm_source=x' || "
+    "'?zz=9&utm_source=x' || "
     "CASE WHEN doc_id % 2 = 0 THEN '&id=' || CAST(doc_id % 7 AS VARCHAR) "
     "ELSE '' END || '&fbclid=zz#frag'"
 )
 
 
 def _canon_url_sql(expr: str) -> str:
-    """The canonical_url regex chain (functions/text.py) spelled as
-    nested DuckDB regexp_replace calls — same RE2-safe patterns, same
-    order; only the capture-reference spelling differs ('\\1' vs the
-    Java side's '$1')."""
+    """The canonical_url chain (functions/text.py) spelled in DuckDB —
+    same RE2-safe patterns, same pass order, same fixed-order
+    unreserved-escape replaces and the same guarded param sort; only
+    the capture-reference spelling differs ('\\1' vs the Java side's
+    '$1')."""
+    from siskin_spark.functions.text import _PCT_UNRESERVED
+
     _P = "utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid"
-    steps = [
+    s = f"lower({expr})"
+    for pat, rep in [
         ("#.*$", ""),
         ("^https?://", ""),
         ("^www\\.", ""),
         ("^([^/?]*):(?:80|443)([/?]|$)", "\\1\\2"),
+    ]:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    for esc, ch in _PCT_UNRESERVED:
+        s = f"replace({s}, '{esc}', '{ch}')"
+    for pat, rep in [
         (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
         (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
         (f"([?&])(?:{_P})=[^&#]*&", "\\1"),
         (f"[?&](?:{_P})=[^&#]*$", ""),
         ("[?&]$", ""),
         ("\\?&", "?"),
-        ("/$", ""),
-    ]
-    s = f"lower({expr})"
-    for pat, rep in steps:
+    ]:
         s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
-    return s
+    sorted_s = (
+        f"CASE WHEN strpos({s}, '?') > 0 AND strpos({s}, '?') < length({s}) "
+        f"THEN regexp_extract({s}, '^([^?]*)\\?', 1) || '?' || "
+        f"array_to_string(list_sort(str_split("
+        f"regexp_replace({s}, '^[^?]*\\?', '', 'g'), '&')), '&') "
+        f"ELSE {s} END"
+    )
+    return f"regexp_replace({sorted_s}, '/$', '', 'g')"
 
 
 @_q(
@@ -1088,10 +1103,10 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("https://WWW.Example"),
                 (d % 4).cast("string"),
-                F.lit(".com:443/p/"),
+                F.lit(".com:443/p%7E"),
                 d.cast("string"),
                 F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-                F.lit("?utm_source=x"),
+                F.lit("?zz=9&utm_source=x"),
                 F.when(
                     d % 2 == 0,
                     F.concat(F.lit("&id="), (d % 7).cast("string")),

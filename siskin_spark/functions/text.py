@@ -610,6 +610,21 @@ def with_top_ngram_frac(
 #: that makes otherwise-identical pages distinct URLs
 _TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid"
 
+#: unreserved-character percent-escapes (RFC 3986 §2.3: ALPHA / DIGIT /
+#: '-' / '.' / '_' / '~' — encoding them never changes URL meaning, so
+#: '%7Euser' and '~user' are the same page) decoded by canonical_url.
+#: The whole URL is lowercased FIRST, so escape hex is lowercase here
+#: and both letter cases decode to the lowercase letter. Plain
+#: string replaces (no regex), applied in THIS fixed order in both
+#: engines: sequential replacement can cascade on double-encoded
+#: pathological inputs ('%%3441' -> '%441' -> ...), which is fine for
+#: a dedup key as long as the two engines walk the same order.
+_PCT_UNRESERVED: list[tuple[str, str]] = (
+    [(f"%{ord(c):02x}", c) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [(f"%{ord(c.upper()):02x}", c) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [(f"%{ord(c):02x}", c) for c in "0123456789-._~"]
+)
+
 
 def canonical_url(url: Column | str) -> Column:
     """URL-dedup canonicalization key (the RefinedWeb/FineWeb stage
@@ -617,28 +632,36 @@ def canonical_url(url: Column | str) -> Column:
     same page under scheme/case/tracking-parameter variants, and
     keying the dedup on the RAW url silently keeps them all).
 
-    A chain of global JVM regex passes — one codegen'd projection, no
-    UDF, no shuffle; RE2-compatible patterns (no lookaround, no
-    backreferences in PATTERNS — capture-group references appear only
-    in replacements, which both Java and RE2 support) so an oracle
-    can run the same semantics: lowercase -> drop fragment -> drop
-    scheme -> drop leading 'www.' -> drop a default :80/:443 port
-    (host-anchored, whatever follows — '/', '?' or end) -> strip
-    tracking params (utm_*/fbclid/gclid/..., anchored at a '?'/'&'
-    boundary so 'xgclid=1' is NOT corrupted; a mid-list param's
-    LEADING delimiter is preserved via capture so the next param
-    keeps its '?' — each global pass strips every other param of a
-    consecutive run, so three chained passes cover runs up to ~8;
-    longer runs merely survive uncanonicalized, which fails SAFE: no
-    false merge, just a less aggressive key) -> tidy dangling
-    '?'/'&' -> strip one trailing
-    slash. A canonicalization heuristic for DEDUP KEYING,
-    deliberately not a URL parser: it never rejects, every rewrite
-    fires only at a real parameter boundary (a path like
-    '/news&events' with no query is untouched), and two URLs it maps
-    together are overwhelmingly the same page — the right trade for a
-    dedup key (a parser dependency would cost a Python UDF in the hot
-    path).
+    A chain of global JVM string/regex passes — one codegen'd
+    projection, no UDF, no shuffle; RE2-compatible patterns (no
+    lookaround, no backreferences in PATTERNS — capture-group
+    references appear only in replacements, which both Java and RE2
+    support) so an oracle can run the same semantics: lowercase ->
+    drop fragment -> drop scheme -> drop leading 'www.' -> drop a
+    default :80/:443 port (host-anchored, whatever follows — '/', '?'
+    or end) -> decode unreserved percent-escapes ('%7euser' ==
+    '~user'; plain string replaces over :data:`_PCT_UNRESERVED`, same
+    fixed order in both engines) -> strip tracking params
+    (utm_*/fbclid/gclid/..., anchored at a '?'/'&' boundary so
+    'xgclid=1' is NOT corrupted; a mid-list param's LEADING delimiter
+    is preserved via capture so the next param keeps its '?' — each
+    global pass strips every other param of a consecutive run, so
+    three chained passes cover runs up to ~8; longer runs merely
+    survive uncanonicalized, which fails SAFE: no false merge, just a
+    less aggressive key) -> tidy dangling '?'/'&' -> SORT the
+    remaining query parameters ('?b=2&a=1' and '?a=1&b=2' — the same
+    page reached via different referrers — become one key; r9
+    verdict: RefinedWeb-style canonicalization sorts params) -> strip
+    one trailing slash. The parameter sort fires only when a '?' with
+    content after it exists, so query-less paths containing '&'
+    ('/news&events') are untouched, and the bound-once
+    :func:`let_once` reference keeps the 11-pass chain evaluated once
+    per row despite the path/query split reading it three times. A
+    canonicalization heuristic for DEDUP KEYING, deliberately not a
+    URL parser: it never rejects, every rewrite fires only at a real
+    parameter boundary, and two URLs it maps together are
+    overwhelmingly the same page — the right trade for a dedup key (a
+    parser dependency would cost a Python UDF in the hot path).
 
     Compose with the exact-dedup operator for URL-level dedup::
 
@@ -653,6 +676,10 @@ def canonical_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, "^www\\.", "")
     # host-anchored default port, delimiter preserved via capture refs
     u = F.regexp_replace(u, "^([^/?]*):(?:80|443)([/?]|$)", "$1$2")
+    # unreserved %-escapes: plain string replaces (no regex scan), so
+    # '%7euser' and '~user' key together; fixed shared order
+    for esc, ch in _PCT_UNRESERVED:
+        u = F.replace(u, F.lit(esc), F.lit(ch))
     # tracking params only at a parameter boundary (never mid-token).
     # Mid-list: consume through the FOLLOWING '&' and re-emit the
     # leading delimiter, so the next param inherits it — one global
@@ -665,6 +692,27 @@ def canonical_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, f"[?&](?:{_TRACKING_PARAMS})=[^&#]*$", "")
     u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "\\?&", "?")
+    # sort query params so referrer-dependent orderings share a key;
+    # fires only when '?' exists with content after it (a dangling '?'
+    # was tidied above; query-less '&' paths never enter). let_once:
+    # the chain above is referenced three times (path, query, guard)
+    # and would otherwise be re-evaluated per reference.
+    u = let_once(
+        u,
+        lambda uu: F.when(
+            (F.instr(uu, "?") > 0) & (F.instr(uu, "?") < F.length(uu)),
+            F.concat(
+                F.regexp_extract(uu, "^([^?]*)\\?", 1),
+                F.lit("?"),
+                F.array_join(
+                    F.array_sort(
+                        F.split(F.regexp_replace(uu, "^[^?]*\\?", ""), "&")
+                    ),
+                    "&",
+                ),
+            ),
+        ).otherwise(uu),
+    )
     u = F.regexp_replace(u, "/$", "")
     return u
 

@@ -482,7 +482,8 @@ def test_canonical_url_dedup_key(spark):
         # NAMED xgclid is not a tracking param), port before '?', a
         # path segment that happens to contain ':80/', and a URL whose
         # first surviving param lost its '?' lead
-        "https://example.com/p?xgclid=1&id=2": "example.com/p?xgclid=1&id=2",
+        # (r10 param sort reorders; the point is xgclid SURVIVES)
+        "https://example.com/p?xgclid=1&id=2": "example.com/p?id=2&xgclid=1",
         "https://example.com:443?a=1": "example.com?a=1",
         "http://example.com:80?a=1": "example.com?a=1",
         "https://example.com/t:80/x": "example.com/t:80/x",
@@ -497,6 +498,22 @@ def test_canonical_url_dedup_key(spark):
         "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&z=9": "e.com/p?z=9",
         "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&z=9": "e.com/p?z=9",
         "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&utm_f=6": "e.com/p",
+        # r10: query-param ORDER no longer splits a page's dedup key
+        # (the same page via different referrers), and the sort never
+        # touches query-less paths — '&' in a path stays in place
+        "https://e.com/p?b=2&a=1": "e.com/p?a=1&b=2",
+        "https://e.com/p?a=1&b=2": "e.com/p?a=1&b=2",
+        "https://e.com/p?b=2&utm_x=t&a=1": "e.com/p?a=1&b=2",
+        "https://e.com/x&y?b=2&a=1": "e.com/x&y?a=1&b=2",
+        "https://e.com/p?z=": "e.com/p?z=",
+        # r10: unreserved percent-escapes decode ('%7Euser' == '~user',
+        # '%41' == 'a' since the key is lowercased anyway); reserved
+        # escapes like %2F stay encoded (decoding them WOULD change
+        # path structure)
+        "https://e.com/%7Euser": "e.com/~user",
+        "https://e.com/~user": "e.com/~user",
+        "https://e.com/%41%62c": "e.com/abc",
+        "https://e.com/a%2Fb": "e.com/a%2fb",
     }
     df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(cases)])
     got = {
