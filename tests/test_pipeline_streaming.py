@@ -251,3 +251,75 @@ def test_streaming_curation_marks(tmp_path, spark):
         .collect()
     }
     assert {k: v["keep"] for k, v in got.items()} == batch
+
+
+def test_streaming_r9_marks(tmp_path, spark):
+    """r9 verdict #6: the newer stateless curation marks — the URL
+    dedup key (canonical_url), the CCNet bucket mark (thresholds
+    PRE-COMPUTED batch-side, riding the streaming plan as literals —
+    a stream cannot aggregate percentiles statelessly), and the
+    OOV-rate gate — ride the availableNow mirror like the other
+    marks: stream verdicts equal batch verdicts row-for-row."""
+    import json as _json
+
+    from siskin_spark.functions.text import canonical_url
+    from siskin_spark.operators.curation import (
+        oov_fraction,
+        quality_bucket_mark,
+        quality_bucket_thresholds,
+    )
+
+    src = tmp_path / "m_src"
+    src.mkdir()
+    rows = [
+        {
+            "doc_id": i,
+            "url": f"HTTPS://www.Ex{i % 3}.com:443/p?b={i}&utm_source=x&a=1",
+            "text": " ".join("tok" for _ in range(i + 1)) + " zz",
+        }
+        for i in range(20)
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch_df = spark.read.json(str(src), schema=schema)
+    th = quality_bucket_thresholds(
+        batch_df.select(F.size(F.split("text", " ")).alias("nt")),
+        "nt",
+        snap_integral=True,
+    )
+
+    def marks(df):
+        return df.select(
+            "doc_id",
+            canonical_url("url").alias("url_key"),
+            quality_bucket_mark(F.size(F.split("text", " ")), th).alias(
+                "len_bucket"
+            ),
+            oov_fraction(["tok"]).alias("oov"),
+        )
+
+    out, ckpt = str(tmp_path / "m_out"), str(tmp_path / "m_ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        marks(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: r.asDict() for r in marks(batch_df).collect()}
+    assert got == want and len(got) == 20
+    # the marks did real work: params sorted+stripped, buckets split,
+    # oov reflects the one non-vocab token per doc
+    assert got[0]["url_key"] == "ex0.com/p?a=1&b=0"
+    assert {v["len_bucket"] for v in got.values()} == {"head", "middle", "tail"}
+    assert abs(got[19]["oov"] - 1 / 21) < 1e-12
