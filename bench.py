@@ -71,6 +71,21 @@ def main() -> None:
                 return
             last = cur
 
+    # host-speed controls FIRST (r9 verdict #7: bench records quoted
+    # across host windows were incomparable) — the SAME pinned
+    # workloads as scale_bench's artifacts, so any two bench/scale
+    # records compare via control-to-control, and a per-query
+    # cross-round diff can be read against the host normalizer
+    controls: dict[str, float] = {}
+    from scale_bench import _control_leg
+
+    def timed_df(df) -> float:
+        t0 = time.perf_counter()
+        materialize(df)
+        return time.perf_counter() - t0
+
+    _control_leg(spark, controls, timed_df)
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -136,6 +151,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": cpus,
+        # host normalizer: same pinned workloads as the SCALE artifacts
+        # (scale_bench._control_leg) — compare records control-to-control
+        "control_jvm_xxhash_s": round(controls["control_jvm_xxhash_s"], 2),
+        "control_jvm_xxhash_rows": 20_000_000_000,
+        "control_py_md5_s": round(controls["control_py_md5_s"], 2),
+        "control_py_md5_iters": 2_000_000,
     }
     print(json.dumps(record))
     # also persist the COMPLETE record to a repo file: the driver stores

@@ -459,6 +459,146 @@ def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
     run(vocab)
     results["vocab_table_s"] = min(run(vocab) for _ in range(3))
 
+    # r10 (r9 verdict #3): the OOV gate composed with vocab_table's
+    # DEFAULT top=100_000 — far past literal_max, so this measures the
+    # explode + broadcast-join + per-doc-agg form end-to-end (including
+    # rebuilding the 100K-row broadcast vocab frame per call)
+    from siskin_spark.operators.curation import with_oov_fraction
+
+    toks_100k = [r["token"] for r in vocab().select("token").collect()]
+    results["oov_vocab_size"] = len(toks_100k)
+
+    def oov():
+        return with_oov_fraction(docs, toks_100k).select("doc_id", "oov_frac")
+
+    timed(oov())
+    results["oov_join_100k_s"] = min(timed(oov()) for _ in range(3))
+
+
+def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
+    """r9 verdict #5: the CLI's `curate` pipeline measured END-TO-END
+    (url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup ->
+    sample), not stage-by-stage, two ways:
+
+    - ``composed``: ONE lazy plan through every stage — what the CLI
+      builds today. The dedup stages are multi-pass operators
+      (snapshot_earliest reads its input for the window and the join
+      back; span dedup reads its input for the gram table, the token
+      table and the final join), so lazy composition RE-EXECUTES the
+      upstream chain once per reference.
+    - ``staged``: an eager ``localCheckpoint`` barrier after each
+      stage — each stage's lineage is cut, so every stage runs exactly
+      once regardless of how many times the next stage reads it; the
+      checkpoint also yields the per-stage row counts for free.
+
+    The corpus is the near-dup docs plus a synthesized url column
+    (~3% shared canonical keys, mirroring the text's planted sibling
+    rate) and a per-language stopword suffix so the quality gate does
+    real discrimination. Whichever form wins is the committed
+    recommendation (SCALE.md) for composing the chain at 100 TB."""
+    from siskin_spark.functions.text import (
+        canonical_url,
+        dedup_lines_within_doc,
+        dup_line_fraction,
+        quality_keep,
+        repetition_keep,
+        top_ngram_char_fraction,
+    )
+    from siskin_spark.operators import curation as cur
+    from siskin_spark.operators.dedup import snapshot_earliest
+
+    src_path = os.path.join(CORPUS, "docs_curate")
+    if not os.path.exists(src_path):
+        d = F.col("doc_id")
+        sfx = (
+            F.when(d % 4 == 0, F.lit(" the cat of a house and the dog is in to it"))
+            .when(d % 4 == 1, F.lit(" der hund und die katze ist ein haus"))
+            .when(d % 4 == 2, F.lit(" le chien et la maison est un une les chats"))
+            .otherwise(F.lit(" zzz qqq xxx"))
+        )
+        # host AND path both key off the sibling id, so a planted dup's
+        # url canonicalizes to its base doc's key exactly
+        pid = F.when(d % 33 == 0, d - d % 10).otherwise(d)
+        docs.select(
+            "doc_id",
+            F.concat(F.col("text"), sfx).alias("text"),
+            F.concat(
+                F.lit("https://WWW.Ex"),
+                (pid % 50).cast("string"),
+                F.lit(".com:443/p/"),
+                pid.cast("string"),
+                F.lit("?utm_source=x&b=1"),
+            ).alias("url"),
+        ).write.mode("overwrite").parquet(src_path)
+    src = spark.read.parquet(src_path)
+
+    def stage_url(df):
+        canon = canonical_url(F.col("url"))
+        key = F.when(F.length(canon) > 0, canon).otherwise(
+            F.concat(F.lit("\x00nourl:"), F.col("doc_id").cast("string"))
+        )
+        return snapshot_earliest(
+            df.withColumn("_uk", key), ["_uk"], ["doc_id"]
+        ).drop("_uk")
+
+    def stage_quality(df):
+        return df.filter(
+            quality_keep(F.col("text"))
+            & repetition_keep(
+                dup_line_fraction("text", sep=" "),
+                top_ngram_char_fraction("text"),
+            )
+        )
+
+    def stage_line(df):
+        return cur.drop_duplicate_lines(
+            df, min_count=100_000, sep=" ", drop_empty_docs=True
+        )
+
+    def stage_wd(df):
+        return df.withColumn(
+            "text", dedup_lines_within_doc(F.col("text"), sep=" ")
+        )
+
+    def stage_span(df):
+        return cur.drop_duplicate_spans(df, k=8)
+
+    def stage_sample(df):
+        return cur.deterministic_sample(df, 0.5, key_col="doc_id", seed=7)
+
+    stages = [
+        ("url_dedup", stage_url),
+        ("quality", stage_quality),
+        ("line_dedup", stage_line),
+        ("wd_dedup", stage_wd),
+        ("span_dedup", stage_span),
+        ("sample", stage_sample),
+    ]
+
+    def composed():
+        df = src
+        for _, fn in stages:
+            df = fn(df)
+        return df
+
+    # single runs: the chain is minutes-long at 3M docs — per-run noise
+    # amortizes over the run itself (documented in SCALE.md)
+    t0 = time.perf_counter()
+    composed().write.format("noop").mode("overwrite").save()
+    results["curate_chain_composed_s"] = time.perf_counter() - t0
+
+    t_total = 0.0
+    df = src
+    for name, fn in stages:
+        t0 = time.perf_counter()
+        staged = fn(df).localCheckpoint(eager=True)
+        dt = time.perf_counter() - t0
+        t_total += dt
+        results[f"curate_chain_stage_{name}_s"] = dt
+        results[f"curate_chain_stage_{name}_rows"] = staged.count()
+        df = staged
+    results["curate_chain_staged_s"] = t_total
+
 
 def _span_leg(spark, docs, results: dict, timed) -> None:
     """C16 exact duplicated-span removal at full scale: the synthetic
@@ -632,7 +772,9 @@ def main() -> None:
         build_corpus(spark, n_records)
         open(marker, "w").close()
 
-    if os.environ.get("SCALE_ONLY") in ("neardup_incremental", "curation", "r9"):
+    if os.environ.get("SCALE_ONLY") in (
+        "neardup_incremental", "curation", "r9", "r10"
+    ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
         results: dict[str, float] = {}
@@ -649,6 +791,16 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             _clf_vocab_leg(spark, docs_only, results, timed_only)
             _span_leg(spark, docs_only, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _semdedup_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "r10":
+            # round-10 additions: sub-centroid vs hash hot-cell recall,
+            # affected-docs span rebuild, 100K-vocab OOV join form, the
+            # composed curate chain — with the host controls first
+            _control_leg(spark, results, timed_only)
+            _clf_vocab_leg(spark, docs_only, results, timed_only)
+            _span_leg(spark, docs_only, results, timed_only)
+            _curate_chain_leg(spark, docs_only, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _semdedup_leg(spark, vecs_only, results, timed_only)
         else:
@@ -760,6 +912,7 @@ def main() -> None:
     _curation_leg(spark, docs, results, timed)
     _clf_vocab_leg(spark, docs, results, timed)
     _span_leg(spark, docs, results, timed)
+    _curate_chain_leg(spark, docs, results, timed)
 
     # -- §7.5 text analysis at full scale ------------------------------
     # text_quality was the flagged 100x-scale cost center (12
@@ -1188,7 +1341,7 @@ def main() -> None:
         **{
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in results.items()
-            if k.startswith("semdedup_")
+            if k.startswith(("semdedup_", "curate_chain_", "oov_"))
         },
         "clf_md5_s": round(results["clf_md5_s"], 2),
         "clf_xxhash64_s": round(results["clf_xxhash64_s"], 2),

@@ -125,9 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--threshold", type=float, default=0.95)
     p_sd.add_argument("--max-cell-rows", type=int, default=50_000,
                       help="hot-cell guard: cells above this split into "
-                      "hash sub-cells (0 disables the guard — requires "
+                      "bounded sub-cells (0 disables the guard — requires "
                       "--engine expr, whose per-pair folds have no "
                       "per-group memory bound to protect)")
+    p_sd.add_argument("--hot-cell", default="subcentroid",
+                      choices=["subcentroid", "split", "raise"],
+                      help="how hot cells split: subcentroid = fitted "
+                      "sub-centroids, recall-preserving (default); split "
+                      "= seeded hash, ~1/n_subs recall in split cells "
+                      "(for known-junk hot cells); raise = refuse with "
+                      "the cell histogram")
     p_sd.add_argument("--engine", default="gemm", choices=["expr", "gemm"],
                       help="within-cell compare: gemm = BLAS scale path")
     p_sd.add_argument("--seed", type=int, default=7)
@@ -363,6 +370,7 @@ def main(argv: list[str] | None = None) -> int:
             vecs, cents, threshold=args.threshold,
             id_col=args.id_col, vec_col=args.vec_col,
             max_cell_rows=args.max_cell_rows or None,
+            hot_cell=args.hot_cell,
             engine=args.engine,
         )
         pairs_path = os.path.join(args.out_dir, "pairs")
@@ -374,13 +382,20 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(kept_path)
         print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
     elif args.cmd == "curate":
-        # the FineWeb-style curation chain, stages opt-in by flag,
-        # composed as ONE lazy plan up to the final write:
+        # the FineWeb-style curation chain, stages opt-in by flag:
         # url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup
         # -> decontaminate -> clf -> cap -> mix -> sample -> pack.
         # span-dedup runs AFTER the newline-based stages: it
         # whitespace-normalizes every doc (newlines become spaces), so
-        # putting it first would silently neuter line/wd dedup
+        # putting it first would silently neuter line/wd dedup.
+        # An eager localCheckpoint BARRIER runs before each multi-pass
+        # stage (the dedups/decontam/cap/mix read their input several
+        # times — gram table, token table, join-back): composing the
+        # whole chain as one lazy plan re-executes the upstream stages
+        # once per reference, measured 2x the staged wall-clock on the
+        # 20K-doc chain leg and growing with scale (SCALE.md r10).
+        # Row-local stages (quality/clf/sample) stay fused — a barrier
+        # there would only spill a map.
         from pyspark.sql import functions as F
 
         from siskin_spark.functions.text import (
@@ -394,6 +409,14 @@ def main(argv: list[str] | None = None) -> int:
         df = _read(spark, args.docs)
         n_in = df.count()
         tc = args.text_col
+        staged_any = False
+
+        def _barrier(d):
+            # before a multi-pass stage only, and only once upstream
+            # transforms exist (re-scanning raw parquet is free-ish and
+            # pushdown-friendly; re-running a dedup chain is not)
+            return d.localCheckpoint(eager=True) if staged_any else d
+
         if args.url_dedup:
             # URL-level exact dedup FIRST (cheapest key, biggest cut on
             # crawl data): canonicalize, keep the smallest id per key.
@@ -413,6 +436,7 @@ def main(argv: list[str] | None = None) -> int:
             df = snapshot_earliest(
                 df.withColumn("_url_key", key), ["_url_key"], [args.id_col]
             ).drop("_url_key")
+            staged_any = True
         if args.quality:
             df = df.filter(
                 quality_keep(F.col(tc))
@@ -420,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
                     dup_line_fraction(tc), top_ngram_char_fraction(tc)
                 )
             )
+            staged_any = True
         if args.line_dedup:
             if args.profile_lines:
                 prof = cur.line_skew_profile(df, id_col=args.id_col, text_col=tc)
@@ -432,26 +457,30 @@ def main(argv: list[str] | None = None) -> int:
                 for t in prof["top"]:
                     print(f"  {t['n']:>10}  {t['key']['_line'][:70]!r}")
             df = cur.drop_duplicate_lines(
-                df, min_count=args.line_dedup,
+                _barrier(df), min_count=args.line_dedup,
                 id_col=args.id_col, text_col=tc, drop_empty_docs=True,
             )
+            staged_any = True
         if args.wd_dedup:
             from siskin_spark.functions.text import dedup_lines_within_doc
 
             df = df.withColumn(tc, dedup_lines_within_doc(F.col(tc)))
+            staged_any = True
         if args.span_dedup:
             # LAST of the dedup stages: whitespace-normalizes the text
             # (newlines collapse to spaces), which would neuter the
             # line-based stages if it ran before them
             df = cur.drop_duplicate_spans(
-                df, k=args.span_dedup, id_col=args.id_col, text_col=tc,
-                keep_first=args.span_keep_first,
+                _barrier(df), k=args.span_dedup, id_col=args.id_col,
+                text_col=tc, keep_first=args.span_keep_first,
             )
+            staged_any = True
         if args.decontaminate:
             df = cur.decontaminate(
-                df, _read(spark, args.decontaminate),
+                _barrier(df), _read(spark, args.decontaminate),
                 n=args.decontam_n, id_col=args.id_col, text_col=tc,
             )
+            staged_any = True
         if args.clf:
             import json as _json
 
@@ -466,21 +495,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 > args.clf_threshold
             )
+            staged_any = True
         if args.cap:
             df = cur.domain_cap_mark(
-                df, args.cap, domain_col=args.cap_domain,
+                _barrier(df), args.cap, domain_col=args.cap_domain,
                 key_col=args.id_col, seed=args.seed + 2,
                 exact=args.cap_exact,
             ).filter("cap_keep").drop("cap_keep")
+            staged_any = True
         if args.mix:
             weights = {}
             for pair in args.mix:
                 k, _, v = pair.partition("=")
                 weights[k] = float(v)
             df = cur.domain_mix(
-                df, weights, strata_col=args.strata_col,
+                _barrier(df), weights, strata_col=args.strata_col,
                 key_col=args.id_col, budget=args.mix_budget, seed=args.seed,
             )
+            staged_any = True
         if args.sample < 1.0:
             # seed+1, NOT args.seed: two same-seed hash draws over the
             # same key column are perfectly correlated (keep = h <
