@@ -172,16 +172,14 @@ def test_is_ndjson_wire_roundtrip_zstd(tmp_path, spark):
     got = {r["finc_id"]: r for r in back.collect()}
     assert set(got) == {"ai-34-x", "ai-34-y"}
     assert got["ai-34-x"]["rft_atitle"] == "A Title"
-    # wire keys on disk are the dotted reference names
+    # wire keys on disk are the dotted reference names — inspect the
+    # raw line through Spark's own zstd codec (no zstd CLI dependency)
     import json as _json
-    import subprocess
 
-    line = subprocess.run(
-        ["zstd", "-dc", parts[0]], capture_output=True, check=False
-    )
-    if line.returncode == 0 and line.stdout:  # zstd CLI present
-        rec = _json.loads(line.stdout.splitlines()[0])
-        assert "finc.id" in rec and "finc.source_id" in rec
+    raw = spark.read.text(parts).collect()
+    assert raw
+    rec = _json.loads(raw[0]["value"])
+    assert "finc.id" in rec and "finc.source_id" in rec
 
     gz = str(tmp_path / "wire_gz")
     write_is_ndjson(df, gz, compression="gzip")
