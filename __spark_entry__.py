@@ -1508,10 +1508,33 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: leakage-safe split fractions for the neardup query's `split` column;
+#: cumulative hex thresholds computed ONCE and inlined into both engines
+_SPLIT_FR = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SEED = 3
+
+
+def _split_case_sql(key_expr: str) -> str:
+    """The DuckDB mirror of curation.split_label: same md5 seed
+    prefix, same cumulative hex-threshold compare, same insertion
+    order over _SPLIT_FR."""
+    from siskin_spark.operators.curation import hex_threshold
+
+    names = list(_SPLIT_FR)
+    branches, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FR[name]
+        branches.append(
+            f"WHEN substring(md5('{_SPLIT_SEED}:' || {key_expr}), 1, 8) "
+            f"< '{hex_threshold(min(cum, 1.0))}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
 @_q(
     "neardup_keep_canonical",
     f"""
-    WITH {_shingle_cte()},
+    WITH RECURSIVE {_shingle_cte()},
     sig AS (
       SELECT shingles.doc_id, {_SIG_COLS}
       FROM shingles GROUP BY shingles.doc_id
@@ -1531,14 +1554,32 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
       GROUP BY c.id_a, c.id_b
     ),
-    dropped AS (
-      SELECT DISTINCT i.id_b AS doc_id
+    verified AS (
+      SELECT i.id_a, i.id_b
       FROM inter i
       JOIN counts na ON na.doc_id = i.id_a
       JOIN counts nb ON nb.doc_id = i.id_b
       WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
-    )
-    SELECT d.doc_id, d.source FROM documents d
+    ),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified),
+    -- leakage-safe split key: transitive closure of the verified pair
+    -- graph (near-dup relations CHAIN; the sf0.01 graph is tiny, so
+    -- full reachability enumeration is fine as an oracle)
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, d.source,
+           {_split_case_sql("CAST(coalesce(c.component, d.doc_id) AS VARCHAR)")} AS split
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
     WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
     ORDER BY d.doc_id
     """,
@@ -1547,8 +1588,14 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 near-dup dedup END of the pipeline: MinHash+LSH candidates
     -> exact-Jaccard verification >= 0.5 -> keep-first collapse (drop
     any doc with a verified smaller-id duplicate, one broadcast
-    anti-join). The complete 100 TB document-dedup path, not just
+    anti-join), PLUS the leakage-safe train/val/test label
+    (:func:`curation.leakage_safe_split`): every doc's split is drawn
+    from its CONNECTED COMPONENT over the verified pairs, so a near-
+    copy chain can never straddle train and val — the oracle replays
+    the closure as a recursive CTE and the same cumulative md5
+    thresholds. The complete 100 TB document-dedup path, not just
     candidate generation."""
+    from siskin_spark.operators.curation import leakage_safe_split
     from siskin_spark.operators.neardup import (
         exact_jaccard,
         keep_canonical,
@@ -1562,7 +1609,14 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = exact_jaccard(
         cands, sh, corpus_docs=_rowcount(spark, sf_dir, "documents")
     ).filter(F.col("jaccard") >= 0.5)
-    return keep_canonical(docs, verified).select("doc_id", "source").orderBy("doc_id")
+    # the pair list feeds THREE consumers (closure probe, split join,
+    # keep-first anti-join); materialize the LSH+verify pipeline once —
+    # the same persist-the-pairs shape the scale bench uses
+    verified = verified.select("id_a", "id_b").localCheckpoint(eager=True)
+    labeled = leakage_safe_split(docs, verified, _SPLIT_FR, seed=_SPLIT_SEED)
+    return keep_canonical(labeled, verified).select(
+        "doc_id", "source", "split"
+    ).orderBy("doc_id")
 
 
 @_q(

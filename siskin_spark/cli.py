@@ -196,6 +196,13 @@ def main(argv: list[str] | None = None) -> int:
                        help="deterministic keep fraction")
     p_cur.add_argument("--pack", type=int, default=0, metavar="BUDGET",
                        help="emit sequence-packing layout + writer manifest")
+    p_cur.add_argument("--split", default=None, metavar="NAME=F,NAME=F",
+                       help="append a deterministic split-label column "
+                       "('train=0.98,val=0.01,test=0.01'; fractions must "
+                       "sum to 1). Keyed on the doc id — run AFTER the "
+                       "dedup stages; to split a corpus that KEEPS "
+                       "near-dups, use curation.leakage_safe_split with "
+                       "the verified pair list instead")
     p_cur.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -522,6 +529,17 @@ def main(argv: list[str] | None = None) -> int:
             # multiplicatively (the intended nesting)
             df = cur.deterministic_sample(
                 df, args.sample, key_col=args.id_col, seed=args.seed + 1
+            )
+        if args.split:
+            fr = {}
+            for part in args.split.split(","):
+                k, _, v = part.partition("=")
+                fr[k.strip()] = float(v)
+            # seed+3: independent of the sample (seed+1) and cap
+            # (seed+2) draws over the same key column
+            df = df.withColumn(
+                "split",
+                cur.split_label(F.col(args.id_col), fr, seed=args.seed + 3),
             )
         docs_path = os.path.join(args.out_dir, "docs")
         if args.pack:

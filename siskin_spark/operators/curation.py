@@ -131,6 +131,98 @@ def stratified_sample(
     )
 
 
+def split_label(
+    key: Column,
+    fractions: dict[str, float],
+    seed: int = 0,
+) -> Column:
+    """String column naming which split ``key``'s deterministic draw
+    lands in — the multi-way sibling of :func:`sample_mark` (same
+    seeded md5 hash, same lexicographic hex-threshold compare, so it
+    is exactly as engine-portable): ``{'train': 0.98, 'val': 0.01,
+    'test': 0.01}`` compiles to one hash + a CASE over CUMULATIVE
+    literal thresholds, a pure map. The named intervals partition the
+    hash space in ``fractions``' insertion order, so a row's label is
+    a pure function of (key, seed, fractions) — re-runs, engine swaps
+    and cluster resizes cannot move a document between train and val
+    (the property that makes a split auditable; ``randomSplit`` is
+    partition-order-dependent and gives none of this).
+
+    Fractions must sum to 1 (within float tolerance): an uncovered
+    remainder would silently label rows NULL — a dropped-data hazard
+    this refuses instead. NULL keys coalesce to the ``\\x00`` sentinel
+    (one shared draw), matching :func:`sample_mark`."""
+    if len(fractions) < 1:
+        raise ValueError("at least one split required")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1, got {total} "
+            f"({fractions}); an uncovered remainder would label rows NULL"
+        )
+    h = seeded_hash(F.coalesce(key.cast("string"), F.lit("\x00")), seed)
+    names = list(fractions)
+    out: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(hex_threshold(min(cum, 1.0)))
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if out is None else out.otherwise(last)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    verified_pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    seed: int = 0,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Assign every document a train/val/test label such that NEAR-
+    DUPLICATES NEVER STRADDLE SPLITS: hashing each doc's id
+    independently puts a near-copy of a validation document into the
+    training set (classic eval leakage — the val loss then measures
+    memorization of the near-copy, not generalization), and the
+    keep-first pair rule is not enough because near-dup relations
+    CHAIN (a~b, b~c puts a and c in one leakage class without a
+    direct pair). So the split key is the doc's CONNECTED COMPONENT
+    over ``verified_pairs`` (:func:`~siskin_spark.operators.neardup.
+    connected_components` — min reachable id), and every member of a
+    component draws the same :func:`split_label`.
+
+    Scale: the closure runs over PAIR-GRAPH NODES only — documents
+    with at least one verified duplicate, a small fraction of a
+    deduplicated-input corpus — never the corpus; the label join back
+    is one equi-join on the unique ``id_col`` (broadcast when the
+    pair graph is small, which it is post-LSH-thresholding); the
+    label itself is a pure map. Docs in no pair key on their own id,
+    which IS their singleton component.
+
+    Compose AFTER verification, BEFORE any collapse — or instead of
+    one: keeping all near-dups but fencing them into one split is the
+    standard recipe for dedup-sensitive ablations."""
+    from siskin_spark.operators.neardup import connected_components
+
+    comp = connected_components(
+        verified_pairs, id_a=id_a, id_b=id_b, max_iter=max_iter,
+        driver_max_edges=driver_max_edges,
+    ).withColumnRenamed("node", id_col)
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        docs.join(comp, on=id_col, how="left")
+        .withColumn(out_col, split_label(key, fractions, seed))
+        .drop("component")
+    )
+
+
 def domain_mix_fractions(
     counts: dict[str, int], weights: dict[str, float], budget: int | None = None
 ) -> dict[str, float]:

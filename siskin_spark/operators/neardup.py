@@ -493,6 +493,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Transitive closure of a near-duplicate pair list: (node,
     component) where component = the minimum id reachable through any
@@ -501,17 +502,67 @@ def connected_components(
     (a,c),(b,c) keep both a and b); component-wise collapse needs the
     closure.
 
-    Min-label propagation: each round joins labels across edges and
-    takes the per-node min (two shuffles/round, both on node id — AQE
-    coalesces as labels shrink). Rounds needed = graph diameter, which
-    for near-dup clusters (dense cliques from band collisions) is 2-3;
-    the driver-side loop stops at the first fixpoint (the count() per
-    round is a scalar, not a collect of data). Same primitive as
-    GraphFrames' label propagation, dependency-free.
+    Two engines, same output by construction (equality pinned in
+    tests):
+
+    - **Bounded driver union-find** when the edge list fits under
+      ``driver_max_edges`` (probed with ``limit(n+1).collect()`` — ONE
+      execution of the pair pipeline, early-exiting past the bound; a
+      1M-edge list is ~100-200 MB of transient Row objects on the
+      driver — bounded, freed after the linear union-find pass, and
+      sized for real driver heaps). Verified near-dup pair
+      lists are SMALL relative to the corpus — LSH banding plus a
+      Jaccard threshold leaves a few duplicates per thousand docs —
+      so this is the common case, and it replaces per-round
+      join+checkpoint+count machinery with one linear pass.
+      ``driver_max_edges=0`` disables the probe (for callers that
+      KNOW the pair list is huge and don't want the bounded collect).
+    - **Min-label propagation** otherwise: each round joins labels
+      across edges and takes the per-node min (two shuffles/round,
+      both on node id — AQE coalesces as labels shrink). Rounds
+      needed = graph diameter, which for near-dup clusters (dense
+      cliques from band collisions) is 2-3; the driver-side loop
+      stops at the first fixpoint (the count() per round is a scalar,
+      not a collect of data). Same primitive as GraphFrames' label
+      propagation, dependency-free.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
+    edges0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_max_edges:
+        head = edges0.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["src"], row["dst"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id: the root is always the component
+                    # minimum, matching the propagation engine's label
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            from pyspark.sql.types import StructField, StructType
+
+            t = edges0.schema["src"].dataType
+            schema = StructType(
+                [StructField("node", t), StructField("component", t)]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(n, find(n)) for n in parent], schema
+            )
+    edges = edges0
     edges = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

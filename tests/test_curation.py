@@ -1067,3 +1067,125 @@ def test_quality_bucket_thresholds_snap_integral(spark):
     raw = C.quality_bucket_thresholds(df2, "s")
     snapped = C.quality_bucket_thresholds(df2, "s", snap_integral=True)
     assert snapped == raw  # 299.666... / 599.333... pass through
+
+
+# ---------------------------------------------------------------------------
+# split_label / leakage_safe_split
+
+
+def _expected_split(key: str, fractions: dict[str, float], seed: int = 0) -> str:
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if h < C.hex_threshold(min(cum, 1.0)):
+            return name
+    return names[-1]
+
+
+def test_split_label_matches_reference_hash(spark):
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", C.split_label(F.col("doc_id"), fr, seed=3).alias("s")
+        ).collect()
+    }
+    want = {i: _expected_split(str(i), fr, seed=3) for i in range(4000)}
+    assert got == want
+    # every label lands, proportions are hash-uniform-ish
+    from collections import Counter
+
+    cnt = Counter(got.values())
+    assert 0.85 < cnt["train"] / 4000 < 0.95
+    assert 0.02 < cnt["val"] / 4000 < 0.08
+    assert 0.02 < cnt["test"] / 4000 < 0.08
+
+
+def test_split_label_two_way_agrees_with_sample_mark(spark):
+    """A {'in': f, 'out': 1-f} split is EXACTLY sample_mark's boundary:
+    the multi-way form must not re-derive a different threshold."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    both = df.select(
+        C.split_label(F.col("k"), {"in": 0.3, "out": 0.7}, seed=1).alias("s"),
+        C.sample_mark(F.col("k"), 0.3, seed=1).alias("m"),
+    ).collect()
+    for r in both:
+        assert (r["s"] == "in") == r["m"]
+
+
+def test_split_label_validation_and_nulls(spark):
+    with pytest.raises(ValueError, match="sum to 1"):
+        C.split_label(F.col("k"), {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match=">= 0"):
+        C.split_label(F.col("k"), {"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError, match="at least one"):
+        C.split_label(F.col("k"), {})
+    # NULL keys share ONE deterministic draw (the \x00 sentinel)
+    df = spark.createDataFrame([(None,), (None,)], "k string")
+    got = {r["s"] for r in df.select(
+        C.split_label(F.col("k"), {"a": 0.5, "b": 0.5}).alias("s")
+    ).collect()}
+    assert len(got) == 1
+    assert got == {_expected_split("\x00", {"a": 0.5, "b": 0.5})}
+    # a zero-fraction middle split never fires
+    fr0 = {"a": 0.5, "z": 0.0, "b": 0.5}
+    df2 = spark.range(0, 500).withColumnRenamed("id", "k")
+    labels = {r["s"] for r in df2.select(
+        C.split_label(F.col("k"), fr0).alias("s")).collect()}
+    assert "z" not in labels
+
+
+def test_leakage_safe_split_chains_share_a_split(spark):
+    """Near-dup relations CHAIN: pairs (1,2),(2,3) must put 1,2,3 in
+    ONE split even though (1,3) was never a pair — hashing each id
+    independently (the naive split) provably separates some chain at
+    these fractions, which is the leakage this operator exists to
+    prevent. Docs in no pair draw their own split."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    for seed in range(5):
+        out = C.leakage_safe_split(
+            docs, pairs, {"train": 0.5, "val": 0.5}, seed=seed
+        )
+        got = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(got) == 39  # one row per doc, label never NULL
+        assert None not in got.values()
+        for group in ([1, 2, 3], [10, 11], [20, 21, 22, 23]):
+            assert len({got[d] for d in group}) == 1, (seed, group)
+        # members share the COMPONENT-MIN draw specifically
+        assert got[1] == _expected_split("1", {"train": 0.5, "val": 0.5}, seed)
+        # un-paired docs draw on their own id
+        assert got[5] == _expected_split("5", {"train": 0.5, "val": 0.5}, seed)
+
+
+def test_leakage_safe_split_both_cc_engines_agree(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(30)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)] + [(4, 6), (6, 8)],
+        "id_a long, id_b long",
+    )
+    fr = {"train": 0.8, "holdout": 0.2}
+    fast = {r["doc_id"]: r["split"]
+            for r in C.leakage_safe_split(docs, pairs, fr).collect()}
+    slow = {r["doc_id"]: r["split"]
+            for r in C.leakage_safe_split(
+                docs, pairs, fr, driver_max_edges=0,
+            ).collect()}
+    from siskin_spark.operators.neardup import connected_components
+
+    comp = {r["node"]: r["component"]
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
+    want = {
+        i: _expected_split(str(comp.get(i, i)), fr) for i in range(30)
+    }
+    assert fast == want and slow == want

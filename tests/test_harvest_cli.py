@@ -645,3 +645,41 @@ def test_cli_curate_span_dedup(capsys, tmp_path, spark):
     got_kf = {r["doc_id"]: r["text"]
               for r in spark.read.parquet(out_kf + "/docs").collect()}
     assert got_kf[0] == f"head0 {boiler} tail0" and got_kf[1] == "tail1"
+
+
+def test_cli_curate_split_labels(capsys, tmp_path, spark):
+    """--split appends a deterministic multi-way label column: every
+    row labeled, proportions near the requested fractions, and the
+    labels match split_label's reference hash exactly."""
+    from siskin_spark.cli import main
+    from siskin_spark.operators.curation import split_label
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string"
+    )
+    docs_path = str(tmp_path / "sp_docs")
+    docs.write.parquet(docs_path)
+
+    out_dir = str(tmp_path / "sp_out")
+    assert main(
+        ["curate", docs_path, out_dir, "--split", "train=0.8,val=0.1,test=0.1"]
+    ) == 0
+    capsys.readouterr()
+    out = spark.read.parquet(out_dir + "/docs")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 500 and None not in got.values()
+    # exactly the library draw at the CLI's seed offset (seed 0 -> +3)
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            split_label(
+                F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+            ).alias("s"),
+        ).collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    cnt = Counter(got.values())
+    assert cnt["train"] > 350 and cnt["val"] > 20 and cnt["test"] > 20

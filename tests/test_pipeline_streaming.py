@@ -267,6 +267,7 @@ def test_streaming_r9_marks(tmp_path, spark):
         oov_fraction,
         quality_bucket_mark,
         quality_bucket_thresholds,
+        split_label,
     )
 
     src = tmp_path / "m_src"
@@ -302,6 +303,9 @@ def test_streaming_r9_marks(tmp_path, spark):
                 "len_bucket"
             ),
             oov_fraction(["tok"]).alias("oov"),
+            split_label(
+                F.col("doc_id"), {"train": 0.8, "val": 0.2}, seed=5
+            ).alias("split"),
         )
 
     out, ckpt = str(tmp_path / "m_out"), str(tmp_path / "m_ckpt")
@@ -323,3 +327,4 @@ def test_streaming_r9_marks(tmp_path, spark):
     assert got[0]["url_key"] == "ex0.com/p?a=1&b=0"
     assert {v["len_bucket"] for v in got.values()} == {"head", "middle", "tail"}
     assert abs(got[19]["oov"] - 1 / 21) < 1e-12
+    assert {v["split"] for v in got.values()} == {"train", "val"}

@@ -293,11 +293,19 @@ def test_connected_components_matches_union_find(spark, pairs):
     if not pairs:
         return
     df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    want = _union_find(pairs)
+    # both engines: the bounded driver union-find (default) and the
+    # distributed min-label propagation (driver_max_edges=0)
     got = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
-    assert got == _union_find(pairs)
+    assert got == want
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_keep_canonical_cc_collapses_star(spark):
@@ -328,7 +336,14 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(6)], "id_a int, id_b int"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, driver_max_edges=0)
+    # ... and the SAME chain under the bounded-union-find engine (or a
+    # raised max_iter) closes fine
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=2).collect()
+    }
+    assert set(got.values()) == {0}
 
 
 _text = st.text(
