@@ -1219,6 +1219,32 @@ def _langid_case_sql(toks: str = "toks") -> str:
 # fixed-point weights — the same Python list feeds the Spark literal
 # array and the DuckDB SQL literal, so the two engines cannot drift
 _CLF_W = [((b * 2654435761) % 4096) - 2048 for b in range(256)]
+
+# unigram LM table for the CCNet-style log-likelihood score
+# (curation.unigram_logprob_table): a fixed "pretrained" frequency
+# table, compiled ONCE to integer micro-log10 units that feed both the
+# Spark map literal and the DuckDB CASE — the corpus-derived-vocab
+# composition is pinned separately in tests/test_curation.py
+_UNI_VOCAB = [
+    ("the", 400), ("a", 320), ("table", 120), ("query", 110),
+    ("value", 100), ("scan", 90), ("join", 80), ("row", 72),
+    ("key", 64), ("data", 56), ("line", 48), ("fast", 40),
+    ("agg", 32), ("sort", 24), ("batch", 16), ("hash", 8),
+]
+
+
+def _uni_table():
+    from siskin_spark.operators.curation import unigram_logprob_table
+
+    return unigram_logprob_table(_UNI_VOCAB)
+
+
+_UNI_LP6, _UNI_OOV = _uni_table()
+_UNI_CASE_SQL = (
+    "CASE t "
+    + " ".join(f"WHEN '{t}' THEN {v}" for t, v in sorted(_UNI_LP6.items()))
+    + f" ELSE {_UNI_OOV} END"
+)
 _CLF_W_SQL = "[" + ",".join(map(str, _CLF_W)) + "]"
 # first byte of md5('0:' || token) as an int (the 256-bucket hash)
 _CLF_BUCKET_SQL = (
@@ -1286,6 +1312,12 @@ _CLF_BUCKET_SQL = (
            CAST(coalesce(list_sum(
              list_transform(toks, t -> ({_CLF_W_SQL})[{_CLF_BUCKET_SQL} + 1])
            ), 0) AS BIGINT) > 0 AS clf_keep,
+           CASE WHEN len(list_filter(toks, x -> len(x) > 0)) > 0
+                THEN CAST(list_sum(list_transform(
+                       list_filter(toks, x -> len(x) > 0),
+                       t -> {_UNI_CASE_SQL})) AS DOUBLE)
+                     / len(list_filter(toks, x -> len(x) > 0)) / 1000000
+                END AS uni_lp,
            CASE WHEN len(toks) <=
                   (SELECT CASE WHEN abs(q - round(q)) < 0.000001
                                THEN round(q) + 0.5 ELSE q END FROM
@@ -1329,6 +1361,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_mark,
         stratified_mark,
     )
+    from siskin_spark.operators.curation import unigram_logprob_mark as cur_uni
 
     docs = _t(spark, sf_dir, "documents")
     # snap_integral: token counts are integers, and a tercile landing
@@ -1404,6 +1437,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.hashed_bow_logit(
             "text", _CLF_W, seed=0, toks=F.col("_toks")
         ).alias("clf_logit"),
+        # CCNet unigram-LM log-likelihood (fixed-point lp6 table, exact
+        # in any engine) over the staged tokens — the score the
+        # len_bucket percentile machinery consumes on real corpora
+        cur_uni(
+            F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
+            _UNI_LP6,
+            _UNI_OOV,
+        ).alias("uni_lp"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
@@ -1429,6 +1470,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wd_dedup_chars",
         "clf_logit",
         "clf_keep",
+        "uni_lp",
         quality_bucket_mark("n_tokens", len_th).alias("len_bucket"),
     )
 

@@ -848,6 +848,149 @@ def with_oov_fraction(
     )
 
 
+def unigram_logprob_table(
+    vocab,
+    k: float = 1.0,
+) -> tuple[dict[str, int], int]:
+    """Driver-side compile of a unigram language model into FIXED-POINT
+    micro-log10 probabilities — the CCNet quality recipe's scoring
+    table (Wenzek et al. 2020 score web text by LM log-likelihood and
+    bucket by corpus percentile; a unigram model over a
+    :func:`vocab_table` is the shuffle-free member of that family:
+    mean log p(token) = the doc's log-geomean token probability,
+    low = gibberish/boilerplate-coded/OOV-heavy text).
+
+    ``vocab`` is a list of (token, count) or a DataFrame with
+    token/n columns (``vocab_table`` output) — BOUNDED by
+    construction (top-N). Add-k smoothing with one reserved OOV
+    class: p(t) = (n_t + k) / (total + k*(V+1)), p(oov) = k / same.
+    Each log10 is computed ONCE here and rounded to an INTEGER in
+    micro-log units (x1e6), so downstream per-doc sums are exact
+    64-bit integer arithmetic in ANY engine — the same trick as
+    ``hashed_bow_logit``'s fixed-point weights: no cross-engine libm
+    or summation-order hazard ever touches the data path.
+
+    Returns ({token: lp6}, oov_lp6)."""
+    import math
+
+    if not isinstance(vocab, list):
+        vocab = [(r["token"], r["n"]) for r in vocab.select("token", "n").collect()]
+    seen: dict[str, int] = {}
+    for t, n in vocab:
+        if t not in seen:  # keep-first dedupe: duplicate rows would inflate total
+            seen[t] = int(n)
+    if not seen:
+        raise ValueError("empty vocabulary")
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    total = sum(seen.values())
+    denom = total + k * (len(seen) + 1)
+    lp6 = {t: round(math.log10((n + k) / denom) * 1e6) for t, n in seen.items()}
+    return lp6, round(math.log10(k / denom) * 1e6)
+
+
+def with_unigram_logprob(
+    docs: DataFrame,
+    vocab,
+    k: float = 1.0,
+    out_col: str = "unigram_lp",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    literal_max: int = 2_048,
+) -> DataFrame:
+    """Append each document's mean unigram log10-probability (see
+    :func:`unigram_logprob_table`) — the score CCNet feeds to
+    :func:`quality_bucket_thresholds` / :func:`quality_bucket_mark`
+    for head/middle/tail quality buckets. Token-less documents score
+    NULL (a log-likelihood over zero tokens is undefined; a NULL
+    never silently passes a threshold filter).
+
+    Plan shape mirrors :func:`with_oov_fraction`'s size switch:
+
+    - vocab <= ``literal_max``: the lp6 table rides the plan as a MAP
+      literal probed inside one ``aggregate`` fold over the split
+      tokens — pure map, zero shuffle, zero joins.
+    - above: explode + broadcast-join the (token, lp6) table + one
+      map-side-combined per-doc (sum, count) aggregate + a join back
+      on the unique ``id_col`` — the corpus never shuffles for the
+      probe. Same values by construction: integer lp6 sums are exact
+      in both forms, and the final sum/n/1e6 is one fixed-order,
+      deliberately UN-rounded IEEE double division chain (see the
+      score comment).
+    """
+    lp6, oov = unigram_logprob_table(vocab, k=k)
+
+    def score(s: Column, n: Column) -> Column:
+        # NO decimal ROUND: the sum is exact integer arithmetic and the
+        # double division chain is IEEE-correctly-rounded from identical
+        # inputs in any engine — bit-identical by construction. A ROUND
+        # would INTRODUCE divergence (Java rounds the shortest-decimal
+        # form via BigDecimal, DuckDB rounds the binary double; a value
+        # landing on a half-tie flips between them).
+        return F.when(n > 0, s.cast("double") / n / F.lit(1e6))
+
+    toks = F.filter(
+        F.split(F.col(text_col), sep), lambda t: F.length(t) > 0
+    )
+    if len(lp6) <= literal_max:
+        # let_once: the mark references its token array three times
+        # (fold + two size() guards); bind the split once per row
+        return docs.withColumn(
+            out_col,
+            let_once_col(toks, lambda tt: unigram_logprob_mark(tt, lp6, oov)),
+        )
+    spark = docs.sparkSession
+    vt = F.broadcast(
+        spark.createDataFrame(
+            sorted(lp6.items()), "_ulp_tok string, _lp6 long"
+        )
+    )
+    tok_rows = docs.select(
+        F.col(id_col), F.explode(toks).alias("_ulp_tok")
+    )
+    per_doc = (
+        tok_rows.join(vt, "_ulp_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_lp6"), F.lit(oov).cast("long"))).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(F.col(id_col), score(F.col("_s"), F.col("_n")).alias(out_col))
+    )
+    # token-less docs have no exploded rows -> left join leaves NULL,
+    # matching the literal form's when(n > 0) guard
+    return docs.join(per_doc, id_col, "left")
+
+
+def unigram_logprob_mark(
+    toks: Column, lp6: dict[str, int], oov_lp6: int
+) -> Column:
+    """The literal-vocab score as a pure Column over a PRE-STAGED
+    non-empty token array (for plans that already stage the token
+    split once, like the text_quality query): the lp6 table rides as
+    a map literal probed inside one ``aggregate`` fold — integer
+    sums, one fixed-order, deliberately un-ROUNDed IEEE double
+    division chain (decimal ROUND implementations disagree on
+    half-ties between engines; the raw chain is bit-identical)."""
+    items = sorted(lp6.items())
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in items]),
+        F.array(*[F.lit(v).cast("long") for _, v in items]),
+    )
+    s = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(m, t), F.lit(oov_lp6).cast("long")),
+    )
+    # integer sum -> one IEEE double division chain; no decimal ROUND
+    # (engines disagree on half-ties; the raw chain is bit-identical)
+    return F.when(
+        F.size(toks) > 0, s.cast("double") / F.size(toks) / F.lit(1e6)
+    )
+
+
 def quality_bucket_thresholds(
     df: DataFrame,
     score_col: Column | str,

@@ -1189,3 +1189,105 @@ def test_leakage_safe_split_both_cc_engines_agree(spark):
         i: _expected_split(str(comp.get(i, i)), fr) for i in range(30)
     }
     assert fast == want and slow == want
+
+
+# ---------------------------------------------------------------------------
+# unigram LM log-prob scoring
+
+
+def _py_unigram(texts, vocab, k=1.0):
+    """Python reference: fixed-point micro-log10 mean, IEEE chain."""
+    import math
+
+    total = sum(n for _, n in vocab)
+    denom = total + k * (len(vocab) + 1)
+    lp6 = {t: round(math.log10((n + k) / denom) * 1e6) for t, n in vocab}
+    oov = round(math.log10(k / denom) * 1e6)
+    out = []
+    for tx in texts:
+        toks = [t for t in tx.split(" ") if t]
+        if not toks:
+            out.append(None)
+            continue
+        s = sum(lp6.get(t, oov) for t in toks)
+        out.append(float(s) / len(toks) / 1e6)
+    return out
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    vocab = [("the", 400), ("cat", 50), ("sat", 25), ("mat", 10)]
+    texts = [
+        "the cat sat on the mat",
+        "the the the",
+        "zz qq ww",
+        "",
+        "   ",
+        "cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["unigram_lp"]
+        for r in C.with_unigram_logprob(df, vocab).collect()
+    }
+    want = _py_unigram(texts, vocab)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)  # bit-exact, incl. NULL empties
+    # high-frequency text scores above OOV text
+    assert got[1] > got[2]
+    assert got[3] is None and got[4] is None
+
+
+def test_unigram_logprob_forms_agree_across_literal_max(spark):
+    """The map-literal fold and the explode+broadcast-join forms are
+    value-identical — integer sums + one IEEE division chain both
+    ways; the switch point must not change a single bit."""
+    vocab = [(f"w{i}", 100 - i) for i in range(40)]
+    texts = [
+        " ".join(f"w{j % 53}" for j in range(i, i + 17)) for i in range(200)
+    ] + ["", "only oov tokens here"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    lit_form = {
+        r["doc_id"]: r["unigram_lp"]
+        for r in C.with_unigram_logprob(df, vocab, literal_max=1000).collect()
+    }
+    join_form = {
+        r["doc_id"]: r["unigram_lp"]
+        for r in C.with_unigram_logprob(df, vocab, literal_max=4).collect()
+    }
+    assert lit_form == join_form
+    assert lit_form == {
+        i: w for i, w in enumerate(_py_unigram(texts, vocab))
+    }
+
+
+def test_unigram_logprob_composes_with_vocab_table(spark):
+    """The intended composition: corpus frequencies from vocab_table
+    feed the scorer; dupe-vocab rows are keep-first-deduped so they
+    cannot inflate the total."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " + ("alpha " * i).strip()) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    vt = C.vocab_table(df, top=3)
+    scored = C.with_unigram_logprob(df, vt)
+    rows = scored.orderBy("doc_id").collect()
+    # more in-vocab mass -> higher (less negative) score as i grows
+    assert rows[-1]["unigram_lp"] > rows[0]["unigram_lp"]
+    # same result when the vocab arrives as a (token, n) list with dupes
+    lst = [(r["token"], r["n"]) for r in vt.select("token", "n").collect()]
+    again = {
+        r["doc_id"]: r["unigram_lp"]
+        for r in C.with_unigram_logprob(df, lst + lst).collect()
+    }
+    assert again == {r["doc_id"]: r["unigram_lp"] for r in rows}
+
+
+def test_unigram_logprob_validation():
+    with pytest.raises(ValueError, match="empty"):
+        C.unigram_logprob_table([])
+    with pytest.raises(ValueError, match="k must be > 0"):
+        C.unigram_logprob_table([("a", 1)], k=0)

@@ -268,7 +268,11 @@ def test_streaming_r9_marks(tmp_path, spark):
         quality_bucket_mark,
         quality_bucket_thresholds,
         split_label,
+        unigram_logprob_mark,
+        unigram_logprob_table,
     )
+
+    lp6, oov = unigram_logprob_table([("tok", 90), ("zz", 10)])
 
     src = tmp_path / "m_src"
     src.mkdir()
@@ -306,6 +310,11 @@ def test_streaming_r9_marks(tmp_path, spark):
             split_label(
                 F.col("doc_id"), {"train": 0.8, "val": 0.2}, seed=5
             ).alias("split"),
+            unigram_logprob_mark(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0),
+                lp6,
+                oov,
+            ).alias("uni_lp"),
         )
 
     out, ckpt = str(tmp_path / "m_out"), str(tmp_path / "m_ckpt")
@@ -328,3 +337,5 @@ def test_streaming_r9_marks(tmp_path, spark):
     assert {v["len_bucket"] for v in got.values()} == {"head", "middle", "tail"}
     assert abs(got[19]["oov"] - 1 / 21) < 1e-12
     assert {v["split"] for v in got.values()} == {"train", "val"}
+    # doc 0 is 'tok zz' — both in-vocab: the exact fixed-point mean
+    assert got[0]["uni_lp"] == float(lp6["tok"] + lp6["zz"]) / 2 / 1e6
