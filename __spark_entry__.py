@@ -1439,11 +1439,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clf_logit"),
         # CCNet unigram-LM log-likelihood (fixed-point lp6 table, exact
         # in any engine) over the staged tokens — the score the
-        # len_bucket percentile machinery consumes on real corpora
-        cur_uni(
+        # len_bucket percentile machinery consumes on real corpora.
+        # let_once: the mark reads its array three times (fold + two
+        # size guards) and HOF projections are interpreted — unbound,
+        # the O(L) filter would re-run per reference site
+        X.let_once(
             F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
-            _UNI_LP6,
-            _UNI_OOV,
+            lambda tt: cur_uni(tt, _UNI_LP6, _UNI_OOV),
         ).alias("uni_lp"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
@@ -1891,14 +1893,22 @@ def _hp_bucket_sql(n_planes: int, first_plane: int = 0, vec: str = "v") -> str:
     return " + ".join(terms)
 
 
-def _assert_planted_offset_free(emb: DataFrame) -> None:
+_MAX_VEC_ID_CACHE: dict = {}
+
+
+def _assert_planted_offset_free(emb: DataFrame, sf_dir: str) -> None:
     """ADVICE r9: the planted-duplicate legs synthesize partners under
     ``vec_id + 1_000_000``. Past 1M real ids the planted ids would
     collide with real vectors — both the Spark leg and the oracle
     build the same colliding union, so the harness would still PASS
     while the planted-exact-duplicate check silently degrades. Fail
-    loudly instead (one column-pruned max() aggregate, driver-bounded)."""
-    top = emb.agg(F.max("vec_id")).first()[0]
+    loudly instead (one column-pruned max() aggregate) — MEMOIZED per
+    sf_dir like _rowcount: the tables are immutable here, and the
+    guard runs at query-construction time, which the bench clock
+    includes on every warm-up/timed pass."""
+    if sf_dir not in _MAX_VEC_ID_CACHE:
+        _MAX_VEC_ID_CACHE[sf_dir] = emb.agg(F.max("vec_id")).first()[0]
+    top = _MAX_VEC_ID_CACHE[sf_dir]
     if top is not None and top >= 1_000_000:
         raise AssertionError(
             f"planted-duplicate offset collision: max(vec_id)={top} >= "
@@ -2046,7 +2056,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("part"), "probe_id", "neighbor_id", "cos_sim",
         "rank", no_cid,
     )
-    _assert_planted_offset_free(emb)
+    _assert_planted_offset_free(emb, sf_dir)
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
@@ -2830,7 +2840,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 5 == 0)
         .select("vec_id", "embedding")
     )
-    _assert_planted_offset_free(emb)
+    _assert_planted_offset_free(emb, sf_dir)
     planted = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(

@@ -154,9 +154,9 @@ def main() -> None:
         # host normalizer: same pinned workloads as the SCALE artifacts
         # (scale_bench._control_leg) — compare records control-to-control
         "control_jvm_xxhash_s": round(controls["control_jvm_xxhash_s"], 2),
-        "control_jvm_xxhash_rows": 20_000_000_000,
+        "control_jvm_xxhash_rows": controls["control_jvm_xxhash_rows"],
         "control_py_md5_s": round(controls["control_py_md5_s"], 2),
-        "control_py_md5_iters": 2_000_000,
+        "control_py_md5_iters": controls["control_py_md5_iters"],
     }
     print(json.dumps(record))
     # also persist the COMPLETE record to a repo file: the driver stores

@@ -287,9 +287,16 @@ def _control_leg(spark, results: dict, timed) -> None:
     """
     import hashlib
 
+    # magnitudes recorded NEXT TO the timings (never hardcoded into
+    # record-assembly code elsewhere): tuning either workload then
+    # keeps every artifact self-describing instead of silently
+    # mislabeling the normalizer
+    jvm_rows = 20_000_000_000
+    py_iters = 2_000_000
+
     def ctrl():
         return (
-            spark.range(20_000_000_000)
+            spark.range(jvm_rows)
             .select(F.xxhash64("id").alias("h"))
             # bit_xor, not sum: ANSI mode overflows a long sum of 2e10
             # uniform 64-bit hashes
@@ -298,15 +305,17 @@ def _control_leg(spark, results: dict, timed) -> None:
 
     timed(ctrl())
     results["control_jvm_xxhash_s"] = min(timed(ctrl()) for _ in range(3))
+    results["control_jvm_xxhash_rows"] = jvm_rows
 
     def py_ctrl() -> float:
         t0 = time.perf_counter()
         h = b"seed"
-        for _ in range(2_000_000):
+        for _ in range(py_iters):
             h = hashlib.md5(h).digest()
         return time.perf_counter() - t0
 
     results["control_py_md5_s"] = min(py_ctrl() for _ in range(3))
+    results["control_py_md5_iters"] = py_iters
 
 
 def _semdedup_leg(spark, vectors, results: dict, timed) -> None:
@@ -582,10 +591,14 @@ def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
         return df
 
     # single runs: the chain is minutes-long at 3M docs — per-run noise
-    # amortizes over the run itself (documented in SCALE.md)
-    t0 = time.perf_counter()
-    composed().write.format("noop").mode("overwrite").save()
-    results["curate_chain_composed_s"] = time.perf_counter() - t0
+    # amortizes over the run itself (documented in SCALE.md). Warm-up
+    # hygiene: the src parquet is scanned once untimed (page cache),
+    # and the STAGED form runs FIRST — it warms the JIT/codegen of
+    # every shared operator, so any residual warm-up asymmetry favors
+    # the COMPOSED form, the side the committed conclusion argues
+    # against (the r10 first-cut ran composed cold-first, which biased
+    # toward staged).
+    src.write.format("noop").mode("overwrite").save()
 
     t_total = 0.0
     df = src
@@ -598,6 +611,10 @@ def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
         results[f"curate_chain_stage_{name}_rows"] = staged.count()
         df = staged
     results["curate_chain_staged_s"] = t_total
+
+    t0 = time.perf_counter()
+    composed().write.format("noop").mode("overwrite").save()
+    results["curate_chain_composed_s"] = time.perf_counter() - t0
 
 
 def _span_leg(spark, docs, results: dict, timed) -> None:
@@ -1262,9 +1279,9 @@ def main() -> None:
         # compare rounds via control-to-control, operators via
         # operator/control within one artifact
         "control_jvm_xxhash_s": round(results["control_jvm_xxhash_s"], 2),
-        "control_jvm_xxhash_rows": 20_000_000_000,
+        "control_jvm_xxhash_rows": results["control_jvm_xxhash_rows"],
         "control_py_md5_s": round(results["control_py_md5_s"], 2),
-        "control_py_md5_iters": 2_000_000,
+        "control_py_md5_iters": results["control_py_md5_iters"],
         "oa_flag_s": round(results["oa_flag_s"], 2),
         "oa_flag_rps": round(n_records / results["oa_flag_s"]),
         "oa_flag_baseline_rps": 41_700,

@@ -866,11 +866,17 @@ def semantic_dedup_pairs(
         from pyspark.sql.types import LongType, StructField, StructType
 
         fitted = sorted(sub_cents)
-        # normalize once; closure ships len(hot) small matrices
-        mats = {
-            c: (m / np.linalg.norm(m, axis=1, keepdims=True))
-            for c, m in sub_cents.items()
-        }
+
+        # normalize once; closure ships len(hot) small matrices.
+        # zero-norm guard: an all-zero sampled seed (near-zero junk is
+        # exactly what piles into hot cells) would otherwise yield a
+        # NaN sub-centroid, and argmax treats NaN as maximal — every
+        # row of the cell would collapse onto that one sub-cell
+        def _unit_rows(m):
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            return m / np.where(nm == 0.0, 1.0, nm)
+
+        mats = {c: _unit_rows(m) for c, m in sub_cents.items()}
         rest = rest.filter(~F.col("cid").isin(fitted))
         v_hot = v.filter(F.col("cid").isin(fitted))
         out_schema = StructType(
@@ -926,7 +932,11 @@ def semantic_dedup_pairs(
                     "_sub",
                     F.when(
                         F.col("_ns2").isNotNull(),
-                        F.col("_sub") * F.lit(1_000_000)
+                        # +1 before scaling: an oversize sub-cell 0 would
+                        # otherwise remap to {0..ns2-1} and MERGE with the
+                        # untouched sub-cells of the same cid, violating
+                        # the very bound this residual split enforces
+                        (F.col("_sub") + 1) * F.lit(1_000_000)
                         + F.pmod(
                             F.xxhash64(
                                 F.col("_id").cast("string"),

@@ -527,3 +527,95 @@ def test_semantic_dedup_gemm_string_ids(spark):
         ).collect()
     }
     assert got == {(f"doc-{i:03d}", f"dup-{i:03d}") for i in range(4)}
+
+
+def test_semantic_dedup_residual_remap_never_merges_groups(spark):
+    """Review r10: the residual remap was `_sub * 1e6 + hash` — an
+    oversize sub-cell with index 0 remapped onto {0..ns2-1}, COLLIDING
+    with the untouched sub-cells of the same cid and merging join
+    groups past max_cell_rows (the bound the residual guard exists to
+    enforce). The +1 offset keeps the two id spaces disjoint. Fixture:
+    one hot cell holding 120 identical vectors (collapse onto one
+    sub-centroid -> oversize -> residual split) plus 35 clustered
+    far-away rows (their own sub-cells); threshold=-1 makes EVERY
+    within-group pair visible, so pair components ARE the join groups."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=DIM)
+    base = base / np.linalg.norm(base)
+    other = rng.normal(size=DIM)
+    other -= (other @ base) * base  # orthogonal to base
+    other = other / np.linalg.norm(other)
+    rows = [(i, [float(x) for x in base]) for i in range(120)]
+    for i in range(35):
+        v = other + 0.05 * rng.normal(size=DIM)
+        rows.append((500 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # ONE catch-all cell so everything lands in a single hot cid
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "cid int, cv array<float>"
+    )
+    pairs = semantic_dedup_pairs(
+        df, cents, threshold=-1.0, max_cell_rows=40
+    ).collect()
+    # no join group may mix the two populations: a base-vs-other pair
+    # is visible as cos ~ 0 at this threshold
+    cross = [
+        r for r in pairs
+        if (r["id_a"] < 500) != (r["id_b"] < 500)
+    ]
+    assert cross == []
+    # and every group stays bounded: pair components = join groups
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(n) for n in parent)
+    assert max(sizes.values()) <= 60, sizes.most_common(5)
+
+
+def test_semantic_dedup_subcentroid_zero_vector_hot_cell(spark):
+    """Review r10: a hot cell full of all-zero embeddings (near-zero
+    junk IS the typical degenerate cell) must not produce NaN
+    sub-centroids — unguarded, `m / norm(m)` yields a NaN row and
+    argmax treats NaN as maximal, collapsing the whole cell onto one
+    sub-cell. With the guard the zero rows still split (residual
+    hash), pair with nothing at a positive threshold, and the real
+    vectors in the same cell keep pairing normally."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import semantic_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=DIM)
+    v = v / np.linalg.norm(v)
+    rows = [(i, [0.0] * DIM) for i in range(120)]
+    rows += [(500 + i, [float(x) for x in v]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in v])], "cid int, cv array<float>"
+    )
+    got = semantic_dedup_pairs(
+        df, cents, threshold=0.5, max_cell_rows=40
+    ).collect()
+    # zero vectors pair with NOTHING (cos forced to 0 < 0.5); the ten
+    # identical real vectors pair among themselves wherever the split
+    # put them (same nearest sub-centroid -> same group)
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    assert all(a >= 500 and b >= 500 for a, b in ids)
+    assert len(ids) > 0
+    assert all(not np.isnan(r["cos_sim"]) for r in got)
