@@ -484,6 +484,56 @@ def _clf_vocab_leg(spark, docs, results: dict, timed) -> None:
     results["oov_join_100k_s"] = min(timed(oov()) for _ in range(3))
 
 
+def _semdedup_incremental_leg(spark, vectors, results: dict, timed) -> None:
+    """Incremental SemDeDup vs the persisted cell index (r10): a daily
+    embedding batch must cost BATCH-sized assignment work plus co-cell
+    cosines — never a corpus re-assignment. Measures (a) the one-time
+    index build over the 99% corpus (fit + GEMM assign + clustered
+    write), (b) incremental dedup of the held-out 1% batch against it —
+    compare with the full-recompute `semdedup_balanced_s` leg in the
+    same round's r10 artifact."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        incremental_semdedup_keep,
+        semdedup_index_build,
+    )
+
+    n_vec = vectors.count()
+    # batch = 1% novel slice PLUS the planted near-dup ids ≡ 1 mod 1000
+    # (their eps-0.25 partners at id-1 ≡ 0 mod 1000 stay in the corpus),
+    # so the leg verifies real cross-index hits, not a vacuous 0
+    is_batch = (F.col("vec_id") % 100 == 37) | (F.col("vec_id") % 1000 == 1)
+    batch = vectors.filter(is_batch)
+    corpus = vectors.filter(~is_batch)
+    idx_dir = os.path.join(CORPUS, "sem_index")
+    _sh.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    semdedup_index_build(corpus, idx_dir, k=256, sample=100_000, iters=10)
+    results["semdedup_index_build_s"] = time.perf_counter() - t0
+    results["semdedup_index_vectors"] = n_vec - batch.count()
+
+    pairs_dir = os.path.join(CORPUS, "sem_incr_pairs")
+
+    def incr():
+        return incremental_semdedup(spark, batch, idx_dir, threshold=0.95)
+
+    # warm-up, then timed runs that WRITE the pairs once (count the
+    # written table instead of re-executing the eager pipeline)
+    timed(incr())
+    t0 = time.perf_counter()
+    incr().write.mode("overwrite").parquet(pairs_dir)
+    results["semdedup_incremental_s"] = time.perf_counter() - t0
+    found = spark.read.parquet(pairs_dir)
+    results["semdedup_incremental_batch"] = batch.count()
+    results["semdedup_incremental_pairs"] = found.count()
+    results["semdedup_incremental_survivors"] = incremental_semdedup_keep(
+        batch, found
+    ).count()
+
+
 def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
     """r9 verdict #5: the CLI's `curate` pipeline measured END-TO-END
     (url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup ->
@@ -790,7 +840,7 @@ def main() -> None:
         open(marker, "w").close()
 
     if os.environ.get("SCALE_ONLY") in (
-        "neardup_incremental", "curation", "r9", "r10"
+        "neardup_incremental", "curation", "r9", "r10", "semincr"
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -820,6 +870,10 @@ def main() -> None:
             _curate_chain_leg(spark, docs_only, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _semdedup_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "semincr":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _semdedup_incremental_leg(spark, vecs_only, results, timed_only)
         else:
             _incremental_leg(spark, docs_only, results, timed_only)
         print(json.dumps({"metric": "records_per_second", "records": n_records, **{

@@ -1001,3 +1001,314 @@ def semantic_dedup(
         emb, centroids, threshold, id_col, vec_col, **pair_kwargs
     )
     return keep_canonical(emb, pairs, id_col=id_col)
+
+
+# --- incremental semantic dedup: admit a new embedding batch against -
+# --- a persisted cell index without re-comparing the corpus ----------
+
+#: index layout version + the parameters the index was built with — a
+#: batch assigned under different centroids would silently land in the
+#: wrong cells, so the meta file is verified on every incremental call
+_SEM_INDEX_META = "_semdedup_index.json"
+
+
+def _sem_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, _SEM_INDEX_META)
+
+
+def semdedup_index_build(
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 256,
+    sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 7,
+    use_gemm: bool = True,
+) -> None:
+    """Persist the SemDeDup cell index for a corpus: the fitted
+    centroids (``centroids/``: cid, cv) and every corpus vector's cell
+    assignment (``cells/``: vec_id, cid, norm, embedding — clustered
+    by cid) as parquet under ``index_dir``, plus a meta file pinning
+    the fit parameters. Built ONCE; daily embedding batches then dedup
+    against it via :func:`incremental_semdedup` — the per-batch cost
+    is one batch-sized GEMM assignment plus co-cell cosines against
+    the index's MATCHING CELLS only, never a corpus re-assignment
+    (the same economics as the minhash ``neardup_index_build``: a
+    100 TB corpus cannot re-cluster 3B vectors to admit a 3M batch).
+    Survivors extend the index with :func:`semdedup_index_append`
+    (parquet append, no rewrite; centroids stay FROZEN — the standard
+    IVF posture, refit on drift as a scheduled rebuild).
+
+    Scale posture: ``cells/`` is written repartitioned on cid, so the
+    incremental join reads only the batch's cells via partition-
+    pruned-ish row groups and the index is never shuffled (the batch
+    side broadcasts)."""
+    import json
+    import os
+
+    cents = ivf_fit_centroids(
+        emb, k=k, id_col=id_col, vec_col=vec_col,
+        sample=sample, iters=iters, seed=seed,
+    )
+    assign = ivf_assign_gemm if use_gemm else ivf_assign
+    assigned = assign(
+        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        norm(F.col(vec_col)).alias("norm"),
+        F.col(vec_col).alias("embedding"),
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    assigned.repartition("cid").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    meta = {
+        "version": 1, "k": k, "sample": sample, "iters": iters,
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    with open(_sem_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+
+
+def semdedup_index_append(emb: DataFrame, index_dir: str) -> None:
+    """Extend an existing cell index with new vectors (typically the
+    batch survivors after :func:`incremental_semdedup`): assign under
+    the index's FROZEN centroids and append to ``cells/`` — the
+    centroids and meta are untouched, so every past and future batch
+    lands in a consistent cell space."""
+    import json
+    import os
+
+    with open(_sem_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    cents = emb.sparkSession.read.parquet(os.path.join(index_dir, "centroids"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = ivf_assign_gemm(
+        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        norm(F.col(vec_col)).alias("norm"),
+        F.col(vec_col).alias("embedding"),
+    )
+    assigned.repartition("cid").write.mode("append").parquet(
+        os.path.join(index_dir, "cells")
+    )
+
+
+def incremental_semdedup(
+    spark,
+    new_emb: DataFrame,
+    index_dir: str,
+    threshold: float = 0.95,
+    engine: str = "gemm",
+    max_batch_cell_rows: int | None = 500_000,
+) -> DataFrame:
+    """Semantic-duplicate pairs between a NEW embedding batch and
+    (index corpus + batch), without re-comparing the corpus: returns
+    (vec_id, dup_of, cos_sim) where ``vec_id`` is always from the new
+    batch and ``dup_of`` is an index vector or a smaller-id batch
+    vector — anti-join ``vec_id`` to admit only novel embeddings
+    (SemDeDup as a daily gate instead of a corpus rebuild).
+
+    Plan: the batch is GEMM-assigned under the index's frozen
+    centroids (one broadcast of k centroids), then compared against
+    co-cell index vectors. A batch wide enough to touch every cell
+    (30 K vectors over 256 cells already does) makes the compare
+    LINEAR IN THE INDEX — so HOW each index row meets its co-cell
+    batch rows decides everything:
+
+    - ``engine='gemm'`` (default): the assigned batch is collected
+      (bounded by the DAILY BATCH — 1 M x 64 float32 is ~256 MB; far
+      above that, chunk the batch upstream), grouped per-cell into
+      normalized numpy blocks, and shipped in a ``mapInPandas``
+      closure over the cid-clustered ``cells/`` scan: each Arrow
+      batch of index rows does one BLAS ``X @ B_cell.T`` per cell it
+      contains. ZERO shuffle, zero join — the index is read once,
+      narrow, in place (measured 147 s -> see SCALE.md on the 3 M
+      leg vs the expr join below).
+    - ``engine='expr'``: broadcast-join the batch on cid and fold the
+      cosine per pair in Catalyst — no driver collect, bit-matching
+      the fold semantics, the right form for small indexes/oracles.
+
+    Batch-internal duplicates come from the batch's own within-cell
+    self-join (batch-sized) in both engines.
+
+    ``max_batch_cell_rows`` guards the same degenerate-cell skew as
+    ``semantic_dedup_pairs``' hot-cell guard, on the INDEX side:
+    if any cell the batch touches exceeds the bound, raise with the
+    histogram (the batch's own hot cells are bounded by the batch
+    size; an index hot cell means the INDEX was built without the
+    guard — fix it at build time, where sub-centroid splitting can
+    preserve recall). None disables."""
+    import json
+    import os
+
+    if engine not in ("expr", "gemm"):
+        raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
+    with open(_sem_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    batch = ivf_assign_gemm(
+        new_emb.select(id_col, vec_col), cents,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("_bid"),
+        F.col("cid").cast("long").alias("cid"),
+        norm(F.col(vec_col)).alias("_bn"),
+        F.col(vec_col).alias("_bv"),
+    ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
+
+    if max_batch_cell_rows is not None:
+        touched = batch.select("cid").distinct()
+        hot = (
+            cells.join(F.broadcast(touched), "cid", "left_semi")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_batch_cell_rows)
+            .collect()
+        )
+        if hot:
+            top = sorted(((int(r["n"]), int(r["cid"])) for r in hot), reverse=True)
+            raise ValueError(
+                f"incremental_semdedup: {len(hot)} index cell(s) the batch "
+                f"touches exceed max_batch_cell_rows={max_batch_cell_rows} "
+                f"(heaviest: {top[:10]}); rebuild the index with more/"
+                "tighter cells or raise the bound"
+            )
+
+    if engine == "gemm":
+        vs_index = _incremental_vs_index_gemm(batch, cells, threshold)
+    else:
+        zero_safe = F.when(
+            F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
+        ).otherwise(
+            _cosine_prenormed(
+                F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
+            )
+        )
+        vs_index = (
+            cells.join(F.broadcast(batch), "cid")
+            .filter(F.col("_bid") != F.col("vec_id"))
+            .select(
+                F.col("_bid").alias("vec_id"),
+                F.col("vec_id").alias("dup_of"),
+                zero_safe.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    a, b = batch.alias("a"), batch.alias("b")
+    batch_cos = F.when(
+        F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
+    ).otherwise(
+        _cosine_prenormed(
+            F.col("a._bv"), F.col("b._bv"), F.col("a._bn"), F.col("b._bn")
+        )
+    )
+    vs_batch = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cid") == F.col("b.cid"),
+                F.col("a._bid") > F.col("b._bid"),  # drop side = larger id
+            ],
+        )
+        .select(
+            F.col("a._bid").alias("vec_id"),
+            F.col("b._bid").alias("dup_of"),
+            batch_cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return vs_index.unionByName(vs_batch)
+
+
+def _incremental_vs_index_gemm(
+    batch: DataFrame, cells: DataFrame, threshold: float
+) -> DataFrame:
+    """Batch-vs-index cosines as one BLAS block per (Arrow batch,
+    cell): the assigned batch collects to the driver (bounded by the
+    daily batch), normalizes into per-cell matrices, and rides the
+    ``mapInPandas`` closure over the cid-clustered index scan — the
+    corpus-scale side is read once, never shuffled, never joined."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType, StructField, StructType,
+    )
+
+    rows = batch.collect()
+    by_cell: dict[int, tuple] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cid"]), []).append(r)
+    packed: dict[int, tuple] = {}
+    for cid, rs in by_cell.items():
+        B = np.array([r["_bv"] for r in rs], dtype=np.float64)
+        bn = np.linalg.norm(B, axis=1)
+        Bn = B / np.where(bn == 0.0, 1.0, bn)[:, None]
+        # zero-norm batch rows: unit-sub yields cos 0 -> below any
+        # positive threshold, matching the expr engine's 0.0 guard
+        packed[cid] = ([r["_bid"] for r in rs], Bn)
+    id_type = cells.schema["vec_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_id", id_type),
+            StructField("dup_of", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cid"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for cid in np.unique(cids):
+                blk = packed.get(int(cid))
+                if blk is None:
+                    continue
+                bids, Bn = blk
+                m = cids == cid
+                X = np.array(list(pdf["embedding"][m]), dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1)
+                Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
+                sims = Xn @ Bn.T  # (index rows, batch rows)
+                iid = pdf["vec_id"][m].to_numpy()
+                hit_i, hit_b = np.nonzero(sims >= threshold)
+                for ii, bb in zip(hit_i, hit_b):
+                    if iid[ii] == bids[bb]:
+                        continue  # re-run over an already-appended batch
+                    out_a.append(bids[bb])
+                    out_b.append(iid[ii])
+                    out_c.append(float(sims[ii, bb]))
+            if out_a:
+                yield pd.DataFrame(
+                    {"vec_id": out_a, "dup_of": out_b, "cos_sim": out_c}
+                )
+
+    return cells.select("vec_id", "cid", "embedding").mapInPandas(
+        emit, out_schema
+    )
+
+
+def incremental_semdedup_keep(
+    new_emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Batch survivors: drop every batch vector with a semantic
+    duplicate in the index or a smaller-id batch sibling — one
+    anti-join over the duplicate-rate-sized pair list (mirror of
+    neardup's ``incremental_keep``). ``id_col`` names the batch
+    frame's id column; the pair list's drop side is always its
+    ``vec_id`` output column."""
+    dropped = pairs.select(F.col("vec_id").alias(id_col)).distinct()
+    return new_emb.join(dropped, on=id_col, how="left_anti")

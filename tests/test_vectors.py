@@ -619,3 +619,140 @@ def test_semantic_dedup_subcentroid_zero_vector_hot_cell(spark):
     assert all(a >= 500 and b >= 500 for a, b in ids)
     assert len(ids) > 0
     assert all(not np.isnan(r["cos_sim"]) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup (persisted cell index)
+
+
+def _sem_corpus(spark, n=400, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, DIM))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return rows, X
+
+
+def test_incremental_semdedup_matches_full_recompute(tmp_path, spark):
+    """The incremental path (batch GEMM-assign + co-cell join against
+    the persisted cells) must find EXACTLY the pairs a full
+    semantic_dedup_pairs over (index + batch) finds that touch a
+    batch id — same centroids, same threshold, orientation
+    normalized."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        incremental_semdedup_keep,
+        semantic_dedup_pairs,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 400)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx")
+    semdedup_index_build(corpus, idx_dir, k=8, sample=400, iters=6, seed=3)
+
+    rng = np.random.default_rng(99)
+    batch_rows = []
+    # exact dup of index vec 7, near-dup of 123, novel vecs, and a
+    # batch-internal exact pair (2000, 2001)
+    batch_rows.append((1000, [float(x) for x in X[7]]))
+    v = X[123] + 0.05 * rng.normal(size=DIM)
+    batch_rows.append((1001, [float(x) for x in v / np.linalg.norm(v)]))
+    for j in range(20):
+        w = rng.normal(size=DIM)
+        batch_rows.append((1100 + j, [float(x) for x in w / np.linalg.norm(w)]))
+    u = rng.normal(size=DIM)
+    u = u / np.linalg.norm(u)
+    batch_rows.append((2000, [float(x) for x in u]))
+    batch_rows.append((2001, [float(x) for x in u]))
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<float>")
+
+    got = incremental_semdedup(spark, batch, idx_dir, threshold=0.9)
+    got_pairs = {(r["vec_id"], r["dup_of"]): r["cos_sim"] for r in got.collect()}
+    # the no-collect expr engine finds the identical pair set
+    expr_pairs = {
+        (r["vec_id"], r["dup_of"]): r["cos_sim"]
+        for r in incremental_semdedup(
+            spark, batch, idx_dir, threshold=0.9, engine="expr"
+        ).collect()
+    }
+    assert set(expr_pairs) == set(got_pairs)
+    for p, c in expr_pairs.items():
+        assert abs(c - got_pairs[p]) < 1e-12
+
+    # full recompute under the SAME frozen centroids
+    cents = spark.read.parquet(idx_dir + "/centroids")
+    full = semantic_dedup_pairs(
+        corpus.unionByName(batch), cents, threshold=0.9, max_cell_rows=None
+    ).collect()
+    batch_ids = {r[0] for r in batch_rows}
+    want = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a in batch_ids or b in batch_ids:
+            # orientation: batch id first; batch-internal -> larger first
+            drop, keep = (b, a) if b in batch_ids else (a, b)
+            want[(drop, keep)] = r["cos_sim"]
+    assert set(got_pairs) == set(want)
+    for p, c in got_pairs.items():
+        assert abs(c - want[p]) < 1e-12
+    # the planted relations are all present
+    assert (1000, 7) in got_pairs and (2001, 2000) in got_pairs
+    assert any(p == (1001, 123) for p in got_pairs)
+    # keep: drops exactly the flagged batch vectors
+    kept = {
+        r["vec_id"]
+        for r in incremental_semdedup_keep(batch, got).collect()
+    }
+    assert kept == batch_ids - {p[0] for p in got_pairs}
+
+
+def test_incremental_semdedup_append_and_guard(tmp_path, spark):
+    """Survivors appended under the frozen centroids are visible to the
+    next batch; the index-side hot-cell guard raises with the cell
+    histogram instead of launching a skewed join."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        incremental_semdedup_keep,
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 200, seed=21)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx2")
+    semdedup_index_build(corpus, idx_dir, k=4, sample=200, iters=6, seed=3)
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    b1 = spark.createDataFrame(
+        [(500, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    p1 = incremental_semdedup(spark, b1, idx_dir, threshold=0.95)
+    surv = incremental_semdedup_keep(b1, p1)
+    assert surv.count() == 1  # novel vector survives
+    semdedup_index_append(surv, idx_dir)
+
+    # second batch: an exact copy of the appended vector must now hit
+    b2 = spark.createDataFrame(
+        [(600, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    p2 = {(r["vec_id"], r["dup_of"]) for r in
+          incremental_semdedup(spark, b2, idx_dir, threshold=0.95).collect()}
+    assert (600, 500) in p2
+
+    # guard: every index cell has <= 200 rows; a 1-row bound trips on
+    # whatever cell the batch touches
+    with _pytest.raises(ValueError, match="max_batch_cell_rows"):
+        incremental_semdedup(
+            spark, b2, idx_dir, threshold=0.95, max_batch_cell_rows=1
+        )
