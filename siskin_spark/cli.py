@@ -21,6 +21,10 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             signature index over a doc table
   neardup-batch DOCS DIR OUT  dedup a new batch against the index:
                             writes pairs/ (and survivors with --keep)
+  semdedup-index VECS DIR   build (or --append to) a persisted SemDeDup
+                            cell index (frozen centroids + assignments)
+  semdedup-batch VECS DIR OUT  admit an embedding batch against the
+                            index: pairs/ (and survivors with --keep)
   curate DOCS OUT [flags]   the training-data curation chain, stages
                             opt-in: --quality (Gopher gates),
                             --line-dedup N, --decontaminate BENCH,
@@ -138,6 +142,30 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--engine", default="gemm", choices=["expr", "gemm"],
                       help="within-cell compare: gemm = BLAS scale path")
     p_sd.add_argument("--seed", type=int, default=7)
+    p_sidx = sub.add_parser("semdedup-index")
+    p_sidx.add_argument("vectors", help="parquet vector table (vec_id, embedding)")
+    p_sidx.add_argument("index_dir")
+    p_sidx.add_argument("--id-col", default="vec_id")
+    p_sidx.add_argument("--vec-col", default="embedding")
+    p_sidx.add_argument("--k", type=int, default=256)
+    p_sidx.add_argument("--sample", type=int, default=100_000)
+    p_sidx.add_argument("--seed", type=int, default=7)
+    p_sidx.add_argument(
+        "--append", action="store_true",
+        help="assign under the index's FROZEN centroids and append",
+    )
+    p_sbatch = sub.add_parser("semdedup-batch")
+    p_sbatch.add_argument("vectors", help="new-batch vector table")
+    p_sbatch.add_argument("index_dir")
+    p_sbatch.add_argument("out_dir", help="writes pairs/ (+ kept/ with --keep)")
+    p_sbatch.add_argument("--threshold", type=float, default=0.95)
+    p_sbatch.add_argument("--engine", default="gemm", choices=["expr", "gemm"])
+    p_sbatch.add_argument("--max-cell-rows", type=int, default=500_000,
+                          help="index-side hot-cell bound (0 disables)")
+    p_sbatch.add_argument(
+        "--keep", action="store_true",
+        help="also write the batch survivors under keep-first",
+    )
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
     p_cur.add_argument(
@@ -349,6 +377,49 @@ def main(argv: list[str] | None = None) -> int:
             kept_path = os.path.join(args.out_dir, "kept")
             incremental_keep(
                 batch, spark.read.parquet(pairs_path), id_col=args.id_col
+            ).write.mode("overwrite").parquet(kept_path)
+            print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
+    elif args.cmd == "semdedup-index":
+        from siskin_spark.functions.vectors import (
+            semdedup_index_append,
+            semdedup_index_build,
+        )
+
+        vecs = _read(spark, args.vectors)
+        if args.append:
+            semdedup_index_append(vecs, args.index_dir)
+        else:
+            semdedup_index_build(
+                vecs, args.index_dir,
+                id_col=args.id_col, vec_col=args.vec_col,
+                k=args.k, sample=args.sample, seed=args.seed,
+            )
+        print(f"index at {args.index_dir}: {vecs.count()} vectors")
+    elif args.cmd == "semdedup-batch":
+        from siskin_spark.functions.vectors import (
+            incremental_semdedup,
+            incremental_semdedup_keep,
+        )
+
+        batch = _read(spark, args.vectors)
+        pairs = incremental_semdedup(
+            spark, batch, args.index_dir,
+            threshold=args.threshold, engine=args.engine,
+            max_batch_cell_rows=args.max_cell_rows or None,
+        )
+        pairs_path = os.path.join(args.out_dir, "pairs")
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        print(f"pairs: {spark.read.parquet(pairs_path).count()} at {pairs_path}")
+        if args.keep:
+            import json as _json
+
+            from siskin_spark.functions.vectors import _sem_meta_path
+
+            with open(_sem_meta_path(args.index_dir)) as fh:
+                idc = _json.load(fh)["id_col"]
+            kept_path = os.path.join(args.out_dir, "kept")
+            incremental_semdedup_keep(
+                batch, spark.read.parquet(pairs_path), id_col=idc
             ).write.mode("overwrite").parquet(kept_path)
             print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
     elif args.cmd == "semdedup":

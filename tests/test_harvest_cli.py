@@ -683,3 +683,65 @@ def test_cli_curate_split_labels(capsys, tmp_path, spark):
 
     cnt = Counter(got.values())
     assert cnt["train"] > 350 and cnt["val"] > 20 and cnt["test"] > 20
+
+
+def test_cli_semdedup_index_and_batch(capsys, tmp_path, spark):
+    """semdedup-index builds the persisted cell index; semdedup-batch
+    admits a batch against it, writing pairs and survivors; --append
+    extends the index under the frozen centroids."""
+    import numpy as np
+
+    from siskin_spark.cli import main
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(60, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    vec_path = str(tmp_path / "vecs")
+    corpus.write.parquet(vec_path)
+    idx = str(tmp_path / "semidx")
+    assert main([
+        "semdedup-index", vec_path, idx, "--k", "4", "--sample", "60",
+    ]) == 0
+    capsys.readouterr()
+
+    # batch: an exact copy of corpus vec 5 plus one novel vector
+    w = rng.normal(size=16)
+    batch = spark.createDataFrame(
+        [(100, [float(x) for x in X[5]]),
+         (101, [float(x) for x in w / np.linalg.norm(w)])],
+        "vec_id long, embedding array<float>",
+    )
+    b_path = str(tmp_path / "batch")
+    batch.write.parquet(b_path)
+    out = str(tmp_path / "out")
+    assert main([
+        "semdedup-batch", b_path, idx, out, "--threshold", "0.95", "--keep",
+    ]) == 0
+    capsys.readouterr()
+    pairs = {(r["vec_id"], r["dup_of"])
+             for r in spark.read.parquet(out + "/pairs").collect()}
+    assert (100, 5) in pairs
+    kept = {r["vec_id"] for r in spark.read.parquet(out + "/kept").collect()}
+    assert kept == {101}
+
+    # append the survivor; a copy of it must now hit
+    k_path = str(tmp_path / "kept_in")
+    spark.read.parquet(out + "/kept").write.parquet(k_path)
+    assert main(["semdedup-index", k_path, idx, "--append"]) == 0
+    capsys.readouterr()
+    b2 = spark.createDataFrame(
+        [(200, [float(x) for x in w / np.linalg.norm(w)])],
+        "vec_id long, embedding array<float>",
+    )
+    b2_path = str(tmp_path / "batch2")
+    b2.write.parquet(b2_path)
+    out2 = str(tmp_path / "out2")
+    assert main(["semdedup-batch", b2_path, idx, out2]) == 0
+    capsys.readouterr()
+    p2 = {(r["vec_id"], r["dup_of"])
+          for r in spark.read.parquet(out2 + "/pairs").collect()}
+    assert (200, 101) in p2
