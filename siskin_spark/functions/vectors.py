@@ -1245,7 +1245,7 @@ def _incremental_vs_index_gemm(
     )
 
     rows = batch.collect()
-    by_cell: dict[int, tuple] = {}
+    by_cell: dict[int, list] = {}
     for r in rows:
         by_cell.setdefault(int(r["cid"]), []).append(r)
     packed: dict[int, tuple] = {}
@@ -1255,7 +1255,12 @@ def _incremental_vs_index_gemm(
         Bn = B / np.where(bn == 0.0, 1.0, bn)[:, None]
         # zero-norm batch rows: unit-sub yields cos 0 -> below any
         # positive threshold, matching the expr engine's 0.0 guard
-        packed[cid] = ([r["_bid"] for r in rs], Bn)
+        packed[cid] = (np.array([r["_bid"] for r in rs]), Bn)
+    # a Spark BROADCAST, not a plain closure capture: a pickled closure
+    # ships with EVERY task, so a 1M-vector batch (~256 MB packed)
+    # would ride every one of thousands of index-scan tasks; the
+    # broadcast ships once per executor
+    bc = batch.sparkSession.sparkContext.broadcast(packed)
     id_type = cells.schema["vec_id"].dataType
     out_schema = StructType(
         [
@@ -1268,13 +1273,14 @@ def _incremental_vs_index_gemm(
     def emit(batches):
         import pandas as pd
 
+        table = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cids = pdf["cid"].to_numpy()
-            out_a, out_b, out_c = [], [], []
+            out = []
             for cid in np.unique(cids):
-                blk = packed.get(int(cid))
+                blk = table.get(int(cid))
                 if blk is None:
                     continue
                 bids, Bn = blk
@@ -1285,16 +1291,22 @@ def _incremental_vs_index_gemm(
                 sims = Xn @ Bn.T  # (index rows, batch rows)
                 iid = pdf["vec_id"][m].to_numpy()
                 hit_i, hit_b = np.nonzero(sims >= threshold)
-                for ii, bb in zip(hit_i, hit_b):
-                    if iid[ii] == bids[bb]:
-                        continue  # re-run over an already-appended batch
-                    out_a.append(bids[bb])
-                    out_b.append(iid[ii])
-                    out_c.append(float(sims[ii, bb]))
-            if out_a:
-                yield pd.DataFrame(
-                    {"vec_id": out_a, "dup_of": out_b, "cos_sim": out_c}
+                if len(hit_i) == 0:
+                    continue
+                keep = iid[hit_i] != bids[hit_b]  # re-run over appended batch
+                if not keep.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": bids[hit_b][keep],
+                            "dup_of": iid[hit_i][keep],
+                            "cos_sim": sims[hit_i[keep], hit_b[keep]],
+                        }
+                    )
                 )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     return cells.select("vec_id", "cid", "embedding").mapInPandas(
         emit, out_schema
