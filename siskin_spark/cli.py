@@ -149,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     p_sidx.add_argument("--vec-col", default="embedding")
     p_sidx.add_argument("--k", type=int, default=256)
     p_sidx.add_argument("--sample", type=int, default=100_000)
+    p_sidx.add_argument("--iters", type=int, default=10)
     p_sidx.add_argument("--seed", type=int, default=7)
     p_sidx.add_argument(
         "--append", action="store_true",
@@ -388,13 +389,15 @@ def main(argv: list[str] | None = None) -> int:
         vecs = _read(spark, args.vectors)
         if args.append:
             semdedup_index_append(vecs, args.index_dir)
+            print(f"appended {vecs.count()} vectors to {args.index_dir}")
         else:
             semdedup_index_build(
                 vecs, args.index_dir,
                 id_col=args.id_col, vec_col=args.vec_col,
-                k=args.k, sample=args.sample, seed=args.seed,
+                k=args.k, sample=args.sample, iters=args.iters,
+                seed=args.seed,
             )
-        print(f"index at {args.index_dir}: {vecs.count()} vectors")
+            print(f"index at {args.index_dir}: {vecs.count()} vectors")
     elif args.cmd == "semdedup-batch":
         from siskin_spark.functions.vectors import (
             incremental_semdedup,
@@ -411,12 +414,9 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(pairs_path)
         print(f"pairs: {spark.read.parquet(pairs_path).count()} at {pairs_path}")
         if args.keep:
-            import json as _json
+            from siskin_spark.functions.vectors import _sem_meta_read
 
-            from siskin_spark.functions.vectors import _sem_meta_path
-
-            with open(_sem_meta_path(args.index_dir)) as fh:
-                idc = _json.load(fh)["id_col"]
+            idc = _sem_meta_read(args.index_dir)["id_col"]
             kept_path = os.path.join(args.out_dir, "kept")
             incremental_semdedup_keep(
                 batch, spark.read.parquet(pairs_path), id_col=idc

@@ -1018,6 +1018,61 @@ def _sem_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _SEM_INDEX_META)
 
 
+def _sem_meta_read(index_dir: str) -> dict:
+    """Load + verify the index meta. The version gate is the contract
+    check the layout docstring promises: an index from a different
+    layout (or a missing meta) fails loudly before any work."""
+    import json
+
+    with open(_sem_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if meta.get("version") != 1:
+        raise ValueError(
+            f"semdedup index at {index_dir!r}: unsupported layout version "
+            f"{meta.get('version')!r} (expected 1) — rebuild the index"
+        )
+    return meta
+
+
+def _sem_assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Cell assignment in the canonical ``cells/`` schema — shared by
+    build, append and admit so the three can never drift field-wise.
+    ALWAYS the GEMM engine: the index's cell space must come from ONE
+    assignment semantics (zero-norm -> smallest cid, near-ties -> the
+    GEMM argmax), and mixing ``ivf_assign``'s expression path in — its
+    zero-norm rows produce NULL cids that crash the gemm admit and
+    silently never join in the expr admit — was a reviewed bug, not a
+    feature."""
+    return ivf_assign_gemm(
+        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        norm(F.col(vec_col)).alias("norm"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
+    """Refresh ``meta['cell_counts']`` from the written ``cells/``
+    table (ONE narrow cid-column scan, k-bounded collect) and persist
+    the meta. Keeping the histogram IN the meta makes the per-admit
+    hot-cell guard a driver-side dict lookup instead of a full
+    corpus-scale groupBy per batch."""
+    import json
+    import os
+
+    counts = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    meta["cell_counts"] = {str(int(r["cid"])): int(r["n"]) for r in counts}
+    with open(_sem_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+
+
 def semdedup_index_build(
     emb: DataFrame,
     index_dir: str,
@@ -1027,42 +1082,32 @@ def semdedup_index_build(
     sample: int = 100_000,
     iters: int = 10,
     seed: int = 7,
-    use_gemm: bool = True,
 ) -> None:
     """Persist the SemDeDup cell index for a corpus: the fitted
     centroids (``centroids/``: cid, cv) and every corpus vector's cell
     assignment (``cells/``: vec_id, cid, norm, embedding — clustered
     by cid) as parquet under ``index_dir``, plus a meta file pinning
-    the fit parameters. Built ONCE; daily embedding batches then dedup
-    against it via :func:`incremental_semdedup` — the per-batch cost
-    is one batch-sized GEMM assignment plus co-cell cosines against
-    the index's MATCHING CELLS only, never a corpus re-assignment
-    (the same economics as the minhash ``neardup_index_build``: a
-    100 TB corpus cannot re-cluster 3B vectors to admit a 3M batch).
-    Survivors extend the index with :func:`semdedup_index_append`
-    (parquet append, no rewrite; centroids stay FROZEN — the standard
-    IVF posture, refit on drift as a scheduled rebuild).
+    the fit parameters AND the per-cell row histogram. Built ONCE;
+    daily embedding batches then dedup against it via
+    :func:`incremental_semdedup` — the per-batch cost is one
+    batch-sized GEMM assignment plus co-cell cosines against the
+    index's cells, never a corpus re-assignment (the same economics
+    as the minhash ``neardup_index_build``: a 100 TB corpus cannot
+    re-cluster 3B vectors to admit a 3M batch). Survivors extend the
+    index with :func:`semdedup_index_append` (parquet append, no
+    rewrite; centroids stay FROZEN — the standard IVF posture, refit
+    on drift as a scheduled rebuild).
 
     Scale posture: ``cells/`` is written repartitioned on cid, so the
-    incremental join reads only the batch's cells via partition-
-    pruned-ish row groups and the index is never shuffled (the batch
-    side broadcasts)."""
-    import json
+    incremental scan reads cid-clustered row groups; the assignment
+    engine is ALWAYS the GEMM family (see :func:`_sem_assign`)."""
     import os
 
     cents = ivf_fit_centroids(
         emb, k=k, id_col=id_col, vec_col=vec_col,
         sample=sample, iters=iters, seed=seed,
     )
-    assign = ivf_assign_gemm if use_gemm else ivf_assign
-    assigned = assign(
-        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("cid").cast("long").alias("cid"),
-        norm(F.col(vec_col)).alias("norm"),
-        F.col(vec_col).alias("embedding"),
-    )
+    assigned = _sem_assign(emb, cents, id_col, vec_col)
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     assigned.repartition("cid").write.mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
@@ -1070,35 +1115,29 @@ def semdedup_index_build(
     meta = {
         "version": 1, "k": k, "sample": sample, "iters": iters,
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
+        "assign": "gemm",
     }
-    with open(_sem_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _sem_recount_cells(emb.sparkSession, index_dir, meta)
 
 
 def semdedup_index_append(emb: DataFrame, index_dir: str) -> None:
     """Extend an existing cell index with new vectors (typically the
     batch survivors after :func:`incremental_semdedup`): assign under
     the index's FROZEN centroids and append to ``cells/`` — the
-    centroids and meta are untouched, so every past and future batch
-    lands in a consistent cell space."""
-    import json
+    centroids stay untouched, so every past and future batch lands in
+    a consistent cell space; the meta's cell histogram is refreshed
+    from the written table (self-healing even if a prior append
+    crashed between write and meta update)."""
     import os
 
-    with open(_sem_meta_path(index_dir)) as f:
-        meta = json.load(f)
-    cents = emb.sparkSession.read.parquet(os.path.join(index_dir, "centroids"))
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    assigned = ivf_assign_gemm(
-        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("cid").cast("long").alias("cid"),
-        norm(F.col(vec_col)).alias("norm"),
-        F.col(vec_col).alias("embedding"),
-    )
+    spark = emb.sparkSession
+    meta = _sem_meta_read(index_dir)
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = _sem_assign(emb, cents, meta["id_col"], meta["vec_col"])
     assigned.repartition("cid").write.mode("append").parquet(
         os.path.join(index_dir, "cells")
     )
+    _sem_recount_cells(spark, index_dir, meta)
 
 
 def incremental_semdedup(
@@ -1108,6 +1147,7 @@ def incremental_semdedup(
     threshold: float = 0.95,
     engine: str = "gemm",
     max_batch_cell_rows: int | None = 500_000,
+    sim_buffer_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Semantic-duplicate pairs between a NEW embedding batch and
     (index corpus + batch), without re-comparing the corpus: returns
@@ -1126,84 +1166,79 @@ def incremental_semdedup(
     - ``engine='gemm'`` (default): the assigned batch is collected
       (bounded by the DAILY BATCH — 1 M x 64 float32 is ~256 MB; far
       above that, chunk the batch upstream), grouped per-cell into
-      normalized numpy blocks, and shipped in a ``mapInPandas``
-      closure over the cid-clustered ``cells/`` scan: each Arrow
-      batch of index rows does one BLAS ``X @ B_cell.T`` per cell it
-      contains. ZERO shuffle, zero join — the index is read once,
-      narrow, in place (measured 147 s -> see SCALE.md on the 3 M
-      leg vs the expr join below).
+      normalized numpy blocks, SPARK-BROADCAST (once per executor,
+      never per task), and compared in a ``mapInPandas`` over the
+      cid-clustered ``cells/`` scan: one BLAS block per (Arrow batch,
+      cell), tiled so no sim block exceeds ``sim_buffer_bytes``
+      regardless of batch-side cell skew. ZERO shuffle, zero join;
+      the result materializes eagerly (localCheckpoint) so the
+      broadcast is destroyed before returning — repeated admits in a
+      long-lived session do not accumulate executor copies.
+      Batch-internal duplicates are the same tiled BLAS per cell,
+      driver-side (the batch is already collected).
     - ``engine='expr'``: broadcast-join the batch on cid and fold the
-      cosine per pair in Catalyst — no driver collect, bit-matching
-      the fold semantics, the right form for small indexes/oracles.
+      cosine per pair in Catalyst — lazy, no driver collect, the
+      right form for small indexes/oracles (measured 18x slower at
+      3M/33K — SCALE.md).
 
-    Batch-internal duplicates come from the batch's own within-cell
-    self-join (batch-sized) in both engines.
-
-    ``max_batch_cell_rows`` guards the same degenerate-cell skew as
-    ``semantic_dedup_pairs``' hot-cell guard, on the INDEX side:
-    if any cell the batch touches exceeds the bound, raise with the
-    histogram (the batch's own hot cells are bounded by the batch
-    size; an index hot cell means the INDEX was built without the
-    guard — fix it at build time, where sub-centroid splitting can
-    preserve recall). None disables."""
-    import json
+    ``max_batch_cell_rows`` guards index-side degenerate-cell skew as
+    a DRIVER-SIDE lookup against the meta's persisted cell histogram
+    (no index scan): if any cell the batch touches exceeds the bound,
+    raise with the histogram — an index hot cell means the index was
+    built with too-coarse cells; fix it at build time. None
+    disables."""
     import os
 
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
-    with open(_sem_meta_path(index_dir)) as f:
-        meta = json.load(f)
+    meta = _sem_meta_read(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    batch = ivf_assign_gemm(
-        new_emb.select(id_col, vec_col), cents,
-        id_col=id_col, vec_col=vec_col,
-    ).select(
-        F.col(id_col).alias("_bid"),
-        F.col("cid").cast("long").alias("cid"),
-        norm(F.col(vec_col)).alias("_bn"),
-        F.col(vec_col).alias("_bv"),
+    batch = _sem_assign(new_emb, cents, id_col, vec_col).select(
+        F.col("vec_id").alias("_bid"),
+        "cid",
+        F.col("norm").alias("_bn"),
+        F.col("embedding").alias("_bv"),
     ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
 
     if max_batch_cell_rows is not None:
-        touched = batch.select("cid").distinct()
-        hot = (
-            cells.join(F.broadcast(touched), "cid", "left_semi")
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_batch_cell_rows)
-            .collect()
+        counts = meta.get("cell_counts", {})
+        touched = [int(r["cid"]) for r in batch.select("cid").distinct().collect()]
+        hot = sorted(
+            ((counts.get(str(c), 0), c) for c in touched
+             if counts.get(str(c), 0) > max_batch_cell_rows),
+            reverse=True,
         )
         if hot:
-            top = sorted(((int(r["n"]), int(r["cid"])) for r in hot), reverse=True)
             raise ValueError(
                 f"incremental_semdedup: {len(hot)} index cell(s) the batch "
                 f"touches exceed max_batch_cell_rows={max_batch_cell_rows} "
-                f"(heaviest: {top[:10]}); rebuild the index with more/"
+                f"(heaviest: {hot[:10]}); rebuild the index with more/"
                 "tighter cells or raise the bound"
             )
 
     if engine == "gemm":
-        vs_index = _incremental_vs_index_gemm(batch, cells, threshold)
-    else:
-        zero_safe = F.when(
-            F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
-        ).otherwise(
-            _cosine_prenormed(
-                F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
-            )
+        return _incremental_pairs_gemm(
+            spark, batch, cells, threshold, sim_buffer_bytes
         )
-        vs_index = (
-            cells.join(F.broadcast(batch), "cid")
-            .filter(F.col("_bid") != F.col("vec_id"))
-            .select(
-                F.col("_bid").alias("vec_id"),
-                F.col("vec_id").alias("dup_of"),
-                zero_safe.alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
+    zero_safe = F.when(
+        F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
+    ).otherwise(
+        _cosine_prenormed(
+            F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
         )
+    )
+    vs_index = (
+        cells.join(F.broadcast(batch), "cid")
+        .filter(F.col("_bid") != F.col("vec_id"))
+        .select(
+            F.col("_bid").alias("vec_id"),
+            F.col("vec_id").alias("dup_of"),
+            zero_safe.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
     a, b = batch.alias("a"), batch.alias("b")
     batch_cos = F.when(
         F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
@@ -1230,19 +1265,23 @@ def incremental_semdedup(
     return vs_index.unionByName(vs_batch)
 
 
-def _incremental_vs_index_gemm(
-    batch: DataFrame, cells: DataFrame, threshold: float
+def _incremental_pairs_gemm(
+    spark, batch: DataFrame, cells: DataFrame, threshold: float,
+    sim_buffer_bytes: int,
 ) -> DataFrame:
-    """Batch-vs-index cosines as one BLAS block per (Arrow batch,
-    cell): the assigned batch collects to the driver (bounded by the
-    daily batch), normalizes into per-cell matrices, and rides the
-    ``mapInPandas`` closure over the cid-clustered index scan — the
-    corpus-scale side is read once, never shuffled, never joined."""
+    """Both pair families of the gemm admit: batch-vs-index as one
+    tiled BLAS block per (Arrow batch, cell) inside ``mapInPandas``
+    over the cid-clustered index scan, and batch-vs-batch as the same
+    tiled BLAS driver-side (the batch is already collected). Every
+    sim tile is bounded by ``sim_buffer_bytes`` — ``max_batch_cell_
+    rows`` bounds the INDEX side only, so a skewed BATCH piling into
+    one cell must not be allowed to allocate rows x cell in one
+    np array (the sibling ``_within_group_pairs_gemm`` chunks for
+    exactly this reason). Eagerly materialized; the packed-batch
+    broadcast is destroyed before returning."""
     import numpy as np
 
-    from pyspark.sql.types import (
-        DoubleType, StructField, StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     rows = batch.collect()
     by_cell: dict[int, list] = {}
@@ -1256,11 +1295,7 @@ def _incremental_vs_index_gemm(
         # zero-norm batch rows: unit-sub yields cos 0 -> below any
         # positive threshold, matching the expr engine's 0.0 guard
         packed[cid] = (np.array([r["_bid"] for r in rs]), Bn)
-    # a Spark BROADCAST, not a plain closure capture: a pickled closure
-    # ships with EVERY task, so a 1M-vector batch (~256 MB packed)
-    # would ride every one of thousands of index-scan tasks; the
-    # broadcast ships once per executor
-    bc = batch.sparkSession.sparkContext.broadcast(packed)
+    bc = spark.sparkContext.broadcast(packed)
     id_type = cells.schema["vec_id"].dataType
     out_schema = StructType(
         [
@@ -1288,29 +1323,60 @@ def _incremental_vs_index_gemm(
                 X = np.array(list(pdf["embedding"][m]), dtype=np.float64)
                 xn = np.linalg.norm(X, axis=1)
                 Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
-                sims = Xn @ Bn.T  # (index rows, batch rows)
                 iid = pdf["vec_id"][m].to_numpy()
-                hit_i, hit_b = np.nonzero(sims >= threshold)
-                if len(hit_i) == 0:
-                    continue
-                keep = iid[hit_i] != bids[hit_b]  # re-run over appended batch
-                if not keep.any():
-                    continue
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": bids[hit_b][keep],
-                            "dup_of": iid[hit_i][keep],
-                            "cos_sim": sims[hit_i[keep], hit_b[keep]],
-                        }
+                step = max(1, sim_buffer_bytes // (8 * max(1, len(Xn))))
+                for j0 in range(0, len(bids), step):
+                    sims = Xn @ Bn[j0:j0 + step].T  # (index rows, tile)
+                    hit_i, hit_b = np.nonzero(sims >= threshold)
+                    if len(hit_i) == 0:
+                        continue
+                    gids = bids[j0:j0 + step][hit_b]
+                    keep = iid[hit_i] != gids  # re-run over appended batch
+                    if not keep.any():
+                        continue
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": gids[keep],
+                                "dup_of": iid[hit_i[keep]],
+                                "cos_sim": sims[hit_i[keep], hit_b[keep]],
+                            }
+                        )
                     )
-                )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return cells.select("vec_id", "cid", "embedding").mapInPandas(
-        emit, out_schema
+    vs_index = (
+        cells.select("vec_id", "cid", "embedding")
+        .mapInPandas(emit, out_schema)
+        .localCheckpoint(eager=True)
     )
+    bc.destroy()
+
+    # batch-internal pairs: same tiled BLAS, driver-side
+    internal = []
+    for cid, (bids, Bn) in packed.items():
+        n = len(bids)
+        if n < 2:
+            continue
+        step = max(1, sim_buffer_bytes // (8 * n))
+        for j0 in range(0, n, step):
+            sims = Bn @ Bn[j0:j0 + step].T
+            hit_i, hit_j = np.nonzero(sims >= threshold)
+            gj = hit_j + j0
+            mask = hit_i < gj  # each unordered pair once, no self-pairs
+            for ii, jj in zip(hit_i[mask], gj[mask]):
+                va, vb = bids[ii], bids[jj]
+                drop, kept = (va, vb) if va > vb else (vb, va)
+                # numpy scalars -> python (createDataFrame rejects them
+                # for non-numeric id types and warns for numeric)
+                drop = drop.item() if hasattr(drop, "item") else drop
+                kept = kept.item() if hasattr(kept, "item") else kept
+                internal.append((drop, kept, float(sims[ii, jj - j0])))
+    if internal:
+        vs_batch = spark.createDataFrame(internal, out_schema)
+        return vs_index.unionByName(vs_batch)
+    return vs_index
 
 
 def incremental_semdedup_keep(

@@ -756,3 +756,49 @@ def test_incremental_semdedup_append_and_guard(tmp_path, spark):
         incremental_semdedup(
             spark, b2, idx_dir, threshold=0.95, max_batch_cell_rows=1
         )
+
+
+def test_incremental_semdedup_tiling_and_meta_version(tmp_path, spark):
+    """Review r10: sim tiles must be bounded by sim_buffer_bytes on the
+    BATCH-cell dimension too (max_batch_cell_rows bounds only the
+    index side) — a tiny buffer forces many tiles and the pair set
+    must not change. Also: the meta version gate refuses a foreign
+    layout loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 150, seed=31)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx3")
+    semdedup_index_build(corpus, idx_dir, k=4, sample=150, iters=5, seed=3)
+    # batch = copies of 30 corpus vectors plus one internal dup pair
+    batch_rows = [(900 + i, [float(x) for x in X[i * 4]]) for i in range(30)]
+    batch_rows += [(2000, [float(x) for x in X[0]]), (2001, [float(x) for x in X[0]])]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<float>")
+
+    big = {(r["vec_id"], r["dup_of"]): r["cos_sim"] for r in
+           incremental_semdedup(spark, batch, idx_dir, threshold=0.95).collect()}
+    tiny = {(r["vec_id"], r["dup_of"]): r["cos_sim"] for r in
+            incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.95, sim_buffer_bytes=256
+            ).collect()}
+    # identical PAIR SET; cosines may wiggle a couple ulp because the
+    # tile size changes the BLAS blocking (summation order)
+    assert set(big) == set(tiny)
+    for p in big:
+        assert abs(big[p] - tiny[p]) < 1e-12
+    assert len(big) >= 30  # every planted copy + the internal pair found
+
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert "cell_counts" in meta and sum(meta["cell_counts"].values()) == 150
+    meta["version"] = 99
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+    with _pytest.raises(ValueError, match="layout version"):
+        incremental_semdedup(spark, batch, idx_dir)
