@@ -1164,18 +1164,23 @@ def incremental_semdedup(
     batch rows decides everything:
 
     - ``engine='gemm'`` (default): the assigned batch is collected
-      (bounded by the DAILY BATCH — 1 M x 64 float32 is ~256 MB; far
-      above that, chunk the batch upstream), grouped per-cell into
-      normalized numpy blocks, SPARK-BROADCAST (once per executor,
-      never per task), and compared in a ``mapInPandas`` over the
-      cid-clustered ``cells/`` scan: one BLAS block per (Arrow batch,
-      cell), tiled so no sim block exceeds ``sim_buffer_bytes``
-      regardless of batch-side cell skew. ZERO shuffle, zero join;
-      the result materializes eagerly (localCheckpoint) so the
-      broadcast is destroyed before returning — repeated admits in a
-      long-lived session do not accumulate executor copies.
-      Batch-internal duplicates are the same tiled BLAS per cell,
-      driver-side (the batch is already collected).
+      ONCE (bounded by the DAILY BATCH — 1 M x 64 float32 is
+      ~256 MB; far above that, chunk the batch upstream), grouped
+      per-cell into normalized numpy blocks, SPARK-BROADCAST (once
+      per executor, never per task), and compared in a
+      ``mapInPandas`` over the cid-clustered ``cells/`` scan: one
+      BLAS block per (Arrow batch, cell), tiled so no sim block
+      exceeds ``sim_buffer_bytes`` regardless of batch-side cell
+      skew. ZERO shuffle, zero join. The batch-vs-index result
+      materializes eagerly (localCheckpoint) so the broadcast is
+      destroyed before returning — repeated admits in a long-lived
+      session do not accumulate executor copies; the pair set is
+      duplicate-rate-sized, so storing it once in block storage
+      before the caller's sink is the cheap side of that trade.
+      Batch-internal duplicates ride the DISTRIBUTED
+      :func:`_within_group_pairs_gemm` (per-cell BLAS, lazy) — a
+      duplicate-heavy batch can emit quadratically many internal
+      pairs, which must never accumulate as a driver-side list.
     - ``engine='expr'``: broadcast-join the batch on cid and fold the
       cosine per pair in Catalyst — lazy, no driver collect, the
       right form for small indexes/oracles (measured 18x slower at
@@ -1183,9 +1188,10 @@ def incremental_semdedup(
 
     ``max_batch_cell_rows`` guards index-side degenerate-cell skew as
     a DRIVER-SIDE lookup against the meta's persisted cell histogram
-    (no index scan): if any cell the batch touches exceeds the bound,
-    raise with the histogram — an index hot cell means the index was
-    built with too-coarse cells; fix it at build time. None
+    (no index scan). An index whose meta predates the histogram falls
+    back to ONE live count restricted to the touched cells — the
+    guard never silently disables. An index hot cell means the index
+    was built with too-coarse cells; fix it at build time. None
     disables."""
     import os
 
@@ -1202,9 +1208,26 @@ def incremental_semdedup(
         F.col("embedding").alias("_bv"),
     ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
 
-    if max_batch_cell_rows is not None:
-        counts = meta.get("cell_counts", {})
-        touched = [int(r["cid"]) for r in batch.select("cid").distinct().collect()]
+    def guard(touched) -> None:
+        if max_batch_cell_rows is None:
+            return
+        counts = meta.get("cell_counts")
+        if counts is None:
+            # index built before the histogram landed in the meta:
+            # ONE live count restricted to the touched cells — never
+            # silently skip the guard (a missing key reading as
+            # "count 0" would launch exactly the skewed compare the
+            # guard exists to prevent)
+            tdf = spark.createDataFrame(
+                [(int(c),) for c in sorted(touched)], "cid long"
+            )
+            live = (
+                cells.join(F.broadcast(tdf), "cid", "left_semi")
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            counts = {str(int(r["cid"])): int(r["n"]) for r in live}
         hot = sorted(
             ((counts.get(str(c), 0), c) for c in touched
              if counts.get(str(c), 0) > max_batch_cell_rows),
@@ -1219,9 +1242,33 @@ def incremental_semdedup(
             )
 
     if engine == "gemm":
-        return _incremental_pairs_gemm(
-            spark, batch, cells, threshold, sim_buffer_bytes
+        rows = batch.collect()  # ONE collect: packing + touched cids
+        guard({int(r["cid"]) for r in rows})
+        vs_index = _incremental_vs_index_gemm(
+            spark, rows, cells, threshold, sim_buffer_bytes
         )
+        vb = batch.select(
+            F.col("_bid").alias("_id"),
+            "cid",
+            F.lit(0).cast("long").alias("_sub"),
+            F.col("_bv").alias("_v"),
+        )
+        vs_batch = (
+            _within_group_pairs_gemm(vb, threshold, sim_buffer_bytes)
+            # duplicate ids in a batch (a re-ingested file) sort
+            # adjacent and would pair with THEMSELVES — a self-pair
+            # makes incremental_semdedup_keep drop every copy instead
+            # of keeping one (the expr join's strict > excludes this)
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.col("id_b").alias("vec_id"),  # drop side = larger id
+                F.col("id_a").alias("dup_of"),
+                "cos_sim",
+            )
+        )
+        return vs_index.unionByName(vs_batch)
+
+    guard({int(r["cid"]) for r in batch.select("cid").distinct().collect()})
     zero_safe = F.when(
         F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
     ).otherwise(
@@ -1265,27 +1312,25 @@ def incremental_semdedup(
     return vs_index.unionByName(vs_batch)
 
 
-def _incremental_pairs_gemm(
-    spark, batch: DataFrame, cells: DataFrame, threshold: float,
+def _incremental_vs_index_gemm(
+    spark, batch_rows, cells: DataFrame, threshold: float,
     sim_buffer_bytes: int,
 ) -> DataFrame:
-    """Both pair families of the gemm admit: batch-vs-index as one
-    tiled BLAS block per (Arrow batch, cell) inside ``mapInPandas``
-    over the cid-clustered index scan, and batch-vs-batch as the same
-    tiled BLAS driver-side (the batch is already collected). Every
-    sim tile is bounded by ``sim_buffer_bytes`` — ``max_batch_cell_
-    rows`` bounds the INDEX side only, so a skewed BATCH piling into
-    one cell must not be allowed to allocate rows x cell in one
-    np array (the sibling ``_within_group_pairs_gemm`` chunks for
-    exactly this reason). Eagerly materialized; the packed-batch
-    broadcast is destroyed before returning."""
+    """Batch-vs-index pairs as one tiled BLAS block per (Arrow batch,
+    cell) inside ``mapInPandas`` over the cid-clustered index scan.
+    Every sim tile is bounded by ``sim_buffer_bytes`` —
+    ``max_batch_cell_rows`` bounds the INDEX side only, so a skewed
+    BATCH piling into one cell must not be allowed to allocate
+    rows x cell in one np array (the sibling
+    ``_within_group_pairs_gemm`` chunks for exactly this reason).
+    Eagerly materialized; the packed-batch broadcast is destroyed
+    before returning."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    rows = batch.collect()
     by_cell: dict[int, list] = {}
-    for r in rows:
+    for r in batch_rows:
         by_cell.setdefault(int(r["cid"]), []).append(r)
     packed: dict[int, tuple] = {}
     for cid, rs in by_cell.items():
@@ -1352,30 +1397,6 @@ def _incremental_pairs_gemm(
         .localCheckpoint(eager=True)
     )
     bc.destroy()
-
-    # batch-internal pairs: same tiled BLAS, driver-side
-    internal = []
-    for cid, (bids, Bn) in packed.items():
-        n = len(bids)
-        if n < 2:
-            continue
-        step = max(1, sim_buffer_bytes // (8 * n))
-        for j0 in range(0, n, step):
-            sims = Bn @ Bn[j0:j0 + step].T
-            hit_i, hit_j = np.nonzero(sims >= threshold)
-            gj = hit_j + j0
-            mask = hit_i < gj  # each unordered pair once, no self-pairs
-            for ii, jj in zip(hit_i[mask], gj[mask]):
-                va, vb = bids[ii], bids[jj]
-                drop, kept = (va, vb) if va > vb else (vb, va)
-                # numpy scalars -> python (createDataFrame rejects them
-                # for non-numeric id types and warns for numeric)
-                drop = drop.item() if hasattr(drop, "item") else drop
-                kept = kept.item() if hasattr(kept, "item") else kept
-                internal.append((drop, kept, float(sims[ii, jj - j0])))
-    if internal:
-        vs_batch = spark.createDataFrame(internal, out_schema)
-        return vs_index.unionByName(vs_batch)
     return vs_index
 
 

@@ -802,3 +802,56 @@ def test_incremental_semdedup_tiling_and_meta_version(tmp_path, spark):
     json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
     with _pytest.raises(ValueError, match="layout version"):
         incremental_semdedup(spark, batch, idx_dir)
+
+
+def test_incremental_semdedup_guard_fallback_and_dup_ids(tmp_path, spark):
+    """Review r10 (3rd pass): (a) an index whose meta predates the
+    cell-counts histogram must still GUARD — one live count of the
+    touched cells, never a silent 'count 0' bypass; (b) a batch
+    carrying the same vec_id twice (re-ingested file) must not emit a
+    self-pair — a (42, 42) pair would make keep drop BOTH copies,
+    where the expr engine's strict > keeps one."""
+    import json
+
+    import numpy as np
+    import pytest as _pytest
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        incremental_semdedup_keep,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 120, seed=41)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx4")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=120, iters=5, seed=3)
+    # simulate a pre-histogram index
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    del meta["cell_counts"]
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+
+    rng = np.random.default_rng(9)
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    dup_batch = spark.createDataFrame(
+        [(42, [float(x) for x in w]), (42, [float(x) for x in w]),
+         (50, [float(x) for x in X[3]])],
+        "vec_id long, embedding array<float>",
+    )
+    # (a) live-count fallback still enforces the bound
+    for eng in ("gemm", "expr"):
+        with _pytest.raises(ValueError, match="max_batch_cell_rows"):
+            incremental_semdedup(
+                spark, dup_batch, idx_dir, max_batch_cell_rows=10, engine=eng
+            )
+    # (b) no self-pairs; keep retains one copy of the duplicated id
+    pairs = incremental_semdedup(spark, dup_batch, idx_dir, threshold=0.95)
+    got = [(r["vec_id"], r["dup_of"]) for r in pairs.collect()]
+    assert all(a != b for a, b in got)
+    kept = [r["vec_id"] for r in
+            incremental_semdedup_keep(dup_batch, pairs).collect()]
+    # 50 is a planted copy of an index vector -> dropped; 42 keeps at
+    # least one row (self-pairs would have dropped both)
+    assert 42 in kept and 50 not in kept
