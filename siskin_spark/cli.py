@@ -25,6 +25,8 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             cell index (frozen centroids + assignments)
   semdedup-batch VECS DIR OUT  admit an embedding batch against the
                             index: pairs/ (and survivors with --keep)
+  semdedup-compact DIR      re-pack the index's cells/ into few
+                            cid-clustered files after many appends
   curate DOCS OUT [flags]   the training-data curation chain, stages
                             opt-in: --quality (Gopher gates),
                             --line-dedup N, --decontaminate BENCH,
@@ -57,6 +59,37 @@ def _read(spark, path: str):
     if path.endswith((".json", ".ndjson", ".ldj")):
         return spark.read.json(path)
     return spark.read.parquet(path)
+
+
+def _parse_named_fractions(spec: str, flag: str) -> dict[str, float]:
+    """Parse ``name=frac,name=frac`` specs (``--split``, ``--mix``)
+    with loud failures: a missing/empty name or non-numeric value is
+    a clean CLI error instead of a bare ``float('')`` traceback, and
+    a duplicated name is rejected instead of silently overwriting —
+    'train=0.5,train=0.5' would otherwise sum to 0.5 and mislabel
+    half the corpus with no signal."""
+    fr: dict[str, float] = {}
+    for part in spec.split(","):
+        k, sep, v = part.partition("=")
+        k = k.strip()
+        if not sep or not k:
+            raise SystemExit(
+                f"error: {flag} expects name=fraction[,name=fraction...] "
+                f"— bad part {part!r} in {spec!r}"
+            )
+        try:
+            val = float(v)
+        except ValueError:
+            raise SystemExit(
+                f"error: {flag}: non-numeric fraction {v.strip()!r} "
+                f"for {k!r}"
+            ) from None
+        if k in fr:
+            raise SystemExit(
+                f"error: {flag}: duplicate name {k!r} in {spec!r}"
+            )
+        fr[k] = val
+    return fr
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -155,6 +188,14 @@ def main(argv: list[str] | None = None) -> int:
         "--append", action="store_true",
         help="assign under the index's FROZEN centroids and append",
     )
+    p_sidx.add_argument(
+        "--batch-id", default=None,
+        help="stable identity for --append (harvest date, file digest): "
+             "makes the append idempotent — a replayed batch id no-ops",
+    )
+    p_scmp = sub.add_parser("semdedup-compact")
+    p_scmp.add_argument("index_dir")
+    p_scmp.add_argument("--target-file-mb", type=int, default=128)
     p_sbatch = sub.add_parser("semdedup-batch")
     p_sbatch.add_argument("vectors", help="new-batch vector table")
     p_sbatch.add_argument("index_dir")
@@ -163,6 +204,16 @@ def main(argv: list[str] | None = None) -> int:
     p_sbatch.add_argument("--engine", default="gemm", choices=["expr", "gemm"])
     p_sbatch.add_argument("--max-cell-rows", type=int, default=500_000,
                           help="index-side hot-cell bound (0 disables)")
+    p_sbatch.add_argument(
+        "--chunk-rows", type=int, default=None,
+        help="gemm engine: rows per collected batch chunk (default: "
+             "derived from --chunk-budget-mb and the embedding dim)",
+    )
+    p_sbatch.add_argument(
+        "--chunk-budget-mb", type=int, default=256,
+        help="gemm engine: packed-chunk byte budget when --chunk-rows "
+             "is unset (~43K rows/chunk at 768-dim, ~512K at 64-dim)",
+    )
     p_sbatch.add_argument(
         "--keep", action="store_true",
         help="also write the batch survivors under keep-first",
@@ -388,7 +439,7 @@ def main(argv: list[str] | None = None) -> int:
 
         vecs = _read(spark, args.vectors)
         if args.append:
-            semdedup_index_append(vecs, args.index_dir)
+            semdedup_index_append(vecs, args.index_dir, batch_id=args.batch_id)
             print(f"appended {vecs.count()} vectors to {args.index_dir}")
         else:
             semdedup_index_build(
@@ -398,6 +449,17 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
             )
             print(f"index at {args.index_dir}: {vecs.count()} vectors")
+    elif args.cmd == "semdedup-compact":
+        from siskin_spark.functions.vectors import semdedup_index_compact
+
+        stats = semdedup_index_compact(
+            spark, args.index_dir, target_file_mb=args.target_file_mb
+        )
+        print(
+            f"compacted {args.index_dir}: {stats['files_before']} -> "
+            f"{stats['files_after']} files "
+            f"({stats['bytes_before']} -> {stats['bytes_after']} bytes)"
+        )
     elif args.cmd == "semdedup-batch":
         from siskin_spark.functions.vectors import (
             incremental_semdedup,
@@ -409,6 +471,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, batch, args.index_dir,
             threshold=args.threshold, engine=args.engine,
             max_batch_cell_rows=args.max_cell_rows or None,
+            batch_chunk_rows=args.chunk_rows,
+            batch_budget_bytes=args.chunk_budget_mb << 20,
         )
         pairs_path = os.path.join(args.out_dir, "pairs")
         pairs.write.mode("overwrite").parquet(pairs_path)
@@ -582,10 +646,7 @@ def main(argv: list[str] | None = None) -> int:
             ).filter("cap_keep").drop("cap_keep")
             staged_any = True
         if args.mix:
-            weights = {}
-            for pair in args.mix:
-                k, _, v = pair.partition("=")
-                weights[k] = float(v)
+            weights = _parse_named_fractions(",".join(args.mix), "--mix")
             df = cur.domain_mix(
                 _barrier(df), weights, strata_col=args.strata_col,
                 key_col=args.id_col, budget=args.mix_budget, seed=args.seed,
@@ -602,10 +663,7 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.sample, key_col=args.id_col, seed=args.seed + 1
             )
         if args.split:
-            fr = {}
-            for part in args.split.split(","):
-                k, _, v = part.partition("=")
-                fr[k.strip()] = float(v)
+            fr = _parse_named_fractions(args.split, "--split")
             # seed+3: independent of the sample (seed+1) and cap
             # (seed+2) draws over the same key column
             df = df.withColumn(

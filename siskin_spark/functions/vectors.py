@@ -1120,24 +1120,93 @@ def semdedup_index_build(
     _sem_recount_cells(emb.sparkSession, index_dir, meta)
 
 
-def semdedup_index_append(emb: DataFrame, index_dir: str) -> None:
+def semdedup_index_append(
+    emb: DataFrame, index_dir: str, batch_id: str | None = None
+) -> None:
     """Extend an existing cell index with new vectors (typically the
     batch survivors after :func:`incremental_semdedup`): assign under
     the index's FROZEN centroids and append to ``cells/`` — the
     centroids stay untouched, so every past and future batch lands in
     a consistent cell space; the meta's cell histogram is refreshed
     from the written table (self-healing even if a prior append
-    crashed between write and meta update)."""
+    crashed between write and meta update).
+
+    Retry safety: pass ``batch_id`` (any stable identity for the
+    batch — the harvest date, the source file digest) to make the
+    append IDEMPOTENT. A batch already recorded in the meta's
+    ``appended`` list is a no-op; a crashed attempt (files landed,
+    meta not yet updated) is replay-safe because the batch is staged
+    with ``mode=overwrite`` and its ``cells/`` files carry
+    batch-derived names that the retry deletes before re-placing —
+    the same vectors can never land twice. Without ``batch_id`` the
+    legacy blind parquet append runs, and a replayed call WILL
+    double-append (inflating pair lists and the histogram); only use
+    it when the caller owns retry bookkeeping."""
     import os
+    import re
+    import shutil
 
     spark = emb.sparkSession
     meta = _sem_meta_read(index_dir)
+    if batch_id is not None and batch_id in meta.get("appended", []):
+        return  # replayed append: already admitted, nothing to do
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = _sem_assign(emb, cents, meta["id_col"], meta["vec_col"])
-    assigned.repartition("cid").write.mode("append").parquet(
-        os.path.join(index_dir, "cells")
+    cells_dir = os.path.join(index_dir, "cells")
+    if batch_id is None:
+        assigned.repartition("cid").write.mode("append").parquet(cells_dir)
+    else:
+        tag = re.sub(r"[^A-Za-z0-9._-]", "_", batch_id)
+        staging = os.path.join(index_dir, f"_append_{tag}")
+        assigned.repartition("cid").write.mode("overwrite").parquet(staging)
+        # sweep any files a crashed earlier attempt placed, THEN move:
+        # stage-overwrite + sweep + deterministic names = idempotent
+        prefix = f"batch-{tag}-"
+        for f in os.listdir(cells_dir):
+            if f.startswith(prefix):
+                os.remove(os.path.join(cells_dir, f))
+        parts = sorted(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for i, f in enumerate(parts):
+            os.replace(
+                os.path.join(staging, f),
+                os.path.join(cells_dir, f"{prefix}{i:05d}.parquet"),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        meta.setdefault("appended", []).append(batch_id)
+    _sem_recount_cells(spark, index_dir, meta)
+
+
+def semdedup_index_compact(
+    spark, index_dir: str, target_file_mb: int = 128
+) -> dict:
+    """Re-pack the index's ``cells/`` table into ``target_file_mb``
+    cid-clustered files via :func:`compact_parquet
+    <siskin_spark.operators.layout.compact_parquet>`. A year of daily
+    :func:`semdedup_index_append` calls leaves ~365 small-file
+    generations per cell cluster — at cluster scale the incremental
+    scan then pays more in file-open/footer round-trips than in data;
+    compaction restores the one-generation layout the build wrote.
+    Incremental results are unchanged (same rows, same cid
+    clustering), the meta's ``appended`` replay ledger survives (a
+    compacted batch must still no-op on replay), and the histogram is
+    re-counted from the rewritten table. Returns the
+    files/bytes-before/after stats of the rewrite. Run on a cadence
+    (weekly/monthly) or when ``files_before`` from the last run says
+    so."""
+    import os
+
+    from siskin_spark.operators.layout import compact_parquet
+
+    meta = _sem_meta_read(index_dir)
+    stats = compact_parquet(
+        spark, os.path.join(index_dir, "cells"),
+        target_file_mb=target_file_mb, cluster_by=["cid"],
     )
     _sem_recount_cells(spark, index_dir, meta)
+    return stats
 
 
 def incremental_semdedup(
@@ -1148,6 +1217,8 @@ def incremental_semdedup(
     engine: str = "gemm",
     max_batch_cell_rows: int | None = 500_000,
     sim_buffer_bytes: int = 64 << 20,
+    batch_chunk_rows: int | None = None,
+    batch_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Semantic-duplicate pairs between a NEW embedding batch and
     (index corpus + batch), without re-comparing the corpus: returns
@@ -1164,17 +1235,27 @@ def incremental_semdedup(
     batch rows decides everything:
 
     - ``engine='gemm'`` (default): the assigned batch is collected
-      ONCE (bounded by the DAILY BATCH — 1 M x 64 float32 is
-      ~256 MB; far above that, chunk the batch upstream), grouped
-      per-cell into normalized numpy blocks, SPARK-BROADCAST (once
-      per executor, never per task), and compared in a
-      ``mapInPandas`` over the cid-clustered ``cells/`` scan: one
-      BLAS block per (Arrow batch, cell), tiled so no sim block
-      exceeds ``sim_buffer_bytes`` regardless of batch-side cell
-      skew. ZERO shuffle, zero join. The batch-vs-index result
-      materializes eagerly (localCheckpoint) so the broadcast is
-      destroyed before returning — repeated admits in a long-lived
-      session do not accumulate executor copies; the pair set is
+      via Arrow (``toPandas`` — numpy-backed columns, ~8 bytes per
+      float64 dim, NOT Python Row objects at ~10x that), CHUNKED so
+      no packed chunk exceeds ``batch_budget_bytes`` (or exactly
+      ``batch_chunk_rows`` rows when given): the driver/broadcast
+      bound is the CHUNK, never the whole daily batch. In rows x
+      dims terms the default 256 MB budget is ~43 K rows at a
+      realistic 768-dim embedding and ~512 K rows at 64-dim — a
+      1 M x 768 daily batch runs as ~24 chunks, no upstream
+      slicing required. A multi-chunk batch is first sorted by cid
+      so each chunk's co-cell scan prunes the cid-clustered
+      ``cells/`` parquet to its own cells (total index rows read
+      stay ~one pass; only boundary cells are scanned twice). Per
+      chunk the packed cell blocks are SPARK-BROADCAST (once per
+      executor, never per task) and compared in a ``mapInPandas``
+      over the index scan: one BLAS block per (Arrow batch, cell),
+      tiled so no sim block exceeds ``sim_buffer_bytes`` regardless
+      of batch-side cell skew. ZERO shuffle, zero join. Each
+      chunk's result materializes eagerly (localCheckpoint) so its
+      broadcast is destroyed before the next chunk packs — peak
+      executor memory is one chunk, and repeated admits in a
+      long-lived session do not accumulate copies; the pair set is
       duplicate-rate-sized, so storing it once in block storage
       before the caller's sink is the cheap side of that trade.
       Batch-internal duplicates ride the DISTRIBUTED
@@ -1242,11 +1323,38 @@ def incremental_semdedup(
             )
 
     if engine == "gemm":
-        rows = batch.collect()  # ONE collect: packing + touched cids
-        guard({int(r["cid"]) for r in rows})
-        vs_index = _incremental_vs_index_gemm(
-            spark, rows, cells, threshold, sim_buffer_bytes
-        )
+        # Arrow collect: numpy-backed columns, not Row objects — the
+        # resident batch costs ~8 B/dim, so the budget math below is
+        # honest about driver memory, not off by the ~10x Row overhead
+        pdf = batch.select("_bid", "cid", "_bv").toPandas()
+        guard({int(c) for c in pdf["cid"].unique()})
+        if batch_chunk_rows is not None:
+            chunk = max(1, int(batch_chunk_rows))
+        else:
+            dim = len(pdf["_bv"].iloc[0]) if len(pdf) else 1
+            chunk = max(1, batch_budget_bytes // (8 * max(1, dim)))
+        multi = len(pdf) > chunk
+        if multi:
+            # cid-sorted chunks are cell-coherent: each chunk's index
+            # scan prunes to its own cells, so N chunks still read the
+            # index ~once in total (boundary cells twice), instead of
+            # N full passes
+            pdf = pdf.sort_values("cid", kind="stable").reset_index(drop=True)
+        parts = []
+        for i0 in range(0, max(len(pdf), 1), chunk):
+            cpdf = pdf.iloc[i0:i0 + chunk]
+            ccells = cells
+            if multi:
+                touched = [int(c) for c in cpdf["cid"].unique()]
+                ccells = cells.filter(
+                    F.col("cid").isin(touched) if touched else F.lit(False)
+                )
+            parts.append(_incremental_vs_index_gemm(
+                spark, cpdf, ccells, threshold, sim_buffer_bytes
+            ))
+        vs_index = parts[0]
+        for p in parts[1:]:
+            vs_index = vs_index.unionByName(p)
         vb = batch.select(
             F.col("_bid").alias("_id"),
             "cid",
@@ -1313,33 +1421,36 @@ def incremental_semdedup(
 
 
 def _incremental_vs_index_gemm(
-    spark, batch_rows, cells: DataFrame, threshold: float,
+    spark, batch_pdf, cells: DataFrame, threshold: float,
     sim_buffer_bytes: int,
 ) -> DataFrame:
-    """Batch-vs-index pairs as one tiled BLAS block per (Arrow batch,
-    cell) inside ``mapInPandas`` over the cid-clustered index scan.
-    Every sim tile is bounded by ``sim_buffer_bytes`` —
-    ``max_batch_cell_rows`` bounds the INDEX side only, so a skewed
-    BATCH piling into one cell must not be allowed to allocate
-    rows x cell in one np array (the sibling
-    ``_within_group_pairs_gemm`` chunks for exactly this reason).
-    Eagerly materialized; the packed-batch broadcast is destroyed
-    before returning."""
+    """Batch-CHUNK-vs-index pairs as one tiled BLAS block per (Arrow
+    batch, cell) inside ``mapInPandas`` over the cid-clustered index
+    scan. ``batch_pdf`` is an Arrow-collected pandas slice of the
+    assigned batch (columns ``_bid``/``cid``/``_bv``) — the caller
+    bounds its size (``batch_chunk_rows`` / ``batch_budget_bytes``),
+    so the broadcast below is chunk-sized by construction. Every sim
+    tile is bounded by ``sim_buffer_bytes`` — ``max_batch_cell_rows``
+    bounds the INDEX side only, so a skewed BATCH piling into one
+    cell must not be allowed to allocate rows x cell in one np array
+    (the sibling ``_within_group_pairs_gemm`` chunks for exactly this
+    reason). Eagerly materialized; the packed-chunk broadcast is
+    destroyed before returning."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    by_cell: dict[int, list] = {}
-    for r in batch_rows:
-        by_cell.setdefault(int(r["cid"]), []).append(r)
     packed: dict[int, tuple] = {}
-    for cid, rs in by_cell.items():
-        B = np.array([r["_bv"] for r in rs], dtype=np.float64)
-        bn = np.linalg.norm(B, axis=1)
-        Bn = B / np.where(bn == 0.0, 1.0, bn)[:, None]
-        # zero-norm batch rows: unit-sub yields cos 0 -> below any
-        # positive threshold, matching the expr engine's 0.0 guard
-        packed[cid] = (np.array([r["_bid"] for r in rs]), Bn)
+    if len(batch_pdf):
+        cid_arr = batch_pdf["cid"].to_numpy()
+        for cid in np.unique(cid_arr):
+            m = cid_arr == cid
+            B = np.array(list(batch_pdf["_bv"][m]), dtype=np.float64)
+            bn = np.linalg.norm(B, axis=1)
+            Bn = B / np.where(bn == 0.0, 1.0, bn)[:, None]
+            # zero-norm batch rows: unit-sub yields cos 0 -> below any
+            # positive threshold, matching the expr engine's 0.0 guard
+            packed[int(cid)] = (batch_pdf["_bid"][m].to_numpy(), Bn)
     bc = spark.sparkContext.broadcast(packed)
     id_type = cells.schema["vec_id"].dataType
     out_schema = StructType(

@@ -527,6 +527,13 @@ def connected_components(
       propagation, dependency-free.
     """
     edges0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # NULL-keyed edges: drop them in ONE place so both engines agree.
+    # Without this the union-find raises TypeError on `rb < ra` (None
+    # is not orderable) while the propagation engine silently loses
+    # NULL rows to join semantics — same dirty input, two behaviors.
+    edges0 = edges0.where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     if driver_max_edges:
         head = edges0.limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:

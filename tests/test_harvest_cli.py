@@ -685,6 +685,38 @@ def test_cli_curate_split_labels(capsys, tmp_path, spark):
     assert cnt["train"] > 350 and cnt["val"] > 20 and cnt["test"] > 20
 
 
+def test_cli_split_mix_spec_validation(tmp_path, spark):
+    """ADVICE r10: a malformed --split/--mix spec must die with a clean
+    CLI error, not a bare float('') traceback — and a duplicated name
+    must be rejected instead of silently overwriting (fractions that
+    only sum right by accident)."""
+    import pytest as _pytest
+
+    from siskin_spark.cli import _parse_named_fractions, main
+
+    assert _parse_named_fractions("train=0.9, val =0.1", "--split") == {
+        "train": 0.9, "val": 0.1,
+    }
+    with _pytest.raises(SystemExit, match="bad part 'val'"):
+        _parse_named_fractions("train=0.9,val", "--split")
+    with _pytest.raises(SystemExit, match="non-numeric fraction"):
+        _parse_named_fractions("train=lots", "--split")
+    with _pytest.raises(SystemExit, match="duplicate name 'train'"):
+        _parse_named_fractions("train=0.5,train=0.5", "--split")
+    with _pytest.raises(SystemExit, match="bad part '=0.5'"):
+        _parse_named_fractions("=0.5", "--mix")
+
+    # end to end: the curate verb surfaces the same clean error
+    docs = spark.createDataFrame(
+        [(1, "t")], "doc_id long, text string"
+    )
+    docs_path = str(tmp_path / "val_docs")
+    docs.write.parquet(docs_path)
+    with _pytest.raises(SystemExit, match="--split"):
+        main(["curate", docs_path, str(tmp_path / "val_out"),
+              "--split", "train=0.9,val"])
+
+
 def test_cli_semdedup_index_and_batch(capsys, tmp_path, spark):
     """semdedup-index builds the persisted cell index; semdedup-batch
     admits a batch against it, writing pairs and survivors; --append

@@ -325,6 +325,30 @@ def test_keep_canonical_cc_collapses_star(spark):
     assert cc == {1, 4}  # one survivor per component + untouched doc
 
 
+def test_connected_components_null_edges_agree(spark):
+    """ADVICE r10: a NULL src/dst used to TypeError in the union-find
+    (`None < int`) while the propagation engine silently dropped the
+    row via join semantics. Both engines now drop NULL-keyed edges in
+    one shared place and agree on the remaining graph."""
+    from siskin_spark.operators.neardup import connected_components
+
+    dirty = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5), (None, None)],
+        "id_a int, id_b int",
+    )
+    want = {1: 1, 2: 1, 5: 1}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(dirty).collect()
+    }
+    assert got == want
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(dirty, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """A 6-hop chain cannot converge in 2 rounds of min-label
     propagation; the loop must raise, not return split components."""

@@ -855,3 +855,170 @@ def test_incremental_semdedup_guard_fallback_and_dup_ids(tmp_path, spark):
     # 50 is a planted copy of an index vector -> dropped; 42 keeps at
     # least one row (self-pairs would have dropped both)
     assert 42 in kept and 50 not in kept
+
+
+def test_incremental_semdedup_chunked_matches_unchunked(tmp_path, spark):
+    """Round 11: the gemm admit must give the SAME pair set whether the
+    Arrow-collected batch runs as one packed broadcast or as many
+    cid-sorted chunks (batch_chunk_rows straddling the batch, and the
+    byte-budget auto-derivation forced tiny) — chunking bounds driver/
+    executor memory, never results. Chunk boundaries land mid-cell on
+    purpose: a cid straddling two chunks is the correctness edge (its
+    index rows are scanned by both chunks but against disjoint batch
+    rows, so no pair may duplicate or drop)."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 300, seed=51)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx5")
+    semdedup_index_build(corpus, idx_dir, k=6, sample=300, iters=6, seed=3)
+
+    rng = np.random.default_rng(77)
+    batch_rows = [(900 + i, [float(x) for x in X[i * 3]]) for i in range(40)]
+    for j in range(50):
+        w = rng.normal(size=DIM)
+        batch_rows.append(
+            (1500 + j, [float(x) for x in w / np.linalg.norm(w)])
+        )
+    u = rng.normal(size=DIM)
+    u = u / np.linalg.norm(u)
+    batch_rows += [(3000, [float(x) for x in u]), (3001, [float(x) for x in u])]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+
+    def pairs(**kw):
+        return {
+            (r["vec_id"], r["dup_of"]): r["cos_sim"]
+            for r in incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.95, **kw
+            ).collect()
+        }
+
+    one = pairs()  # 92 rows, default budget -> single chunk
+    chunked = pairs(batch_chunk_rows=17)  # 6 chunks, boundaries mid-cell
+    assert set(one) == set(chunked)
+    for p in one:
+        assert abs(one[p] - chunked[p]) < 1e-12
+    # byte-budget derivation: 17 rows x DIM x 8B budget -> same chunking
+    budget = pairs(batch_budget_bytes=17 * DIM * 8)
+    assert set(budget) == set(one)
+    assert len(one) >= 40  # every planted copy + the internal pair
+
+
+def test_semdedup_index_append_idempotent(tmp_path, spark):
+    """ADVICE r10: a replayed append (same batch_id) must be a no-op —
+    both the happy replay (meta recorded) and the crash replay (files
+    landed, meta write lost) leave the index with exactly one copy of
+    the batch."""
+    import json
+
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+
+    rows, _ = _sem_corpus(spark, 120, seed=61)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx6")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=120, iters=5, seed=3)
+
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    b = spark.createDataFrame(
+        [(700, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    cells = lambda: spark.read.parquet(idx_dir + "/cells")  # noqa: E731
+    semdedup_index_append(b, idx_dir, batch_id="2026-08-16")
+    n1 = cells().count()
+    assert n1 == 121
+    # happy replay: recorded in meta -> no-op
+    semdedup_index_append(b, idx_dir, batch_id="2026-08-16")
+    assert cells().count() == n1
+    # crash replay: files landed but the meta update was lost
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == ["2026-08-16"]
+    meta["appended"] = []
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+    semdedup_index_append(b, idx_dir, batch_id="2026-08-16")
+    assert cells().count() == n1  # swept + re-placed, never doubled
+    # the appended vector is live: an exact copy hits it
+    probe = spark.createDataFrame(
+        [(800, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    hits = {(r["vec_id"], r["dup_of"]) for r in
+            incremental_semdedup(spark, probe, idx_dir).collect()}
+    assert (800, 700) in hits
+    # duplicated index rows would ALSO have shown as a doubled hit list
+    assert len([h for h in hits if h == (800, 700)]) == 1
+
+
+def test_semdedup_index_compact(tmp_path, spark):
+    """Round 11: N daily appends leave N file generations; compaction
+    re-packs cells/ into few cid-clustered files with IDENTICAL
+    incremental results, a surviving replay ledger, and a refreshed
+    histogram."""
+    import json
+
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+        semdedup_index_compact,
+    )
+
+    rows, _ = _sem_corpus(spark, 100, seed=71)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx7")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=100, iters=5, seed=3)
+
+    rng = np.random.default_rng(12)
+    probes = []
+    for d in range(4):
+        batch_rows = []
+        for j in range(5):
+            w = rng.normal(size=DIM)
+            w = w / np.linalg.norm(w)
+            batch_rows.append((1000 + 10 * d + j, [float(x) for x in w]))
+        probes.append(batch_rows[0])
+        bdf = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<float>"
+        )
+        semdedup_index_append(bdf, idx_dir, batch_id=f"day-{d}")
+
+    probe = spark.createDataFrame(
+        [(9000 + i, v) for i, (_, v) in enumerate(probes)],
+        "vec_id long, embedding array<float>",
+    )
+    before = {(r["vec_id"], r["dup_of"]) for r in
+              incremental_semdedup(spark, probe, idx_dir).collect()}
+    assert len(before) >= 4  # each day's appended vector is findable
+
+    stats = semdedup_index_compact(spark, idx_dir, target_file_mb=128)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["bytes_after"] > 0
+    after = {(r["vec_id"], r["dup_of"]) for r in
+             incremental_semdedup(spark, probe, idx_dir).collect()}
+    assert after == before
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == [f"day-{d}" for d in range(4)]
+    assert sum(meta["cell_counts"].values()) == 120
+    # replay of a compacted-away batch still no-ops off the ledger
+    bdf = spark.createDataFrame(
+        [(1000, probes[0][1])], "vec_id long, embedding array<float>"
+    )
+    semdedup_index_append(bdf, idx_dir, batch_id="day-0")
+    assert spark.read.parquet(idx_dir + "/cells").count() == 120
