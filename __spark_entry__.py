@@ -2719,20 +2719,129 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "topk_orders",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    "semdedup_incremental",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    idx AS (SELECT vec_id, v FROM e WHERE vec_id % 3 IN (0, 1)),
+    batch AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 3 = 2
+      UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+        FROM e WHERE vec_id % 30 = 0
+      UNION ALL SELECT vec_id + 2000000, list_transform(v, x -> x * 2)
+        FROM e WHERE vec_id % 30 = 10
+      UNION ALL SELECT vec_id + 3000000, list_transform(v, x -> x * 2)
+        FROM e WHERE vec_id % 30 = 20
+    ),
+    iassign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT idx.vec_id, idx.v, cent.cid,
+               row_number() OVER (PARTITION BY idx.vec_id ORDER BY
+                 list_dot_product(idx.v, cent.cv) /
+                 (sqrt(list_dot_product(idx.v, idx.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM idx, cent
+      ) WHERE rn = 1
+    ),
+    bassign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT batch.vec_id, batch.v, cent.cid,
+               row_number() OVER (PARTITION BY batch.vec_id ORDER BY
+                 list_dot_product(batch.v, cent.cv) /
+                 (sqrt(list_dot_product(batch.v, batch.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM batch, cent
+      ) WHERE rn = 1
+    ),
+    vs_index AS (
+      SELECT b.vec_id AS vec_id, i.vec_id AS dup_of,
+             {_COS.replace('pv', 'b.v').replace('iv', 'i.v')} AS cos_sim
+      FROM bassign b JOIN iassign i USING (cid)
+      WHERE b.vec_id <> i.vec_id
+        AND {_COS.replace('pv', 'b.v').replace('iv', 'i.v')} >= 0.5
+    ),
+    vs_batch AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+             {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} AS cos_sim
+      FROM bassign a JOIN bassign b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      WHERE {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} >= 0.5
+    )
+    SELECT * FROM vs_index
+    UNION ALL SELECT * FROM vs_batch
+    ORDER BY vec_id, dup_of
     """,
 )
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 top-k with deterministic tie-break (the reference's
-    head/limit inspection + external sorts; Spark plans this as
-    TakeOrderedAndProject — no full sort, no full shuffle)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    ).limit(25)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 incremental SemDeDup, END TO END through the persisted cell
+    index (functions/vectors.py: semdedup_index_build -> _append ->
+    incremental_semdedup): build the index over the %3==0 corpus slice
+    under PINNED centroids (the first 8 embeddings — the oracle must
+    reproduce the cell space, so the k-means fit is bypassed exactly
+    like similarity_topk's ivf/sem parts), append the %3==1 slice as a
+    later survivor batch (idempotent batch_id ledger), then admit a
+    batch of the %3==2 slice plus exactly-doubled planted duplicates:
+    of an INDEX-BUILD vector (%30==0 under +1e6 — hits the original
+    corpus), of an APPENDED vector (%30==10 under +2e6 — green only if
+    the append path's rows are live in cells/), and of a BATCH vector
+    (%30==20 under +3e6 — a batch-internal pair through the vs-batch
+    leg). Oracle = same assignment (argmax cosine, ties to smaller
+    cid) + same-cell pairs >= 0.5 in plain SQL. engine='expr' for the
+    fold-order-exact cosines the hash check needs; expr==gemm (and
+    chunked==unchunked) equality is pinned in tests/test_vectors.py.
+    The threshold keeps natural same-cell pairs in the result so real
+    cosine values are hash-checked, not just the planted 1.0s.
+
+    This slot replaced `topk_orders` (r10 verdict #6: it duplicated
+    order_stats/date_windows' §2.7 coverage; the 50-slot registry is
+    capped by the driver). Top-k ordering stays covered by the rank
+    windows inside similarity_topk and the oracle ORDER BY here."""
+    import os
+    import tempfile
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _assert_planted_offset_free(emb, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    appended = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"siskin_spark_semidx_{sf_tag}"
+    )
+    # rebuild per call: the build resets the meta ledger, so the fixed
+    # batch_id below re-appends against the fresh index every run
+    semdedup_index_build(corpus, idx_dir, centroids=cents)
+    semdedup_index_append(appended, idx_dir, batch_id="oracle-append")
+
+    def planted(mod: int, offset: int) -> DataFrame:
+        return emb.filter(F.col("vec_id") % 30 == mod).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 2).cast("float"),
+            ).alias("embedding"),
+        )
+
+    batch = (
+        emb.filter(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+        .unionByName(planted(0, 1_000_000))
+        .unionByName(planted(10, 2_000_000))
+        .unionByName(planted(20, 3_000_000))
+    )
+    return incremental_semdedup(
+        spark, batch, idx_dir, threshold=0.5, engine="expr"
+    ).orderBy("vec_id", "dup_of")
 
 
 @_q(

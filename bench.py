@@ -38,6 +38,13 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from siskin_spark.session import get_spark  # noqa: E402
 
 
+#: canonical host window for control_normalized_s: the jvm-xxhash
+#: control of the committed r10 record (BENCH_r10.json, local[32]) —
+#: every later record rescales its suite seconds to this pin so
+#: cross-round tables need no host-window footnote
+_JVM_CONTROL_REF_S = 1.62
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -157,6 +164,16 @@ def main() -> None:
         "control_jvm_xxhash_rows": controls["control_jvm_xxhash_rows"],
         "control_py_md5_s": round(controls["control_py_md5_s"], 2),
         "control_py_md5_iters": controls["control_py_md5_iters"],
+        # the record self-describes its host window (r10 verdict #7):
+        # suite seconds rescaled to the canonical window so round-over-
+        # round tables compare directly — a record taken on a 35%-slower
+        # host (jvm control 2.2 vs 1.62) reads ~35% lower here, no
+        # footnote needed. Only comparable between records with equal
+        # "cpus" (the control parallelizes over the same local[N]).
+        "control_normalized_s": round(
+            total * _JVM_CONTROL_REF_S / controls["control_jvm_xxhash_s"], 4
+        ),
+        "control_ref_jvm_xxhash_s": _JVM_CONTROL_REF_S,
     }
     print(json.dumps(record))
     # also persist the COMPLETE record to a repo file: the driver stores

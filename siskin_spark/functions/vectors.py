@@ -1082,6 +1082,7 @@ def semdedup_index_build(
     sample: int = 100_000,
     iters: int = 10,
     seed: int = 7,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Persist the SemDeDup cell index for a corpus: the fitted
     centroids (``centroids/``: cid, cv) and every corpus vector's cell
@@ -1103,10 +1104,19 @@ def semdedup_index_build(
     engine is ALWAYS the GEMM family (see :func:`_sem_assign`)."""
     import os
 
-    cents = ivf_fit_centroids(
-        emb, k=k, id_col=id_col, vec_col=vec_col,
-        sample=sample, iters=iters, seed=seed,
-    )
+    if centroids is not None:
+        # caller-supplied cells (cid, cv): migrating an index between
+        # engines, pinning an oracle-reproducible cell space, or
+        # re-using a prior fit — the sample/iters/seed knobs are
+        # bypassed, everything downstream is identical
+        cents = centroids.select(
+            F.col("cid").cast("int").alias("cid"), "cv"
+        )
+    else:
+        cents = ivf_fit_centroids(
+            emb, k=k, id_col=id_col, vec_col=vec_col,
+            sample=sample, iters=iters, seed=seed,
+        )
     assigned = _sem_assign(emb, cents, id_col, vec_col)
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     assigned.repartition("cid").write.mode("overwrite").parquet(
