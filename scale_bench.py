@@ -534,6 +534,148 @@ def _semdedup_incremental_leg(spark, vectors, results: dict, timed) -> None:
     ).count()
 
 
+def _semincr_chunked_leg(spark, vectors, results: dict, timed) -> None:
+    """r11 verdict #1: the CODED batch-chunking path in the gemm admit,
+    measured with a batch several times the chunk size. Index over 90%
+    of the corpus, admit the 10% slice (≈n_vec/10 vectors — at 64-dim
+    that is under the default 256 MB packed budget, so the 'unchunked'
+    leg runs as ONE packed broadcast) and again with
+    ``batch_chunk_rows=65_536`` (≈5 chunks): pair counts must agree
+    and the chunked run's cost shows what the driver-memory bound
+    costs — cid-sorted chunks prune the index scan to their own
+    cells, so the index is still read ~once in total."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    # the %10 slice alone would MISS every planted id (≡1 mod 50 is
+    # never ≡3 mod 10) and the leg would verify zero real hits; pull
+    # the ≡1 mod 1000 planted ids in so cross-index pairs exist while
+    # their id-1 partners stay in the corpus (same trick as the r10
+    # _semdedup_incremental_leg)
+    is_batch = (F.col("vec_id") % 10 == 3) | (F.col("vec_id") % 1000 == 1)
+    batch = vectors.filter(is_batch)
+    corpus = vectors.filter(~is_batch)
+    idx_dir = os.path.join(CORPUS, "sem_index_r11")
+    _sh.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    semdedup_index_build(corpus, idx_dir, k=256, sample=100_000, iters=10)
+    results["semincr_chunk_index_build_s"] = time.perf_counter() - t0
+    results["semincr_chunk_batch"] = batch.count()
+
+    legs = (
+        ("unchunked", {}),
+        ("chunked64k", {"batch_chunk_rows": 65_536}),
+    )
+    for label, kw in legs:
+        pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_{label}")
+
+        def incr():
+            return incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.95, **kw
+            )
+
+        timed(incr())  # warm-up
+        t0 = time.perf_counter()
+        incr().write.mode("overwrite").parquet(pairs_dir)
+        results[f"semincr_{label}_s"] = time.perf_counter() - t0
+        results[f"semincr_{label}_pairs"] = (
+            spark.read.parquet(pairs_dir).count()
+        )
+
+
+def _subcentroid_sweep_leg(spark, vectors, results: dict, timed) -> None:
+    """r11 verdict #4: the recall–budget curve the README promises for
+    the sub-centroid hot-cell guard, priced. Same skewed centroid
+    construction as ``_semdedup_leg`` (62 of 64 centroids are copies
+    of centroid 0 — the corpus piles onto two cells), swept over
+    ``max_cell_rows``: smaller bound = more sub-cells = smaller pair
+    budget AND lower planted recall. Each point records wall-clock,
+    emitted pairs, and recall against the planted (id-1, id) truth."""
+    from siskin_spark.functions.vectors import (
+        cosine,
+        ivf_fit_centroids,
+        semantic_dedup_pairs,
+    )
+
+    cents = ivf_fit_centroids(vectors, k=256, sample=20_000, iters=10).cache()
+    cents.count()
+    c0 = cents.filter(F.col("cid") == 0).first()["cv"]
+    c0_lit = F.array(*[F.lit(float(x)).cast("float") for x in c0])
+    skew = cents.filter(F.col("cid") < 64).select(
+        "cid",
+        F.when(F.col("cid") < 2, F.col("cv")).otherwise(c0_lit).alias("cv"),
+    ).cache()
+    skew.count()
+
+    truth_dir = os.path.join(CORPUS, "semdedup_truth_r11")
+    base_v = vectors.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("_b")
+    )
+    (
+        vectors.filter(F.col("planted"))
+        .join(base_v, on="vec_id")
+        .select(
+            (F.col("vec_id") - 1).alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            cosine(F.col("_b"), F.col("embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(truth_dir)
+    )
+    truth = spark.read.parquet(truth_dir)
+    n_truth = truth.count()
+    results["semsweep_planted_truth_pairs"] = n_truth
+
+    for max_cell in (10_000, 20_000, 40_000, 80_000):
+        out = os.path.join(CORPUS, "semdedup_pairs", f"sweep_{max_cell}")
+
+        def run():
+            return semantic_dedup_pairs(
+                vectors, skew, threshold=0.95, engine="gemm",
+                max_cell_rows=max_cell, hot_cell="subcentroid",
+            )
+
+        t0 = time.perf_counter()  # no warm-up repeat: 4 points, the
+        run().write.mode("overwrite").parquet(out)  # curve is the story
+        results[f"semsweep_{max_cell}_s"] = time.perf_counter() - t0
+        pairs = spark.read.parquet(out)
+        results[f"semsweep_{max_cell}_pairs"] = pairs.count()
+        results[f"semsweep_{max_cell}_planted_found"] = truth.join(
+            pairs, on=["id_a", "id_b"], how="left_semi"
+        ).count()
+    cents.unpersist()
+    skew.unpersist()
+
+
+def _unilp_join_leg(spark, docs, results: dict, timed) -> None:
+    """r11 verdict #5: the >literal_max explode + broadcast-join form
+    of ``with_unigram_logprob`` at full scale with a 100K-token lp6
+    table (its OOV sibling has the measurement since r10; the unigram
+    join form had only tests). The vocab list is collected once
+    outside the clock; each timed pass still pays the driver-side lp6
+    compile + broadcast build, exactly like a production run."""
+    from siskin_spark.operators.curation import vocab_table, with_unigram_logprob
+
+    vocab_rows = [
+        (r["token"], r["n"])
+        for r in vocab_table(docs, top=100_000).select("token", "n").collect()
+    ]
+    results["unilp_vocab_size"] = len(vocab_rows)
+
+    def unilp():
+        return with_unigram_logprob(docs, vocab_rows).select(
+            "doc_id", "unigram_lp"
+        )
+
+    timed(unilp())
+    results["unilp_join_100k_s"] = min(timed(unilp()) for _ in range(3))
+
+
 def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
     """r9 verdict #5: the CLI's `curate` pipeline measured END-TO-END
     (url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup ->
@@ -840,7 +982,7 @@ def main() -> None:
         open(marker, "w").close()
 
     if os.environ.get("SCALE_ONLY") in (
-        "neardup_incremental", "curation", "r9", "r10", "semincr"
+        "neardup_incremental", "curation", "r9", "r10", "semincr", "r11"
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -874,6 +1016,14 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _semdedup_incremental_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "r11":
+            # round-11 additions: multi-chunk gemm admit, sub-centroid
+            # recall curve, 100K-vocab unigram join form — controls first
+            _control_leg(spark, results, timed_only)
+            _unilp_join_leg(spark, docs_only, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _semincr_chunked_leg(spark, vecs_only, results, timed_only)
+            _subcentroid_sweep_leg(spark, vecs_only, results, timed_only)
         else:
             _incremental_leg(spark, docs_only, results, timed_only)
         print(json.dumps({"metric": "records_per_second", "records": n_records, **{

@@ -1022,3 +1022,53 @@ def test_semdedup_index_compact(tmp_path, spark):
     )
     semdedup_index_append(bdf, idx_dir, batch_id="day-0")
     assert spark.read.parquet(idx_dir + "/cells").count() == 120
+
+
+def test_incremental_semdedup_chunked_768dim_budget(tmp_path, spark):
+    """The byte-budget chunk derivation must adapt to the embedding
+    width: at 768-dim (realistic sentence-embedding width, 12x the
+    synthetic 64) the same byte budget yields 12x fewer rows per
+    chunk, and the chunked admit still equals the unchunked one."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    dim = 768
+    rng = np.random.default_rng(83)
+    X = rng.normal(size=(160, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(160)],
+        "vec_id long, embedding array<float>",
+    )
+    idx_dir = str(tmp_path / "semidx768")
+    semdedup_index_build(corpus, idx_dir, k=4, sample=160, iters=4, seed=3)
+
+    batch_rows = [(900 + i, [float(x) for x in X[i * 2]]) for i in range(30)]
+    for j in range(30):
+        w = rng.normal(size=dim)
+        batch_rows.append((1500 + j, [float(x) for x in w / np.linalg.norm(w)]))
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+
+    def pairs(**kw):
+        return {
+            (r["vec_id"], r["dup_of"]): r["cos_sim"]
+            for r in incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.95, **kw
+            ).collect()
+        }
+
+    one = pairs()
+    # 13 rows/chunk at 768-dim (13*768*8 B budget) -> 5 chunks; the
+    # same budget at 64-dim would be 156 rows -> one chunk
+    budget = 13 * dim * 8
+    assert max(1, budget // (8 * dim)) == 13
+    chunked = pairs(batch_budget_bytes=budget)
+    assert set(one) == set(chunked) and len(one) >= 30
+    for p in one:
+        assert abs(one[p] - chunked[p]) < 1e-12
