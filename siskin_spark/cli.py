@@ -141,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
         "--append", action="store_true",
         help="extend an existing index (params come from its meta)",
     )
+    p_nidx.add_argument(
+        "--batch-id", default=None,
+        help="stable identity for --append (harvest date, file digest): "
+             "makes the append idempotent — a replayed batch id no-ops",
+    )
     p_nbatch = sub.add_parser("neardup-batch")
     p_nbatch.add_argument("docs", help="new-batch doc table (doc_id, text)")
     p_nbatch.add_argument("index_dir")
@@ -399,7 +404,8 @@ def main(argv: list[str] | None = None) -> int:
         docs = _read(spark, args.docs)
         if args.append:
             neardup_index_append(
-                docs, args.index_dir, id_col=args.id_col, text_col=args.text_col
+                docs, args.index_dir, id_col=args.id_col,
+                text_col=args.text_col, batch_id=args.batch_id,
             )
         else:
             neardup_index_build(

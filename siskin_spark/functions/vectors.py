@@ -1154,7 +1154,8 @@ def semdedup_index_append(
     it when the caller owns retry bookkeeping."""
     import os
     import re
-    import shutil
+
+    from siskin_spark.operators.layout import staged_append
 
     spark = emb.sparkSession
     meta = _sem_meta_read(index_dir)
@@ -1167,24 +1168,11 @@ def semdedup_index_append(
         assigned.repartition("cid").write.mode("append").parquet(cells_dir)
     else:
         tag = re.sub(r"[^A-Za-z0-9._-]", "_", batch_id)
-        staging = os.path.join(index_dir, f"_append_{tag}")
-        assigned.repartition("cid").write.mode("overwrite").parquet(staging)
-        # sweep any files a crashed earlier attempt placed, THEN move:
-        # stage-overwrite + sweep + deterministic names = idempotent
-        prefix = f"batch-{tag}-"
-        for f in os.listdir(cells_dir):
-            if f.startswith(prefix):
-                os.remove(os.path.join(cells_dir, f))
-        parts = sorted(
-            f for f in os.listdir(staging)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        staged_append(
+            assigned, cells_dir,
+            staging_dir=os.path.join(index_dir, f"_append_{tag}"),
+            prefix=f"batch-{tag}-", cluster_col="cid",
         )
-        for i, f in enumerate(parts):
-            os.replace(
-                os.path.join(staging, f),
-                os.path.join(cells_dir, f"{prefix}{i:05d}.parquet"),
-            )
-        shutil.rmtree(staging, ignore_errors=True)
         meta.setdefault("appended", []).append(batch_id)
     _sem_recount_cells(spark, index_dir, meta)
 

@@ -164,6 +164,44 @@ def compact_parquet(
     }
 
 
+def staged_append(
+    df: DataFrame,
+    dest_dir: str,
+    staging_dir: str,
+    prefix: str,
+    cluster_col: str | None = None,
+) -> None:
+    """IDEMPOTENT parquet append: write ``df`` to ``staging_dir`` with
+    ``mode=overwrite`` (a replayed attempt rewrites the stage, never
+    doubles it), sweep any ``prefix``-named files a crashed earlier
+    attempt left in ``dest_dir``, then move the staged parts in under
+    deterministic ``prefix``-derived names. Replaying the whole
+    sequence after a crash at ANY point converges to exactly one copy
+    of the batch — the building block for the persisted-index appends
+    (``semdedup_index_append`` / ``neardup_index_append``), whose
+    blind ``mode=append`` form double-appends under retry. The caller
+    owns recording the batch identity in its meta so a COMPLETED
+    append short-circuits. Driver-local fs ops (mirrors the test
+    environment); maps 1:1 onto the Hadoop FileSystem API."""
+    import shutil
+
+    rep = df.repartition(F.col(cluster_col)) if cluster_col else df
+    rep.write.mode("overwrite").parquet(staging_dir)
+    for f in os.listdir(dest_dir):
+        if f.startswith(prefix):
+            os.remove(os.path.join(dest_dir, f))
+    parts = sorted(
+        f for f in os.listdir(staging_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    for i, f in enumerate(parts):
+        os.replace(
+            os.path.join(staging_dir, f),
+            os.path.join(dest_dir, f"{prefix}{i:05d}.parquet"),
+        )
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
 def skipping_stats(path: str, column: str, lo, hi) -> dict:
     """How much of a parquet layout a ``lo <= column <= hi`` predicate
     can skip, computed from the SAME per-row-group min/max footer stats

@@ -687,7 +687,6 @@ def neardup_index_build(
     # under different banding params would poison the whole index
     if mode != "overwrite" and os.path.exists(_index_meta_path(index_dir)):
         _check_index_meta(index_dir, n, k, bands, hash_family)
-    rows = k // bands
     # Deliberately TWO text scans (bands job, shingles job), not a
     # fused single-shingle-pass build. Fusion was measured three ways
     # at 3M docs/118M shingles and every variant lost: write-shingles-
@@ -702,16 +701,7 @@ def neardup_index_build(
     # while every fusion round-trips or caches the big table instead.
     # The same economics hold at 100 TB: shingle-table bytes > text
     # bytes by construction.
-    sigs = minhash_table(docs, id_col, text_col, n, k, hash_family=hash_family)
-    banded = sigs.filter(
-        F.element_at("signature", 1) != F.lit(_family_sentinel(hash_family))
-    ).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band"),
-    )
-    sh = shingle_table(docs, id_col, text_col, n).select(
-        F.col(id_col).alias("doc_id"), "shingle"
-    )
+    banded, sh = _index_frames(docs, id_col, text_col, n, k, bands, hash_family)
     banded.repartition("band").write.mode(mode).parquet(
         os.path.join(index_dir, "bands")
     )
@@ -731,31 +721,90 @@ def neardup_index_build(
             json.dump(meta, f)
 
 
+def _index_frames(docs, id_col, text_col, n, k, bands, hash_family):
+    """The two index tables (band keys, shingle universe) as lazy
+    frames in the canonical column names — shared by build and append
+    so the two can never drift schema- or semantics-wise."""
+    rows = k // bands
+    sigs = minhash_table(docs, id_col, text_col, n, k, hash_family=hash_family)
+    banded = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_family_sentinel(hash_family))
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band"),
+    )
+    sh = shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    return banded, sh
+
+
 def neardup_index_append(
     docs: DataFrame,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> None:
     """Extend an existing index with new documents (typically the
     batch survivors :func:`incremental_keep` returned). Banding params
     come from the index meta — passing different ones is impossible by
-    construction."""
+    construction.
+
+    Retry safety (mirrors :func:`semdedup_index_append
+    <siskin_spark.functions.vectors.semdedup_index_append>`): pass
+    ``batch_id`` to make the append IDEMPOTENT via the meta's replay
+    ledger + stage-overwrite + swept deterministic file names in BOTH
+    tables. The hazard is worse here than for the cell index: a
+    double-appended ``shingles/`` batch doubles those docs' shingle
+    counts, which CORRUPTS exact-Jaccard verification (union sizes
+    inflate, every affected pair under-scores), not just the candidate
+    volume. Without ``batch_id`` the legacy blind parquet append runs
+    — only use it when the caller owns retry bookkeeping."""
     import json
+    import os
+    import re
+
+    from siskin_spark.operators.layout import staged_append
 
     with open(_index_meta_path(index_dir)) as f:
         meta = json.load(f)
-    neardup_index_build(
-        docs,
-        index_dir,
-        id_col=id_col,
-        text_col=text_col,
-        n=meta["n"],
-        k=meta["k"],
-        bands=meta["bands"],
-        hash_family=meta["hash_family"],
-        mode="append",
+    if batch_id is None:
+        neardup_index_build(
+            docs,
+            index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            n=meta["n"],
+            k=meta["k"],
+            bands=meta["bands"],
+            hash_family=meta["hash_family"],
+            mode="append",
+        )
+        return
+    if batch_id in meta.get("appended", []):
+        return  # replayed append: already admitted, nothing to do
+    banded, sh = _index_frames(
+        docs, id_col, text_col,
+        meta["n"], meta["k"], meta["bands"], meta["hash_family"],
     )
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", batch_id)
+    # a crash between the two staged appends leaves bands/ placed and
+    # shingles/ not — the retry re-stages BOTH (overwrite + sweep +
+    # deterministic names), converging to exactly one copy of each
+    staged_append(
+        banded, os.path.join(index_dir, "bands"),
+        staging_dir=os.path.join(index_dir, f"_append_bands_{tag}"),
+        prefix=f"batch-{tag}-", cluster_col="band",
+    )
+    staged_append(
+        sh, os.path.join(index_dir, "shingles"),
+        staging_dir=os.path.join(index_dir, f"_append_shingles_{tag}"),
+        prefix=f"batch-{tag}-", cluster_col="doc_id",
+    )
+    meta.setdefault("appended", []).append(batch_id)
+    with open(_index_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
 
 
 def _check_index_meta(

@@ -251,3 +251,37 @@ def test_index_compact_preserves_results(spark, index_dir):
         for r in incremental_neardup(spark, batch, index_dir).collect()
     }
     assert after == before
+
+
+def test_index_append_idempotent(spark, index_dir):
+    """r11 (mirror of the semdedup ADVICE fix): a replayed append with
+    the same batch_id must be a no-op in BOTH index tables — a doubled
+    shingles/ batch would inflate union sizes and corrupt
+    exact-Jaccard verification, not just candidate volume."""
+    import json
+
+    from siskin_spark.operators.neardup import _index_meta_path
+
+    b = spark.createDataFrame([(200, _doc(60))], "doc_id long, text string")
+    neardup_index_append(b, index_dir, batch_id="2026-08-16")
+    bands = lambda: spark.read.parquet(index_dir + "/bands").count()  # noqa: E731
+    sh = lambda: spark.read.parquet(index_dir + "/shingles").count()  # noqa: E731
+    nb, ns = bands(), sh()
+    # happy replay: ledger short-circuits
+    neardup_index_append(b, index_dir, batch_id="2026-08-16")
+    assert (bands(), sh()) == (nb, ns)
+    # crash replay: files landed but the meta update was lost
+    meta = json.load(open(_index_meta_path(index_dir)))
+    assert meta["appended"] == ["2026-08-16"]
+    meta["appended"] = []
+    json.dump(meta, open(_index_meta_path(index_dir), "w"))
+    neardup_index_append(b, index_dir, batch_id="2026-08-16")
+    assert (bands(), sh()) == (nb, ns)  # swept + re-placed, never doubled
+    # the appended doc is live and verifies at full jaccard exactly once
+    probe = spark.createDataFrame([(300, _doc(60))], "doc_id long, text string")
+    hits = [
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in incremental_neardup(spark, probe, index_dir, threshold=0.9)
+        .collect()
+    ]
+    assert hits == [(300, 200, 1.0)]
