@@ -2819,9 +2819,16 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
     appended = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    import hashlib
+
+    # dir name carries a full-path digest: two sf_dirs sharing a
+    # basename (same-named dirs under different roots) must not share
+    # an index dir — the per-path memo below would skip a rebuild and
+    # admit against the OTHER corpus's index
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     idx_dir = os.path.join(
-        tempfile.gettempdir(), f"siskin_spark_semidx_{sf_tag}"
+        tempfile.gettempdir(), f"siskin_spark_semidx_{sf_tag}_{digest}"
     )
     # build + append ONCE per (process, sf_dir, table mtime): the index
     # is persistent by design — the operator's economics are a one-time

@@ -1160,7 +1160,11 @@ def semdedup_index_append(
     spark = emb.sparkSession
     meta = _sem_meta_read(index_dir)
     if batch_id is not None and batch_id in meta.get("appended", []):
-        return  # replayed append: already admitted, nothing to do
+        # replayed append: already admitted. The ledger entry and the
+        # histogram persist in the SAME meta write (_sem_recount_cells),
+        # so a ledger hit implies the histogram covered this batch —
+        # nothing to write, nothing to heal.
+        return
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = _sem_assign(emb, cents, meta["id_col"], meta["vec_col"])
     cells_dir = os.path.join(index_dir, "cells")
@@ -1323,8 +1327,18 @@ def incremental_semdedup(
     if engine == "gemm":
         # Arrow collect: numpy-backed columns, not Row objects — the
         # resident batch costs ~8 B/dim, so the budget math below is
-        # honest about driver memory, not off by the ~10x Row overhead
-        pdf = batch.select("_bid", "cid", "_bv").toPandas()
+        # honest about driver memory, not off by the ~10x Row overhead.
+        # Arrow is OFF by default in a vanilla session (our session.py
+        # enables it, arbitrary callers may not) and toPandas would
+        # silently fall back to the Row path — pin it on for exactly
+        # this collect and restore the caller's setting after
+        _AK = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(_AK, "false")
+        spark.conf.set(_AK, "true")
+        try:
+            pdf = batch.select("_bid", "cid", "_bv").toPandas()
+        finally:
+            spark.conf.set(_AK, prev)
         guard({int(c) for c in pdf["cid"].unique()})
         if batch_chunk_rows is not None:
             chunk = max(1, int(batch_chunk_rows))
