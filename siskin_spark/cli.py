@@ -20,11 +20,15 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   neardup-index DOCS DIR    build (or --append to) a persisted near-dup
                             signature index over a doc table
   neardup-batch DOCS DIR OUT  dedup a new batch against the index:
-                            writes pairs/ (and survivors with --keep)
+                            writes pairs/ (and survivors with --keep;
+                            --append-survivors ID also extends the
+                            index idempotently — the daily one-liner)
   semdedup-index VECS DIR   build (or --append to) a persisted SemDeDup
                             cell index (frozen centroids + assignments)
   semdedup-batch VECS DIR OUT  admit an embedding batch against the
-                            index: pairs/ (and survivors with --keep)
+                            index: pairs/ (and survivors with --keep;
+                            --append-survivors ID also extends the
+                            index idempotently — the daily one-liner)
   semdedup-compact DIR      re-pack the index's cells/ into few
                             cid-clustered files after many appends
   curate DOCS OUT [flags]   the training-data curation chain, stages
@@ -157,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
         "--keep", action="store_true",
         help="also write the batch survivors under keep-first",
     )
+    p_nbatch.add_argument(
+        "--append-survivors", metavar="BATCH_ID", default=None,
+        help="the daily-pipeline one-liner: after writing pairs/ and "
+             "kept/, append the survivors to the index under this "
+             "batch id (idempotent — a replayed day no-ops); implies "
+             "--keep",
+    )
     p_sd = sub.add_parser("semdedup")
     p_sd.add_argument("vectors", help="parquet vector table (vec_id, embedding)")
     p_sd.add_argument("out_dir", help="writes pairs/ and kept/")
@@ -222,6 +233,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sbatch.add_argument(
         "--keep", action="store_true",
         help="also write the batch survivors under keep-first",
+    )
+    p_sbatch.add_argument(
+        "--append-survivors", metavar="BATCH_ID", default=None,
+        help="the daily-pipeline one-liner: after writing pairs/ and "
+             "kept/, append the survivors to the index under this "
+             "batch id (idempotent — a replayed day no-ops); implies "
+             "--keep",
     )
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
@@ -431,12 +449,24 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(pairs_path)
         n_pairs = spark.read.parquet(pairs_path).count()
         print(f"pairs: {n_pairs} at {pairs_path}")
-        if args.keep:
+        if args.keep or args.append_survivors:
             kept_path = os.path.join(args.out_dir, "kept")
             incremental_keep(
                 batch, spark.read.parquet(pairs_path), id_col=args.id_col
             ).write.mode("overwrite").parquet(kept_path)
             print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
+        if args.append_survivors:
+            from siskin_spark.operators.neardup import neardup_index_append
+
+            neardup_index_append(
+                spark.read.parquet(kept_path), args.index_dir,
+                id_col=args.id_col, text_col=args.text_col,
+                batch_id=args.append_survivors,
+            )
+            print(
+                f"appended survivors to {args.index_dir} "
+                f"(batch {args.append_survivors})"
+            )
     elif args.cmd == "semdedup-index":
         from siskin_spark.functions.vectors import (
             semdedup_index_append,
@@ -483,7 +513,7 @@ def main(argv: list[str] | None = None) -> int:
         pairs_path = os.path.join(args.out_dir, "pairs")
         pairs.write.mode("overwrite").parquet(pairs_path)
         print(f"pairs: {spark.read.parquet(pairs_path).count()} at {pairs_path}")
-        if args.keep:
+        if args.keep or args.append_survivors:
             from siskin_spark.functions.vectors import _sem_meta_read
 
             idc = _sem_meta_read(args.index_dir)["id_col"]
@@ -492,6 +522,17 @@ def main(argv: list[str] | None = None) -> int:
                 batch, spark.read.parquet(pairs_path), id_col=idc
             ).write.mode("overwrite").parquet(kept_path)
             print(f"kept: {spark.read.parquet(kept_path).count()} at {kept_path}")
+        if args.append_survivors:
+            from siskin_spark.functions.vectors import semdedup_index_append
+
+            semdedup_index_append(
+                spark.read.parquet(kept_path), args.index_dir,
+                batch_id=args.append_survivors,
+            )
+            print(
+                f"appended survivors to {args.index_dir} "
+                f"(batch {args.append_survivors})"
+            )
     elif args.cmd == "semdedup":
         # C13 SemDeDup end-to-end: fit cells on a bounded sample,
         # within-cell pairs (hot-cell-guarded), keep-first collapse

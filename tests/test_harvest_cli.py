@@ -777,3 +777,95 @@ def test_cli_semdedup_index_and_batch(capsys, tmp_path, spark):
     p2 = {(r["vec_id"], r["dup_of"])
           for r in spark.read.parquet(out2 + "/pairs").collect()}
     assert (200, 101) in p2
+
+
+def test_cli_daily_oneliner_append_survivors_and_compact(capsys, tmp_path, spark):
+    """r11: the daily-pipeline one-liner — `semdedup-batch
+    --append-survivors ID` admits, keeps, and idempotently extends the
+    index in one verb (a replayed day re-writes pairs/kept but appends
+    nothing), `semdedup-compact` re-packs the accumulated generations
+    without changing results; the neardup twin drives the same flow
+    over text."""
+    import numpy as np
+
+    from siskin_spark.cli import main
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(50, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    vec_path = str(tmp_path / "d_vecs")
+    corpus.write.parquet(vec_path)
+    idx = str(tmp_path / "d_semidx")
+    assert main(["semdedup-index", vec_path, idx, "--k", "4",
+                 "--sample", "50"]) == 0
+
+    w = rng.normal(size=16)
+    batch = spark.createDataFrame(
+        [(100, [float(x) for x in X[5]]),   # dup of corpus 5 -> dropped
+         (101, [float(x) for x in w / np.linalg.norm(w)])],  # survivor
+        "vec_id long, embedding array<float>",
+    )
+    b_path = str(tmp_path / "d_batch")
+    batch.write.parquet(b_path)
+    out = str(tmp_path / "d_out")
+    one = ["semdedup-batch", b_path, idx, out,
+           "--threshold", "0.95", "--append-survivors", "day-1"]
+    assert main(one) == 0
+    capsys.readouterr()
+    assert {r["vec_id"] for r in
+            spark.read.parquet(out + "/kept").collect()} == {101}
+    n_cells = spark.read.parquet(idx + "/cells").count()
+    assert n_cells == 51  # survivor appended, dup not
+    # replayed day: pairs/kept rewritten, index UNCHANGED
+    assert main(one) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(idx + "/cells").count() == 51
+    # compact the accumulated generations; results unchanged
+    assert main(["semdedup-compact", idx]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(idx + "/cells").count() == 51
+    probe = spark.createDataFrame(
+        [(200, [float(x) for x in w / np.linalg.norm(w)])],
+        "vec_id long, embedding array<float>",
+    )
+    p_path = str(tmp_path / "d_probe")
+    probe.write.parquet(p_path)
+    out2 = str(tmp_path / "d_out2")
+    assert main(["semdedup-batch", p_path, idx, out2]) == 0
+    capsys.readouterr()
+    assert (200, 101) in {
+        (r["vec_id"], r["dup_of"])
+        for r in spark.read.parquet(out2 + "/pairs").collect()
+    }
+
+    # neardup twin: one-liner + replay no-op on the text index
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    d_path = str(tmp_path / "d_docs")
+    docs.write.parquet(d_path)
+    nidx = str(tmp_path / "d_ndidx")
+    assert main(["neardup-index", d_path, nidx]) == 0
+    nb = spark.createDataFrame(
+        [(100, " ".join(f"w3_{j}" for j in range(40))),   # dup of doc 3
+         (101, " ".join(f"x{j}" for j in range(40)))],    # survivor
+        "doc_id long, text string",
+    )
+    nb_path = str(tmp_path / "d_nbatch")
+    nb.write.parquet(nb_path)
+    nout = str(tmp_path / "d_nout")
+    none = ["neardup-batch", nb_path, nidx, nout,
+            "--threshold", "0.9", "--append-survivors", "day-1"]
+    assert main(none) == 0
+    capsys.readouterr()
+    assert {r["doc_id"] for r in
+            spark.read.parquet(nout + "/kept").collect()} == {101}
+    n_sh = spark.read.parquet(nidx + "/shingles").count()
+    assert main(none) == 0  # replayed day
+    capsys.readouterr()
+    assert spark.read.parquet(nidx + "/shingles").count() == n_sh
