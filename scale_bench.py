@@ -652,6 +652,58 @@ def _subcentroid_sweep_leg(spark, vectors, results: dict, timed) -> None:
     skew.unpersist()
 
 
+def _sq8_leg(spark, vectors, results: dict, timed) -> None:
+    """r11 SQ8 storage: the int8-quantized cell index vs float32 at
+    full scale — index bytes (the point: 4x), admit wall (often
+    FASTER: 4x less scan IO), and pair parity at the operator
+    threshold (quantization moves cosines ~1e-3; planted dups sit at
+    ~0.97, nowhere near 0.95... so parity here also demonstrates the
+    error bound holds where it matters)."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    is_batch = (F.col("vec_id") % 100 == 37) | (F.col("vec_id") % 1000 == 1)
+    batch = vectors.filter(is_batch)
+    corpus = vectors.filter(~is_batch)
+
+    def leg(store: str, tag: str):
+        idx = os.path.join(CORPUS, f"sem_index_{tag}")
+        _sh.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        semdedup_index_build(
+            corpus, idx, k=256, sample=100_000, iters=10, store=store
+        )
+        results[f"sq8_{tag}_build_s"] = time.perf_counter() - t0
+        results[f"sq8_{tag}_index_bytes"] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(idx, "cells"))
+            for f in fs if f.endswith(".parquet")
+        )
+        pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_{tag}")
+
+        def incr():
+            return incremental_semdedup(spark, batch, idx, threshold=0.95)
+
+        timed(incr())  # warm-up
+        t0 = time.perf_counter()
+        incr().write.mode("overwrite").parquet(pairs_dir)
+        results[f"sq8_{tag}_admit_s"] = time.perf_counter() - t0
+        return {
+            (r["vec_id"], r["dup_of"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    pf = leg("float32", "f32ref")
+    pq = leg("int8", "q8")
+    results["sq8_f32_pairs"] = len(pf)
+    results["sq8_q8_pairs"] = len(pq)
+    results["sq8_pair_set_diff"] = len(pf ^ pq)
+
+
 def _unilp_join_leg(spark, docs, results: dict, timed) -> None:
     """r11 verdict #5: the >literal_max explode + broadcast-join form
     of ``with_unigram_logprob`` at full scale with a 100K-token lp6
@@ -982,7 +1034,8 @@ def main() -> None:
         open(marker, "w").close()
 
     if os.environ.get("SCALE_ONLY") in (
-        "neardup_incremental", "curation", "r9", "r10", "semincr", "r11"
+        "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
+        "sq8",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1016,6 +1069,10 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _semdedup_incremental_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "sq8":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _sq8_leg(spark, vecs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first

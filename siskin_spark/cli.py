@@ -140,6 +140,12 @@ def main(argv: list[str] | None = None) -> int:
     p_nidx.add_argument("--n", type=int, default=3)
     p_nidx.add_argument("--k", type=int, default=16)
     p_nidx.add_argument("--bands", type=int, default=4)
+    p_nidx.add_argument(
+        "--solve-threshold", type=float, default=None, metavar="JACCARD",
+        help="derive k/bands from the banding S-curve for this target "
+             "jaccard threshold (overrides --k/--bands; prints the "
+             "chosen grid and its collision curve)",
+    )
     p_nidx.add_argument("--hash-family", default="md5")
     p_nidx.add_argument(
         "--append", action="store_true",
@@ -200,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     p_sidx.add_argument("--sample", type=int, default=100_000)
     p_sidx.add_argument("--iters", type=int, default=10)
     p_sidx.add_argument("--seed", type=int, default=7)
+    p_sidx.add_argument(
+        "--store", default="float32", choices=["float32", "int8"],
+        help="cells/ storage: int8 = scalar-quantized unit vectors, 4x "
+             "smaller index, gemm-engine admits only (~2e-3 cosine "
+             "accuracy cost)",
+    )
     p_sidx.add_argument(
         "--append", action="store_true",
         help="assign under the index's FROZEN centroids and append",
@@ -426,10 +438,24 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col, batch_id=args.batch_id,
             )
         else:
+            k, bands = args.k, args.bands
+            if args.solve_threshold is not None:
+                from siskin_spark.operators.neardup import (
+                    lsh_params_for_threshold,
+                )
+
+                sol = lsh_params_for_threshold(args.solve_threshold)
+                k, bands = sol["k"], sol["bands"]
+                print(
+                    f"banding for jaccard>={args.solve_threshold}: "
+                    f"k={k} bands={bands} rows={sol['rows']} "
+                    f"(p@t={sol['p_at_threshold']}, "
+                    f"p@t-0.2={sol['p_below']})"
+                )
             neardup_index_build(
                 docs, args.index_dir,
                 id_col=args.id_col, text_col=args.text_col,
-                n=args.n, k=args.k, bands=args.bands,
+                n=args.n, k=k, bands=bands,
                 hash_family=args.hash_family,
             )
         print(f"index at {args.index_dir}: {docs.count()} docs")
@@ -482,7 +508,7 @@ def main(argv: list[str] | None = None) -> int:
                 vecs, args.index_dir,
                 id_col=args.id_col, vec_col=args.vec_col,
                 k=args.k, sample=args.sample, iters=args.iters,
-                seed=args.seed,
+                seed=args.seed, store=args.store,
             )
             print(f"index at {args.index_dir}: {vecs.count()} vectors")
     elif args.cmd == "semdedup-compact":

@@ -1073,6 +1073,34 @@ def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def _sem_quantize_q8(assigned: DataFrame) -> DataFrame:
+    """Scalar-quantize the canonical cells frame to int8 (FAISS-SQ8
+    posture, specialized to the cosine metric): store the UNIT vector
+    rounded to ``tinyint`` in [-127, 127] — 4x smaller cells/ (768-dim
+    float32 is 3 KB/vector, int8 is 768 B; a 3B-vector index drops
+    ~9 TB -> ~2.3 TB). No per-vector scale factor is needed because
+    the compare renormalizes: the gemm engine's per-Arrow-batch
+    ``X / |X|`` maps the int8 rows back onto the unit sphere, so the
+    stored magnitude is irrelevant — only the rounding of the
+    DIRECTION costs accuracy (cosine error ~1/127 worst-case per
+    component pair, ~2e-3 typical at 64-768 dims; pairs sitting
+    within that of the threshold may flip, the documented SQ8 trade).
+    A zero-norm embedding quantizes to all zeros and keeps its
+    zero-pair contract. The ``norm`` column keeps the ORIGINAL float
+    norm (diagnostics; the quantized compare never reads it)."""
+    unit = F.when(
+        F.col("norm") == 0, F.col("embedding")
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.col("norm") * F.lit(127.0),
+        )
+    )
+    return assigned.withColumn(
+        "embedding", F.transform(unit, lambda x: F.round(x).cast("tinyint"))
+    )
+
+
 def semdedup_index_build(
     emb: DataFrame,
     index_dir: str,
@@ -1083,6 +1111,7 @@ def semdedup_index_build(
     iters: int = 10,
     seed: int = 7,
     centroids: DataFrame | None = None,
+    store: str = "float32",
 ) -> None:
     """Persist the SemDeDup cell index for a corpus: the fitted
     centroids (``centroids/``: cid, cv) and every corpus vector's cell
@@ -1101,9 +1130,17 @@ def semdedup_index_build(
 
     Scale posture: ``cells/`` is written repartitioned on cid, so the
     incremental scan reads cid-clustered row groups; the assignment
-    engine is ALWAYS the GEMM family (see :func:`_sem_assign`)."""
+    engine is ALWAYS the GEMM family (see :func:`_sem_assign`).
+
+    ``store='int8'`` scalar-quantizes the stored vectors (see
+    :func:`_sem_quantize_q8`) — 4x smaller cells/, admits restricted
+    to ``engine='gemm'`` (the expr engine's prenormed-cosine folds
+    read the raw embedding + stored norm and would silently score the
+    quantized magnitudes; it raises instead)."""
     import os
 
+    if store not in ("float32", "int8"):
+        raise ValueError(f"store must be 'float32' or 'int8', got {store!r}")
     if centroids is not None:
         # caller-supplied cells (cid, cv): migrating an index between
         # engines, pinning an oracle-reproducible cell space, or
@@ -1118,6 +1155,8 @@ def semdedup_index_build(
             sample=sample, iters=iters, seed=seed,
         )
     assigned = _sem_assign(emb, cents, id_col, vec_col)
+    if store == "int8":
+        assigned = _sem_quantize_q8(assigned)
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     assigned.repartition("cid").write.mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
@@ -1125,7 +1164,7 @@ def semdedup_index_build(
     meta = {
         "version": 1, "k": k, "sample": sample, "iters": iters,
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
-        "assign": "gemm",
+        "assign": "gemm", "store": store,
     }
     _sem_recount_cells(emb.sparkSession, index_dir, meta)
 
@@ -1167,6 +1206,10 @@ def semdedup_index_append(
         return
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = _sem_assign(emb, cents, meta["id_col"], meta["vec_col"])
+    if meta.get("store", "float32") == "int8":
+        # the index's declared store wins: a float append into an int8
+        # index would mix schemas inside cells/ and break the scan
+        assigned = _sem_quantize_q8(assigned)
     cells_dir = os.path.join(index_dir, "cells")
     if batch_id is None:
         assigned.repartition("cid").write.mode("append").parquet(cells_dir)
@@ -1269,6 +1312,12 @@ def incremental_semdedup(
       right form for small indexes/oracles (measured 18x slower at
       3M/33K — SCALE.md).
 
+    An ``store='int8'`` index (see :func:`semdedup_index_build`) rides
+    the gemm engine unchanged — its per-batch renormalization maps the
+    stored int8 unit vectors back onto the sphere, so quantization
+    costs ~2e-3 cosine accuracy and nothing else; the expr engine
+    raises on such an index.
+
     ``max_batch_cell_rows`` guards index-side degenerate-cell skew as
     a DRIVER-SIDE lookup against the meta's persisted cell histogram
     (no index scan). An index whose meta predates the histogram falls
@@ -1281,6 +1330,18 @@ def incremental_semdedup(
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
     meta = _sem_meta_read(index_dir)
+    if meta.get("store", "float32") == "int8" and engine != "gemm":
+        # the expr folds compute prenormed cosine from the RAW stored
+        # embedding + the stored (original) norm — on a quantized index
+        # that silently scores int8 magnitudes against float norms;
+        # the gemm engine renormalizes per Arrow batch and is the
+        # declared compare for SQ8 storage
+        raise ValueError(
+            "incremental_semdedup: engine='expr' is not supported on an "
+            "int8-quantized index (store='int8' in the meta) — use the "
+            "gemm engine, whose per-batch renormalization dequantizes "
+            "the stored unit vectors"
+        )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))

@@ -125,6 +125,62 @@ def _minhash_aggs(hash_family: str, k: int):
     return aggs, sentinel, elem
 
 
+def lsh_params_for_threshold(
+    threshold: float,
+    k_max: int = 256,
+    recall_min: float = 0.9,
+    precision_guard: float = 0.3,
+) -> dict:
+    """Solve (k, bands, rows) for a target Jaccard ``threshold`` from
+    the banding S-curve: a pair with Jaccard s collides in at least
+    one band with probability p(s) = 1 − (1 − s^rows)^bands. Users
+    know the threshold they care about ("dedup at 0.8"); the banding
+    parameters that realize it are S-curve algebra nobody should
+    re-derive per pipeline. Scans rows × bands grids with
+    rows·bands = k ≤ ``k_max`` and returns the SMALLEST k whose curve
+    has p(threshold) ≥ ``recall_min`` while keeping the sub-threshold
+    mass bounded — p(threshold − 0.2) ≤ the candidate-waste guard
+    (``precision_guard`` + the recall shortfall), because banding
+    false positives are pure wasted exact-Jaccard verification at
+    corpus scale (the verify stage keeps correctness either way; this
+    knob prices its input volume). Among same-k admissible grids the
+    steepest curve (max p(t) − p(t−0.2)) wins. Returns
+    {k, bands, rows, p_at_threshold, p_below} — feed straight to
+    :func:`minhash_table` / :func:`lsh_candidates` /
+    :func:`neardup_index_build`. Deterministic pure math, no Spark."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    below = max(threshold - 0.2, 0.01)
+    best = None
+    for k in range(2, k_max + 1):
+        for rows in range(1, k + 1):
+            if k % rows:
+                continue
+            bands = k // rows
+            p_t = 1.0 - (1.0 - threshold ** rows) ** bands
+            p_b = 1.0 - (1.0 - below ** rows) ** bands
+            if p_t < recall_min or p_b > precision_guard + (1.0 - p_t):
+                continue
+            cand = (k, -(p_t - p_b))  # smallest k, then steepest curve
+            if best is None or cand < best[0]:
+                best = (cand, {
+                    "k": k, "bands": bands, "rows": rows,
+                    "p_at_threshold": round(p_t, 4),
+                    "p_below": round(p_b, 4),
+                })
+        if best is not None and best[1]["k"] == k:
+            # smaller k can no longer win; finish this k's grids only
+            break
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) grid under k_max={k_max} reaches "
+            f"recall {recall_min} at threshold {threshold} with "
+            f"p({below:.2f}) <= {precision_guard} + shortfall; relax "
+            "recall_min/precision_guard or raise k_max"
+        )
+    return best[1]
+
+
 def minhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1179,3 +1179,47 @@ def test_drop_duplicate_lines_matches_naive(spark, texts, min_count, keep_first)
                 seen.add(ln)
         want[i] = "\n".join(kept)
     assert got == want
+
+
+def test_lsh_params_for_threshold_invariants():
+    """r11: the banding solver's output must satisfy its own contract
+    — recall and waste bounds hold, k = bands*rows is MINIMAL over
+    every admissible grid (brute-force checked), and an unsatisfiable
+    ask raises instead of returning a curve that silently misses."""
+    import pytest as _pytest
+
+    from siskin_spark.operators.neardup import lsh_params_for_threshold
+
+    def p(s, rows, bands):
+        return 1.0 - (1.0 - s ** rows) ** bands
+
+    for t in (0.5, 0.7, 0.8, 0.9):
+        got = lsh_params_for_threshold(t)
+        b, r, k = got["bands"], got["rows"], got["k"]
+        assert b * r == k <= 256
+        p_t, p_b = p(t, r, b), p(max(t - 0.2, 0.01), r, b)
+        assert abs(p_t - got["p_at_threshold"]) < 1e-3
+        assert p_t >= 0.9
+        assert p_b <= 0.3 + (1.0 - p_t)
+        # minimality: no admissible grid with smaller k exists
+        for k2 in range(2, k):
+            for r2 in range(1, k2 + 1):
+                if k2 % r2:
+                    continue
+                b2 = k2 // r2
+                pt2 = p(t, r2, b2)
+                ok = pt2 >= 0.9 and p(max(t - 0.2, 0.01), r2, b2) <= 0.3 + (1 - pt2)
+                assert not ok, (t, k2, b2, r2)
+
+    # the default shipped banding (k=16, b=4, r=4) is reachable when
+    # the caller prices candidate waste loosely (its p(0.7) ≈ 0.67 —
+    # the price of a 16-hash signature at a 0.9 threshold)
+    tight = lsh_params_for_threshold(
+        0.9, k_max=16, recall_min=0.85, precision_guard=0.7
+    )
+    assert tight["k"] <= 16 and tight["p_at_threshold"] >= 0.85
+
+    with _pytest.raises(ValueError, match="no \\(bands, rows\\) grid"):
+        lsh_params_for_threshold(0.8, k_max=8, precision_guard=0.01)
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_params_for_threshold(1.5)

@@ -1072,3 +1072,88 @@ def test_incremental_semdedup_chunked_768dim_budget(tmp_path, spark):
     assert set(one) == set(chunked) and len(one) >= 30
     for p in one:
         assert abs(one[p] - chunked[p]) < 1e-12
+
+
+def test_semdedup_index_int8_store(tmp_path, spark):
+    """r11 SQ8 storage: an int8-quantized index is ~4x smaller, the
+    gemm admit finds the same pair set (quantization shifts cosines
+    by ~1e-3, far from a 0.9 threshold on this corpus), the expr
+    engine refuses it loudly, appends inherit the store, and a
+    zero-norm vector keeps its no-pair contract."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 200, seed=91)
+    rows = rows + [(500, [0.0] * DIM)]  # zero-norm row rides along
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    f32_dir, q8_dir = str(tmp_path / "f32"), str(tmp_path / "q8")
+    semdedup_index_build(corpus, f32_dir, k=4, sample=200, iters=5, seed=3)
+    semdedup_index_build(
+        corpus, q8_dir, k=4, sample=200, iters=5, seed=3, store="int8"
+    )
+    assert json.load(open(_sem_meta_path(q8_dir)))["store"] == "int8"
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(d, "cells")) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert size(q8_dir) < size(f32_dir) * 0.55  # ~4x on data + overhead
+    cells = spark.read.parquet(q8_dir + "/cells")
+    assert dict(cells.dtypes)["embedding"] == "array<tinyint>"
+
+    rng = np.random.default_rng(19)
+    batch_rows = [(900, [float(x) for x in X[7]])]  # exact dup of 7
+    for j in range(20):
+        w = rng.normal(size=DIM)
+        batch_rows.append((1000 + j, [float(x) for x in w / np.linalg.norm(w)]))
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+
+    def pairs(d):
+        return {
+            (r["vec_id"], r["dup_of"]): r["cos_sim"]
+            for r in incremental_semdedup(
+                spark, batch, d, threshold=0.9
+            ).collect()
+        }
+
+    pf, pq = pairs(f32_dir), pairs(q8_dir)
+    assert set(pf) == set(pq) and (900, 7) in pq
+    for p in pf:
+        assert abs(pf[p] - pq[p]) < 0.01  # SQ8 error bound
+    assert pq[(900, 7)] > 0.999
+    assert not any(d == 500 for _, d in pq)  # zero vector never pairs
+
+    with _pytest.raises(ValueError, match="int8-quantized"):
+        incremental_semdedup(spark, batch, q8_dir, engine="expr")
+
+    # append inherits the quantized store; a copy of the appended
+    # vector hits it and the schema stays tinyint
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    semdedup_index_append(
+        spark.createDataFrame(
+            [(700, [float(x) for x in w])], "vec_id long, embedding array<float>"
+        ),
+        q8_dir, batch_id="q8-day",
+    )
+    assert dict(
+        spark.read.parquet(q8_dir + "/cells").dtypes
+    )["embedding"] == "array<tinyint>"
+    probe = spark.createDataFrame(
+        [(800, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    hits = {(r["vec_id"], r["dup_of"]) for r in
+            incremental_semdedup(spark, probe, q8_dir, threshold=0.95).collect()}
+    assert (800, 700) in hits
