@@ -31,6 +31,8 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             index idempotently — the daily one-liner)
   semdedup-compact DIR      re-pack the index's cells/ into few
                             cid-clustered files after many appends
+  corpus-diff OLD NEW OUT   (id, status) delta between two snapshots
+                            — what to re-embed/re-license/re-export
   curate DOCS OUT [flags]   the training-data curation chain, stages
                             opt-in: --quality (Gopher gates),
                             --line-dedup N, --decontaminate BENCH,
@@ -224,6 +226,16 @@ def main(argv: list[str] | None = None) -> int:
     p_scmp = sub.add_parser("semdedup-compact")
     p_scmp.add_argument("index_dir")
     p_scmp.add_argument("--target-file-mb", type=int, default=128)
+    p_diff = sub.add_parser("corpus-diff")
+    p_diff.add_argument("old", help="previous snapshot (parquet/ndjson)")
+    p_diff.add_argument("new", help="current snapshot")
+    p_diff.add_argument("out_dir", help="writes (id, status) parquet")
+    p_diff.add_argument("--id-col", default="doc_id")
+    p_diff.add_argument(
+        "--compare-cols", default=None,
+        help="comma-separated content columns (default: all shared "
+             "non-id columns; schemas must then match)",
+    )
     p_sbatch = sub.add_parser("semdedup-batch")
     p_sbatch.add_argument("vectors", help="new-batch vector table")
     p_sbatch.add_argument("index_dir")
@@ -521,6 +533,27 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted {args.index_dir}: {stats['files_before']} -> "
             f"{stats['files_after']} files "
             f"({stats['bytes_before']} -> {stats['bytes_after']} bytes)"
+        )
+    elif args.cmd == "corpus-diff":
+        from pyspark.sql import functions as F
+
+        from siskin_spark.operators.dedup import corpus_diff
+
+        cols = args.compare_cols.split(",") if args.compare_cols else None
+        diff = corpus_diff(
+            _read(spark, args.old), _read(spark, args.new),
+            id_col=args.id_col, compare_cols=cols,
+        )
+        diff.write.mode("overwrite").parquet(args.out_dir)
+        out = spark.read.parquet(args.out_dir)
+        counts = {r["status"]: r["n"] for r in
+                  out.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        print(
+            f"diff at {args.out_dir}: "
+            f"{counts.get('added', 0)} added, "
+            f"{counts.get('changed', 0)} changed, "
+            f"{counts.get('removed', 0)} removed"
         )
     elif args.cmd == "semdedup-batch":
         from siskin_spark.functions.vectors import (

@@ -306,3 +306,59 @@ def snapshot_merge(
         touched.unionByName(delta, allowMissingColumns=False), keys, order_by
     )
     return untouched.unionByName(rededup)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """What changed between two corpus snapshots: (id, status) rows
+    with status in added / removed / changed — unchanged ids are
+    DROPPED, so the result is change-rate-sized (the companion to
+    :func:`snapshot_merge`: merge folds a delta in, diff tells you
+    what a new snapshot's delta IS — e.g. which docs to re-embed,
+    re-license, or re-export after a harvest; the reference answers
+    this by rebuilding and comparing full exports, span-compare
+    style).
+
+    ``compare_cols`` names the content columns whose change makes a
+    row 'changed' (default: every non-id column, sorted by name so
+    the fingerprint is schema-order-independent). Content is compared
+    via one ``xxhash64`` fingerprint per side. Both inputs must be
+    snapshots — deduplicated on ``id_col`` (the same invariant
+    :func:`snapshot_merge` states); a duplicated id would fan out in
+    the full-outer join. Compared — the join carries only
+    (id, 64-bit hash), so both corpora are scanned NARROW (column
+    pruning reaches the parquet scan) and the one shuffle each side
+    moves ~12 bytes/row regardless of document width. Hash collisions
+    (~2^-64 per changed pair) can only MISS a change, never invent
+    one; ids and adds/removes are exact.
+    """
+    if compare_cols is None:
+        compare_cols = sorted(c for c in new.columns if c != id_col)
+        old_cols = sorted(c for c in old.columns if c != id_col)
+        if old_cols != list(compare_cols):
+            raise ValueError(
+                "corpus_diff: snapshot schemas differ "
+                f"({old_cols} vs {sorted(compare_cols)}) — pass "
+                "compare_cols to diff on the shared content columns"
+            )
+    fp = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_fp"),
+    )
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .select(
+            id_col,
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+            .alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )

@@ -869,3 +869,26 @@ def test_cli_daily_oneliner_append_survivors_and_compact(capsys, tmp_path, spark
     assert main(none) == 0  # replayed day
     capsys.readouterr()
     assert spark.read.parquet(nidx + "/shingles").count() == n_sh
+
+
+def test_cli_corpus_diff(capsys, tmp_path, spark):
+    """r11 corpus-diff verb: change-rate-sized (id, status) delta
+    between two snapshots, counts printed."""
+    from siskin_spark.cli import main
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    po, pn = str(tmp_path / "cd_old"), str(tmp_path / "cd_new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    out = str(tmp_path / "cd_out")
+    assert main(["corpus-diff", po, pn, out]) == 0
+    printed = capsys.readouterr().out
+    assert "1 added, 1 changed, 1 removed" in printed
+    got = {(r["doc_id"], r["status"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(4, "added"), (2, "changed"), (3, "removed")}

@@ -1223,3 +1223,46 @@ def test_lsh_params_for_threshold_invariants():
         lsh_params_for_threshold(0.8, k_max=8, precision_guard=0.01)
     with _pytest.raises(ValueError, match="threshold"):
         lsh_params_for_threshold(1.5)
+
+
+@_slow
+@given(
+    old=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+                 max_size=12, unique_by=lambda r: r[0]),
+    new=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+                 max_size=12, unique_by=lambda r: r[0]),
+)
+def test_corpus_diff_matches_naive(spark, old, new):
+    """r11 corpus_diff: (id, status) equals the naive dict diff on any
+    pair of snapshots; unchanged ids never appear."""
+    from siskin_spark.operators.dedup import corpus_diff
+
+    schema = "doc_id int, payload int"
+    odf = spark.createDataFrame(old, schema) if old else \
+        spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(new, schema) if new else \
+        spark.createDataFrame([], schema)
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(odf, ndf).collect()}
+    om, nm = dict(old), dict(new)
+    want = {}
+    for i in set(om) | set(nm):
+        if i not in om:
+            want[i] = "added"
+        elif i not in nm:
+            want[i] = "removed"
+        elif om[i] != nm[i]:
+            want[i] = "changed"
+    assert got == want
+
+
+def test_corpus_diff_schema_guard(spark):
+    from siskin_spark.operators.dedup import corpus_diff
+
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    b = spark.createDataFrame([(1, "x", 2)], "doc_id int, text string, v int")
+    with _pytest.raises(ValueError, match="schemas differ"):
+        corpus_diff(a, b)
+    # explicit shared columns work across differing schemas
+    assert corpus_diff(a, b, compare_cols=["text"]).count() == 0
