@@ -321,6 +321,16 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--mix-budget", type=int, default=None)
     p_cur.add_argument("--sample", type=float, default=1.0,
                        help="deterministic keep fraction")
+    p_cur.add_argument("--token-budget", type=int, default=None,
+                       metavar="TOKENS",
+                       help="admit docs in seeded hash order until this "
+                       "many tokens (absolute token target, vs --sample's "
+                       "doc fraction)")
+    p_cur.add_argument("--token-mix", action="append", default=[],
+                       metavar="STRATUM=TOKENS",
+                       help="per-stratum token budgets over --strata-col "
+                       "(repeatable; training mixes are specified in "
+                       "tokens — domain_mix with token targets)")
     p_cur.add_argument("--pack", type=int, default=0, metavar="BUDGET",
                        help="emit sequence-packing layout + writer manifest")
     p_cur.add_argument("--split", default=None, metavar="NAME=F,NAME=F",
@@ -768,6 +778,28 @@ def main(argv: list[str] | None = None) -> int:
             df = cur.deterministic_sample(
                 df, args.sample, key_col=args.id_col, seed=args.seed + 1
             )
+        if args.token_budget is not None or args.token_mix:
+            if args.token_budget is not None and args.token_mix:
+                raise SystemExit(
+                    "error: --token-budget and --token-mix are exclusive "
+                    "(one global target or per-stratum targets)"
+                )
+            if args.token_mix:
+                tb = {
+                    k: int(v) for k, v in _parse_named_fractions(
+                        ",".join(args.token_mix), "--token-mix"
+                    ).items()
+                }
+                df = cur.token_budget_sample(
+                    _barrier(df), tb, id_col=args.id_col, text_col=tc,
+                    strata_col=args.strata_col, seed=args.seed + 4,
+                ).drop("n_tokens")
+            else:
+                df = cur.token_budget_sample(
+                    _barrier(df), args.token_budget, id_col=args.id_col,
+                    text_col=tc, seed=args.seed + 4,
+                ).drop("n_tokens")
+            staged_any = True
         if args.split:
             fr = _parse_named_fractions(args.split, "--split")
             # seed+3: independent of the sample (seed+1) and cap

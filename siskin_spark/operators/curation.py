@@ -1269,3 +1269,128 @@ def decontaminate(
         docs, benchmark, id_col, text_col, n, bench_text_col, broadcast_bench
     ).filter(F.col("overlap_frac") > max_overlap_frac)
     return docs.join(bad.select(id_col), id_col, "left_anti")
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int | dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: Column | None = None,
+    strata_col: str | None = None,
+    seed: int = 0,
+    include_partial: bool = False,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic TOKEN-budget sampling: admit documents in seeded
+    hash order until the cumulative token count reaches ``budget`` —
+    the operator behind "give me 100 B tokens of this corpus" /
+    "40 B of web + 5 B of code" (training mixes are specified in
+    tokens; :func:`deterministic_sample` thins by DOC fraction, which
+    over-represents long documents' token mass and can't hit an
+    absolute token target at all). With ``strata_col``, ``budget`` is
+    a {stratum: tokens} dict and each stratum fills its own budget
+    from its own hash order — :func:`domain_mix` with token targets
+    instead of row fractions.
+
+    Deterministic and stable under corpus growth THE SAME WAY the
+    hash-threshold samplers are: a doc's admission rank is its seeded
+    ``xxhash64(id)``, so re-running on a superset corpus keeps every
+    previously-admitted doc whose rank still fits the budget —
+    there is no RNG state and no dependence on partitioning.
+
+    ``include_partial=False`` (default) keeps the total AT OR UNDER
+    the budget (the straddling doc is excluded); ``True`` admits the
+    straddler, overshooting by less than one document — pick by
+    whether the consumer truncates (sequence packing does).
+
+    Scale design: the naive form is a global ``sum() OVER (ORDER BY
+    hash)`` — a single-reducer cumsum. This runs the same two-phase
+    parallel prefix sum as :func:`token_sequence_layout`, keyed by
+    truncating-division buckets of the hash (monotone in the hash, so
+    bucket order = admission order): per-(stratum, bucket) totals
+    (one map-side-combined groupBy, ≤ strata x ``n_buckets`` rows)
+    collect to the driver, prefix-sum there, rejoin as a broadcast
+    offset table, and each bucket cumsums independently. The corpus
+    shuffles once, as (row, count) into rank order.
+    """
+    n = (
+        F.size(tokens(F.col(text_col))).cast("long")
+        if n_tokens is None
+        else n_tokens.cast("long")
+    )
+    staged = docs.withColumn("_tbs_n", F.coalesce(n, F.lit(0)))
+    if strata_col is None:
+        if not isinstance(budget, int):
+            raise ValueError(
+                "token_budget_sample: budget must be an int without "
+                f"strata_col, got {type(budget).__name__}"
+            )
+        staged = staged.withColumn("_tbs_s", F.lit("_all"))
+        budgets = {"_all": int(budget)}
+    else:
+        if not isinstance(budget, dict):
+            raise ValueError(
+                "token_budget_sample: budget must be a {stratum: tokens} "
+                "dict with strata_col"
+            )
+        staged = staged.withColumn(
+            "_tbs_s", F.col(strata_col).cast("string")
+        )
+        budgets = {str(k): int(v) for k, v in budget.items()}
+    staged = staged.withColumn(
+        "_tbs_h",
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+    )
+    chunk = (1 << 64) // n_buckets
+    staged = staged.withColumn("_tbs_b", F.expr(f"_tbs_h div {chunk}"))
+    staged = staged.localCheckpoint(eager=False)  # 2 jobs share the scan
+    totals = (
+        staged.groupBy("_tbs_s", "_tbs_b")
+        .agg(F.sum("_tbs_n").alias("t"))
+        .collect()
+    )
+    seen_strata = {r["_tbs_s"] for r in totals}
+    missing = sorted(seen_strata - set(budgets))
+    if missing:
+        raise ValueError(
+            f"token_budget_sample: strata with no budget: {missing} — "
+            "every stratum present in the corpus needs an entry "
+            "(0 to drop it explicitly)"
+        )
+    offsets, acc = [], {}
+    for s, b, t in sorted((r["_tbs_s"], r["_tbs_b"], int(r["t"])) for r in totals):
+        offsets.append((s, b, acc.get(s, 0)))
+        acc[s] = acc.get(s, 0) + t
+    if not offsets:  # empty corpus: emit the output schema, zero rows
+        return docs.limit(0).withColumn(
+            "n_tokens", F.lit(0).cast("long")
+        )
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, "_tbs_s string, _tbs_b long, _tbs_off long"
+    )
+    bexpr = F.coalesce(
+        *[
+            F.when(F.col("_tbs_s") == F.lit(s), F.lit(v).cast("long"))
+            for s, v in budgets.items()
+        ],
+        F.lit(0).cast("long"),
+    ) if budgets else F.lit(0).cast("long")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_tbs_s", "_tbs_b")
+        .orderBy("_tbs_h", id_col)  # id tie-break: hash collisions stay deterministic
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_tbs_n").over(w) + F.col("_tbs_off")
+    keep = (
+        (cum - F.col("_tbs_n")) < bexpr if include_partial else cum <= bexpr
+    )
+    return (
+        staged.join(F.broadcast(off_df), ["_tbs_s", "_tbs_b"])
+        .withColumn("_tbs_keep", keep)
+        .where(F.col("_tbs_keep"))
+        .select(*docs.columns, F.col("_tbs_n").alias("n_tokens"))
+    )

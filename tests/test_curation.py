@@ -1291,3 +1291,88 @@ def test_unigram_logprob_validation():
         C.unigram_logprob_table([])
     with pytest.raises(ValueError, match="k must be > 0"):
         C.unigram_logprob_table([("a", 1)], k=0)
+
+
+def test_token_budget_sample_matches_naive(spark):
+    """r11 token_budget_sample: the kept set equals the naive greedy
+    prefix over seeded-hash order, totals respect the budget on both
+    partial modes, growth-stability holds, and per-stratum budgets
+    fill independently."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i % 7) + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    # the naive reference: greedy prefix over (xxhash64(id), id) order
+    ranked = docs.select(
+        "doc_id",
+        F.xxhash64(F.col("doc_id").cast("string"), F.lit(5)).alias("h"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).collect()
+    order = sorted(ranked, key=lambda r: (r["h"], r["doc_id"]))
+    budget = 150
+    want, want_partial, cum = set(), set(), 0
+    for r in order:
+        if cum < budget:
+            want_partial.add(r["doc_id"])
+        if cum + r["n"] <= budget:
+            want.add(r["doc_id"])
+        cum += r["n"]
+
+    got = token_budget_sample(docs, budget, seed=5)
+    rows = got.collect()
+    assert {r["doc_id"] for r in rows} == want
+    assert sum(r["n_tokens"] for r in rows) <= budget
+    gp = token_budget_sample(docs, budget, seed=5, include_partial=True)
+    rows_p = gp.collect()
+    assert {r["doc_id"] for r in rows_p} == want_partial
+    assert sum(r["n_tokens"] for r in rows_p) >= budget
+
+    # growth stability: on a 2x corpus every kept doc whose rank still
+    # fits remains kept (no reshuffling of admitted mass)
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(1000 + i, "a b c") for i in range(200)], "doc_id long, text string"
+    ))
+    got2 = {r["doc_id"] for r in
+            token_budget_sample(docs2, budget, seed=5).collect()}
+    # naive over the grown corpus
+    ranked2 = docs2.select(
+        "doc_id",
+        F.xxhash64(F.col("doc_id").cast("string"), F.lit(5)).alias("h"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).collect()
+    cum2, want2 = 0, set()
+    for r in sorted(ranked2, key=lambda r: (r["h"], r["doc_id"])):
+        if cum2 + r["n"] <= budget:
+            want2.add(r["doc_id"])
+        cum2 += r["n"]
+    assert got2 == want2
+
+    # strata: independent per-stratum budgets; missing stratum raises
+    sd = docs.withColumn(
+        "dom", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    )
+    mixed = token_budget_sample(
+        sd, {"web": 80, "code": 40}, strata_col="dom", seed=5
+    )
+    per = {
+        r["dom"]: r["t"]
+        for r in mixed.groupBy("dom").agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()
+    }
+    assert per["web"] <= 80 and per["code"] <= 40
+    assert per["web"] > 60 and per["code"] > 25  # budgets actually fill
+    with _pytest.raises(ValueError, match="strata with no budget"):
+        token_budget_sample(sd, {"web": 80}, strata_col="dom", seed=5)
+    with _pytest.raises(ValueError, match="budget must be an int"):
+        token_budget_sample(docs, {"x": 1})
+    # empty corpus keeps the output schema
+    assert token_budget_sample(docs.limit(0), 10).columns == [
+        "doc_id", "text", "n_tokens"
+    ]

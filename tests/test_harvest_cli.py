@@ -892,3 +892,40 @@ def test_cli_corpus_diff(capsys, tmp_path, spark):
     got = {(r["doc_id"], r["status"])
            for r in spark.read.parquet(out).collect()}
     assert got == {(4, "added"), (2, "changed"), (3, "removed")}
+
+
+def test_cli_curate_token_budget(capsys, tmp_path, spark):
+    """r11: curate --token-budget admits docs in hash order to an
+    absolute token target; --token-mix fills per-stratum budgets."""
+    from siskin_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5)),
+          "web" if i % 2 == 0 else "code") for i in range(100)],
+        "doc_id long, text string, dom string",
+    )
+    docs_path = str(tmp_path / "tb_docs")
+    docs.write.parquet(docs_path)
+    out = str(tmp_path / "tb_out")
+    assert main(["curate", docs_path, out, "--token-budget", "100"]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(out + "/docs")
+    assert got.count() == 20  # 5 tokens/doc -> exactly 20 admitted
+    assert "n_tokens" not in got.columns  # chain column hygiene
+
+    out2 = str(tmp_path / "tb_out2")
+    assert main([
+        "curate", docs_path, out2, "--strata-col", "dom",
+        "--token-mix", "web=50", "--token-mix", "code=25",
+    ]) == 0
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+    per = {r["dom"]: r["n"] for r in
+           spark.read.parquet(out2 + "/docs")
+           .groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"web": 10, "code": 5}
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="exclusive"):
+        main(["curate", docs_path, str(tmp_path / "tb_x"),
+              "--token-budget", "10", "--token-mix", "web=5"])
