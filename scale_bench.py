@@ -704,6 +704,41 @@ def _sq8_leg(spark, vectors, results: dict, timed) -> None:
     results["sq8_pair_set_diff"] = len(pf ^ pq)
 
 
+def _token_budget_leg(spark, docs, results: dict, timed) -> None:
+    """r11 token_budget_sample at full scale: admit ~40% of the 3M-doc
+    corpus's token mass by absolute target — the two-phase prefix sum
+    must hold the corpus to ONE shuffle (a global-window form would
+    single-reducer the cumsum). Also the per-stratum form over a
+    10-way synthetic domain split."""
+    from siskin_spark.operators.curation import token_budget_sample
+
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()["t"]
+    results["tokbudget_corpus_tokens"] = int(total)
+    target = int(total * 0.4)
+
+    def flat():
+        return token_budget_sample(docs, target, seed=7)
+
+    timed(flat())
+    results["tokbudget_flat_s"] = min(timed(flat()) for _ in range(3))
+    kept = flat().agg(F.sum("n_tokens").alias("t")).first()["t"]
+    results["tokbudget_flat_kept_tokens"] = int(kept)
+    assert kept <= target
+
+    sd = docs.withColumn("dom", (F.col("doc_id") % 10).cast("string"))
+    budgets = {str(i): target // 20 for i in range(10)}
+
+    def strat():
+        return token_budget_sample(
+            sd, budgets, strata_col="dom", seed=7
+        )
+
+    timed(strat())
+    results["tokbudget_strata_s"] = min(timed(strat()) for _ in range(3))
+
+
 def _unilp_join_leg(spark, docs, results: dict, timed) -> None:
     """r11 verdict #5: the >literal_max explode + broadcast-join form
     of ``with_unigram_logprob`` at full scale with a 100K-token lp6
@@ -1035,7 +1070,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8",
+        "sq8", "tokbudget",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1073,6 +1108,9 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _sq8_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "tokbudget":
+            _control_leg(spark, results, timed_only)
+            _token_budget_leg(spark, docs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first
