@@ -37,6 +37,8 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             opt-in: --quality (Gopher gates),
                             --line-dedup N, --decontaminate BENCH,
                             --mix STRATUM=W..., --sample FRAC,
+                            --token-budget N / --token-mix S=N (absolute
+                            token targets), --split NAME=F...,
                             --pack BUDGET (writes layout + manifest)
   bench [SF_DIR]            delegate to bench.py
 

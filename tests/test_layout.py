@@ -127,3 +127,34 @@ def test_compact_parquet_cluster_by_keeps_key_locality(spark, events, tmp_path):
         .first()[0]
     )
     assert spread == 1
+
+
+def test_staged_append_converges_after_partial_move(tmp_path, spark):
+    """r11 staged_append: a crash that lands only SOME of the staged
+    part files must converge to exactly one copy on retry — the sweep
+    removes the partial placement before re-placing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.layout import staged_append
+
+    dest = str(tmp_path / "dest")
+    spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k")) \
+        .write.parquet(dest)
+    # 3 pinned partitions -> 3 staged part files (AQE would coalesce a
+    # 20-row cluster_col shuffle to one file and there'd be no "partial"
+    # to simulate)
+    batch = spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    ).repartition(3)
+    staged_append(batch, dest, str(tmp_path / "stage"), "batch-d1-")
+    assert spark.read.parquet(dest).count() == 30
+    # simulate the crash: delete ONE placed batch file (as if the move
+    # died midway), then replay the whole append
+    placed = sorted(f for f in os.listdir(dest) if f.startswith("batch-d1-"))
+    assert len(placed) >= 2
+    os.remove(os.path.join(dest, placed[0]))
+    assert spark.read.parquet(dest).count() < 30
+    staged_append(batch, dest, str(tmp_path / "stage"), "batch-d1-")
+    assert spark.read.parquet(dest).count() == 30  # converged, not doubled
