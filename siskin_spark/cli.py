@@ -787,11 +787,16 @@ def main(argv: list[str] | None = None) -> int:
                     "(one global target or per-stratum targets)"
                 )
             if args.token_mix:
-                tb = {
-                    k: int(v) for k, v in _parse_named_fractions(
-                        ",".join(args.token_mix), "--token-mix"
-                    ).items()
-                }
+                fr = _parse_named_fractions(
+                    ",".join(args.token_mix), "--token-mix"
+                )
+                bad = {k: v for k, v in fr.items() if v != int(v)}
+                if bad:
+                    raise SystemExit(
+                        f"error: --token-mix budgets must be whole token "
+                        f"counts, got {bad}"
+                    )
+                tb = {k: int(v) for k, v in fr.items()}
                 df = cur.token_budget_sample(
                     _barrier(df), tb, id_col=args.id_col, text_col=tc,
                     strata_col=args.strata_col, seed=args.seed + 4,
