@@ -1266,3 +1266,78 @@ def test_corpus_diff_schema_guard(spark):
         corpus_diff(a, b)
     # explicit shared columns work across differing schemas
     assert corpus_diff(a, b, compare_cols=["text"]).count() == 0
+
+
+@_slow
+@given(
+    n_corpus=st.integers(30, 60),
+    n_batch=st.integers(3, 12),
+    dup_of=st.lists(st.integers(0, 29), max_size=4, unique=True),
+    seed=st.integers(0, 3),
+)
+def test_incremental_semdedup_equals_full_recompute_property(
+    spark, tmp_path_factory, n_corpus, n_batch, dup_of, seed
+):
+    """r11 hypothesis hardening of the C21 fixture test: for random
+    corpora/batches/planted-dup sets, the incremental admit against a
+    persisted index finds EXACTLY the batch-touching pairs of a full
+    semantic_dedup_pairs over (corpus + batch) under the same frozen
+    centroids — both engines, chunked and not."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semantic_dedup_pairs,
+        semdedup_index_build,
+    )
+
+    rng = np.random.default_rng(100 + seed)
+    X = rng.normal(size=(n_corpus, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n_corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    idx_dir = str(tmp_path_factory.mktemp("semprop") / "idx")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=n_corpus, iters=3, seed=2)
+
+    rows = []
+    for j in range(n_batch):
+        w = rng.normal(size=16)
+        rows.append((500 + j, [float(x) for x in w / np.linalg.norm(w)]))
+    for m, b in enumerate(dup_of):
+        if b < n_corpus:
+            rows.append((600 + m, [float(x) for x in X[b]]))
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["vec_id"], r["dup_of"])
+        for r in incremental_semdedup(
+            spark, batch, idx_dir, threshold=0.9
+        ).collect()
+    }
+    chunked = {
+        (r["vec_id"], r["dup_of"])
+        for r in incremental_semdedup(
+            spark, batch, idx_dir, threshold=0.9, batch_chunk_rows=3
+        ).collect()
+    }
+    expr = {
+        (r["vec_id"], r["dup_of"])
+        for r in incremental_semdedup(
+            spark, batch, idx_dir, threshold=0.9, engine="expr"
+        ).collect()
+    }
+    assert got == chunked == expr
+
+    cents = spark.read.parquet(idx_dir + "/centroids")
+    batch_ids = {r[0] for r in rows}
+    want = set()
+    for r in semantic_dedup_pairs(
+        corpus.unionByName(batch), cents, threshold=0.9, max_cell_rows=None
+    ).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in batch_ids or b in batch_ids:
+            drop, keep = (b, a) if b in batch_ids else (a, b)
+            want.add((drop, keep))
+    assert got == want
