@@ -1082,9 +1082,10 @@ def _sem_quantize_q8(assigned: DataFrame) -> DataFrame:
     the compare renormalizes: the gemm engine's per-Arrow-batch
     ``X / |X|`` maps the int8 rows back onto the unit sphere, so the
     stored magnitude is irrelevant — only the rounding of the
-    DIRECTION costs accuracy (cosine error ~1/127 worst-case per
-    component pair, ~2e-3 typical at 64-768 dims; pairs sitting
-    within that of the threshold may flip, the documented SQ8 trade).
+    DIRECTION costs accuracy (measured over random unit pairs:
+    ~1.5e-3 median, ~7e-3 observed tail, dimension-independent at
+    64-768 dims — pairs within ~1e-2 of the threshold may flip, the
+    documented SQ8 trade; tests/test_vectors.py pins the bound).
     A zero-norm embedding quantizes to all zeros and keeps its
     zero-pair contract. The ``norm`` column keeps the ORIGINAL float
     norm (diagnostics; the quantized compare never reads it)."""
@@ -1315,8 +1316,8 @@ def incremental_semdedup(
     An ``store='int8'`` index (see :func:`semdedup_index_build`) rides
     the gemm engine unchanged — its per-batch renormalization maps the
     stored int8 unit vectors back onto the sphere, so quantization
-    costs ~2e-3 cosine accuracy and nothing else; the expr engine
-    raises on such an index.
+    costs ~1.5e-3 median (~1e-2 tail) cosine accuracy and nothing
+    else; the expr engine raises on such an index.
 
     ``max_batch_cell_rows`` guards index-side degenerate-cell skew as
     a DRIVER-SIDE lookup against the meta's persisted cell histogram

@@ -1157,3 +1157,32 @@ def test_semdedup_index_int8_store(tmp_path, spark):
     hits = {(r["vec_id"], r["dup_of"]) for r in
             incremental_semdedup(spark, probe, q8_dir, threshold=0.95).collect()}
     assert (800, 700) in hits
+
+
+def test_sq8_quantization_error_bound(spark):
+    """The int8 store's documented accuracy claim, measured: over
+    random unit-vector pairs, |cos(q8(a), b) - cos(a, b)| is ~1.5e-3
+    median / under ~1e-2 at the observed tail, and DIMENSION-
+    INDEPENDENT (measured 64/256/768: medians 1.5e-3..1.7e-3) — the
+    error that decides whether a threshold-adjacent pair flips. Pure
+    numpy mirror of the engine math (quantize like _sem_quantize_q8,
+    renormalize like the gemm emit), so the bound is pinned against
+    the same arithmetic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(300, DIM))
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    B = rng.normal(size=(300, DIM))
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+    Q = np.round(A * 127.0)  # _sem_quantize_q8 on unit vectors
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)  # gemm renormalize
+    err = np.abs(np.sum(Qn * B, axis=1) - np.sum(A * B, axis=1))
+    assert err.max() < 1.2e-2
+    assert np.median(err) < 2.5e-3
+    # near-duplicate pairs (the regime SemDeDup thresholds live in):
+    # perturb A slightly and check the quantized cosine tracks
+    P = A + 0.05 * rng.normal(size=A.shape)
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    err_nd = np.abs(np.sum(Qn * P, axis=1) - np.sum(A * P, axis=1))
+    assert err_nd.max() < 1.2e-2
