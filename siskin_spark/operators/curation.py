@@ -1313,6 +1313,11 @@ def token_budget_sample(
     collect to the driver, prefix-sum there, rejoin as a broadcast
     offset table, and each bucket cumsums independently. The corpus
     shuffles once, as (row, count) into rank order.
+
+    Contract: ``id_col`` must be unique (the admission identity is
+    the id — duplicated ids share a hash rank and the boundary
+    becomes order-dependent); the output appends/overwrites an
+    ``n_tokens`` column with the counted tokens.
     """
     n = (
         F.size(tokens(F.col(text_col))).cast("long")
@@ -1392,5 +1397,8 @@ def token_budget_sample(
         staged.join(F.broadcast(off_df), ["_tbs_s", "_tbs_b"])
         .withColumn("_tbs_keep", keep)
         .where(F.col("_tbs_keep"))
-        .select(*docs.columns, F.col("_tbs_n").alias("n_tokens"))
+        .select(
+            *[c for c in docs.columns if c != "n_tokens"],
+            F.col("_tbs_n").alias("n_tokens"),
+        )
     )
