@@ -247,6 +247,12 @@ def main(argv: list[str] | None = None) -> int:
     p_sbatch.add_argument("--max-cell-rows", type=int, default=500_000,
                           help="index-side hot-cell bound (0 disables)")
     p_sbatch.add_argument(
+        "--nprobe", type=int, default=1,
+        help="compare each batch vector against its n nearest cells "
+             "(recall lever for cell-boundary near-dups; vs-index work "
+             "scales ~linearly with n)",
+    )
+    p_sbatch.add_argument(
         "--chunk-rows", type=int, default=None,
         help="gemm engine: rows per collected batch chunk (default: "
              "derived from --chunk-budget-mb and the embedding dim)",
@@ -580,6 +586,7 @@ def main(argv: list[str] | None = None) -> int:
             max_batch_cell_rows=args.max_cell_rows or None,
             batch_chunk_rows=args.chunk_rows,
             batch_budget_bytes=args.chunk_budget_mb << 20,
+            nprobe=args.nprobe,
         )
         pairs_path = os.path.join(args.out_dir, "pairs")
         pairs.write.mode("overwrite").parquet(pairs_path)

@@ -1053,6 +1053,67 @@ def _sem_assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> 
     )
 
 
+def _sem_assign_probes(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Multi-probe cell assignment for the ADMIT side: up to
+    ``nprobe`` (vec_id, cid, _rank) rows per vector, nearest cells
+    first — rank 0 is EXACTLY :func:`_sem_assign`'s cell (same GEMM
+    argmax, same smaller-cid tie rule: a stable argsort of the negated
+    sims puts equal values in index order). The canonical batch
+    columns (norm, embedding) repeat per rank; probe tables are
+    batch-sized x nprobe, never corpus-sized, so the duplication is
+    the cheap side of recovering cell-boundary pairs."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = cents.select("cid", "cv").collect()
+    rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    npb = max(1, min(int(nprobe), len(cids)))
+
+    src = emb.select(
+        F.col(id_col).alias("vec_id"),
+        norm(F.col(vec_col)).alias("norm"),
+        F.col(vec_col).alias("embedding"),
+    )
+    out_schema = StructType(
+        list(src.schema.fields)
+        + [StructField("cid", LongType(), False),
+           StructField("_rank", LongType(), False)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] == 0:
+                raise ValueError(
+                    "_sem_assign_probes: embedding must be fixed-width "
+                    f"non-empty arrays; got batch array of shape {X.shape}"
+                )
+            xn = np.linalg.norm(X, axis=1)
+            Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
+            sims = Xn @ Cn.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            reps = []
+            for r in range(npb):
+                part = pdf.copy()
+                part["cid"] = cids[order[:, r]]
+                part["_rank"] = r
+                reps.append(part)
+            yield pd.concat(reps, ignore_index=True)
+
+    return src.mapInPandas(assign, out_schema)
+
+
 def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
     """Refresh ``meta['cell_counts']`` from the written ``cells/``
     table (ONE narrow cid-column scan, k-bounded collect) and persist
@@ -1265,6 +1326,7 @@ def incremental_semdedup(
     sim_buffer_bytes: int = 64 << 20,
     batch_chunk_rows: int | None = None,
     batch_budget_bytes: int = 256 << 20,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Semantic-duplicate pairs between a NEW embedding batch and
     (index corpus + batch), without re-comparing the corpus: returns
@@ -1325,7 +1387,20 @@ def incremental_semdedup(
     back to ONE live count restricted to the touched cells — the
     guard never silently disables. An index hot cell means the index
     was built with too-coarse cells; fix it at build time. None
-    disables."""
+    disables.
+
+    ``nprobe`` is the FAISS-style recall lever for SemDeDup's known
+    miss class, cell-BOUNDARY pairs: a batch vector whose true near-
+    duplicate sits just across a centroid boundary never meets it
+    under same-cell compare. ``nprobe=n`` compares each batch vector
+    against its n nearest cells' index rows (the vs-index work and
+    the packed/broadcast bytes scale ~linearly with n; the guard
+    covers every probed cell; at nprobe = k the vs-index compare is
+    exhaustive — provably equal to brute force, pinned in tests).
+    Batch-INTERNAL pairs stay primary-cell-only: their miss class is
+    the same boundary trade the corpus-wide operator accepts, and a
+    multi-probe self-join would double-count pairs whose members
+    probe each other's cells."""
     import os
 
     if engine not in ("expr", "gemm"):
@@ -1343,15 +1418,33 @@ def incremental_semdedup(
             "gemm engine, whose per-batch renormalization dequantizes "
             "the stored unit vectors"
         )
+    if int(nprobe) < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    batch = _sem_assign(new_emb, cents, id_col, vec_col).select(
-        F.col("vec_id").alias("_bid"),
-        "cid",
-        F.col("norm").alias("_bn"),
-        F.col("embedding").alias("_bv"),
-    ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
+    if nprobe > 1:
+        # one GEMM pass emits every probe rank; rank 0 IS the primary
+        # assignment (same argmax/tie rules as _sem_assign)
+        probes = _sem_assign_probes(
+            new_emb, cents, id_col, vec_col, nprobe
+        ).select(
+            F.col("vec_id").alias("_bid"),
+            "cid",
+            F.col("norm").alias("_bn"),
+            F.col("embedding").alias("_bv"),
+            "_rank",
+        ).localCheckpoint(eager=True)
+        batch = probes.filter(F.col("_rank") == 0).drop("_rank")
+        probes = probes.drop("_rank")
+    else:
+        batch = _sem_assign(new_emb, cents, id_col, vec_col).select(
+            F.col("vec_id").alias("_bid"),
+            "cid",
+            F.col("norm").alias("_bn"),
+            F.col("embedding").alias("_bv"),
+        ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
+        probes = batch
 
     def guard(touched) -> None:
         if max_batch_cell_rows is None:
@@ -1393,12 +1486,14 @@ def incremental_semdedup(
         # Arrow is OFF by default in a vanilla session (our session.py
         # enables it, arbitrary callers may not) and toPandas would
         # silently fall back to the Row path — pin it on for exactly
-        # this collect and restore the caller's setting after
+        # this collect and restore the caller's setting after.
+        # The collect is of PROBES (batch x nprobe rows), so the chunk
+        # budget naturally accounts for the multi-probe inflation.
         _AK = "spark.sql.execution.arrow.pyspark.enabled"
         prev = spark.conf.get(_AK, "false")
         spark.conf.set(_AK, "true")
         try:
-            pdf = batch.select("_bid", "cid", "_bv").toPandas()
+            pdf = probes.select("_bid", "cid", "_bv").toPandas()
         finally:
             spark.conf.set(_AK, prev)
         guard({int(c) for c in pdf["cid"].unique()})
@@ -1450,7 +1545,7 @@ def incremental_semdedup(
         )
         return vs_index.unionByName(vs_batch)
 
-    guard({int(r["cid"]) for r in batch.select("cid").distinct().collect()})
+    guard({int(r["cid"]) for r in probes.select("cid").distinct().collect()})
     zero_safe = F.when(
         F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
     ).otherwise(
@@ -1459,7 +1554,7 @@ def incremental_semdedup(
         )
     )
     vs_index = (
-        cells.join(F.broadcast(batch), "cid")
+        cells.join(F.broadcast(probes), "cid")
         .filter(F.col("_bid") != F.col("vec_id"))
         .select(
             F.col("_bid").alias("vec_id"),

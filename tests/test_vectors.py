@@ -1186,3 +1186,73 @@ def test_sq8_quantization_error_bound(spark):
     P = P / np.linalg.norm(P, axis=1, keepdims=True)
     err_nd = np.abs(np.sum(Qn * P, axis=1) - np.sum(A * P, axis=1))
     assert err_nd.max() < 1.2e-2
+
+
+def test_incremental_semdedup_nprobe_boundary_recovery(tmp_path, spark):
+    """r11 nprobe: a true near-dup pair straddling a centroid boundary
+    (cos ~0.999, different primary cells) is invisible at nprobe=1 and
+    found at nprobe=2 — on both engines and on the chunked path; at
+    nprobe=k the vs-index compare equals numpy brute force."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    e0, e1 = np.zeros(DIM), np.zeros(DIM)
+    e0[0], e1[1] = 1.0, 1.0
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in e0]), (1, [float(x) for x in e1])],
+        "cid int, cv array<float>",
+    )
+    # index: a vector leaning into cell 1, plus filler in both cells
+    rng = np.random.default_rng(37)
+    iv = e0 + 1.05 * e1
+    iv = iv / np.linalg.norm(iv)
+    rows = [(10, [float(x) for x in iv])]
+    for j in range(20):
+        w = rng.normal(size=DIM) * 0.1
+        w[j % 2] += 2.0  # cell j%2
+        rows.append((100 + j, [float(x) for x in w / np.linalg.norm(w)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "npidx")
+    semdedup_index_build(corpus, idx_dir, centroids=cents)
+
+    # batch: the boundary partner, leaning into cell 0
+    bv = 1.05 * e0 + e1
+    bv = bv / np.linalg.norm(bv)
+    batch = spark.createDataFrame(
+        [(900, [float(x) for x in bv])], "vec_id long, embedding array<float>"
+    )
+    true_cos = float(np.dot(iv, bv))
+    assert true_cos > 0.99  # genuinely a near-dup
+
+    def pairs(**kw):
+        return {
+            (r["vec_id"], r["dup_of"]): r["cos_sim"]
+            for r in incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.95, **kw
+            ).collect()
+        }
+
+    assert (900, 10) not in pairs()  # the nprobe=1 miss class
+    for kw in (
+        {"nprobe": 2},
+        {"nprobe": 2, "engine": "expr"},
+        {"nprobe": 2, "batch_chunk_rows": 1},
+    ):
+        got = pairs(**kw)
+        assert (900, 10) in got, kw
+        # engine sees float32-cast embeddings; ~1e-7 relative
+        assert abs(got[(900, 10)] - true_cos) < 1e-6, kw
+
+    # nprobe >= k: exhaustive vs-index == numpy brute force
+    X = np.array([r[1] for r in rows])
+    brute = {
+        (900, rows[m][0])
+        for m in range(len(rows))
+        if float(np.dot(X[m], bv)) >= 0.95
+    }
+    got_all = pairs(nprobe=2)  # k=2 cells, so nprobe=2 IS exhaustive
+    assert set(got_all) == brute
