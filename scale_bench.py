@@ -587,6 +587,42 @@ def _semincr_chunked_leg(spark, vectors, results: dict, timed) -> None:
         )
 
 
+def _nprobe_leg(spark, vectors, results: dict, timed) -> None:
+    """r11 nprobe: price the multi-probe admit — wall and pairs found
+    at nprobe 1/2/4 against the same index/batch as the chunked leg.
+    Extra pairs over nprobe=1 are exactly the cell-boundary recoveries
+    (the planted (id-1, id) partners whose eps-perturbation crossed a
+    centroid boundary)."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    is_batch = (F.col("vec_id") % 100 == 37) | (F.col("vec_id") % 1000 == 1)
+    batch = vectors.filter(is_batch)
+    corpus = vectors.filter(~is_batch)
+    idx = os.path.join(CORPUS, "sem_index_nprobe")
+    _sh.rmtree(idx, ignore_errors=True)
+    semdedup_index_build(corpus, idx, k=256, sample=100_000, iters=10)
+    for n in (1, 2, 4):
+        pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_np{n}")
+
+        def incr():
+            return incremental_semdedup(
+                spark, batch, idx, threshold=0.95, nprobe=n
+            )
+
+        timed(incr())  # warm-up
+        t0 = time.perf_counter()
+        incr().write.mode("overwrite").parquet(pairs_dir)
+        results[f"nprobe_{n}_s"] = time.perf_counter() - t0
+        results[f"nprobe_{n}_pairs"] = (
+            spark.read.parquet(pairs_dir).count()
+        )
+
+
 def _subcentroid_sweep_leg(spark, vectors, results: dict, timed) -> None:
     """r11 verdict #4: the recall–budget curve the README promises for
     the sub-centroid hot-cell guard, priced. Same skewed centroid
@@ -1070,7 +1106,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8", "tokbudget",
+        "sq8", "tokbudget", "nprobe",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1111,6 +1147,10 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "tokbudget":
             _control_leg(spark, results, timed_only)
             _token_budget_leg(spark, docs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "nprobe":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _nprobe_leg(spark, vecs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first
