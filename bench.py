@@ -170,6 +170,12 @@ def main() -> None:
         # host (jvm control 2.2 vs 1.62) reads ~35% lower here, no
         # footnote needed. Only comparable between records with equal
         # "cpus" (the control parallelizes over the same local[N]).
+        # The rescale is linear and calibrated on mild drift; under
+        # HEAVY steal (control >= 2x the pin) the pure-JVM control
+        # slows more than mixed query work does and the correction
+        # OVERSTATES — prefer the control-best committed record for
+        # cross-round tables and treat heavy-window normalized values
+        # as a lower bound.
         "control_normalized_s": round(
             total * _JVM_CONTROL_REF_S / controls["control_jvm_xxhash_s"], 4
         ),

@@ -1376,3 +1376,26 @@ def test_token_budget_sample_matches_naive(spark):
     assert token_budget_sample(docs.limit(0), 10).columns == [
         "doc_id", "text", "n_tokens"
     ]
+
+
+def test_token_budget_sample_plan_single_shuffle(spark):
+    """Plan guard: the two-phase prefix sum must hold the corpus to
+    ONE hash exchange (the rank shuffle) plus the broadcast offset
+    table — a regression to a global window would show as an extra
+    single-partition exchange."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.curation import token_budget_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = token_budget_sample(docs, 100, seed=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    hash_ex = re.findall(r"Exchange hashpartitioning", plan)
+    single = re.findall(r"Exchange SinglePartition", plan)
+    assert len(hash_ex) == 1, plan
+    assert not single, plan
+    assert "BroadcastExchange" in plan
