@@ -1312,7 +1312,12 @@ def token_budget_sample(
     (one map-side-combined groupBy, ≤ strata x ``n_buckets`` rows)
     collect to the driver, prefix-sum there, rejoin as a broadcast
     offset table, and each bucket cumsums independently. The corpus
-    shuffles once, as (row, count) into rank order.
+    shuffles once, as (row, count) into rank order. The driver-side
+    offsets collect is strata x ``n_buckets`` rows — sized for
+    BOUNDED strata (languages/domains: tens to thousands); a
+    million-value strata column belongs in :func:`domain_cap_mark`'s
+    hash territory, not here (lower ``n_buckets`` if strata
+    cardinality must run high).
 
     Contract: ``id_col`` must be unique (the admission identity is
     the id — duplicated ids share a hash rank and the boundary
