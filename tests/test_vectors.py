@@ -1130,6 +1130,15 @@ def test_semdedup_index_int8_store(tmp_path, spark):
 
     pf, pq = pairs(f32_dir), pairs(q8_dir)
     assert set(pf) == set(pq) and (900, 7) in pq
+    # composition: the chunked path over the quantized index is the
+    # same pair set (shared gemm code, co-pinned here)
+    q8_chunked = {
+        (r["vec_id"], r["dup_of"])
+        for r in incremental_semdedup(
+            spark, batch, q8_dir, threshold=0.9, batch_chunk_rows=5
+        ).collect()
+    }
+    assert q8_chunked == set(pq)
     for p in pf:
         assert abs(pf[p] - pq[p]) < 0.01  # SQ8 error bound
     assert pq[(900, 7)] > 0.999
