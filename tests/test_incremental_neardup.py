@@ -285,3 +285,10 @@ def test_index_append_idempotent(spark, index_dir):
         .collect()
     ]
     assert hits == [(300, 200, 1.0)]
+    # compaction keeps the replay ledger: a compacted-away batch still
+    # no-ops on replay (the meta json is not touched by the rewrite)
+    from siskin_spark.operators.neardup import neardup_index_compact
+
+    neardup_index_compact(spark, index_dir)
+    neardup_index_append(b, index_dir, batch_id="2026-08-16")
+    assert (bands(), sh()) == (nb, ns)
