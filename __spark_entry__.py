@@ -2765,13 +2765,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_COS.replace('pv', 'b.v').replace('iv', 'i.v')} AS cos_sim
       FROM bassign b JOIN iassign i USING (cid)
       WHERE b.vec_id <> i.vec_id
-        AND {_COS.replace('pv', 'b.v').replace('iv', 'i.v')} >= 0.5
+        AND {_COS.replace('pv', 'b.v').replace('iv', 'i.v')} >= 0.35
     ),
     vs_batch AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
              {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} AS cos_sim
       FROM bassign a JOIN bassign b ON a.cid = b.cid AND a.vec_id > b.vec_id
-      WHERE {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} >= 0.5
+      WHERE {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} >= 0.35
     )
     SELECT * FROM vs_index
     UNION ALL SELECT * FROM vs_batch
@@ -2792,11 +2792,17 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the append path's rows are live in cells/), and of a BATCH vector
     (%30==20 under +3e6 — a batch-internal pair through the vs-batch
     leg). Oracle = same assignment (argmax cosine, ties to smaller
-    cid) + same-cell pairs >= 0.5 in plain SQL. engine='expr' for the
+    cid) + same-cell pairs >= 0.35 in plain SQL (0.35, not higher: the
+    synthetic embeddings have NO natural pairs above 0.5, so a higher
+    threshold would leave the cell ASSIGNMENT unchecked — at 0.35
+    dozens of natural same-cell pairs ride the hash check and an
+    assignment divergence between engines becomes visible).
+    engine='expr' for the
     fold-order-exact cosines the hash check needs; expr==gemm (and
     chunked==unchunked) equality is pinned in tests/test_vectors.py.
-    The threshold keeps natural same-cell pairs in the result so real
-    cosine values are hash-checked, not just the planted 1.0s.
+    The threshold keeps ~50 natural same-cell pairs at sf0.01 in the
+    result so real cosine values are hash-checked, not just the
+    planted 1.0s.
 
     This slot replaced `topk_orders` (r10 verdict #6: it duplicated
     order_stats/date_windows' §2.7 coverage; the 50-slot registry is
@@ -2865,7 +2871,7 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(planted(20, 3_000_000))
     )
     return incremental_semdedup(
-        spark, batch, idx_dir, threshold=0.5, engine="expr"
+        spark, batch, idx_dir, threshold=0.35, engine="expr"
     ).orderBy("vec_id", "dup_of")
 
 
