@@ -1341,3 +1341,45 @@ def test_incremental_semdedup_equals_full_recompute_property(
             drop, keep = (b, a) if b in batch_ids else (a, b)
             want.add((drop, keep))
     assert got == want
+
+
+@_slow
+@given(
+    budget=st.integers(0, 400),
+    seed=st.integers(0, 5),
+    sizes=st.lists(st.integers(1, 9), min_size=1, max_size=40),
+    partial=st.booleans(),
+)
+def test_token_budget_sample_matches_naive_property(
+    spark, budget, seed, sizes, partial
+):
+    """r11 hypothesis hardening: for random corpora/budgets/seeds, the
+    kept set equals the naive greedy prefix over (xxhash64(id), id)
+    order under both partial modes — including budget 0, budget past
+    the corpus total, and single-doc corpora."""
+    from siskin_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    ranked = docs.select(
+        "doc_id",
+        F.xxhash64(F.col("doc_id").cast("string"), F.lit(seed)).alias("h"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).collect()
+    cum, want = 0, set()
+    for r in sorted(ranked, key=lambda r: (r["h"], r["doc_id"])):
+        if partial:
+            if cum < budget:
+                want.add(r["doc_id"])
+        elif cum + r["n"] <= budget:
+            want.add(r["doc_id"])
+        cum += r["n"]
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, budget, seed=seed, include_partial=partial
+        ).collect()
+    }
+    assert got == want
