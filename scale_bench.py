@@ -587,6 +587,71 @@ def _semincr_chunked_leg(spark, vectors, results: dict, timed) -> None:
         )
 
 
+def _dim768_leg(spark, results: dict, timed) -> None:
+    """r11: the chunked-admit claim at REALISTIC embedding width. The
+    main corpus is 64-dim, where the default 256 MB packed budget is
+    ~512 K rows and real batches never chunk; sentence embeddings are
+    768-dim, where the same budget derives ~43 K rows/chunk. This leg
+    synthesizes a 400 K x 768 corpus (+ planted (id-1, id) pairs),
+    indexes 75 % of it, and admits the 100 K-vector remainder — which
+    the budget math splits into ~3 chunks — BOTH ways, pinning pair
+    parity and pricing the chunking at the width the docstring
+    reasons about."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    n_vec, dim = 400_000, 768
+    path = os.path.join(CORPUS, "vectors768")
+    if not os.path.exists(path):
+        eps = F.when(F.col("id") % 50 == 1, F.lit(0.25))
+        seed = F.when(eps.isNotNull(), F.col("id") - 1).otherwise(F.col("id"))
+        comp = lambda s, tag: F.transform(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.hash(s, j, F.lit(tag)) % 10_000).cast("double")
+            / 10_000.0,
+        )
+        spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(
+                comp(seed, "b"), comp(F.col("id"), "p"),
+                lambda b, p: (b + F.coalesce(eps, F.lit(0.0)) * p)
+                .cast("float"),
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(path)
+    vecs = spark.read.parquet(path)
+    is_batch = (F.col("vec_id") % 4 == 3) | (F.col("vec_id") % 1000 == 1)
+    batch = vecs.filter(is_batch)
+    corpus = vecs.filter(~is_batch)
+    idx = os.path.join(CORPUS, "sem_index_768")
+    _sh.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    semdedup_index_build(corpus, idx, k=128, sample=50_000, iters=8)
+    results["d768_index_build_s"] = time.perf_counter() - t0
+    results["d768_batch"] = batch.count()
+    for label, kw in (
+        ("budget_chunked", {}),  # default 256 MB -> ~43K rows/chunk
+        ("one_broadcast", {"batch_chunk_rows": 1 << 30}),
+    ):
+        pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_768_{label}")
+
+        def incr():
+            return incremental_semdedup(
+                spark, batch, idx, threshold=0.95, **kw
+            )
+
+        timed(incr())  # warm-up
+        t0 = time.perf_counter()
+        incr().write.mode("overwrite").parquet(pairs_dir)
+        results[f"d768_{label}_s"] = time.perf_counter() - t0
+        results[f"d768_{label}_pairs"] = (
+            spark.read.parquet(pairs_dir).count()
+        )
+
+
 def _nprobe_leg(spark, vectors, results: dict, timed) -> None:
     """r11 nprobe: price the multi-probe admit — wall and pairs found
     at nprobe 1/2/4 against the same index/batch as the chunked leg.
@@ -1106,7 +1171,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8", "tokbudget", "nprobe",
+        "sq8", "tokbudget", "nprobe", "dim768",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1151,6 +1216,9 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _nprobe_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "dim768":
+            _control_leg(spark, results, timed_only)
+            _dim768_leg(spark, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first
