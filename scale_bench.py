@@ -671,6 +671,32 @@ def _nprobe_leg(spark, vectors, results: dict, timed) -> None:
     idx = os.path.join(CORPUS, "sem_index_nprobe")
     _sh.rmtree(idx, ignore_errors=True)
     semdedup_index_build(corpus, idx, k=256, sample=100_000, iters=10)
+
+    # planted truth the admit CAN find: (id-1, id) pairs >= 0.95 whose
+    # planted side is in the batch and whose base stays in the corpus
+    # — recall per nprobe is found/this, and the nprobe=1 shortfall is
+    # by construction exactly the cross-cell planted mass
+    from siskin_spark.functions.vectors import cosine
+
+    base_v = vectors.select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.col("embedding").alias("_b"),
+    )
+    truth_dir = os.path.join(CORPUS, "nprobe_truth")
+    (
+        vectors.filter(F.col("planted") & is_batch)
+        .join(base_v, on="vec_id")
+        .select(
+            F.col("vec_id"),
+            (F.col("vec_id") - 1).alias("dup_of"),
+            cosine(F.col("_b"), F.col("embedding")).alias("c"),
+        )
+        .filter((F.col("c") >= 0.95) & (F.col("dup_of") % 1000 != 1))
+        .select("vec_id", "dup_of")
+        .write.mode("overwrite").parquet(truth_dir)
+    )
+    truth = spark.read.parquet(truth_dir)
+    results["nprobe_truth_pairs"] = truth.count()
     for n in (1, 2, 4):
         pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_np{n}")
 
@@ -683,9 +709,11 @@ def _nprobe_leg(spark, vectors, results: dict, timed) -> None:
         t0 = time.perf_counter()
         incr().write.mode("overwrite").parquet(pairs_dir)
         results[f"nprobe_{n}_s"] = time.perf_counter() - t0
-        results[f"nprobe_{n}_pairs"] = (
-            spark.read.parquet(pairs_dir).count()
-        )
+        found = spark.read.parquet(pairs_dir)
+        results[f"nprobe_{n}_pairs"] = found.count()
+        results[f"nprobe_{n}_planted_found"] = truth.join(
+            found, on=["vec_id", "dup_of"], how="left_semi"
+        ).count()
 
 
 def _subcentroid_sweep_leg(spark, vectors, results: dict, timed) -> None:
