@@ -184,18 +184,36 @@ def main() -> None:
     print(json.dumps(record))
     # also persist the COMPLETE record to a repo file: the driver stores
     # only a 2000-char tail of stdout, which truncates mid-JSON and
-    # loses the alphabetically-first queries from the committed history
+    # loses the alphabetically-first queries from the committed history.
+    # Every run writes the *_lastrun file; the control-best file
+    # (BENCH_local_sf{sf}.json, the cross-round comparison record) is
+    # only overwritten when this run's host window is at least as fast
+    # as the committed record's — a run on a heavy-steal window must
+    # not clobber the best-window record (it happened twice; r11
+    # verdict ask #4).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_local_sf{sf}.json",
-        ),
+        os.path.join(repo_dir, f"BENCH_local_sf{sf}_lastrun.json"),
     )
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(record, fh, indent=1)
             fh.write("\n")
+        best_path = os.path.join(repo_dir, f"BENCH_local_sf{sf}.json")
+        promote = True
+        try:
+            with open(best_path) as fh:
+                prev = json.load(fh)
+            promote = record["control_jvm_xxhash_s"] <= prev.get(
+                "control_jvm_xxhash_s", float("inf")
+            )
+        except (OSError, ValueError):
+            pass  # no/unreadable record: this run becomes the record
+        if promote:
+            with open(best_path, "w") as fh:
+                json.dump(record, fh, indent=1)
+                fh.write("\n")
     spark.stop()
 
 
