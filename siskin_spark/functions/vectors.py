@@ -1018,6 +1018,21 @@ def _sem_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _SEM_INDEX_META)
 
 
+def _sem_meta_write(index_dir: str, meta: dict) -> None:
+    """Crash-atomic meta write (tmp + rename): the meta is the replay
+    ledger AND the pending write-ahead log — a truncated half-written
+    json from a crash mid-dump would brick every retry path that
+    starts with _sem_meta_read."""
+    import json
+    import os
+
+    path = _sem_meta_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
 def _sem_meta_read(index_dir: str) -> dict:
     """Load + verify the index meta. The version gate is the contract
     check the layout docstring promises: an index from a different
@@ -1120,7 +1135,6 @@ def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
     the meta. Keeping the histogram IN the meta makes the per-admit
     hot-cell guard a driver-side dict lookup instead of a full
     corpus-scale groupBy per batch."""
-    import json
     import os
 
     counts = (
@@ -1130,8 +1144,7 @@ def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
         .collect()
     )
     meta["cell_counts"] = {str(int(r["cid"])): int(r["n"]) for r in counts}
-    with open(_sem_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _sem_meta_write(index_dir, meta)
 
 
 def _sem_quantize_q8(assigned: DataFrame) -> DataFrame:
@@ -1223,11 +1236,21 @@ def semdedup_index_build(
     assigned.repartition("cid").write.mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
     )
-    meta = {
-        "version": 1, "k": k, "sample": sample, "iters": iters,
-        "seed": seed, "id_col": id_col, "vec_col": vec_col,
-        "assign": "gemm", "store": store,
-    }
+    if centroids is not None:
+        # the fit knobs were bypassed — recording them would make the
+        # index self-describe as e.g. k=256 when the caller supplied 8
+        # cells; record the ACTUAL centroid count and mark the source
+        meta = {
+            "version": 1, "k": cents.count(), "centroids": "caller",
+            "id_col": id_col, "vec_col": vec_col,
+            "assign": "gemm", "store": store,
+        }
+    else:
+        meta = {
+            "version": 1, "k": k, "sample": sample, "iters": iters,
+            "seed": seed, "id_col": id_col, "vec_col": vec_col,
+            "assign": "gemm", "store": store,
+        }
     _sem_recount_cells(emb.sparkSession, index_dir, meta)
 
 
@@ -1249,10 +1272,25 @@ def semdedup_index_append(
     meta not yet updated) is replay-safe because the batch is staged
     with ``mode=overwrite`` and its ``cells/`` files carry
     batch-derived names that the retry deletes before re-placing —
-    the same vectors can never land twice. Without ``batch_id`` the
-    legacy blind parquet append runs, and a replayed call WILL
-    double-append (inflating pair lists and the histogram); only use
-    it when the caller owns retry bookkeeping."""
+    the same vectors can never land twice. The batch_id is recorded
+    as ``pending`` in the meta BEFORE any file placement (write-ahead)
+    and finalized to ``appended`` after, so
+    :func:`semdedup_index_compact` can tell a half-placed batch apart
+    from a committed one and refuses to rewrite ``cells/`` while one
+    exists — without the marker, a compaction run between a crash and
+    the retry would erase the batch-prefixed file names the retry's
+    sweep keys on, and the batch would land twice. Without
+    ``batch_id`` the legacy blind parquet append runs, and a replayed
+    call WILL double-append (inflating pair lists and the histogram);
+    only use it when the caller owns retry bookkeeping.
+
+    Concurrency contract: SINGLE WRITER. The meta ledger is a
+    read-modify-write of ``meta.json`` — two appends (or an append
+    racing a compaction) running concurrently can lose a ledger entry
+    or a histogram update. Serialize all mutations of one index_dir
+    (appends, compactions, rebuilds) behind one scheduler slot;
+    concurrent READS (incremental_semdedup admits) are fine against a
+    quiesced index."""
     import os
     import re
 
@@ -1276,12 +1314,20 @@ def semdedup_index_append(
     if batch_id is None:
         assigned.repartition("cid").write.mode("append").parquet(cells_dir)
     else:
+        # write-ahead: mark the batch pending BEFORE any file lands, so
+        # a compaction interleaved between a crash and the retry refuses
+        # instead of erasing the batch-prefixed names the retry's sweep
+        # keys on (which would make the retry place the batch twice)
+        if batch_id not in meta.setdefault("pending", []):
+            meta["pending"].append(batch_id)
+            _sem_meta_write(index_dir, meta)
         tag = re.sub(r"[^A-Za-z0-9._-]", "_", batch_id)
         staged_append(
             assigned, cells_dir,
             staging_dir=os.path.join(index_dir, f"_append_{tag}"),
             prefix=f"batch-{tag}-", cluster_col="cid",
         )
+        meta["pending"].remove(batch_id)
         meta.setdefault("appended", []).append(batch_id)
     _sem_recount_cells(spark, index_dir, meta)
 
@@ -1302,12 +1348,28 @@ def semdedup_index_compact(
     re-counted from the rewritten table. Returns the
     files/bytes-before/after stats of the rewrite. Run on a cadence
     (weekly/monthly) or when ``files_before`` from the last run says
-    so."""
+    so.
+
+    Refuses while an append is in flight or crashed mid-placement
+    (``pending`` entries in the meta, or ``_append_*`` staging dirs on
+    disk): compacting then would erase the batch-prefixed file names a
+    crashed append's RETRY sweeps before re-placing, so the retry
+    would land the batch a second time — duplicated index rows and an
+    inflated histogram. Replay the named appends to completion (they
+    converge and clear the marker), then compact. Single-writer
+    contract as on :func:`semdedup_index_append`."""
     import os
 
-    from siskin_spark.operators.layout import compact_parquet
+    from siskin_spark.operators.layout import (
+        _guard_inflight_appends,
+        compact_parquet,
+    )
 
     meta = _sem_meta_read(index_dir)
+    _guard_inflight_appends(
+        index_dir, meta, staging_prefix="_append_",
+        replayer="semdedup_index_append",
+    )
     stats = compact_parquet(
         spark, os.path.join(index_dir, "cells"),
         target_file_mb=target_file_mb, cluster_by=["cid"],

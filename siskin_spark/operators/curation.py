@@ -1316,8 +1316,17 @@ def token_budget_sample(
     offsets collect is strata x ``n_buckets`` rows — sized for
     BOUNDED strata (languages/domains: tens to thousands); a
     million-value strata column belongs in :func:`domain_cap_mark`'s
-    hash territory, not here (lower ``n_buckets`` if strata
-    cardinality must run high).
+    hash territory, not here. ``n_buckets`` is auto-clamped so the
+    declared strata cardinality (``len(budget)``) times the bucket
+    count stays under ~1M offset rows — a 10K-strata mix gets ~100
+    buckets per stratum instead of silently collecting 40M rows (the
+    strata dimension supplies the lost parallelism, and the clamp is
+    floored at 16 buckets so a single stratum never degrades to the
+    single-reducer cumsum). Strata present in the corpus but absent
+    from ``budget`` still raise the missing-budget error. A NULL
+    stratum value is an error — budgets are keyed by string, so NULL
+    can never match one; coalesce the column to an explicit label
+    first if NULLs are a legitimate stratum.
 
     Contract: ``id_col`` must be unique (the admission identity is
     the id — duplicated ids share a hash rank and the boundary
@@ -1352,6 +1361,11 @@ def token_budget_sample(
         "_tbs_h",
         F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
     )
+    # clamp the bucket count so the driver-side offsets collect stays
+    # ~1M rows even for a pathological declared-strata cardinality;
+    # within-stratum parallelism drops but the strata dimension itself
+    # parallelizes (the window partitions on (stratum, bucket))
+    n_buckets = max(16, min(n_buckets, 1_048_576 // max(1, len(budgets))))
     chunk = (1 << 64) // n_buckets
     staged = staged.withColumn("_tbs_b", F.expr(f"_tbs_h div {chunk}"))
     staged = staged.localCheckpoint(eager=False)  # 2 jobs share the scan
@@ -1361,11 +1375,20 @@ def token_budget_sample(
         .collect()
     )
     seen_strata = {r["_tbs_s"] for r in totals}
+    if None in seen_strata:
+        raise ValueError(
+            f"token_budget_sample: strata_col {strata_col!r} contains "
+            "NULLs — budgets are keyed by string, so a NULL stratum can "
+            "never match one; coalesce the column to an explicit label "
+            "(e.g. 'unknown') if NULL rows are a legitimate stratum"
+        )
     missing = sorted(seen_strata - set(budgets))
     if missing:
+        shown = missing[:20]
+        more = f" (+{len(missing) - 20} more)" if len(missing) > 20 else ""
         raise ValueError(
-            f"token_budget_sample: strata with no budget: {missing} — "
-            "every stratum present in the corpus needs an entry "
+            f"token_budget_sample: strata with no budget: {shown}{more} "
+            "— every stratum present in the corpus needs an entry "
             "(0 to drop it explicitly)"
         )
     offsets, acc = [], {}

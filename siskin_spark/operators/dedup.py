@@ -335,6 +335,16 @@ def corpus_diff(
     moves ~12 bytes/row regardless of document width. Hash collisions
     (~2^-64 per changed pair) can only MISS a change, never invent
     one; ids and adds/removes are exact.
+
+    NULL handling: ``xxhash64(*cols)`` passes its seed THROUGH
+    unchanged for a NULL input, so a naive multi-column hash collides
+    systematically whenever a value shifts across a NULL boundary —
+    ``(NULL, 'x')`` and ``('x', NULL)`` hash identically and the
+    change would be silently dropped. Each column is therefore hashed
+    separately with a column-tagged sentinel replacing NULL, and the
+    per-column hashes are folded with one outer ``xxhash64`` — the
+    null/value layout participates in the fingerprint, restoring the
+    ~2^-64-only miss class.
     """
     if compare_cols is None:
         compare_cols = sorted(c for c in new.columns if c != id_col)
@@ -347,7 +357,15 @@ def corpus_diff(
             )
     fp = lambda df: df.select(  # noqa: E731
         F.col(id_col),
-        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_fp"),
+        F.xxhash64(
+            *[
+                F.coalesce(
+                    F.xxhash64(F.col(c)),
+                    F.xxhash64(F.lit(f"__corpus_diff_null__:{c}")),
+                )
+                for c in compare_cols
+            ]
+        ).alias("_fp"),
     )
     o = fp(old).withColumnRenamed("_fp", "_fp_old")
     n = fp(new).withColumnRenamed("_fp", "_fp_new")

@@ -703,6 +703,21 @@ def _index_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _INDEX_META)
 
 
+def _index_meta_write(index_dir: str, meta: dict) -> None:
+    """Crash-atomic meta write (tmp + rename): the meta carries the
+    replay ledger and the pending write-ahead markers — a truncated
+    half-written json from a crash mid-dump would brick every retry
+    path that starts by reading it."""
+    import json
+    import os
+
+    path = _index_meta_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
 def neardup_index_build(
     docs: DataFrame,
     index_dir: str,
@@ -815,8 +830,23 @@ def neardup_index_append(
     double-appended ``shingles/`` batch doubles those docs' shingle
     counts, which CORRUPTS exact-Jaccard verification (union sizes
     inflate, every affected pair under-scores), not just the candidate
-    volume. Without ``batch_id`` the legacy blind parquet append runs
-    — only use it when the caller owns retry bookkeeping."""
+    volume. The batch_id is recorded as ``pending`` in the meta BEFORE
+    any file placement (write-ahead) and finalized to ``appended``
+    after, so :func:`neardup_index_compact` refuses to rewrite the
+    tables while a half-placed batch exists — a compaction interleaved
+    between a crash and the retry would otherwise erase the
+    batch-prefixed names the retry's sweep keys on, double-placing the
+    batch. Without ``batch_id`` the legacy blind parquet append runs
+    — only use it when the caller owns retry bookkeeping.
+
+    Concurrency contract: SINGLE WRITER (same as
+    :func:`semdedup_index_append
+    <siskin_spark.functions.vectors.semdedup_index_append>`): the meta
+    ledger is a read-modify-write of the meta json, so concurrent
+    appends — or an append racing a compaction — can lose a ledger
+    entry. Serialize all mutations of one index_dir behind one
+    scheduler slot; concurrent incremental READS are fine against a
+    quiesced index."""
     import json
     import os
     import re
@@ -844,6 +874,12 @@ def neardup_index_append(
         docs, id_col, text_col,
         meta["n"], meta["k"], meta["bands"], meta["hash_family"],
     )
+    # write-ahead: mark pending BEFORE any file lands so a compaction
+    # interleaved between a crash and the retry refuses instead of
+    # erasing the batch-prefixed names the retry's sweep keys on
+    if batch_id not in meta.setdefault("pending", []):
+        meta["pending"].append(batch_id)
+        _index_meta_write(index_dir, meta)
     tag = re.sub(r"[^A-Za-z0-9._-]", "_", batch_id)
     # a crash between the two staged appends leaves bands/ placed and
     # shingles/ not — the retry re-stages BOTH (overwrite + sweep +
@@ -858,9 +894,9 @@ def neardup_index_append(
         staging_dir=os.path.join(index_dir, f"_append_shingles_{tag}"),
         prefix=f"batch-{tag}-", cluster_col="doc_id",
     )
+    meta["pending"].remove(batch_id)
     meta.setdefault("appended", []).append(batch_id)
-    with open(_index_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _index_meta_write(index_dir, meta)
 
 
 def _check_index_meta(
@@ -1012,11 +1048,27 @@ def neardup_index_compact(
     never a mix. (Paths are driver-local here like the index meta; on a
     cluster the same dance runs through the Hadoop FileSystem API.)
 
-    Returns per-table stats: files/bytes before and after."""
+    Returns per-table stats: files/bytes before and after.
+
+    Refuses while an append is pending or crashed mid-placement (meta
+    ``pending`` entries / leftover ``_append_*`` staging dirs) — see
+    :func:`neardup_index_append`'s write-ahead contract; compacting
+    across a half-placed batch would make its retry double-place.
+    Single-writer contract applies here too."""
+    import json
     import os
 
-    from siskin_spark.operators.layout import compact_parquet
+    from siskin_spark.operators.layout import (
+        _guard_inflight_appends,
+        compact_parquet,
+    )
 
+    with open(_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    _guard_inflight_appends(
+        index_dir, meta, staging_prefix="_append_",
+        replayer="neardup_index_append",
+    )
     return {
         table: compact_parquet(
             spark,

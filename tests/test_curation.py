@@ -1377,6 +1377,37 @@ def test_token_budget_sample_matches_naive(spark):
         "doc_id", "text", "n_tokens"
     ]
 
+    # ADVICE r12: a NULL stratum used to surface as a TypeError from
+    # sorting None against str inside the missing-budget check (and
+    # could never match a string budget key anyway) — it must be a
+    # dedicated, actionable error
+    sn = docs.withColumn(
+        "dom", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.when(F.col("doc_id") % 2 == 0, "web").otherwise("zzz")
+        )
+    )
+    with _pytest.raises(ValueError, match="contains NULLs"):
+        token_budget_sample(sn, {"web": 80, "zzz": 40}, strata_col="dom",
+                            seed=5)
+
+    # r11 ask #7: pathological declared-strata cardinality auto-clamps
+    # n_buckets (bounding the offsets collect) without changing results
+    many = {**{"web": 80, "code": 40},
+            **{f"s{i}": 1 for i in range(300)}}  # 302 strata -> 3472 buckets
+    clamped = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            sd, many, strata_col="dom", seed=5, n_buckets=4096
+        ).collect()
+    }
+    want_mix = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            sd, {"web": 80, "code": 40}, strata_col="dom", seed=5
+        ).collect()
+    }
+    assert clamped == want_mix  # absent strata contribute nothing
+
 
 def test_token_budget_sample_plan_single_shuffle(spark):
     """Plan guard: the two-phase prefix sum must hold the corpus to

@@ -292,3 +292,49 @@ def test_index_append_idempotent(spark, index_dir):
     neardup_index_compact(spark, index_dir)
     neardup_index_append(b, index_dir, batch_id="2026-08-16")
     assert (bands(), sh()) == (nb, ns)
+
+
+def test_index_compact_refuses_inflight_append(spark, index_dir):
+    """ADVICE r12 (medium, semdedup sibling): compaction between an
+    append's file placement and its ledger write would erase the
+    batch-prefixed names the retry sweeps, double-placing the batch —
+    the write-ahead pending marker (or a leftover staging dir) makes
+    compaction refuse until the replay converges."""
+    import json
+    import os
+
+    import pytest
+
+    from siskin_spark.operators.neardup import (
+        _index_meta_path,
+        neardup_index_compact,
+    )
+
+    b = spark.createDataFrame([(210, _doc(70))], "doc_id long, text string")
+    neardup_index_append(b, index_dir, batch_id="day-3")
+    meta = json.load(open(_index_meta_path(index_dir)))
+    assert meta["appended"] == ["day-3"] and meta["pending"] == []
+
+    # crash window: files placed, ledger write lost
+    meta["appended"], meta["pending"] = [], ["day-3"]
+    json.dump(meta, open(_index_meta_path(index_dir), "w"))
+    with pytest.raises(RuntimeError, match="day-3"):
+        neardup_index_compact(spark, index_dir)
+    # replay converges and clears the marker; compaction proceeds
+    neardup_index_append(b, index_dir, batch_id="day-3")
+    counts = (
+        spark.read.parquet(index_dir + "/bands").count(),
+        spark.read.parquet(index_dir + "/shingles").count(),
+    )
+    neardup_index_compact(spark, index_dir)
+    assert (
+        spark.read.parquet(index_dir + "/bands").count(),
+        spark.read.parquet(index_dir + "/shingles").count(),
+    ) == counts
+
+    # leftover staging dir is an independent refuse signal
+    os.makedirs(os.path.join(index_dir, "_append_bands_stale"))
+    with pytest.raises(RuntimeError, match="_append_bands_stale"):
+        neardup_index_compact(spark, index_dir)
+    os.rmdir(os.path.join(index_dir, "_append_bands_stale"))
+    neardup_index_compact(spark, index_dir)

@@ -1268,6 +1268,30 @@ def test_corpus_diff_schema_guard(spark):
     assert corpus_diff(a, b, compare_cols=["text"]).count() == 0
 
 
+def test_corpus_diff_null_shift_is_a_change(spark):
+    """ADVICE r11: Spark's multi-arg xxhash64 passes the seed through
+    for NULL inputs, so (NULL,'x') vs ('x',NULL) hashed identically
+    under a naive fingerprint and a value shifting across a NULL
+    boundary was silently 'unchanged'. The per-column
+    sentinel-disambiguated fold must report it as changed."""
+    from siskin_spark.operators.dedup import corpus_diff
+
+    schema = "doc_id int, a string, b string"
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "y", None), (3, None, None), (4, "k", "k")],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None),          # value shifted across the NULL boundary
+         (2, "y", None),          # genuinely unchanged (with a NULL)
+         (3, "", None),           # NULL -> empty string is a change too
+         (4, "k", "k")],          # unchanged, no NULLs
+        schema,
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 3: "changed"}
+
+
 @_slow
 @given(
     n_corpus=st.integers(30, 60),

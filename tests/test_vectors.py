@@ -1024,6 +1024,69 @@ def test_semdedup_index_compact(tmp_path, spark):
     assert spark.read.parquet(idx_dir + "/cells").count() == 120
 
 
+def test_semdedup_compact_refuses_inflight_append(tmp_path, spark):
+    """ADVICE r12 (medium): an append that crashed AFTER placing its
+    batch-prefixed files but BEFORE the ledger write leaves the batch
+    half-committed; a compaction run before the retry would erase the
+    prefixed names the retry's sweep keys on, so the retry would place
+    the batch a SECOND time. The write-ahead ``pending`` marker (plus
+    the staging-dir signal) makes compaction refuse until the replay
+    converges."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        semdedup_index_append,
+        semdedup_index_build,
+        semdedup_index_compact,
+    )
+
+    rows, _ = _sem_corpus(spark, 80, seed=91)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx_guard")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=80, iters=5, seed=3)
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    b = spark.createDataFrame(
+        [(500, [float(x) for x in w])], "vec_id long, embedding array<float>"
+    )
+    semdedup_index_append(b, idx_dir, batch_id="day-9")
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == ["day-9"] and meta["pending"] == []
+
+    # simulate the crash window: files placed, ledger write lost —
+    # exactly what the on-disk state looks like between staged_append
+    # returning and the finalize meta write landing
+    meta["appended"], meta["pending"] = [], ["day-9"]
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+    with pytest.raises(RuntimeError, match="day-9"):
+        semdedup_index_compact(spark, idx_dir)
+    # the replay converges (one copy), clears the marker...
+    semdedup_index_append(b, idx_dir, batch_id="day-9")
+    cells = spark.read.parquet(idx_dir + "/cells")
+    assert cells.count() == 81
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == ["day-9"] and meta["pending"] == []
+    # ...and compaction now proceeds
+    stats = semdedup_index_compact(spark, idx_dir)
+    assert stats["bytes_after"] > 0
+    assert spark.read.parquet(idx_dir + "/cells").count() == 81
+
+    # the second, independent signal: a leftover staging dir (a crash
+    # BEFORE the pending marker existed, or a pre-marker-era index)
+    os.makedirs(os.path.join(idx_dir, "_append_stale"))
+    with pytest.raises(RuntimeError, match="_append_stale"):
+        semdedup_index_compact(spark, idx_dir)
+    os.rmdir(os.path.join(idx_dir, "_append_stale"))
+    semdedup_index_compact(spark, idx_dir)
+
+
 def test_incremental_semdedup_chunked_768dim_budget(tmp_path, spark):
     """The byte-budget chunk derivation must adapt to the embedding
     width: at 768-dim (realistic sentence-embedding width, 12x the
@@ -1227,6 +1290,17 @@ def test_incremental_semdedup_nprobe_boundary_recovery(tmp_path, spark):
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     idx_dir = str(tmp_path / "npidx")
     semdedup_index_build(corpus, idx_dir, centroids=cents)
+
+    # ADVICE r12: caller-supplied centroids must not self-describe with
+    # the bypassed fit knobs — the meta records the ACTUAL cell count
+    # and marks the source instead of the default k=256/sample/iters
+    import json
+
+    from siskin_spark.functions.vectors import _sem_meta_path
+
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["k"] == 2 and meta["centroids"] == "caller"
+    assert "sample" not in meta and "iters" not in meta
 
     # batch: the boundary partner, leaning into cell 0
     bv = 1.05 * e0 + e1
