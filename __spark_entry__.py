@@ -213,14 +213,52 @@ def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "snapshot_latest_order",
     """
-    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-      FROM orders
-    ) WHERE rn = 1
-    ORDER BY o_custkey
+    WITH snap AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    oldw AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey % 19 <> 0
+      ) WHERE rn = 1
+    ),
+    neww AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey % 23 <> 0
+      ) WHERE rn = 1
+    ),
+    diff AS (
+      SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+             CASE WHEN o.o_custkey IS NULL THEN 'added'
+                  WHEN n.o_custkey IS NULL THEN 'removed'
+                  WHEN o.o_orderkey IS DISTINCT FROM n.o_orderkey
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                  THEN 'changed' END AS status
+      FROM oldw o FULL OUTER JOIN neww n ON o.o_custkey = n.o_custkey
+    )
+    SELECT s.o_custkey, s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+           CAST(CAST(s.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           coalesce(d.status, 'unchanged') AS diff_status
+    FROM snap s LEFT JOIN diff d ON s.o_custkey = d.o_custkey
+    ORDER BY s.o_custkey
     """,
 )
 def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +272,20 @@ def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feed delta, and snapshot_merge folds the delta in. The oracle
     is the full rebuild over all orders, so the green row proves
     incremental merge ≡ full re-dedup — the property that turns the
-    reference's 348-minute full rebuild into a delta-sized job."""
+    reference's 348-minute full rebuild into a delta-sized job.
+
+    The r12 ``diff_status`` leg rides the same grain: corpus_diff
+    (operators/dedup.py — the re-embed/re-license trigger between two
+    snapshot generations) between two PLANTED snapshot generations,
+    marked back onto every customer. The planting is per-stratum so
+    every status appears at every SF (date or parity windows cannot
+    strand a multi-order customer on one side): custkeys % 19 are
+    withheld from the old generation (-> added), % 23 from the new
+    (-> removed), % 7 get a perturbed totalprice in the new
+    generation (-> changed); everything else is identical on both
+    sides (-> dropped by corpus_diff, coalesced back to 'unchanged').
+    The oracle compares COLUMNS directly, so the fp form's only
+    divergence class is the documented ~2^-64 missed change."""
     orders = _t(spark, sf_dir, "orders")
     cut = F.lit("1996-01-01").cast("date")
     base = dedup.snapshot_latest(
@@ -246,13 +297,43 @@ def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = dedup.snapshot_merge(
         base, delta, ["o_custkey"], ["o_orderdate", "o_orderkey"]
     )
-    return snap.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
-    ).orderBy("o_custkey")
+    cols = [
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    ]
+    old_s = dedup.snapshot_latest(
+        orders.filter(F.col("o_custkey") % 19 != 0),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    )
+    new_s = dedup.snapshot_latest(
+        orders.filter(F.col("o_custkey") % 23 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_custkey") % 7 == 0,
+                F.col("o_totalprice") + F.lit(1.0),
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    )
+    dst = dedup.corpus_diff(
+        old_s.select(*cols), new_s.select(*cols), id_col="o_custkey"
+    )
+    return (
+        snap.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").cast("string")
+            .alias("o_orderdate"),
+        )
+        .join(dst, "o_custkey", "left")
+        .withColumn("diff_status", F.coalesce("status", F.lit("unchanged")))
+        .drop("status")
+        .orderBy("o_custkey")
+    )
 
 
 @_q(
@@ -328,8 +409,17 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) / t AS vcum
       FROM vhead, vtot
     ),
-    vlist AS (SELECT list(token) AS l FROM vhead)
-    SELECT doc_id, text, cap_keep, n_tokens,
+    vlist AS (SELECT list(token) AS l FROM vhead),
+    tb AS (
+      SELECT doc_id,
+             sum(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+               ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) <= 20000 AS tb_keep
+      FROM d
+    )
+    SELECT s.doc_id, text, cap_keep, n_tokens,
+           tb.tb_keep AS tb_keep,
            cum - n_tokens AS start_tok,
            (cum - n_tokens) // 1024 AS seq_first,
            (cum - n_tokens) % 1024 AS seq_off,
@@ -343,8 +433,9 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                        tk -> NOT list_contains(vlist.l, tk))) AS DOUBLE)
                      / len(list_filter(str_split(s.text, ' '), x -> len(x) > 0))
                 ELSE 0.0 END AS oov_frac
-    FROM s LEFT JOIN v ON str_split(s.text, ' ')[1] = v.token, vlist
-    ORDER BY doc_id
+    FROM s LEFT JOIN v ON str_split(s.text, ' ')[1] = v.token
+         JOIN tb ON s.doc_id = tb.doc_id, vlist
+    ORDER BY s.doc_id
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,16 +462,27 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     same vocab: its bounded token list compiles to a literal inside a
     row-local filter, so the column is pure map. The vocab frame is
     collected ONCE and serves the literal, the join side, and the
-    oracle's list()."""
+    oracle's list(). The r12 ``tb_keep`` leg rides the same survivors:
+    C22 :func:`token_budget_sample
+    <siskin_spark.operators.curation.token_budget_sample>` in its
+    PORTABLE md5 hash family (the xxhash64 scale family is not
+    DuckDB-reproducible — the same split MinHash ships), marked back
+    onto every row so the oracle's window cumsum over the identical
+    md5 admission order checks the absolute-token-budget boundary
+    value-exactly."""
     from siskin_spark.operators.curation import (
         domain_cap_mark,
         oov_fraction,
+        token_budget_sample,
         token_sequence_layout,
         vocab_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
     out = dedup.snapshot_earliest(docs, ["text"], ["doc_id"])
+    tb_kept = token_budget_sample(
+        out.select("doc_id", "text"), 20_000, seed=3, hash_family="md5"
+    ).select("doc_id", F.lit(True).alias("tb_keep"))
     capped = domain_cap_mark(
         out, cap=15, domain_col="source", key_col="doc_id", exact=True
     )
@@ -402,6 +504,9 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tok1_cum", F.coalesce("tok1_cum", F.lit(-1.0)))
         .withColumn("oov_frac", oov_fraction([r["token"] for r in vrows]))
         .drop("_t1")
+        # tb_kept is budget-bounded (<= 20K tokens of docs) -> broadcast
+        .join(F.broadcast(tb_kept), "doc_id", "left")
+        .withColumn("tb_keep", F.coalesce("tb_keep", F.lit(False)))
         .orderBy("doc_id")
     )
 

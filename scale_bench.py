@@ -652,6 +652,120 @@ def _dim768_leg(spark, results: dict, timed) -> None:
         )
 
 
+def _rss_watch():
+    """Background sampler of the DRIVER process's resident set (VmRSS
+    from /proc/self/status, 20 Hz): peak-during-window, not the
+    lifetime ru_maxrss high-water (which earlier legs would mask).
+    The py4j JVM is a separate process, so this is exactly the Python
+    driver residency the chunked-collect claim is about."""
+    import threading
+
+    def probe() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])  # kB
+        return 0
+
+    state = {"peak": probe(), "base": probe(), "stop": False}
+
+    def run():
+        while not state["stop"]:
+            state["peak"] = max(state["peak"], probe())
+            time.sleep(0.05)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    state["_thread"] = t
+    return state
+
+
+def _daily_gate_leg(spark, results: dict, timed) -> None:
+    """r12 (verdict asks #1 + #6): the COMPOSED daily-gate path at
+    realistic 768-dim width, end to end — SQ8 int8 build -> idempotent
+    staged append -> compaction -> nprobe=2 chunked admit under a
+    32 MB batch budget (the ~0.6 GB packed batch x nprobe 2 is ~38x
+    the budget, so the admit runs as ~dozens of per-cid-range
+    collects) — against its float32 / nprobe=1 sibling, plus a
+    one-broadcast admit of the SAME composed index for the r12 driver
+    claim: per-range collects must keep the driver's peak RSS near
+    its base while one_broadcast pays the whole packed batch. The
+    one-broadcast run goes LAST because glibc retains freed arenas —
+    its high-water would contaminate later samples. Pair parity
+    between the chunked and one-broadcast admits is recorded, not
+    assumed."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+        semdedup_index_compact,
+    )
+
+    vecs = spark.read.parquet(os.path.join(CORPUS, "vectors768"))
+    is_admit = F.col("vec_id") % 4 == 3
+    is_append = (F.col("vec_id") % 4 == 2) & (F.col("vec_id") % 5 == 0)
+    admit_batch = vecs.filter(is_admit)
+    append_slice = vecs.filter(is_append)
+    corpus = vecs.filter(~is_admit & ~is_append)
+    results["dg_admit_rows"] = admit_batch.count()
+    results["dg_append_rows"] = append_slice.count()
+    budget = 32 << 20
+    results["dg_budget_mb"] = budget >> 20
+    # packed float64 probe bytes at nprobe=2 — what one_broadcast holds
+    results["dg_packed_batch_mb"] = round(
+        results["dg_admit_rows"] * 2 * 768 * 8 / (1 << 20)
+    )
+
+    def build_chain(store: str, tag: str) -> str:
+        idx = os.path.join(CORPUS, f"sem_index_dg_{tag}")
+        _sh.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        semdedup_index_build(
+            corpus, idx, k=128, sample=50_000, iters=8, store=store
+        )
+        results[f"dg_build_{tag}_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        semdedup_index_append(append_slice, idx, batch_id="day-1")
+        results[f"dg_append_{tag}_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats = semdedup_index_compact(spark, idx)
+        results[f"dg_compact_{tag}_s"] = time.perf_counter() - t0
+        results[f"dg_compact_{tag}_files"] = (
+            f"{stats['files_before']}->{stats['files_after']}"
+        )
+        results[f"dg_index_{tag}_mb"] = round(stats["bytes_after"] / (1 << 20))
+        return idx
+
+    idx_q8 = build_chain("int8", "int8")
+    idx_f32 = build_chain("float32", "f32")
+
+    def admit(idx: str, tag: str, **kw) -> None:
+        pairs_dir = os.path.join(CORPUS, f"sem_incr_pairs_dg_{tag}")
+        rss = _rss_watch()
+        t0 = time.perf_counter()
+        incremental_semdedup(
+            spark, admit_batch, idx, threshold=0.95, **kw
+        ).write.mode("overwrite").parquet(pairs_dir)
+        results[f"dg_admit_{tag}_s"] = time.perf_counter() - t0
+        rss["stop"] = True
+        results[f"dg_admit_{tag}_rss_base_mb"] = rss["base"] >> 10
+        results[f"dg_admit_{tag}_rss_peak_mb"] = rss["peak"] >> 10
+        results[f"dg_admit_{tag}_pairs"] = (
+            spark.read.parquet(pairs_dir).count()
+        )
+
+    # composed and sibling first (chunked: driver peak ~flat), the
+    # whole-batch collect last (its arena high-water is sticky)
+    admit(idx_q8, "composed", nprobe=2, batch_budget_bytes=budget)
+    admit(idx_f32, "plain", nprobe=1, batch_budget_bytes=budget)
+    admit(idx_q8, "onebc", nprobe=2, batch_chunk_rows=1 << 30)
+    results["dg_pair_parity"] = (
+        results["dg_admit_composed_pairs"] == results["dg_admit_onebc_pairs"]
+    )
+
+
 def _nprobe_leg(spark, vectors, results: dict, timed) -> None:
     """r11 nprobe: price the multi-probe admit — wall and pairs found
     at nprobe 1/2/4 against the same index/batch as the chunked leg.
@@ -1199,7 +1313,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8", "tokbudget", "nprobe", "dim768",
+        "sq8", "tokbudget", "nprobe", "dim768", "dailygate",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1247,6 +1361,9 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "dim768":
             _control_leg(spark, results, timed_only)
             _dim768_leg(spark, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "dailygate":
+            _control_leg(spark, results, timed_only)
+            _daily_gate_leg(spark, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first

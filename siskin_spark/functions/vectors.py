@@ -1406,17 +1406,24 @@ def incremental_semdedup(
 
     - ``engine='gemm'`` (default): the assigned batch is collected
       via Arrow (``toPandas`` — numpy-backed columns, ~8 bytes per
-      float64 dim, NOT Python Row objects at ~10x that), CHUNKED so
-      no packed chunk exceeds ``batch_budget_bytes`` (or exactly
-      ``batch_chunk_rows`` rows when given): the driver/broadcast
-      bound is the CHUNK, never the whole daily batch. In rows x
-      dims terms the default 256 MB budget is ~43 K rows at a
-      realistic 768-dim embedding and ~512 K rows at 64-dim — a
-      1 M x 768 daily batch runs as ~24 chunks, no upstream
-      slicing required. A multi-chunk batch is first sorted by cid
-      so each chunk's co-cell scan prunes the cid-clustered
-      ``cells/`` parquet to its own cells (total index rows read
-      stay ~one pass; only boundary cells are scanned twice). Per
+      float64 dim, NOT Python Row objects at ~10x that) ONE
+      cid-range AT A TIME: a k-bounded per-cell count plans
+      contiguous cid ranges whose batch rows fit
+      ``batch_budget_bytes`` (or exactly ``batch_chunk_rows`` rows
+      when given), and each range is collected, packed, broadcast,
+      compared, and RELEASED before the next range's collect — both
+      the driver residency and the broadcast bound are the CHUNK,
+      never the whole daily batch (the one exception that tracks
+      data skew: a single cell whose batch rows alone exceed the
+      budget is collected whole, then sliced locally so its
+      broadcasts stay bounded). In rows x dims terms the default
+      256 MB budget is ~43 K rows at a realistic 768-dim embedding
+      and ~512 K rows at 64-dim — a 1 M x 768 daily batch runs as
+      ~24 range collects with ~256 MB driver peak, no upstream
+      slicing required. Chunks are cid-coherent, so each chunk's
+      co-cell scan prunes the cid-clustered ``cells/`` parquet to
+      its own cells (total index rows read stay ~one pass; only
+      boundary cells are scanned twice). Per
       chunk the packed cell blocks are SPARK-BROADCAST (once per
       executor, never per task) and compared in a ``mapInPandas``
       over the index scan: one BLAS block per (Arrow batch, cell),
@@ -1542,47 +1549,89 @@ def incremental_semdedup(
             )
 
     if engine == "gemm":
+        # Per-cid batch row counts: ONE k-bounded collect that serves
+        # BOTH the skew guard and the chunk planner — the planner adds
+        # no extra corpus-scale job (probes is checkpointed).
+        cid_counts = {
+            int(r["cid"]): int(r["n"])
+            for r in probes.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        guard(set(cid_counts))
+        if batch_chunk_rows is not None:
+            chunk = max(1, int(batch_chunk_rows))
+        else:
+            first = probes.select(F.size("_bv").alias("d")).first()
+            dim = int(first["d"]) if first is not None else 1
+            chunk = max(1, batch_budget_bytes // (8 * max(1, dim)))
+        # Plan contiguous cid RANGES whose summed batch rows fit the
+        # chunk, then COLLECT per range — the driver never holds more
+        # than one range (+ its packed copy): driver residency is the
+        # CHUNK, not the batch. A single cell whose batch rows alone
+        # exceed the chunk becomes its own range (collected whole —
+        # the one residency case that tracks batch-side cell skew —
+        # then sliced locally below so the BROADCAST stays bounded).
+        ranges: list[tuple[int, int]] = []
+        run, lo, prev_c = 0, None, 0
+        for c in sorted(cid_counts):
+            n = cid_counts[c]
+            if lo is not None and run + n > chunk:
+                ranges.append((lo, prev_c))
+                run, lo = 0, None
+            if lo is None:
+                lo = c
+            run += n
+            prev_c = c
+        if lo is not None:
+            ranges.append((lo, prev_c))
+        # effectively unchunked: one range that fits the budget — skip
+        # the index-side cid pruning (scan the index once, unfiltered,
+        # exactly like the pre-chunking fast path)
+        single = len(ranges) <= 1 and run <= chunk
         # Arrow collect: numpy-backed columns, not Row objects — the
-        # resident batch costs ~8 B/dim, so the budget math below is
+        # resident range costs ~8 B/dim, so the budget math above is
         # honest about driver memory, not off by the ~10x Row overhead.
         # Arrow is OFF by default in a vanilla session (our session.py
         # enables it, arbitrary callers may not) and toPandas would
         # silently fall back to the Row path — pin it on for exactly
-        # this collect and restore the caller's setting after.
-        # The collect is of PROBES (batch x nprobe rows), so the chunk
+        # these collects and restore the caller's setting after.
+        # Collects are of PROBES (batch x nprobe rows), so the chunk
         # budget naturally accounts for the multi-probe inflation.
         _AK = "spark.sql.execution.arrow.pyspark.enabled"
         prev = spark.conf.get(_AK, "false")
+        parts = []
         spark.conf.set(_AK, "true")
         try:
-            pdf = probes.select("_bid", "cid", "_bv").toPandas()
+            for lo, hi in ranges or [(0, -1)]:  # empty batch: one
+                # empty collect keeps the empty-result schema path
+                cpdf = (
+                    probes.select("_bid", "cid", "_bv")
+                    .filter((F.col("cid") >= lo) & (F.col("cid") <= hi))
+                    .toPandas()
+                )
+                # ranges were planned to fit the chunk, so a range
+                # longer than it is a single heavy cid — already
+                # cid-coherent, no sort needed before slicing
+                for i0 in range(0, max(len(cpdf), 1), chunk):
+                    s = cpdf.iloc[i0:i0 + chunk]
+                    ccells = cells
+                    if not single:
+                        # cid-coherent chunks prune the cid-clustered
+                        # index scan to their own cells: N chunks read
+                        # the index ~once in total, not N passes
+                        touched = [int(c) for c in s["cid"].unique()]
+                        ccells = cells.filter(
+                            F.col("cid").isin(touched)
+                            if touched else F.lit(False)
+                        )
+                    parts.append(_incremental_vs_index_gemm(
+                        spark, s, ccells, threshold, sim_buffer_bytes
+                    ))
+                    del s  # a slice VIEW pins the whole range's block
+                del cpdf  # release the range before the next collect
         finally:
             spark.conf.set(_AK, prev)
-        guard({int(c) for c in pdf["cid"].unique()})
-        if batch_chunk_rows is not None:
-            chunk = max(1, int(batch_chunk_rows))
-        else:
-            dim = len(pdf["_bv"].iloc[0]) if len(pdf) else 1
-            chunk = max(1, batch_budget_bytes // (8 * max(1, dim)))
-        multi = len(pdf) > chunk
-        if multi:
-            # cid-sorted chunks are cell-coherent: each chunk's index
-            # scan prunes to its own cells, so N chunks still read the
-            # index ~once in total (boundary cells twice), instead of
-            # N full passes
-            pdf = pdf.sort_values("cid", kind="stable").reset_index(drop=True)
-        parts = []
-        for i0 in range(0, max(len(pdf), 1), chunk):
-            cpdf = pdf.iloc[i0:i0 + chunk]
-            ccells = cells
-            if multi:
-                touched = [int(c) for c in cpdf["cid"].unique()]
-                ccells = cells.filter(
-                    F.col("cid").isin(touched) if touched else F.lit(False)
-                )
-            parts.append(_incremental_vs_index_gemm(
-                spark, cpdf, ccells, threshold, sim_buffer_bytes
-            ))
         vs_index = parts[0]
         for p in parts[1:]:
             vs_index = vs_index.unionByName(p)

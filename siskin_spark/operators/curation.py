@@ -1281,6 +1281,7 @@ def token_budget_sample(
     seed: int = 0,
     include_partial: bool = False,
     n_buckets: int = 4096,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic TOKEN-budget sampling: admit documents in seeded
     hash order until the cumulative token count reaches ``budget`` —
@@ -1298,6 +1299,14 @@ def token_budget_sample(
     ``xxhash64(id)``, so re-running on a superset corpus keeps every
     previously-admitted doc whose rank still fits the budget —
     there is no RNG state and no dependence on partitioning.
+
+    ``hash_family`` mirrors the MinHash split (``_minhash_aggs``):
+    ``'xxhash64'`` (default) is the JVM-codegen scale family;
+    ``'md5'`` ranks by the hex of ``md5('{seed}:{id}')`` — bit-exactly
+    reproducible in any engine with md5 (DuckDB, Trino, Postgres), the
+    ORACLE family, at one extra digest per row. The two families admit
+    different (equally valid) samples; each is individually
+    deterministic and growth-stable.
 
     ``include_partial=False`` (default) keeps the total AT OR UNDER
     the budget (the straddling doc is excluded); ``True`` admits the
@@ -1357,17 +1366,40 @@ def token_budget_sample(
             "_tbs_s", F.col(strata_col).cast("string")
         )
         budgets = {str(k): int(v) for k, v in budget.items()}
-    staged = staged.withColumn(
-        "_tbs_h",
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
-    )
     # clamp the bucket count so the driver-side offsets collect stays
     # ~1M rows even for a pathological declared-strata cardinality;
     # within-stratum parallelism drops but the strata dimension itself
     # parallelizes (the window partitions on (stratum, bucket))
     n_buckets = max(16, min(n_buckets, 1_048_576 // max(1, len(budgets))))
-    chunk = (1 << 64) // n_buckets
-    staged = staged.withColumn("_tbs_b", F.expr(f"_tbs_h div {chunk}"))
+    if hash_family == "xxhash64":
+        staged = staged.withColumn(
+            "_tbs_h",
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+        )
+        chunk = (1 << 64) // n_buckets
+        staged = staged.withColumn("_tbs_b", F.expr(f"_tbs_h div {chunk}"))
+    elif hash_family == "md5":
+        # portable rank: lowercase-hex md5 ordered as a string — the
+        # same value and collation in any md5-bearing engine. The
+        # bucket is the hash's first 8 hex digits read as a 32-bit int
+        # (fixed-length lowercase hex orders lexically == numerically,
+        # so bucket boundaries are a prefix-coarsening of the rank
+        # order — exactly the monotonicity the prefix sum needs).
+        staged = staged.withColumn(
+            "_tbs_h",
+            F.md5(F.concat(F.lit(f"{int(seed)}:"),
+                           F.col(id_col).cast("string"))),
+        )
+        chunk = max(1, (1 << 32) // n_buckets)
+        staged = staged.withColumn(
+            "_tbs_b",
+            F.expr(
+                f"cast(conv(substring(_tbs_h, 1, 8), 16, 10) as bigint) "
+                f"div {chunk}"
+            ),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     staged = staged.localCheckpoint(eager=False)  # 2 jobs share the scan
     totals = (
         staged.groupBy("_tbs_s", "_tbs_b")

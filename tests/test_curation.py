@@ -1409,6 +1409,64 @@ def test_token_budget_sample_matches_naive(spark):
     assert clamped == want_mix  # absent strata contribute nothing
 
 
+def test_token_budget_sample_md5_family(spark):
+    """r12 portable-hash mode (mirrors the MinHash md5/xxhash64
+    family split): hash_family='md5' ranks by the hex of
+    md5('{seed}:{id}') — reproducible in any md5-bearing engine, the
+    family the oracle leg rides. Checked against the naive greedy
+    prefix over that exact order, plus bucket-count invariance (the
+    hex-prefix bucketing must be a pure coarsening of the rank
+    order) and the unknown-family error."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i % 7) + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    budget = 150
+    ranked = sorted(
+        ((hashlib.md5(f"9:{i}".encode()).hexdigest(), i, (i % 7) + 1)
+         for i in range(200))
+    )
+    want, cum = set(), 0
+    for _, i, n in ranked:
+        if cum + n <= budget:
+            want.add(i)
+        cum += n
+    got = token_budget_sample(docs, budget, seed=9, hash_family="md5")
+    assert {r["doc_id"] for r in got.collect()} == want
+    for nb in (16, 4096):
+        again = token_budget_sample(
+            docs, budget, seed=9, hash_family="md5", n_buckets=nb
+        )
+        assert {r["doc_id"] for r in again.collect()} == want
+    # the two families admit DIFFERENT (equally valid) samples
+    xx = {r["doc_id"] for r in
+          token_budget_sample(docs, budget, seed=9).collect()}
+    assert xx != want
+    with _pytest.raises(ValueError, match="hash_family"):
+        token_budget_sample(docs, budget, hash_family="sha1")
+    # strata ride the md5 order too
+    sd = docs.withColumn(
+        "dom", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    )
+    per = {
+        r["dom"]: r["t"]
+        for r in token_budget_sample(
+            sd, {"web": 80, "code": 40}, strata_col="dom", seed=9,
+            hash_family="md5",
+        ).groupBy("dom").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert per["web"] <= 80 and per["code"] <= 40
+    assert per["web"] > 60 and per["code"] > 25
+
+
 def test_token_budget_sample_plan_single_shuffle(spark):
     """Plan guard: the two-phase prefix sum must hold the corpus to
     ONE hash exchange (the rank shuffle) plus the broadcast offset

@@ -908,6 +908,10 @@ def test_incremental_semdedup_chunked_matches_unchunked(tmp_path, spark):
     # byte-budget derivation: 17 rows x DIM x 8B budget -> same chunking
     budget = pairs(batch_budget_bytes=17 * DIM * 8)
     assert set(budget) == set(one)
+    # r12 per-range collect: a chunk smaller than every cell's batch
+    # rows forces the heavy-cid path (each cid its own range, collected
+    # whole, sliced locally into several sub-chunk broadcasts)
+    assert set(pairs(batch_chunk_rows=5)) == set(one)
     assert len(one) >= 40  # every planted copy + the internal pair
 
 
