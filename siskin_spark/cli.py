@@ -29,6 +29,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             index: pairs/ (and survivors with --keep;
                             --append-survivors ID also extends the
                             index idempotently — the daily one-liner)
+  semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
+                            without the ids (file table or literal list)
+  neardup-remove IDS DIR    same for the near-dup index (both tables)
   semdedup-compact DIR      re-pack the index's cells/ into few
                             cid-clustered files after many appends
   corpus-diff OLD NEW OUT   (id, status) delta between two snapshots
@@ -228,6 +231,14 @@ def main(argv: list[str] | None = None) -> int:
     p_scmp = sub.add_parser("semdedup-compact")
     p_scmp.add_argument("index_dir")
     p_scmp.add_argument("--target-file-mb", type=int, default=128)
+    for verb in ("semdedup-remove", "neardup-remove"):
+        p_rm = sub.add_parser(verb)
+        p_rm.add_argument(
+            "ids", help="one-column id table (parquet/ndjson), or a "
+                        "comma-separated literal id list",
+        )
+        p_rm.add_argument("index_dir")
+        p_rm.add_argument("--target-file-mb", type=int, default=128)
     p_diff = sub.add_parser("corpus-diff")
     p_diff.add_argument("old", help="previous snapshot (parquet/ndjson)")
     p_diff.add_argument("new", help="current snapshot")
@@ -552,6 +563,45 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['files_after']} files "
             f"({stats['bytes_before']} -> {stats['bytes_after']} bytes)"
         )
+    elif args.cmd in ("semdedup-remove", "neardup-remove"):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        if args.cmd == "semdedup-remove":
+            from siskin_spark.functions.vectors import _sem_meta_read
+            from siskin_spark.functions.vectors import (
+                semdedup_index_remove as _remove,
+            )
+
+            id_col = _sem_meta_read(args.index_dir)["id_col"]
+            table, table_col = "cells", "vec_id"
+        else:
+            from siskin_spark.operators.neardup import (
+                neardup_index_remove as _remove,
+            )
+
+            id_col = table_col = "doc_id"
+            table = "shingles"
+        # literal ids arrive as strings — cast to the index's actual id
+        # type so the anti-join compares like with like
+        id_type = spark.read.parquet(
+            _os.path.join(args.index_dir, table)
+        ).schema[table_col].dataType
+        if _os.path.exists(args.ids):
+            ids = _read(spark, args.ids)
+            if len(ids.columns) == 1 and ids.columns != [id_col]:
+                ids = ids.withColumnRenamed(ids.columns[0], id_col)
+        else:
+            vals = [v.strip() for v in args.ids.split(",") if v.strip()]
+            ids = spark.createDataFrame(
+                [(v,) for v in vals], f"{id_col} string"
+            )
+        ids = ids.select(F.col(id_col).cast(id_type))
+        stats = _remove(ids, args.index_dir,
+                        target_file_mb=args.target_file_mb)
+        removed = stats.get("rows_removed", stats.get("docs_removed"))
+        print(f"removed {removed} row(s)/doc(s) from {args.index_dir}")
     elif args.cmd == "corpus-diff":
         from pyspark.sql import functions as F
 

@@ -1378,6 +1378,66 @@ def semdedup_index_compact(
     return stats
 
 
+def semdedup_index_remove(
+    ids: DataFrame, index_dir: str, target_file_mb: int = 128
+) -> dict:
+    """Remove vectors from the persisted cell index — the retraction /
+    takedown / GDPR-delete path that completes the index lifecycle
+    (build -> append -> compact -> REMOVE). ``ids`` is a one-column
+    frame of the index's id values (column name must equal the meta's
+    ``id_col``); ``cells/`` is rewritten through an anti-join on a
+    broadcast of the ids, with the same atomic write-aside + rename
+    dance (and the same ``__old`` crash-recovery copy) as
+    :func:`semdedup_index_compact` — one rewrite, cid clustering
+    preserved, histogram recounted. Centroids stay frozen (removing
+    members does not move the cell space; refit on drift is a
+    scheduled rebuild, same posture as appends). Returns the rewrite's
+    files/bytes stats plus ``rows_removed``.
+
+    Ledger semantics, stated honestly: the ``appended`` replay ledger
+    SURVIVES removal — a replayed append of a batch whose vectors were
+    later removed still no-ops (the removal is a newer fact than the
+    append, so this is the order a retry race should resolve in). The
+    flip side: re-inserting a removed vector needs a NEW batch_id.
+    Removal is a compaction-class mutation (it erases batch-prefixed
+    file names), so it refuses while an append is pending or crashed
+    mid-placement, and the single-writer contract applies."""
+    import os
+
+    from siskin_spark.operators.layout import (
+        _guard_inflight_appends,
+        rewrite_parquet,
+    )
+
+    spark = ids.sparkSession
+    meta = _sem_meta_read(index_dir)
+    _guard_inflight_appends(
+        index_dir, meta, staging_prefix="_append_",
+        replayer="semdedup_index_append",
+    )
+    id_col = meta["id_col"]
+    if ids.columns != [id_col]:
+        raise ValueError(
+            f"semdedup_index_remove: ids frame must have exactly the "
+            f"index's id column [{id_col!r}], got {ids.columns}"
+        )
+    # the ids frame is takedown-sized — broadcast it so the rewrite's
+    # anti-join adds no shuffle on the corpus side
+    rm = F.broadcast(ids.select(F.col(id_col).alias("vec_id")).distinct())
+    cells_dir = os.path.join(index_dir, "cells")
+    # footer-only count (no column IO) — exact even if the meta's
+    # histogram predates this layout version
+    before = spark.read.parquet(cells_dir).count()
+    stats = rewrite_parquet(
+        spark, cells_dir,
+        transform=lambda df: df.join(rm, "vec_id", "left_anti"),
+        target_file_mb=target_file_mb, cluster_by=["cid"],
+    )
+    _sem_recount_cells(spark, index_dir, meta)
+    stats["rows_removed"] = before - sum(meta["cell_counts"].values())
+    return stats
+
+
 def incremental_semdedup(
     spark,
     new_emb: DataFrame,

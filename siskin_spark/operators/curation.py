@@ -1431,16 +1431,14 @@ def token_budget_sample(
         return docs.limit(0).withColumn(
             "n_tokens", F.lit(0).cast("long")
         )
+    # the stratum's budget rides the SAME broadcast row as its bucket
+    # offset — a per-stratum CASE expression would be an N-way coalesce
+    # that Catalyst evaluates per row (O(strata) per row at 10K strata);
+    # the join-carried column is one lookup regardless of cardinality
     off_df = docs.sparkSession.createDataFrame(
-        offsets, "_tbs_s string, _tbs_b long, _tbs_off long"
+        [(s, b, off, budgets[s]) for s, b, off in offsets],
+        "_tbs_s string, _tbs_b long, _tbs_off long, _tbs_budget long",
     )
-    bexpr = F.coalesce(
-        *[
-            F.when(F.col("_tbs_s") == F.lit(s), F.lit(v).cast("long"))
-            for s, v in budgets.items()
-        ],
-        F.lit(0).cast("long"),
-    ) if budgets else F.lit(0).cast("long")
 
     from pyspark.sql import Window
 
@@ -1450,8 +1448,9 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("_tbs_n").over(w) + F.col("_tbs_off")
+    bcol = F.col("_tbs_budget")
     keep = (
-        (cum - F.col("_tbs_n")) < bexpr if include_partial else cum <= bexpr
+        (cum - F.col("_tbs_n")) < bcol if include_partial else cum <= bcol
     )
     return (
         staged.join(F.broadcast(off_df), ["_tbs_s", "_tbs_b"])

@@ -138,12 +138,36 @@ def compact_parquet(
     Returns {files,bytes} before/after. Driver-local paths (mirrors
     the test environment); the rename dance maps 1:1 onto the Hadoop
     FileSystem API for cluster storage."""
+    return rewrite_parquet(
+        spark, path, target_file_mb=target_file_mb, cluster_by=cluster_by
+    )
+
+
+def rewrite_parquet(
+    spark: SparkSession,
+    path: str,
+    transform=None,
+    target_file_mb: int = 128,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """The write-aside + two-rename rewrite :func:`compact_parquet` is
+    built on, generalized with an optional ``transform(df) -> df``
+    applied during the rewrite — row-level deletes (index removals,
+    retractions) ride the same one-rewrite cost and the same
+    crash-recovery contract (previous data kept at ``path + "__old"``)
+    as compaction, instead of needing a second mechanism. File count
+    is sized from the PRE-transform bytes: for compaction that is the
+    exact target math, for deletes it over-estimates by the deleted
+    fraction (files land smaller than target — the safe side; a
+    delete-heavy rewrite can pass ``target_file_mb`` accordingly)."""
     import shutil
 
     parts = _dir_parts(path)
     bytes_before = sum(os.path.getsize(p) for p in parts)
     n_files = _files_for_target(bytes_before, target_file_mb)
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     rep = (
         df.repartition(int(n_files), *[F.col(c) for c in cluster_by])
         if cluster_by

@@ -1021,6 +1021,66 @@ def incremental_keep(
     return new_docs.join(dropped, on=id_col, how="left_anti")
 
 
+def neardup_index_remove(
+    ids: DataFrame,
+    index_dir: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Remove documents from the persisted near-dup index — the
+    retraction / takedown / GDPR-delete path (mirror of
+    :func:`semdedup_index_remove
+    <siskin_spark.functions.vectors.semdedup_index_remove>`). ``ids``
+    is a one-column ``doc_id`` frame; BOTH tables are rewritten
+    through an anti-join on a broadcast of the ids with the atomic
+    write-aside + rename dance compaction uses (``__old`` kept for
+    crash recovery). A removed doc stops appearing as anyone's
+    ``dup_of`` AND stops contributing shingles, so exact-Jaccard
+    verification of future batches never unions against ghost text.
+    The ``appended`` replay ledger survives (a replayed append of a
+    removed batch still no-ops — removal is the newer fact;
+    re-inserting needs a new batch_id). Removal is a compaction-class
+    mutation: refuses while an append is pending / crashed
+    mid-placement; single-writer contract applies. Returns per-table
+    rewrite stats plus ``docs_removed``."""
+    import json
+    import os
+
+    from siskin_spark.operators.layout import (
+        _guard_inflight_appends,
+        rewrite_parquet,
+    )
+
+    spark = ids.sparkSession
+    with open(_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    _guard_inflight_appends(
+        index_dir, meta, staging_prefix="_append_",
+        replayer="neardup_index_append",
+    )
+    if ids.columns != ["doc_id"]:
+        raise ValueError(
+            "neardup_index_remove: ids frame must have exactly "
+            f"['doc_id'], got {ids.columns}"
+        )
+    rm = F.broadcast(ids.select("doc_id").distinct())
+    sh_dir = os.path.join(index_dir, "shingles")
+    before = (
+        spark.read.parquet(sh_dir).select("doc_id").distinct().count()
+    )
+    out = {
+        table: rewrite_parquet(
+            spark, os.path.join(index_dir, table),
+            transform=lambda df: df.join(rm, "doc_id", "left_anti"),
+            target_file_mb=target_file_mb, cluster_by=[key],
+        )
+        for table, key in (("bands", "band"), ("shingles", "doc_id"))
+    }
+    out["docs_removed"] = before - (
+        spark.read.parquet(sh_dir).select("doc_id").distinct().count()
+    )
+    return out
+
+
 def neardup_index_compact(
     spark,
     index_dir: str,

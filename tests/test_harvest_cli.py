@@ -870,6 +870,20 @@ def test_cli_daily_oneliner_append_survivors_and_compact(capsys, tmp_path, spark
     capsys.readouterr()
     assert spark.read.parquet(nidx + "/shingles").count() == n_sh
 
+    # r12 retraction verbs: literal-id removal rewrites the index and
+    # the removed vector/doc stops matching
+    assert main(["semdedup-remove", "101", idx]) == 0
+    assert "removed 1" in capsys.readouterr().out
+    assert spark.read.parquet(idx + "/cells").count() == 50
+    out3 = str(tmp_path / "d_out3")
+    assert main(["semdedup-batch", p_path, idx, out3]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out3 + "/pairs").count() == 0
+    assert main(["neardup-remove", "3,101", nidx]) == 0
+    assert "removed 2" in capsys.readouterr().out
+    assert spark.read.parquet(nidx + "/shingles") \
+        .filter("doc_id in (3, 101)").count() == 0
+
 
 def test_cli_corpus_diff(capsys, tmp_path, spark):
     """r11 corpus-diff verb: change-rate-sized (id, status) delta

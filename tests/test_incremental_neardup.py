@@ -294,6 +294,62 @@ def test_index_append_idempotent(spark, index_dir):
     assert (bands(), sh()) == (nb, ns)
 
 
+def test_index_remove(spark, index_dir):
+    """r12 retraction path (neardup sibling): removed docs stop
+    matching (bands AND shingles — no ghost text in exact-Jaccard
+    unions), other docs keep matching, the replay ledger survives so
+    the removed batch's replay no-ops, and a pending append blocks the
+    rewrite."""
+    import json
+    import os
+
+    import pytest
+
+    from siskin_spark.operators.neardup import (
+        _index_meta_path,
+        neardup_index_remove,
+    )
+
+    b = spark.createDataFrame([(200, _doc(60))], "doc_id long, text string")
+    neardup_index_append(b, index_dir, batch_id="day-5")
+    probe = spark.createDataFrame(
+        [(300, _doc(3)), (301, _doc(60)), (302, _doc(7))],
+        "doc_id long, text string",
+    )
+
+    def targets():
+        return {r["dup_of"] for r in incremental_neardup(
+            spark, probe, index_dir, threshold=0.9).collect()}
+
+    assert targets() == {3, 200, 7}
+
+    meta = json.load(open(_index_meta_path(index_dir)))
+    meta["pending"] = ["day-6"]
+    json.dump(meta, open(_index_meta_path(index_dir), "w"))
+    with pytest.raises(RuntimeError, match="day-6"):
+        neardup_index_remove(
+            spark.createDataFrame([(3,)], "doc_id long"), index_dir
+        )
+    meta["pending"] = []
+    json.dump(meta, open(_index_meta_path(index_dir), "w"))
+
+    stats = neardup_index_remove(
+        spark.createDataFrame([(3,), (200,)], "doc_id long"), index_dir
+    )
+    assert stats["docs_removed"] == 2
+    assert targets() == {7}  # removed docs gone, others intact
+    for table in ("bands", "shingles"):
+        assert spark.read.parquet(
+            os.path.join(index_dir, table)
+        ).filter("doc_id in (3, 200)").count() == 0
+    meta = json.load(open(_index_meta_path(index_dir)))
+    assert meta["appended"] == ["day-5"]
+    neardup_index_append(b, index_dir, batch_id="day-5")  # replay no-ops
+    assert spark.read.parquet(
+        os.path.join(index_dir, "shingles")
+    ).filter("doc_id = 200").count() == 0
+
+
 def test_index_compact_refuses_inflight_append(spark, index_dir):
     """ADVICE r12 (medium, semdedup sibling): compaction between an
     append's file placement and its ledger write would erase the

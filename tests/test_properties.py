@@ -1225,22 +1225,33 @@ def test_lsh_params_for_threshold_invariants():
         lsh_params_for_threshold(1.5)
 
 
+_cd_payload = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+    st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+)
+
+
 @_slow
 @given(
-    old=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+    old=st.lists(st.tuples(st.integers(0, 12), _cd_payload),
                  max_size=12, unique_by=lambda r: r[0]),
-    new=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+    new=st.lists(st.tuples(st.integers(0, 12), _cd_payload),
                  max_size=12, unique_by=lambda r: r[0]),
 )
 def test_corpus_diff_matches_naive(spark, old, new):
     """r11 corpus_diff: (id, status) equals the naive dict diff on any
-    pair of snapshots; unchanged ids never appear."""
+    pair of snapshots; unchanged ids never appear. r12: payloads are
+    two NULLABLE columns drawn from a tiny value pool, so Hypothesis
+    hits the NULL-shift class ((NULL,'x') vs ('x',NULL)) and
+    NULL-vs-empty-string the ADVICE fix disambiguates."""
     from siskin_spark.operators.dedup import corpus_diff
 
-    schema = "doc_id int, payload int"
-    odf = spark.createDataFrame(old, schema) if old else \
+    schema = "doc_id int, a string, b string"
+    old_rows = [(i, p[0], p[1]) for i, p in old]
+    new_rows = [(i, p[0], p[1]) for i, p in new]
+    odf = spark.createDataFrame(old_rows, schema) if old_rows else \
         spark.createDataFrame([], schema)
-    ndf = spark.createDataFrame(new, schema) if new else \
+    ndf = spark.createDataFrame(new_rows, schema) if new_rows else \
         spark.createDataFrame([], schema)
     got = {r["doc_id"]: r["status"] for r in corpus_diff(odf, ndf).collect()}
     om, nm = dict(old), dict(new)

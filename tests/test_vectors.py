@@ -1091,6 +1091,93 @@ def test_semdedup_compact_refuses_inflight_append(tmp_path, spark):
     semdedup_index_compact(spark, idx_dir)
 
 
+def test_semdedup_index_remove(tmp_path, spark):
+    """r12 retraction path: removed vectors stop matching admits, the
+    rewrite preserves results for everything else, the replay ledger
+    survives (a replayed append of a removed batch no-ops — removal is
+    the newer fact), the histogram recounts, and removal refuses while
+    an append is pending (compaction-class mutation)."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        incremental_semdedup,
+        semdedup_index_append,
+        semdedup_index_build,
+        semdedup_index_remove,
+    )
+
+    rows, X = _sem_corpus(spark, 100, seed=81)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx_rm")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=100, iters=5, seed=3)
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=DIM)
+    w = w / np.linalg.norm(w)
+    semdedup_index_append(
+        spark.createDataFrame(
+            [(700, [float(x) for x in w])],
+            "vec_id long, embedding array<float>",
+        ),
+        idx_dir, batch_id="day-1",
+    )
+
+    probe = spark.createDataFrame(
+        [(800, [float(x) for x in w]), (801, [float(x) for x in X[5]])],
+        "vec_id long, embedding array<float>",
+    )
+
+    def hit_targets():
+        return {r["dup_of"] for r in
+                incremental_semdedup(spark, probe, idx_dir).collect()}
+
+    before = hit_targets()
+    assert 700 in before and 5 in before  # both targets live pre-removal
+
+    # pending append blocks removal (same interleaving hazard as compact)
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    meta["pending"] = ["day-2"]
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+    with pytest.raises(RuntimeError, match="day-2"):
+        semdedup_index_remove(
+            spark.createDataFrame([(700,)], "vec_id long"), idx_dir
+        )
+    meta["pending"] = []
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+
+    # wrong-shape ids frame is a loud error
+    with pytest.raises(ValueError, match="id column"):
+        semdedup_index_remove(
+            spark.createDataFrame([(700, 1)], "vec_id long, x int"), idx_dir
+        )
+
+    stats = semdedup_index_remove(
+        spark.createDataFrame([(700,), (5,)], "vec_id long"), idx_dir
+    )
+    assert stats["rows_removed"] == 2
+    cells = spark.read.parquet(idx_dir + "/cells")
+    assert cells.count() == 99
+    assert cells.filter(F.col("vec_id").isin([700, 5])).count() == 0
+    after = hit_targets()
+    assert 700 not in after and 5 not in after
+    # everything else still matches exactly as before
+    assert after == before - {700, 5}
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert sum(meta["cell_counts"].values()) == 99
+    assert meta["appended"] == ["day-1"]  # ledger survives...
+    semdedup_index_append(  # ...so the removed batch's replay no-ops
+        spark.createDataFrame(
+            [(700, [float(x) for x in w])],
+            "vec_id long, embedding array<float>",
+        ),
+        idx_dir, batch_id="day-1",
+    )
+    assert spark.read.parquet(idx_dir + "/cells").count() == 99
+
+
 def test_incremental_semdedup_chunked_768dim_budget(tmp_path, spark):
     """The byte-budget chunk derivation must adapt to the embedding
     width: at 768-dim (realistic sentence-embedding width, 12x the
