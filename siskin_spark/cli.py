@@ -29,6 +29,8 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             index: pairs/ (and survivors with --keep;
                             --append-survivors ID also extends the
                             index idempotently — the daily one-liner)
+  semdedup-drift VECS DIR   centroid-fit drift gauge: batch vs index
+                            cosine-to-centroid stats (refit signal)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
                             without the ids (file table or literal list)
   neardup-remove IDS DIR    same for the near-dup index (both tables)
@@ -231,6 +233,10 @@ def main(argv: list[str] | None = None) -> int:
     p_scmp = sub.add_parser("semdedup-compact")
     p_scmp.add_argument("index_dir")
     p_scmp.add_argument("--target-file-mb", type=int, default=128)
+    p_drift = sub.add_parser("semdedup-drift")
+    p_drift.add_argument("vectors", help="new-batch vector table")
+    p_drift.add_argument("index_dir")
+    p_drift.add_argument("--sample", type=int, default=20_000)
     for verb in ("semdedup-remove", "neardup-remove"):
         p_rm = sub.add_parser(verb)
         p_rm.add_argument(
@@ -563,6 +569,15 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['files_after']} files "
             f"({stats['bytes_before']} -> {stats['bytes_after']} bytes)"
         )
+    elif args.cmd == "semdedup-drift":
+        import json as _json
+
+        from siskin_spark.functions.vectors import semdedup_index_drift
+
+        got = semdedup_index_drift(
+            _read(spark, args.vectors), args.index_dir, sample=args.sample
+        )
+        print(_json.dumps(got))
     elif args.cmd in ("semdedup-remove", "neardup-remove"):
         import os as _os
 

@@ -1378,6 +1378,78 @@ def semdedup_index_compact(
     return stats
 
 
+def semdedup_index_drift(
+    new_emb: DataFrame,
+    index_dir: str,
+    sample: int = 20_000,
+    seed: int = 7,
+) -> dict:
+    """When to refit the frozen centroids: every docstring in this
+    family says "refit on drift as a scheduled rebuild" — this is the
+    gauge that turns that sentence into a number. Returns the mean and
+    10th-percentile top-1 cosine between vectors and their assigned
+    centroid for (a) a deterministic hash-sample of the INDEX (the
+    distribution the cells were fit — or appended-and-accepted — on)
+    and (b) the NEW batch, plus ``drift`` = index mean − batch mean.
+    A batch that fits the cell space scores ≈ the index sample;
+    distribution shift (new language, new embedding model, new domain)
+    shows as the batch mean falling below — vectors land far from
+    every centroid, co-cell compare recall decays, and a rebuild is
+    due. There is no universal threshold; trend it per pipeline
+    (alert on e.g. drift > 0.05 or a falling batch p10).
+
+    Cost: one k-broadcast GEMM assignment of the batch + one sampled
+    narrow scan of ``cells/`` joined to the k centroids — safe to run
+    on every daily admit. The index side samples by seeded xxhash64
+    of vec_id (deterministic, partition-independent); int8 cells need
+    no dequantization because cosine renormalizes both sides."""
+    import os
+
+    spark = new_emb.sparkSession
+    meta = _sem_meta_read(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    n_index = sum(meta.get("cell_counts", {}).values()) or cells.count()
+    frac = min(1.0, sample / max(1, n_index))
+    # deterministic hash-threshold sample: same rows every run, no RNG
+    idx_sample = cells.filter(
+        F.pmod(
+            F.xxhash64(F.col("vec_id").cast("string"), F.lit(int(seed))),
+            F.lit(1_000_000),
+        ) < int(frac * 1_000_000)
+    ).select("cid", "embedding")
+    batch = _sem_assign(new_emb, cents, id_col, vec_col).select(
+        "cid", "embedding"
+    )
+
+    def fit(df: DataFrame) -> dict:
+        got = (
+            # zero-norm vectors carry no direction — excluding them
+            # beats letting 0/0 NaNs poison the mean
+            df.filter(norm(F.col("embedding")) != 0)
+            .join(F.broadcast(cents), "cid")
+            .select(cosine(F.col("embedding"), F.col("cv")).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("c").alias("mean"),
+                F.percentile_approx("c", 0.1).alias("p10"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n": int(got["n"]),
+            "mean": float(got["mean"]) if got["mean"] is not None else None,
+            "p10": float(got["p10"]) if got["p10"] is not None else None,
+        }
+
+    idx_fit, batch_fit = fit(idx_sample), fit(batch)
+    drift = None
+    if idx_fit["mean"] is not None and batch_fit["mean"] is not None:
+        drift = idx_fit["mean"] - batch_fit["mean"]
+    return {"index": idx_fit, "batch": batch_fit, "drift": drift}
+
+
 def semdedup_index_remove(
     ids: DataFrame, index_dir: str, target_file_mb: int = 128
 ) -> dict:

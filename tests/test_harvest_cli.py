@@ -884,6 +884,14 @@ def test_cli_daily_oneliner_append_survivors_and_compact(capsys, tmp_path, spark
     assert spark.read.parquet(nidx + "/shingles") \
         .filter("doc_id in (3, 101)").count() == 0
 
+    # r12 drift gauge verb: one JSON line of fit stats
+    import json as _json
+
+    assert main(["semdedup-drift", p_path, idx]) == 0
+    drift = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(drift) == {"index", "batch", "drift"}
+    assert drift["batch"]["n"] == 1
+
 
 def test_cli_corpus_diff(capsys, tmp_path, spark):
     """r11 corpus-diff verb: change-rate-sized (id, status) delta

@@ -1091,6 +1091,57 @@ def test_semdedup_compact_refuses_inflight_append(tmp_path, spark):
     semdedup_index_compact(spark, idx_dir)
 
 
+def test_semdedup_index_drift(tmp_path, spark):
+    """r12 drift gauge: a batch drawn from the index's own
+    distribution scores ~the index sample's centroid fit (drift ~0);
+    a batch from a DIFFERENT distribution (random directions vs the
+    index's tight clusters) scores materially lower — the refit
+    signal every 'frozen centroids, rebuild on drift' docstring
+    defers to."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_drift,
+    )
+
+    rng = np.random.default_rng(13)
+    # 3 tight clusters: center + small noise, unit-normalized
+    centers = rng.normal(size=(3, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(300):
+        v = centers[i % 3] + 0.03 * rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "semidx_drift")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=300, iters=8, seed=3)
+
+    same = []
+    for j in range(60):
+        v = centers[j % 3] + 0.03 * rng.normal(size=DIM)
+        same.append((900 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    same_df = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    got = semdedup_index_drift(same_df, idx_dir)
+    assert got["index"]["n"] > 0 and got["batch"]["n"] == 60
+    assert got["index"]["mean"] > 0.9  # tight clusters fit their cells
+    assert abs(got["drift"]) < 0.05  # same distribution: no drift
+
+    shifted = [
+        (950 + j, [float(x) for x in w / np.linalg.norm(w)])
+        for j, w in enumerate(rng.normal(size=(60, DIM)))
+    ]
+    got2 = semdedup_index_drift(
+        spark.createDataFrame(shifted, "vec_id long, embedding array<float>"),
+        idx_dir,
+    )
+    assert got2["drift"] > 0.3  # random directions: far from every cell
+    assert got2["batch"]["p10"] < got["batch"]["p10"]
+
+    # determinism: the hash-sampled index side returns the same stats
+    assert semdedup_index_drift(same_df, idx_dir) == got
+
+
 def test_semdedup_index_remove(tmp_path, spark):
     """r12 retraction path: removed vectors stop matching admits, the
     rewrite preserves results for everything else, the replay ledger
