@@ -1251,6 +1251,12 @@ def semdedup_index_build(
             "seed": seed, "id_col": id_col, "vec_col": vec_col,
             "assign": "gemm", "store": store,
         }
+    # the embedding width, read from ONE centroid row (k-bounded frame,
+    # no corpus job): every admit's chunk-budget math needs it, and
+    # reading it here saves a per-admit probe job
+    dim_row = cents.select(F.size("cv").alias("d")).first()
+    if dim_row is not None:
+        meta["dim"] = int(dim_row["d"])
     _sem_recount_cells(emb.sparkSession, index_dir, meta)
 
 
@@ -1694,8 +1700,10 @@ def incremental_semdedup(
         if batch_chunk_rows is not None:
             chunk = max(1, int(batch_chunk_rows))
         else:
-            first = probes.select(F.size("_bv").alias("d")).first()
-            dim = int(first["d"]) if first is not None else 1
+            dim = meta.get("dim")
+            if dim is None:  # pre-r12 index meta: one probe-row job
+                first = probes.select(F.size("_bv").alias("d")).first()
+                dim = int(first["d"]) if first is not None else 1
             chunk = max(1, batch_budget_bytes // (8 * max(1, dim)))
         # Plan contiguous cid RANGES whose summed batch rows fit the
         # chunk, then COLLECT per range — the driver never holds more
