@@ -970,6 +970,19 @@ def _token_budget_leg(spark, docs, results: dict, timed) -> None:
     results["tokbudget_flat_kept_tokens"] = int(kept)
     assert kept <= target
 
+    # r12: price the portable md5 admission-order family (the oracle
+    # family) against the xxhash64 default — md5 pays a string concat
+    # + hex hash + string-ordered sort key per row, xxhash64 a single
+    # JVM long. Same two-phase plan, different rank expression.
+    def flat_md5():
+        return token_budget_sample(docs, target, seed=7, hash_family="md5")
+
+    timed(flat_md5())
+    results["tokbudget_md5_s"] = min(timed(flat_md5()) for _ in range(3))
+    kept_md5 = flat_md5().agg(F.sum("n_tokens").alias("t")).first()["t"]
+    results["tokbudget_md5_kept_tokens"] = int(kept_md5)
+    assert kept_md5 <= target
+
     sd = docs.withColumn("dom", (F.col("doc_id") % 10).cast("string"))
     budgets = {str(i): target // 20 for i in range(10)}
 
