@@ -4324,6 +4324,78 @@ def _ai_update_export_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C23: BM25 query-seeded relevance
+
+#: fixed topic seed over the synthetic vocabulary — df varies 2x
+#: across the set, so idf, tf saturation, and length norm all bite
+_BM25_TERMS = ("spark", "vector", "stream", "window", "join", "query", "hash", "slow")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    """Replay with_bm25's fixed-point contract in plain SQL: the oracle
+    recomputes N/totdl/df itself, derives idf6 with ITS OWN ln (the
+    idf argument is a small-integer rational, so libm agreement is the
+    only cross-engine float exposure — everything after is the same
+    correctly-rounded IEEE division chain, parenthesized identically
+    to operators/curation.py:with_bm25)."""
+    c_num = repr(_BM25_K1 + 1.0)
+    c1 = repr(_BM25_K1 * (1.0 - _BM25_B))
+    c2 = repr(_BM25_K1 * _BM25_B)
+    score, hits, dfc = [], [], []
+    for t in _BM25_TERMS:
+        dfc.append(
+            f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        )
+        idf = (
+            f"floor(1000000.0 * ln((((s.n - df.df_{t} + 0.5) / (df.df_{t} + 0.5))"
+            " + 1.0)))"
+        )
+        tf = f"CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE)"
+        score.append(
+            f"CASE WHEN {tf} > 0.0 THEN CAST(floor(({idf} * {tf} * {c_num})"
+            f" / ({tf} + {c1} + (({c2} * d.dl * s.nd) / s.td))) AS BIGINT)"
+            " ELSE 0 END"
+        )
+        hits.append(f"CASE WHEN {tf} > 0.0 THEN 1 ELSE 0 END")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+             coalesce(len(list_filter(str_split(lower(text), ' '),
+                                      x -> len(x) > 0)), 0) AS dl
+      FROM documents
+    ),
+    s AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+                 CAST(sum(dl) AS DOUBLE) AS td FROM d),
+    df AS (SELECT {', '.join(dfc)} FROM d)
+    SELECT d.doc_id,
+           CAST({' + '.join(score)} AS BIGINT) AS bm25_micro,
+           CAST({' + '.join(hits)} AS INT) AS bm25_hits
+    FROM d, s, df
+    """
+
+
+@_q("bm25_relevance", _bm25_oracle())
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 query-seeded topical relevance
+    (operators/curation.py:with_bm25): score every document against a
+    fixed topic seed — the lexical targeted-corpus-selection stage a
+    domain-model pipeline runs before training (the reference has no
+    relevance operator; its nearest analogue is the F1/F2 metadata
+    list filters). The stats pass is ONE bounded aggregate; scoring is
+    a pure map (one tokenize + one tf filter per term per row, no
+    shuffle), and the score is an exact BIGINT in micro-units so the
+    oracle replays it bit-for-bit."""
+    from siskin_spark.operators.curation import with_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bm25(
+        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", "bm25_micro", "bm25_hits")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 

@@ -43,7 +43,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             --line-dedup N, --decontaminate BENCH,
                             --mix STRATUM=W..., --sample FRAC,
                             --token-budget N / --token-mix S=N (absolute
-                            token targets), --split NAME=F...,
+                            token targets), --bm25 TERM... with
+                            --bm25-min/--bm25-topk (topical selection),
+                            --split NAME=F...,
                             --pack BUDGET (writes layout + manifest)
   bench [SF_DIR]            delegate to bench.py
 
@@ -333,6 +335,17 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--clf-family", default="md5", choices=["md5", "xxhash64"],
                        help="token-hash family the weights were trained "
                        "against (xxhash64 = the scale family)")
+    p_cur.add_argument("--bm25", action="append", default=[], metavar="TERM",
+                       help="query-seeded topical selection: BM25-score "
+                       "every doc against these terms (repeatable) and "
+                       "keep by --bm25-min or --bm25-topk")
+    p_cur.add_argument("--bm25-min", type=int, default=None, metavar="MICRO",
+                       help="keep docs with bm25_micro >= MICRO "
+                       "(exact integer micro-units)")
+    p_cur.add_argument("--bm25-topk", type=int, default=None, metavar="K",
+                       help="keep the global top-K docs by BM25 "
+                       "(deterministic id tie-break; TakeOrdered, no "
+                       "global sort)")
     p_cur.add_argument("--cap", type=int, default=0, metavar="N",
                        help="keep at most N docs per --cap-domain value "
                        "(sampled mode: statistical cap, no hot-domain reducer)")
@@ -716,7 +729,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag:
         # url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup
-        # -> decontaminate -> clf -> cap -> mix -> sample -> pack.
+        # -> decontaminate -> clf -> bm25 -> cap -> mix -> sample ->
+        # pack.
         # span-dedup runs AFTER the newline-based stages: it
         # whitespace-normalizes every doc (newlines become spaces), so
         # putting it first would silently neuter line/wd dedup.
@@ -827,6 +841,29 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 > args.clf_threshold
             )
+            staged_any = True
+        if args.bm25 or args.bm25_min is not None or args.bm25_topk is not None:
+            if not args.bm25:
+                raise SystemExit("error: --bm25-min/--bm25-topk need --bm25 TERM")
+            if (args.bm25_min is None) == (args.bm25_topk is None):
+                raise SystemExit(
+                    "error: --bm25 needs exactly one of --bm25-min / --bm25-topk"
+                )
+            # topical selection before the statistical stages: pick the
+            # relevant slice first, then cap/mix/budget shape it. The
+            # stats pass reads the frame twice -> barrier.
+            gated = _barrier(df)
+            if args.bm25_topk is not None:
+                df = cur.bm25_topk(
+                    gated, args.bm25, args.bm25_topk,
+                    id_col=args.id_col, text_col=tc,
+                ).drop("bm25_micro", "bm25_hits")
+            else:
+                df = cur.with_bm25(
+                    gated, args.bm25, text_col=tc,
+                ).filter(
+                    F.col("bm25_micro") >= args.bm25_min
+                ).drop("bm25_micro", "bm25_hits")
             staged_any = True
         if args.cap:
             df = cur.domain_cap_mark(

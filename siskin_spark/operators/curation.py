@@ -1461,3 +1461,212 @@ def token_budget_sample(
             F.col("_tbs_n").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C23: query-seeded topical relevance (BM25)
+
+
+def bm25_stats(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    sep: str = " ",
+) -> tuple[int, int, dict[str, int]]:
+    """ONE corpus aggregate collecting the BM25 statistics for a small
+    query-term set: (N docs, total token count, per-term document
+    frequency). The result is O(|terms|) — bounded by the query, not
+    the corpus — and feeds :func:`bm25_idf6`.
+
+    Plan: stage the lowercased token array once per row (HOFs are
+    interpreted — staging beats |terms| re-splits), then a single
+    map-side-combined global aggregate. No shuffle beyond the one
+    final reduce; at 1000 executors each task emits one partial row.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tt = F.filter(
+        tokens(F.lower(F.col(text_col)), sep), lambda t: F.length(t) > 0
+    )
+    staged = docs.select(tt.alias("_bm_toks"))
+    row = staged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.coalesce(F.size("_bm_toks"), F.lit(0))).alias("_totdl"),
+        *[
+            F.sum(
+                F.coalesce(
+                    F.array_contains("_bm_toks", t).cast("long"), F.lit(0)
+                )
+            ).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n, totdl = int(row["_n"]), int(row["_totdl"] or 0)
+    if n == 0 or totdl == 0:
+        raise ValueError("bm25 over an empty / token-less corpus")
+    return n, totdl, {t: int(row[f"_df_{i}"]) for i, t in enumerate(terms)}
+
+
+def bm25_idf6(n_docs: int, df: dict[str, int]) -> dict[str, int]:
+    """FIXED-POINT micro-idf per query term: floor(1e6 * ln((N - df +
+    0.5) / (df + 0.5) + 1)) — the Lucene/BM25L always-positive idf,
+    compiled ONCE on the driver to an integer so the per-document
+    score below is a sum of exact 64-bit floors (same trick as
+    :func:`unigram_logprob_table`: no summation-order hazard can touch
+    the data path; the only cross-engine float op left is one
+    fixed-shape division chain of correctly-rounded IEEE ops)."""
+    import math
+
+    return {
+        t: int(math.floor(1e6 * math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)))
+        for t, d in df.items()
+    }
+
+
+def with_bm25(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25_micro",
+    hits_col: str = "bm25_hits",
+    text_col: str = "text",
+    sep: str = " ",
+    stats: tuple[int, int, dict[str, int]] | None = None,
+    literal_max: int = 256,
+) -> DataFrame:
+    """Append a query-seeded BM25 relevance score — the lexical member
+    of the targeted-corpus-selection family (pick the slice of a web
+    corpus relevant to a topic seed before training a domain model;
+    the embedding-cosine siblings live in functions/vectors.py). The
+    reference has no relevance stage (its filters are metadata
+    predicates); this generalizes the C1 samplers to content-ranked
+    selection.
+
+    ``out_col`` is an exact BIGINT in micro-units:
+
+        sum over matched terms of
+          floor((idf6 * tf * (k1+1)) / (tf + k1*(1-b) + (k1*b*dl*N)/totdl))
+
+    with idf6 from :func:`bm25_idf6` and tf/dl/N/totdl exact integers
+    carried in doubles (< 2^53). Every multiply/divide/add is a
+    correctly-rounded IEEE double op on bit-identical operands in a
+    fixed parse shape, so the floor — and therefore the score — is
+    bit-reproducible in ANY engine (the DuckDB oracle replays it
+    verbatim). ``hits_col`` counts matched distinct terms.
+
+    Plan: the stats pass is ONE bounded aggregate (or pass ``stats``
+    precomputed to amortize across calls); scoring is a PURE MAP — the
+    token array binds once per row (:func:`let_once`), each term costs
+    one O(L) filter inside the same interpreted projection, no
+    shuffle, no join, nothing corpus-sized leaves the executors. At
+    100 TB the whole operator is a scan.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    canon: list[str] = []
+    for t in terms:
+        lt = t.lower()
+        if not lt or sep in lt:
+            raise ValueError(f"bad query term: {t!r}")
+        if lt not in canon:
+            canon.append(lt)
+    if len(canon) > literal_max:
+        raise ValueError(
+            f"{len(canon)} query terms > literal_max={literal_max}: "
+            "a term list that size should be a broadcast-join scorer, "
+            "not an inline projection"
+        )
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
+    n, totdl, df = (
+        stats
+        if stats is not None
+        else bm25_stats(docs, canon, text_col=text_col, sep=sep)
+    )
+    idf6 = bm25_idf6(n, df)
+    c_num = float(k1 + 1.0)  # tf multiplier
+    c1 = float(k1 * (1.0 - b))  # length-free denominator constant
+    c2 = float(k1 * b)  # length-norm coefficient
+
+    tt = F.filter(
+        tokens(F.lower(F.col(text_col)), sep), lambda t: F.length(t) > 0
+    )
+
+    term_arr = F.array(*[F.lit(t) for t in canon])
+    idf_arr = F.array(*[F.lit(float(idf6[t])) for t in canon])
+
+    def scored(bound: Column) -> Column:
+        # ONE O(L) filter per term: the tf vector is a single
+        # ``transform`` over the term literals, then let-bound so the
+        # score sum and the hit count read the SAME evaluation (an
+        # unbound tf would re-run its filter at every reference site —
+        # interpreted HOFs re-evaluate duplicated subtrees per row)
+        dl = F.coalesce(F.size(bound), F.lit(0)).cast("double")
+        # denominator's length term: ((c2 * dl) * N) / totdl — the
+        # parenthesization IS the contract; the oracle mirrors it
+        lennorm = (F.lit(c2) * dl * F.lit(float(n))) / F.lit(float(totdl))
+        tfs = F.transform(
+            term_arr,
+            lambda t: F.size(F.filter(bound, lambda x: x == t)).cast("double"),
+        )
+        return let_once_col(
+            tfs,
+            lambda tfv: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        tfv,
+                        idf_arr,
+                        lambda tf, idf: F.when(
+                            tf > F.lit(0.0),
+                            F.floor(
+                                (idf * tf * F.lit(c_num))
+                                / (tf + F.lit(c1) + lennorm)
+                            ),
+                        ).otherwise(F.lit(0).cast("long")),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("s"),
+                F.aggregate(
+                    tfv,
+                    F.lit(0),
+                    lambda acc, tf: acc
+                    + F.when(tf > F.lit(0.0), 1).otherwise(0),
+                ).cast("int").alias("h"),
+            ),
+        )
+
+    # stage the struct in its OWN projection and expand in a second:
+    # referencing it twice inside one withColumns would duplicate the
+    # whole fold (CollapseProject keeps the split because the producer
+    # is non-cheap and referenced twice)
+    staged = docs.withColumn("_bm25_sh", let_once_col(tt, scored))
+    return staged.withColumns(
+        {
+            out_col: F.col("_bm25_sh")["s"],
+            hits_col: F.col("_bm25_sh")["h"],
+        }
+    ).drop("_bm25_sh")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Global top-k documents by BM25 score, ties broken by ``id_col``
+    so the answer is deterministic. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and only k
+    rows per partition ever move, so there is no global sort and no
+    single-reducer window even at 100 TB."""
+    scored = with_bm25(docs, terms, **kwargs)
+    out_col = kwargs.get("out_col", "bm25_micro")
+    return scored.orderBy(
+        F.col(out_col).desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -1488,3 +1488,115 @@ def test_token_budget_sample_plan_single_shuffle(spark):
     assert len(hash_ex) == 1, plan
     assert not single, plan
     assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# C23: BM25 query-seeded relevance
+
+
+def _naive_bm25(texts, terms, k1=1.2, b=0.75):
+    """Row-at-a-time reference: same fixed-point contract, independent
+    float path (Python floats ARE IEEE doubles, so the correctly-
+    rounded division chain must agree bit-for-bit)."""
+    import math
+
+    toks = [[t for t in (s or "").lower().split(" ") if t] for s in texts]
+    n = len(toks)
+    totdl = sum(len(ts) for ts in toks)
+    df = {t: sum(1 for ts in toks if t in ts) for t in terms}
+    idf6 = {
+        t: math.floor(1e6 * math.log((n - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df.items()
+    }
+    out = []
+    for ts in toks:
+        dl = float(len(ts))
+        lennorm = (k1 * b) * dl * float(n) / float(totdl)
+        score, hits = 0, 0
+        for t in terms:
+            tf = float(ts.count(t))
+            if tf > 0:
+                score += math.floor(
+                    (idf6[t] * tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b) + lennorm)
+                )
+                hits += 1
+        out.append((score, hits))
+    return out
+
+
+def test_bm25_matches_naive(spark):
+    texts = [
+        "spark join join window agg",
+        "vector vector vector stream",
+        "the a of filter scan",
+        "",  # token-less: score 0, hits 0
+        "SPARK Spark spark",  # case-folded
+        None,  # null text behaves like empty
+        "join " * 50 + "window",  # long doc: length norm bites
+    ]
+    terms = ["spark", "vector", "join", "window"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["bm25_micro"], r["bm25_hits"])
+        for r in C.with_bm25(docs, terms).collect()
+    }
+    want = dict(enumerate(_naive_bm25(texts, terms)))
+    assert got == want
+    assert got[3] == (0, 0) and got[5] == (0, 0)
+    assert got[4][1] == 1  # case-folding matched 'SPARK Spark spark'
+
+
+def test_bm25_stats_reuse_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b spark"), (1, "spark spark c")], "doc_id long, text string"
+    )
+    stats = C.bm25_stats(docs, ["spark", "b"])
+    assert stats == (2, 6, {"spark": 2, "b": 1})
+    pre = C.with_bm25(docs, ["spark", "b"], stats=stats).collect()
+    fresh = C.with_bm25(docs, ["spark", "b"]).collect()
+    assert sorted(map(tuple, pre)) == sorted(map(tuple, fresh))
+    with pytest.raises(ValueError):
+        C.with_bm25(docs, [])
+    with pytest.raises(ValueError):
+        C.with_bm25(docs, ["two words"])
+    with pytest.raises(ValueError):
+        C.with_bm25(docs, ["a", "b"], literal_max=1)
+    with pytest.raises(ValueError):
+        C.with_bm25(docs, ["a"], k1=0.0)
+    with pytest.raises(ValueError):
+        C.bm25_stats(docs.limit(0), ["a"])
+    # duplicate terms collapse instead of double-counting
+    one = C.with_bm25(docs, ["spark"]).collect()
+    dup = C.with_bm25(docs, ["spark", "SPARK"]).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, dup))
+
+
+def test_bm25_topk_deterministic_and_scalable(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    top = C.bm25_topk(docs, ["spark"], 5)
+    rows = top.collect()
+    scored = sorted(
+        ((r["bm25_micro"], r["doc_id"]) for r in C.with_bm25(docs, ["spark"]).collect()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    assert [(r["bm25_micro"], r["doc_id"]) for r in rows] == scored[:5]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_scoring_is_shuffle_free(spark):
+    """The scoring pass is a pure map: no exchange of any kind once
+    the (bounded) stats are in hand."""
+    docs = spark.createDataFrame(
+        [(0, "spark join"), (1, "join join")], "doc_id long, text string"
+    )
+    scored = C.with_bm25(docs, ["spark", "join"], stats=(2, 4, {"spark": 1, "join": 2}))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the token array is materialized ONCE (one split per row)
+    assert plan.count("split(lower(") == 1, plan

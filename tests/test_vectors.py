@@ -1481,3 +1481,90 @@ def test_incremental_semdedup_nprobe_boundary_recovery(tmp_path, spark):
     }
     got_all = pairs(nprobe=2)  # k=2 cells, so nprobe=2 IS exhaustive
     assert set(got_all) == brute
+
+
+def test_streaming_semdedup_gate(tmp_path, spark):
+    """streaming/gate.py: the daily-gate admit as a foreachBatch sink —
+    two micro-batches stream through, cross-batch duplicates are
+    caught via the index append, and both replay shapes (committed
+    ledger hit, crashed half-placement) converge instead of
+    double-placing or self-pairing."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        _sem_meta_path,
+        semdedup_index_build,
+    )
+    from siskin_spark.streaming.gate import semdedup_gate_writer
+
+    rows, X = _sem_corpus(spark, 120, seed=61)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "gateidx")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=120, iters=5, seed=3)
+
+    rng = np.random.default_rng(9)
+    w1 = rng.normal(size=DIM)
+    w1 /= np.linalg.norm(w1)
+    w2 = rng.normal(size=DIM)
+    w2 /= np.linalg.norm(w2)
+    schema = "vec_id long, embedding array<float>"
+    b0 = [(700, [float(x) for x in X[0]]), (701, [float(x) for x in w1])]
+    b1 = [(702, [float(x) for x in w1]), (703, [float(x) for x in w2])]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, data in enumerate([b0, b1]):
+        staging = tmp_path / f"stage{i}"
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(str(staging))
+        part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(feed / f"f{i}.parquet"))
+
+    out_dir = str(tmp_path / "gated")
+    gate = semdedup_gate_writer(idx_dir, out_dir, threshold=0.95)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def survivors(bid):
+        return {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{out_dir}/gate_batch={bid}").collect()
+        }
+
+    # batch 0: 700 dups corpus vec 0; batch 1: 702 dups INDEXED 701 —
+    # the cross-batch catch only works because batch 0's survivors
+    # were appended before batch 1 admitted
+    assert survivors(0) == {701}
+    assert survivors(1) == {703}
+    cells = lambda: spark.read.parquet(idx_dir + "/cells").count()  # noqa: E731
+    assert cells() == 122
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == ["stream-0", "stream-1"]
+    assert meta.get("pending", []) == []
+
+    # committed replay: same batch id arrives again -> pure no-op
+    gate(spark.createDataFrame(b1, schema), 1)
+    assert survivors(1) == {703} and cells() == 122
+
+    # crashed replay: ledger lost the commit (write-ahead 'pending'
+    # remains) while the files ARE placed — the gate must sweep the
+    # half-placement before admitting, or 703 self-pairs and the
+    # replayed survivor set collapses to empty
+    meta["appended"] = ["stream-0"]
+    meta["pending"] = ["stream-1"]
+    json.dump(meta, open(_sem_meta_path(idx_dir), "w"))
+    gate(spark.createDataFrame(b1, schema), 1)
+    assert survivors(1) == {703} and cells() == 122
+    meta = json.load(open(_sem_meta_path(idx_dir)))
+    assert meta["appended"] == ["stream-0", "stream-1"]
+    assert meta.get("pending", []) == []
