@@ -1350,6 +1350,30 @@ _UNI_CASE_SQL = (
     + " ".join(f"WHEN '{t}' THEN {v}" for t, v in sorted(_UNI_LP6.items()))
     + f" ELSE {_UNI_OOV} END"
 )
+
+# DSIR importance model (curation.dsir_logratio_table): target = a
+# fixed "domain" unigram table, source = the _UNI_VOCAB "raw crawl"
+# table; the diff of the two integer lp6 tables compiles once and
+# feeds both the Spark map literal and the DuckDB CASE — integer
+# end to end, not even a division chain
+_DSIR_TGT_VOCAB = [
+    ("vector", 64), ("stream", 56), ("spark", 48), ("window", 40),
+    ("batch", 32), ("agg", 24), ("hash", 16), ("join", 8),
+]
+
+
+def _dsir_table():
+    from siskin_spark.operators.curation import dsir_logratio_table
+
+    return dsir_logratio_table(_DSIR_TGT_VOCAB, _UNI_VOCAB)
+
+
+_DSIR_DIFF6, _DSIR_OOV = _dsir_table()
+_DSIR_CASE_SQL = (
+    "CASE t "
+    + " ".join(f"WHEN '{t}' THEN {v}" for t, v in sorted(_DSIR_DIFF6.items()))
+    + f" ELSE {_DSIR_OOV} END"
+)
 _CLF_W_SQL = "[" + ",".join(map(str, _CLF_W)) + "]"
 # first byte of md5('0:' || token) as an int (the 256-bucket hash)
 _CLF_BUCKET_SQL = (
@@ -1423,6 +1447,9 @@ _CLF_BUCKET_SQL = (
                        t -> {_UNI_CASE_SQL})) AS DOUBLE)
                      / len(list_filter(toks, x -> len(x) > 0)) / 1000000
                 END AS uni_lp,
+           CAST(coalesce(list_sum(list_transform(
+             list_filter(toks, x -> len(x) > 0),
+             t -> {_DSIR_CASE_SQL})), 0) AS BIGINT) AS dsir_lr6,
            CASE WHEN len(toks) <=
                   (SELECT CASE WHEN abs(q - round(q)) < 0.000001
                                THEN round(q) + 0.5 ELSE q END FROM
@@ -1466,6 +1493,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_mark,
         stratified_mark,
     )
+    from siskin_spark.operators.curation import dsir_logratio_mark as cur_dsir
     from siskin_spark.operators.curation import unigram_logprob_mark as cur_uni
 
     docs = _t(spark, sf_dir, "documents")
@@ -1552,6 +1580,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
             lambda tt: cur_uni(tt, _UNI_LP6, _UNI_OOV),
         ).alias("uni_lp"),
+        # C24 DSIR importance log-ratio (curation.dsir_logratio_mark):
+        # target-vs-source lp6 diff table, exact BIGINT fold over the
+        # same staged tokens — zero float ops anywhere in the column
+        F.coalesce(
+            X.let_once(
+                F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
+                lambda tt: cur_dsir(tt, _DSIR_DIFF6, _DSIR_OOV),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("dsir_lr6"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
@@ -1578,6 +1616,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clf_logit",
         "clf_keep",
         "uni_lp",
+        "dsir_lr6",
         quality_bucket_mark("n_tokens", len_th).alias("len_bucket"),
     )
 

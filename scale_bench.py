@@ -1019,6 +1019,39 @@ def _unilp_join_leg(spark, docs, results: dict, timed) -> None:
     results["unilp_join_100k_s"] = min(timed(unilp()) for _ in range(3))
 
 
+def _bm25_leg(spark, docs, results: dict, timed) -> None:
+    """r12 BM25 topical selection at full scale: one bounded stats
+    aggregate + a pure-map scoring pass over the 3M-doc corpus with an
+    8-term topic seed — the whole operator is two scans, nothing
+    corpus-sized shuffles. Also the TakeOrdered top-k form (heap per
+    task, k rows per partition move)."""
+    from siskin_spark.operators.curation import bm25_stats, bm25_topk, with_bm25
+
+    # terms FROM the synthetic vocabulary (w{slot}_{val}) so tf/df/idf
+    # are real — a term set absent from the corpus times the same scan
+    # but scores everything 0
+    terms = ["w0_0", "w1_8", "w2_18", "w3_10", "w4_22", "w5_12", "w6_26", "w7_14"]
+    import time as _time
+
+    t0 = _time.perf_counter()
+    stats = bm25_stats(docs, terms)
+    results["bm25_stats_s"] = round(_time.perf_counter() - t0, 4)
+    results["bm25_n_docs"] = stats[0]
+
+    def score():
+        return with_bm25(docs, terms, stats=stats).select(
+            "doc_id", "bm25_micro", "bm25_hits"
+        )
+
+    timed(score())
+    results["bm25_score_s"] = min(timed(score()) for _ in range(3))
+
+    t0 = _time.perf_counter()
+    top = bm25_topk(docs, terms, 1000, stats=stats).select("doc_id", "bm25_micro").collect()
+    results["bm25_top1000_s"] = round(_time.perf_counter() - t0, 4)
+    results["bm25_top_score"] = int(top[0]["bm25_micro"])
+
+
 def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
     """r9 verdict #5: the CLI's `curate` pipeline measured END-TO-END
     (url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup ->
@@ -1326,7 +1359,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8", "tokbudget", "nprobe", "dim768", "dailygate",
+        "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1367,6 +1400,9 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "tokbudget":
             _control_leg(spark, results, timed_only)
             _token_budget_leg(spark, docs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "bm25":
+            _control_leg(spark, results, timed_only)
+            _bm25_leg(spark, docs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "nprobe":
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))

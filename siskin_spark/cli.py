@@ -45,6 +45,8 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             --token-budget N / --token-mix S=N (absolute
                             token targets), --bm25 TERM... with
                             --bm25-min/--bm25-topk (topical selection),
+                            --dsir VOCAB.json --dsir-min M (importance
+                            selection vs the corpus's own LM),
                             --split NAME=F...,
                             --pack BUDGET (writes layout + manifest)
   bench [SF_DIR]            delegate to bench.py
@@ -346,6 +348,18 @@ def main(argv: list[str] | None = None) -> int:
                        help="keep the global top-K docs by BM25 "
                        "(deterministic id tie-break; TakeOrdered, no "
                        "global sort)")
+    p_cur.add_argument("--dsir", metavar="TARGET_VOCAB_JSON", default=None,
+                       help="DSIR importance selection: JSON "
+                       "{token: count} unigram table of the TARGET "
+                       "domain; the source model is built from the "
+                       "corpus itself (--dsir-vocab top-N); keeps docs "
+                       "with log-ratio >= --dsir-min")
+    p_cur.add_argument("--dsir-min", type=int, default=0, metavar="MICRO",
+                       help="keep docs with dsir_lr6 >= MICRO "
+                       "(micro-log10 units; default 0 = ratio >= 1)")
+    p_cur.add_argument("--dsir-vocab", type=int, default=10_000, metavar="N",
+                       help="source-model vocabulary size (top-N corpus "
+                       "tokens; the rest share the OOV class)")
     p_cur.add_argument("--cap", type=int, default=0, metavar="N",
                        help="keep at most N docs per --cap-domain value "
                        "(sampled mode: statistical cap, no hot-domain reducer)")
@@ -729,8 +743,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         # the FineWeb-style curation chain, stages opt-in by flag:
         # url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup
-        # -> decontaminate -> clf -> bm25 -> cap -> mix -> sample ->
-        # pack.
+        # -> decontaminate -> clf -> bm25 -> dsir -> cap -> mix ->
+        # sample -> pack.
         # span-dedup runs AFTER the newline-based stages: it
         # whitespace-normalizes every doc (newlines become spaces), so
         # putting it first would silently neuter line/wd dedup.
@@ -864,6 +878,28 @@ def main(argv: list[str] | None = None) -> int:
                 ).filter(
                     F.col("bm25_micro") >= args.bm25_min
                 ).drop("bm25_micro", "bm25_hits")
+            staged_any = True
+        if args.dsir:
+            import json as _json
+
+            with open(args.dsir) as fh:
+                tv = _json.load(fh)
+            if not isinstance(tv, dict) or not tv:
+                raise SystemExit(
+                    "error: --dsir expects a non-empty JSON object "
+                    "{token: count}"
+                )
+            target = [(str(t), int(n)) for t, n in tv.items()]
+            # source model from the corpus ITSELF (the DSIR recipe:
+            # raw-distribution denominator); vocab_table is a full
+            # pass -> barrier first so the chain above runs once
+            gated = _barrier(df)
+            src = cur.vocab_table(gated, top=args.dsir_vocab, text_col=tc)
+            df = cur.with_dsir(
+                gated, target, src, id_col=args.id_col, text_col=tc,
+            ).filter(
+                F.col("dsir_lr6") >= args.dsir_min
+            ).drop("dsir_lr6")
             staged_any = True
         if args.cap:
             df = cur.domain_cap_mark(

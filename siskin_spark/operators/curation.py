@@ -1670,3 +1670,125 @@ def bm25_topk(
     return scored.orderBy(
         F.col(out_col).desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+# ---------------------------------------------------------------------------
+# C24: DSIR importance weighting (target-vs-source unigram log-ratio)
+
+
+def dsir_logratio_table(
+    target_vocab, source_vocab, k: float = 1.0
+) -> tuple[dict[str, int], int]:
+    """Driver-side compile of a DSIR importance model (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): per-token log p_target(t) − log p_source(t), in the
+    same FIXED-POINT micro-log10 units as
+    :func:`unigram_logprob_table` — the diff of two integer tables is
+    an integer table, so the per-document log-ratio below is an exact
+    64-bit sum with zero cross-engine float exposure (not even the
+    division chain the mean-score operators carry).
+
+    Both vocabs take (token, count) lists or ``vocab_table`` frames;
+    each side smooths independently (add-``k``, one reserved OOV
+    class), so a token unseen on one side falls back to THAT side's
+    OOV mass — the union vocabulary gets a diff entry, and fully-OOV
+    tokens get the OOV diff. DSIR's hashed-feature variant exists to
+    bound the feature space; the vocab builder already bounds ours
+    (top-N), which keeps the table literal-sized and collision-free."""
+    lp_t, oov_t = unigram_logprob_table(target_vocab, k=k)
+    lp_s, oov_s = unigram_logprob_table(source_vocab, k=k)
+    diff = {
+        t: lp_t.get(t, oov_t) - lp_s.get(t, oov_s)
+        for t in set(lp_t) | set(lp_s)
+    }
+    return diff, oov_t - oov_s
+
+
+def dsir_logratio_mark(
+    toks: Column, diff6: dict[str, int], oov_diff6: int
+) -> Column:
+    """Per-document DSIR log importance weight over a PRE-STAGED token
+    array: one ``aggregate`` fold over a map literal, returning the
+    exact BIGINT micro-log10 sum (the bag-of-tokens log-ratio; DSIR
+    resamples on exactly this statistic). No mean, no division — the
+    column is integer end to end."""
+    items = sorted(diff6.items())
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in items]),
+        F.array(*[F.lit(v).cast("long") for _, v in items]),
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(m, t), F.lit(oov_diff6).cast("long")),
+    )
+
+
+def with_dsir(
+    docs: DataFrame,
+    target_vocab,
+    source_vocab,
+    *,
+    k: float = 1.0,
+    out_col: str = "dsir_lr6",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    literal_max: int = 2_048,
+) -> DataFrame:
+    """Append each document's DSIR log importance weight — the
+    targeted-selection stage that reweights a raw crawl toward a
+    target domain (train a tiny unigram model on the target corpus,
+    one on the raw corpus, keep docs whose likelihood ratio favors
+    the target). The lexical sibling of :func:`with_bm25` when the
+    "query" is a whole corpus rather than a term list; select with a
+    threshold, :func:`quality_bucket_thresholds` percentiles, or
+    seeded-hash resampling over the score.
+
+    Same size switch as :func:`with_unigram_logprob`: a union vocab
+    ≤ ``literal_max`` rides the plan as a map literal (pure map, zero
+    shuffle); above, the (token, diff6) table broadcast-joins the
+    exploded tokens and one map-side-combined sum per doc comes back —
+    the corpus never shuffles for the probe (only narrow (id, token)
+    rows and the doc-keyed join back move). Token-less docs score 0
+    (an empty product is ratio 1)."""
+    diff6, oov = dsir_logratio_table(target_vocab, source_vocab, k=k)
+    toks = F.filter(
+        F.split(F.col(text_col), sep), lambda t: F.length(t) > 0
+    )
+    if len(diff6) <= literal_max:
+        # coalesce: a NULL text splits to a NULL array and folds to
+        # NULL — score it 0 like the empty doc (empty product, ratio 1)
+        return docs.withColumn(
+            out_col,
+            F.coalesce(
+                let_once_col(
+                    toks, lambda tt: dsir_logratio_mark(tt, diff6, oov)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    spark = docs.sparkSession
+    vt = F.broadcast(
+        spark.createDataFrame(
+            sorted(diff6.items()), "_dsir_tok string, _diff6 long"
+        )
+    )
+    tok_rows = docs.select(
+        F.col(id_col), F.explode(toks).alias("_dsir_tok")
+    )
+    per_doc = (
+        tok_rows.join(vt, "_dsir_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("_diff6"), F.lit(oov).cast("long"))
+            ).alias(out_col)
+        )
+    )
+    # only (id, token) rows shuffle — ~12 bytes/token, map-side
+    # combined — and the join back keys on the unique id; token-less
+    # docs have no exploded rows, so the left join + 0 fill keeps the
+    # literal form's empty-fold semantics
+    return docs.join(per_doc, id_col, "left").fillna({out_col: 0})

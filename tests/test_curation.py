@@ -1600,3 +1600,72 @@ def test_bm25_scoring_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     # and the token array is materialized ONCE (one split per row)
     assert plan.count("split(lower(") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# C24: DSIR importance log-ratio
+
+
+def _naive_dsir(texts, tgt, src, k=1.0):
+    import math
+
+    def lp6(vocab):
+        total = sum(n for _, n in vocab)
+        denom = total + k * (len(vocab) + 1)
+        return (
+            {t: round(math.log10((n + k) / denom) * 1e6) for t, n in vocab},
+            round(math.log10(k / denom) * 1e6),
+        )
+
+    lt, ot = lp6(tgt)
+    ls, os_ = lp6(src)
+    diff = {t: lt.get(t, ot) - ls.get(t, os_) for t in set(lt) | set(ls)}
+    oov = ot - os_
+    return [
+        sum(diff.get(t, oov) for t in (s or "").split(" ") if t)
+        for s in texts
+    ]
+
+
+def test_dsir_matches_naive_both_forms(spark):
+    tgt = [("vector", 60), ("stream", 50), ("spark", 40)]
+    src = [("the", 400), ("a", 320), ("vector", 5)]
+    texts = [
+        "vector stream spark",      # target-flavored: positive
+        "the a the a",              # source-flavored: negative
+        "vector the unseen",        # mixed + OOV-on-both-sides
+        "",                         # token-less: 0
+        None,                       # null text: 0
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = dict(enumerate(_naive_dsir(texts, tgt, src)))
+    lit = {
+        r["doc_id"]: r["dsir_lr6"]
+        for r in C.with_dsir(docs, tgt, src).collect()
+    }
+    join = {
+        r["doc_id"]: r["dsir_lr6"]
+        for r in C.with_dsir(docs, tgt, src, literal_max=1).collect()
+    }
+    assert lit == want and join == want
+    assert lit[0] > 0 and lit[1] < 0 and lit[3] == 0 and lit[4] == 0
+
+
+def test_dsir_join_form_plan(spark):
+    """The above-literal_max form broadcast-joins the diff table and
+    shuffles only (id, token) rows — never the doc frame for the
+    probe."""
+    tgt = [(f"t{i}", 10) for i in range(8)]
+    src = [(f"s{i}", 10) for i in range(8)]
+    docs = spark.createDataFrame(
+        [(0, "t0 s0"), (1, "t1 t2")], "doc_id long, text string"
+    )
+    out = C.with_dsir(docs, tgt, src, literal_max=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan  # the diff-table probe
+    # exactly two hash exchanges: the per-doc aggregate and the
+    # doc-keyed join back — the probe itself must not shuffle the
+    # token rows
+    assert plan.count("Exchange hashpartitioning") == 2, plan
