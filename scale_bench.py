@@ -1052,6 +1052,41 @@ def _bm25_leg(spark, docs, results: dict, timed) -> None:
     results["bm25_top_score"] = int(top[0]["bm25_micro"])
 
 
+def _dsir_leg(spark, docs, results: dict, timed) -> None:
+    """r12 DSIR importance scoring at full scale, both plan forms:
+    literal (union vocab <= 2K: map-literal fold, pure map) and
+    broadcast-join (10K source vocab from the corpus itself — the
+    paper's raw-distribution denominator). The integer lp6-diff table
+    means the score column is exact BIGINT either way."""
+    from siskin_spark.operators.curation import vocab_table, with_dsir
+
+    # target model: a synthetic "domain" skew over real corpus tokens
+    tgt = [(f"w{i}_0", 100 - i) for i in range(64)]
+
+    src_small = [
+        (r["token"], r["n"])
+        for r in vocab_table(docs, top=1_500).select("token", "n").collect()
+    ]
+    src_large = [
+        (r["token"], r["n"])
+        for r in vocab_table(docs, top=10_000).select("token", "n").collect()
+    ]
+    results["dsir_src_small"] = len(src_small)
+    results["dsir_src_large"] = len(src_large)
+
+    def lit():
+        return with_dsir(docs, tgt, src_small).select("doc_id", "dsir_lr6")
+
+    timed(lit())
+    results["dsir_literal_s"] = min(timed(lit()) for _ in range(3))
+
+    def join():
+        return with_dsir(docs, tgt, src_large).select("doc_id", "dsir_lr6")
+
+    timed(join())
+    results["dsir_join_10k_s"] = min(timed(join()) for _ in range(3))
+
+
 def _curate_chain_leg(spark, docs, results: dict, timed) -> None:
     """r9 verdict #5: the CLI's `curate` pipeline measured END-TO-END
     (url-dedup -> quality -> line-dedup -> wd-dedup -> span-dedup ->
@@ -1359,7 +1394,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
-        "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25",
+        "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25", "dsir",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1403,6 +1438,9 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "bm25":
             _control_leg(spark, results, timed_only)
             _bm25_leg(spark, docs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "dsir":
+            _control_leg(spark, results, timed_only)
+            _dsir_leg(spark, docs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "nprobe":
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))

@@ -897,7 +897,7 @@ def with_unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
-    literal_max: int = 2_048,
+    literal_max: int = 192,
 ) -> DataFrame:
     """Append each document's mean unigram log10-probability (see
     :func:`unigram_logprob_table`) — the score CCNet feeds to
@@ -910,7 +910,14 @@ def with_unigram_logprob(
 
     - vocab <= ``literal_max``: the lp6 table rides the plan as a MAP
       literal probed inside one ``aggregate`` fold over the split
-      tokens — pure map, zero shuffle, zero joins.
+      tokens — pure map, zero shuffle, zero joins. MEASURED caveat
+      (r12, `SCALE_r12_dsir.json`): ``element_at`` on a map literal
+      is a LINEAR scan per probe inside an interpreted HOF (no InSet
+      analogue for maps), so the literal form costs O(|vocab|) per
+      token — 7.9/16.7/51.7/70 s at 64/256/1024/1500 entries over
+      3 M docs, while the join form holds flat at ~9-14 s. The 192
+      default is the measured crossover; raise it only for small
+      corpora where plan-compile overhead dominates.
     - above: explode + broadcast-join the (token, lp6) table + one
       map-side-combined per-doc (sum, count) aggregate + a join back
       on the unique ``id_col`` — the corpus never shuffles for the
@@ -1735,7 +1742,7 @@ def with_dsir(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
-    literal_max: int = 2_048,
+    literal_max: int = 192,
 ) -> DataFrame:
     """Append each document's DSIR log importance weight — the
     targeted-selection stage that reweights a raw crawl toward a
@@ -1746,9 +1753,13 @@ def with_dsir(
     threshold, :func:`quality_bucket_thresholds` percentiles, or
     seeded-hash resampling over the score.
 
-    Same size switch as :func:`with_unigram_logprob`: a union vocab
-    ≤ ``literal_max`` rides the plan as a map literal (pure map, zero
-    shuffle); above, the (token, diff6) table broadcast-joins the
+    Same size switch — and the same measured map-literal caveat — as
+    :func:`with_unigram_logprob`: a union vocab ≤ ``literal_max``
+    rides the plan as a map literal (pure map, zero shuffle, but the
+    probe is a LINEAR scan per token — at 3 M docs the literal form
+    costs 7.9 s at a 64-entry union and 70.4 s at 1,500 while the
+    join form holds ~9-14 s flat, `SCALE_r12_dsir.json`; 192 is the
+    crossover); above, the (token, diff6) table broadcast-joins the
     exploded tokens and one map-side-combined sum per doc comes back —
     the corpus never shuffles for the probe (only narrow (id, token)
     rows and the doc-keyed join back move). Token-less docs score 0
