@@ -143,6 +143,15 @@ def main() -> None:
         spark._jvm.System.gc()  # untimed: don't bill this query's garbage to the next
 
     total = round(sum(timings.values()), 4)
+    # resample the jvm control AFTER the suite: external steal is
+    # bursty, and a single control at t=0 cannot vouch for a 10-minute
+    # window (r12 observed two runs at near-identical start controls
+    # with a 20% suite spread; an A/B against the prior commit plus
+    # isolated per-query reruns pinned it on the window, not the code).
+    # window_stability = end/start — far from 1.0 means the suite total
+    # is window-noise-dominated; re-run before reading it as a trend.
+    controls_end: dict[str, float] = {}
+    _control_leg(spark, controls_end, timed_df)
     record = {
         "metric": "suite_seconds",
         "value": total,
@@ -164,6 +173,14 @@ def main() -> None:
         "control_jvm_xxhash_rows": controls["control_jvm_xxhash_rows"],
         "control_py_md5_s": round(controls["control_py_md5_s"], 2),
         "control_py_md5_iters": controls["control_py_md5_iters"],
+        "control_jvm_xxhash_end_s": round(
+            controls_end["control_jvm_xxhash_s"], 2
+        ),
+        "window_stability": round(
+            controls_end["control_jvm_xxhash_s"]
+            / controls["control_jvm_xxhash_s"],
+            3,
+        ),
         # the record self-describes its host window (r10 verdict #7):
         # suite seconds rescaled to the canonical window so round-over-
         # round tables compare directly — a record taken on a 35%-slower
