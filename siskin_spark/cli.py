@@ -29,6 +29,10 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             index: pairs/ (and survivors with --keep;
                             --append-survivors ID also extends the
                             index idempotently — the daily one-liner)
+  semdedup-stream FEED DIR OUT --checkpoint CK  the same gate as a
+                            Structured Streaming sink: drain the feed
+                            backlog (or --follow to tail) through
+                            replay-safe micro-batch admits
   semdedup-drift VECS DIR   centroid-fit drift gauge: batch vs index
                             cosine-to-centroid stats (refit signal)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
@@ -294,6 +298,27 @@ def main(argv: list[str] | None = None) -> int:
              "batch id (idempotent — a replayed day no-ops); implies "
              "--keep",
     )
+    p_sstream = sub.add_parser("semdedup-stream")
+    p_sstream.add_argument("feed_dir", help="directory a harvester drops "
+                           "embedding parquet files into")
+    p_sstream.add_argument("index_dir")
+    p_sstream.add_argument("out_dir", help="survivors land at "
+                           "out_dir/gate_batch=<n>/ per micro-batch")
+    p_sstream.add_argument("--checkpoint", required=True,
+                           help="streaming checkpoint dir (exactly-once "
+                           "bookkeeping; reuse it across invocations)")
+    p_sstream.add_argument("--threshold", type=float, default=0.95)
+    p_sstream.add_argument("--engine", default="gemm", choices=["expr", "gemm"])
+    p_sstream.add_argument("--nprobe", type=int, default=1)
+    p_sstream.add_argument("--max-files-per-trigger", type=int, default=16,
+                           help="files per micro-batch during backlog drain")
+    p_sstream.add_argument("--no-append", action="store_true",
+                           help="gate only: drop duplicates but leave the "
+                           "index untouched (no cross-batch dedup)")
+    p_sstream.add_argument("--follow", action="store_true",
+                           help="keep tailing the feed (default: "
+                           "availableNow — drain the backlog and exit; "
+                           "the cron-friendly mode)")
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
     p_cur.add_argument(
@@ -703,6 +728,34 @@ def main(argv: list[str] | None = None) -> int:
                 f"appended survivors to {args.index_dir} "
                 f"(batch {args.append_survivors})"
             )
+    elif args.cmd == "semdedup-stream":
+        # the daily gate as a Structured Streaming sink: drain the feed
+        # backlog (availableNow) or tail it (--follow) through the
+        # replay-safe foreachBatch gate — same admit/append path as
+        # semdedup-batch, with the micro-batch id as the ledger key
+        from siskin_spark.streaming.gate import semdedup_gate_writer
+
+        schema = spark.read.parquet(args.feed_dir).schema
+        gate = semdedup_gate_writer(
+            args.index_dir, args.out_dir,
+            threshold=args.threshold, engine=args.engine,
+            nprobe=args.nprobe, append=not args.no_append,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .parquet(args.feed_dir)
+        )
+        writer = stream.writeStream.foreachBatch(gate).option(
+            "checkpointLocation", args.checkpoint
+        )
+        if args.follow:
+            q = writer.start()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            print(f"backlog drained into {args.out_dir}")
     elif args.cmd == "semdedup":
         # C13 SemDeDup end-to-end: fit cells on a bounded sample,
         # within-cell pairs (hot-cell-guarded), keep-first collapse

@@ -1418,3 +1418,72 @@ def test_token_budget_sample_matches_naive_property(
         ).collect()
     }
     assert got == want
+
+
+@_slow
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "", "x"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    terms=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "zeta"]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    k1=st.sampled_from([0.8, 1.2, 2.0]),
+    b=st.sampled_from([0.0, 0.4, 0.75, 1.0]),
+)
+def test_bm25_matches_naive_property(spark, data, terms, k1, b):
+    """r12 hypothesis hardening for C23: for random corpora, term
+    sets, and (k1, b) — including b=0 (no length norm), b=1 (full),
+    terms with zero df, empty docs, and tf saturation — the exact
+    BIGINT micro-score equals an independent row-at-a-time Python
+    recompute (same fixed-point contract, independent float path)."""
+    import math
+
+    from siskin_spark.operators.curation import with_bm25
+
+    texts = [" ".join(toks) for toks in data]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toklists = [[t for t in s.split(" ") if t] for s in texts]
+    n = len(toklists)
+    totdl = sum(len(ts) for ts in toklists)
+    if totdl == 0:
+        import pytest
+
+        with pytest.raises(ValueError):
+            with_bm25(docs, terms, k1=k1, b=b)
+        return
+    df = {t: sum(1 for ts in toklists if t in ts) for t in terms}
+    idf6 = {
+        t: math.floor(1e6 * math.log((n - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df.items()
+    }
+    want = {}
+    for i, ts in enumerate(toklists):
+        dl = float(len(ts))
+        lennorm = (k1 * b) * dl * float(n) / float(totdl)
+        score = hits = 0
+        for t in terms:
+            tf = float(ts.count(t))
+            if tf > 0:
+                score += math.floor(
+                    (idf6[t] * tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b) + lennorm)
+                )
+                hits += 1
+        want[i] = (score, hits)
+    got = {
+        r["doc_id"]: (r["bm25_micro"], r["bm25_hits"])
+        for r in with_bm25(docs, terms, k1=k1, b=b).collect()
+    }
+    assert got == want
