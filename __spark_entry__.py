@@ -1372,8 +1372,62 @@ _DSIR_DIFF6, _DSIR_OOV = _dsir_table()
 _DSIR_CASE_SQL = (
     "CASE t "
     + " ".join(f"WHEN '{t}' THEN {v}" for t, v in sorted(_DSIR_DIFF6.items()))
+
+
     + f" ELSE {_DSIR_OOV} END"
 )
+
+# ---------------------------------------------------------------------------
+# C23: BM25 query-seeded relevance
+
+#: fixed topic seed over the synthetic vocabulary — df varies 2x
+#: across the set, so idf, tf saturation, and length norm all bite
+_BM25_TERMS = ("spark", "vector", "stream", "window", "join", "query", "hash", "slow")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql_parts(
+    toks: str = "t.bmtoks",
+    dl: str = "t.bmdl",
+    stat: str = "bmstat",
+    dfa: str = "bmdf",
+) -> tuple[str, str, str]:
+    """Replay with_bm25's fixed-point contract in plain SQL fragments
+    (the C23 leg rides the text_quality slot — ≤50-query registry
+    policy). The oracle recomputes N/totdl/df itself and derives idf6
+    with ITS OWN ln (the idf argument is a small-integer rational, so
+    libm agreement is the only cross-engine float exposure —
+    everything after is the same correctly-rounded IEEE division
+    chain, parenthesized identically to
+    operators/curation.py:with_bm25). Returns (df-CTE column list,
+    score expr, hits expr) over a lowercased empty-filtered token
+    column ``toks`` with its length ``dl`` and 1-row stat/df CTE
+    aliases."""
+    c_num = repr(_BM25_K1 + 1.0)
+    c1 = repr(_BM25_K1 * (1.0 - _BM25_B))
+    c2 = repr(_BM25_K1 * _BM25_B)
+    score, hits, dfc = [], [], []
+    for t in _BM25_TERMS:
+        dfc.append(
+            "sum(CASE WHEN list_contains(list_filter(str_split(lower(text),"
+            f" ' '), x -> len(x) > 0), '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        )
+        idf = (
+            f"floor(1000000.0 * ln(((({stat}.n - {dfa}.df_{t} + 0.5)"
+            f" / ({dfa}.df_{t} + 0.5)) + 1.0)))"
+        )
+        tf = f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE)"
+        score.append(
+            f"CASE WHEN {tf} > 0.0 THEN CAST(floor(({idf} * {tf} * {c_num})"
+            f" / ({tf} + {c1} + (({c2} * {dl} * {stat}.nd) / {stat}.td)))"
+            " AS BIGINT) ELSE 0 END"
+        )
+        hits.append(f"CASE WHEN {tf} > 0.0 THEN 1 ELSE 0 END")
+    return ", ".join(dfc), " + ".join(score), " + ".join(hits)
+
+
+_BM25_DFC, _BM25_SCORE, _BM25_HITS = _bm25_sql_parts()
+
 _CLF_W_SQL = "[" + ",".join(map(str, _CLF_W)) + "]"
 # first byte of md5('0:' || token) as an int (the 256-bucket hash)
 _CLF_BUCKET_SQL = (
@@ -1385,7 +1439,16 @@ _CLF_BUCKET_SQL = (
 @_q(
     "text_quality",
     f"""
-    WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS toks,
+                      list_filter(str_split(lower(text), ' '), x -> len(x) > 0) AS bmtoks,
+                      coalesce(len(list_filter(str_split(lower(text), ' '),
+                                               x -> len(x) > 0)), 0) AS bmdl
+               FROM documents),
+    bmstat AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(coalesce(len(list_filter(str_split(lower(text), ' '),
+                                                        x -> len(x) > 0)), 0)) AS DOUBLE) AS td
+               FROM documents),
+    bmdf AS (SELECT {_BM25_DFC} FROM documents),
     grams AS (
       SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS g
       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
@@ -1450,6 +1513,8 @@ _CLF_BUCKET_SQL = (
            CAST(coalesce(list_sum(list_transform(
              list_filter(toks, x -> len(x) > 0),
              t -> {_DSIR_CASE_SQL})), 0) AS BIGINT) AS dsir_lr6,
+           CAST({_BM25_SCORE} AS BIGINT) AS bm25_micro,
+           CAST({_BM25_HITS} AS INT) AS bm25_hits,
            CASE WHEN len(toks) <=
                   (SELECT CASE WHEN abs(q - round(q)) < 0.000001
                                THEN round(q) + 0.5 ELSE q END FROM
@@ -1463,7 +1528,8 @@ _CLF_BUCKET_SQL = (
                                          0.6666666666666666) AS q FROM documents))
                 THEN 'middle'
                 ELSE 'tail' END AS len_bucket
-    FROM t LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
+    FROM t CROSS JOIN bmstat CROSS JOIN bmdf
+         LEFT JOIN (SELECT doc_id, c, g FROM gtop WHERE rn = 1) top
       ON t.doc_id = top.doc_id
     ORDER BY t.doc_id
     """,
@@ -1524,6 +1590,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is JIT-bimodal at scale (52s vs 11s over 3M docs on the same
     # box); the staged run-length shape is the stable-fast one
     staged = X.with_top_ngram_frac(staged)
+    # C23 BM25 topical relevance rides the same per-doc slot (≤50-query
+    # registry policy): fixed topic seed, stats from ONE bounded
+    # aggregate (eager at construction, same posture as len_th), exact
+    # BIGINT micro-scores the oracle recomputes from scratch — incl.
+    # its own ln for the idf
+    from siskin_spark.operators.curation import bm25_stats, with_bm25
+
+    staged = with_bm25(
+        staged, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B,
+        stats=bm25_stats(docs, list(_BM25_TERMS)),
+    )
     ft = X.quality_features(
         F.col("text"),
         toks=F.col("_toks"),
@@ -1590,6 +1667,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0).cast("long"),
         ).alias("dsir_lr6"),
+        "bm25_micro",
+        "bm25_hits",
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
@@ -1617,6 +1696,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clf_keep",
         "uni_lp",
         "dsir_lr6",
+        "bm25_micro",
+        "bm25_hits",
         quality_bucket_mark("n_tokens", len_th).alias("len_bucket"),
     )
 
@@ -2145,11 +2226,44 @@ def _assert_planted_offset_free(emb: DataFrame, sf_dir: str) -> None:
              0 AS rank, CAST(a.cid AS BIGINT) AS cid
       FROM sassigned a JOIN sassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {_COS.replace('pv', 'a.v').replace('iv', 'b.v')} >= 0.45
+    ),
+    iq AS (SELECT vec_id AS probe_id, v AS pv FROM e
+           WHERE vec_id % 3 = 2 AND vec_id < 300),
+    icorp AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.cid) AS rn
+        FROM e, cent WHERE e.vec_id % 3 IN (0, 1)
+      ) WHERE rn = 1
+    ),
+    iqc AS (
+      SELECT probe_id, cid FROM (
+        SELECT iq.probe_id, cent.cid,
+               row_number() OVER (PARTITION BY iq.probe_id ORDER BY
+                 {_COS.replace('pv', 'iq.pv').replace('iv', 'cent.cv')}
+                 DESC, cent.cid) AS cr
+        FROM iq, cent
+      ) WHERE cr <= 2
+    ),
+    idxs AS (
+      SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT iq.probe_id, i.vec_id AS neighbor_id,
+                 {_COS.replace('pv', 'iq.pv').replace('iv', 'i.v')} AS cos_sim
+          FROM iq JOIN iqc USING (probe_id) JOIN icorp i ON i.cid = iqc.cid
+        )
+      ) WHERE rank <= 3
     )
     SELECT 'brute' AS part, *, CAST(-1 AS BIGINT) AS cid FROM brute
     UNION ALL SELECT 'lsh', *, CAST(-1 AS BIGINT) FROM lsh
     UNION ALL SELECT 'ivf', *, CAST(-1 AS BIGINT) FROM ivf
     UNION ALL SELECT 'sem', probe_id, neighbor_id, cos_sim, rank, cid FROM sem
+    UNION ALL SELECT 'idx', *, CAST(-1 AS BIGINT) FROM idxs
     ORDER BY part, probe_id, rank, neighbor_id
     """,
 )
@@ -2231,10 +2345,35 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("rank"),
         "cid",
     )
+    # 'idx' — r12: top-k retrieval FROM the persisted cell index
+    # (functions/vectors.py:semdedup_index_search), the serving half
+    # of the C21 family, against the SAME memoized on-disk artifact
+    # the semdedup_incremental slot admits into (one index, two jobs).
+    # 100 fixed queries (%3==2, vec_id<300 — disjoint from the indexed
+    # %3 in (0,1) slices), k=3, nprobe=2: cell assignment, multi-probe
+    # admission AND ranking all hash-checked; the build/append is
+    # memoized out of the timed passes (the recurring path a serving
+    # deployment pays is the search, not the build).
+    from siskin_spark.functions.vectors import semdedup_index_search
+
+    iqueries = emb.filter(
+        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
+    ).select("vec_id", "embedding")
+    idxp = semdedup_index_search(
+        spark, iqueries, _sem_oracle_index(spark, sf_dir, emb), k=3, nprobe=2
+    ).select(
+        F.lit("idx").alias("part"),
+        F.col("query_id").alias("probe_id"),
+        "neighbor_id",
+        "cos_sim",
+        "rank",
+        no_cid,
+    )
     return (
         brute.unionByName(lsh)
         .unionByName(ivf)
         .unionByName(sem)
+        .unionByName(idxp)
         .orderBy("part", "probe_id", "rank", "neighbor_id")
     )
 
@@ -3031,71 +3170,6 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "dup_of")
 
 
-@_q(
-    "semdedup_search",
-    f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-    idx AS (
-      SELECT e.vec_id, e.v,
-             (SELECT c.cid FROM cents c
-              ORDER BY {_COS.replace('pv', 'e.v').replace('iv', 'c.cv')} DESC,
-                       c.cid ASC LIMIT 1) AS cid
-      FROM e WHERE vec_id % 3 IN (0, 1)
-    ),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE vec_id % 3 = 2 AND vec_id < 300),
-    qc AS (
-      SELECT query_id, cid FROM (
-        SELECT q.query_id, c.cid,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY {_COS.replace('pv', 'q.qv').replace('iv', 'c.cv')} DESC,
-                          c.cid ASC) AS cr
-        FROM q, cents c
-      ) WHERE cr <= 2
-    ),
-    scored AS (
-      SELECT q.query_id, i.vec_id AS neighbor_id,
-             {_COS.replace('pv', 'q.qv').replace('iv', 'i.v')} AS cos_sim
-      FROM q JOIN qc ON q.query_id = qc.query_id
-             JOIN idx i ON i.cid = qc.cid
-    )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
-)
-def semdedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k retrieval FROM the persisted cell index
-    (functions/vectors.py:semdedup_index_search) — the serving half of
-    the C21 index family, against the SAME memoized on-disk artifact
-    the `semdedup_incremental` slot admits into (one index, two jobs:
-    the daily dedup gate and the RAG/eval lookups). 100 fixed queries
-    (%3==2, vec_id<300 — disjoint from the indexed %3 in (0,1)
-    slices), k=3, nprobe=2: the oracle reproduces the frozen-centroid
-    assignment (argmax cosine, ties to smaller cid), the top-2 probe
-    cells per query, and the per-query rank window over fold-order-
-    exact cosines — so cell assignment, multi-probe admission, AND
-    ranking are all hash-checked. The index build/append is memoized
-    out of the timed passes (the recurring path a serving deployment
-    pays is the search, not the build)."""
-    from siskin_spark.functions.vectors import semdedup_index_search
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(
-        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
-    ).select("vec_id", "embedding")
-    idx_dir = _sem_oracle_index(spark, sf_dir, emb)
-    return semdedup_index_search(
-        spark, queries, idx_dir, k=3, nprobe=2
-    ).orderBy("query_id", "rank")
 
 
 @_q(
@@ -4441,76 +4515,6 @@ def _ai_update_export_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])).orderBy("id")
 
 
-# ---------------------------------------------------------------------------
-# C23: BM25 query-seeded relevance
-
-#: fixed topic seed over the synthetic vocabulary — df varies 2x
-#: across the set, so idf, tf saturation, and length norm all bite
-_BM25_TERMS = ("spark", "vector", "stream", "window", "join", "query", "hash", "slow")
-_BM25_K1, _BM25_B = 1.2, 0.75
-
-
-def _bm25_oracle() -> str:
-    """Replay with_bm25's fixed-point contract in plain SQL: the oracle
-    recomputes N/totdl/df itself, derives idf6 with ITS OWN ln (the
-    idf argument is a small-integer rational, so libm agreement is the
-    only cross-engine float exposure — everything after is the same
-    correctly-rounded IEEE division chain, parenthesized identically
-    to operators/curation.py:with_bm25)."""
-    c_num = repr(_BM25_K1 + 1.0)
-    c1 = repr(_BM25_K1 * (1.0 - _BM25_B))
-    c2 = repr(_BM25_K1 * _BM25_B)
-    score, hits, dfc = [], [], []
-    for t in _BM25_TERMS:
-        dfc.append(
-            f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
-        )
-        idf = (
-            f"floor(1000000.0 * ln((((s.n - df.df_{t} + 0.5) / (df.df_{t} + 0.5))"
-            " + 1.0)))"
-        )
-        tf = f"CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE)"
-        score.append(
-            f"CASE WHEN {tf} > 0.0 THEN CAST(floor(({idf} * {tf} * {c_num})"
-            f" / ({tf} + {c1} + (({c2} * d.dl * s.nd) / s.td))) AS BIGINT)"
-            " ELSE 0 END"
-        )
-        hits.append(f"CASE WHEN {tf} > 0.0 THEN 1 ELSE 0 END")
-    return f"""
-    WITH d AS (
-      SELECT doc_id,
-             list_filter(str_split(lower(text), ' '), x -> len(x) > 0) AS toks,
-             coalesce(len(list_filter(str_split(lower(text), ' '),
-                                      x -> len(x) > 0)), 0) AS dl
-      FROM documents
-    ),
-    s AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
-                 CAST(sum(dl) AS DOUBLE) AS td FROM d),
-    df AS (SELECT {', '.join(dfc)} FROM d)
-    SELECT d.doc_id,
-           CAST({' + '.join(score)} AS BIGINT) AS bm25_micro,
-           CAST({' + '.join(hits)} AS INT) AS bm25_hits
-    FROM d, s, df
-    """
-
-
-@_q("bm25_relevance", _bm25_oracle())
-def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C23 query-seeded topical relevance
-    (operators/curation.py:with_bm25): score every document against a
-    fixed topic seed — the lexical targeted-corpus-selection stage a
-    domain-model pipeline runs before training (the reference has no
-    relevance operator; its nearest analogue is the F1/F2 metadata
-    list filters). The stats pass is ONE bounded aggregate; scoring is
-    a pure map (one tokenize + one tf filter per term per row, no
-    shuffle), and the score is an exact BIGINT in micro-units so the
-    oracle replays it bit-for-bit."""
-    from siskin_spark.operators.curation import with_bm25
-
-    docs = _t(spark, sf_dir, "documents")
-    return with_bm25(
-        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
-    ).select("doc_id", "bm25_micro", "bm25_hits")
 
 
 # ---------------------------------------------------------------------------
