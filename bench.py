@@ -45,6 +45,32 @@ from siskin_spark.session import get_spark  # noqa: E402
 _JVM_CONTROL_REF_S = 1.62
 
 
+def _read_best(best_path: str) -> dict:
+    """The committed control-best record, or {} when absent/unreadable
+    (first run on a fresh checkout becomes the record)."""
+    try:
+        with open(best_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _promote_ok(record: dict, prev: dict) -> bool:
+    """Promote predicate for the cross-round control-best record
+    (r11 ask #4 + r12 verdict #2): the candidate's START control must
+    be at least as fast as the committed record's, AND the candidate's
+    own window must have held stable (jvm control end/start within
+    10%) — a suite measured under a drifting host, in EITHER
+    direction, is not a comparable cross-round number even if its
+    start control looked good."""
+    stab = record.get("window_stability")
+    if stab is None or not (0.9 <= stab <= 1.1):
+        return False
+    return record["control_jvm_xxhash_s"] <= prev.get(
+        "control_jvm_xxhash_s", float("inf")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -218,15 +244,14 @@ def main() -> None:
             json.dump(record, fh, indent=1)
             fh.write("\n")
         best_path = os.path.join(repo_dir, f"BENCH_local_sf{sf}.json")
-        promote = True
-        try:
-            with open(best_path) as fh:
-                prev = json.load(fh)
-            promote = record["control_jvm_xxhash_s"] <= prev.get(
-                "control_jvm_xxhash_s", float("inf")
-            )
-        except (OSError, ValueError):
-            pass  # no/unreadable record: this run becomes the record
+        # promote only from a STABLE window (r12 verdict #2): a suite
+        # whose jvm control drifted >10% start-to-end produced its
+        # total under a moving host — the r12 record rode a 0.796-
+        # stability window (the suite sped up 20% mid-run) and read
+        # flatteringly low. Both conditions must hold: at least as
+        # fast a start control as the committed record, AND the
+        # window held within 10% for the whole suite.
+        promote = _promote_ok(record, _read_best(best_path))
         if promote:
             with open(best_path, "w") as fh:
                 json.dump(record, fh, indent=1)
