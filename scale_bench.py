@@ -587,23 +587,9 @@ def _semincr_chunked_leg(spark, vectors, results: dict, timed) -> None:
         )
 
 
-def _dim768_leg(spark, results: dict, timed) -> None:
-    """r11: the chunked-admit claim at REALISTIC embedding width. The
-    main corpus is 64-dim, where the default 256 MB packed budget is
-    ~512 K rows and real batches never chunk; sentence embeddings are
-    768-dim, where the same budget derives ~43 K rows/chunk. This leg
-    synthesizes a 400 K x 768 corpus (+ planted (id-1, id) pairs),
-    indexes 75 % of it, and admits the 100 K-vector remainder — which
-    the budget math splits into ~3 chunks — BOTH ways, pinning pair
-    parity and pricing the chunking at the width the docstring
-    reasons about."""
-    import shutil as _sh
-
-    from siskin_spark.functions.vectors import (
-        incremental_semdedup,
-        semdedup_index_build,
-    )
-
+def _vectors768(spark):
+    """Synthesize-once 400 K x 768 corpus (+ planted (id-1, id) pairs
+    at eps 0.25) shared by the 768-dim legs; returns the DataFrame."""
     n_vec, dim = 400_000, 768
     path = os.path.join(CORPUS, "vectors768")
     if not os.path.exists(path):
@@ -622,7 +608,27 @@ def _dim768_leg(spark, results: dict, timed) -> None:
                 .cast("float"),
             ).alias("embedding"),
         ).write.mode("overwrite").parquet(path)
-    vecs = spark.read.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _dim768_leg(spark, results: dict, timed) -> None:
+    """r11: the chunked-admit claim at REALISTIC embedding width. The
+    main corpus is 64-dim, where the default 256 MB packed budget is
+    ~512 K rows and real batches never chunk; sentence embeddings are
+    768-dim, where the same budget derives ~43 K rows/chunk. This leg
+    synthesizes a 400 K x 768 corpus (+ planted (id-1, id) pairs),
+    indexes 75 % of it, and admits the 100 K-vector remainder — which
+    the budget math splits into ~3 chunks — BOTH ways, pinning pair
+    parity and pricing the chunking at the width the docstring
+    reasons about."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    vecs = _vectors768(spark)
     is_batch = (F.col("vec_id") % 4 == 3) | (F.col("vec_id") % 1000 == 1)
     batch = vecs.filter(is_batch)
     corpus = vecs.filter(~is_batch)
@@ -763,6 +769,284 @@ def _daily_gate_leg(spark, results: dict, timed) -> None:
     admit(idx_q8, "onebc", nprobe=2, batch_chunk_rows=1 << 30)
     results["dg_pair_parity"] = (
         results["dg_admit_composed_pairs"] == results["dg_admit_onebc_pairs"]
+    )
+
+
+def _jvm_rchar(spark) -> int:
+    """Cumulative bytes the py4j JVM has read via syscalls
+    (/proc/<jvm pid>/io rchar). Hadoop FileSystem.Statistics misses
+    the vectorized parquet data path entirely (measured: 12 KB
+    counted for a 1 MB full scan), so row-group-skip claims are
+    gauged at the process level instead — rchar counts every read
+    the executors issue, page-cache hits included."""
+    jpid = spark._jvm.java.lang.ProcessHandle.current().pid()
+    with open(f"/proc/{jpid}/io") as fh:
+        for line in fh:
+            if line.startswith("rchar:"):
+                return int(line.split()[1])
+    return 0
+
+
+def _search_leg(spark, vectors, results: dict, timed) -> None:
+    """r13 (verdict asks #1 + #5): the SERVING half priced. Builds
+    float32 and int8 indexes over the full vector corpus, then:
+
+    - top-k=10 for a 10 K-query batch (6 K planted + 4 K background)
+      at nprobe 1/2/4 against both stores — wall clock, and recall of
+      the planted cos~0.97 partner (the id%50==1 construction puts
+      vec_id-1 in the corpus; brute force always ranks it top-10,
+      spot-verified by the exhaustive subset below);
+    - an exhaustive-truth subset: ~80 queries searched with nprobe =
+      n_cells (true top-10 from the stored vectors, same code path),
+      overlap@10 per nprobe — honest ANN recall, not just planted;
+    - the cid-pruning proof for a REALISTIC serving batch (10
+      queries): JVM bytes read (rchar) and wall for prune_cells
+      on/off. The pruned form reads ~nprobe x 10 of ~256 cells; the
+      unpruned form reads the whole index per lookup — the r12
+      verdict's scale-killer, now measured.
+    """
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    idx_by_store = {}
+    for store, tag in (("float32", "f32"), ("int8", "int8")):
+        idx = os.path.join(CORPUS, f"sem_index_search_{tag}")
+        _sh.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        semdedup_index_build(
+            vectors, idx, k=256, sample=100_000, iters=10, store=store
+        )
+        results[f"search_build_{tag}_s"] = time.perf_counter() - t0
+        idx_by_store[tag] = idx
+    results["search_index_rows"] = vectors.count()
+
+    planted_q = F.col("vec_id") % 500 == 1  # subset of the %50==1 plant
+    background_q = F.col("vec_id") % 750 == 7
+    queries = vectors.filter(planted_q | background_q).select(
+        "vec_id", "embedding"
+    )
+    results["search_queries"] = queries.count()
+    results["search_planted_queries"] = vectors.filter(planted_q).count()
+
+    for tag, idx in idx_by_store.items():
+        for npb in (1, 2, 4):
+            out = os.path.join(CORPUS, f"search_topk_{tag}_np{npb}")
+
+            def run():
+                return semdedup_index_search(
+                    spark, queries, idx, k=10, nprobe=npb,
+                    exclude_self=True,
+                )
+
+            timed(run())  # warm-up: footer cache, codegen, probes
+            t0 = time.perf_counter()
+            run().write.mode("overwrite").parquet(out)
+            results[f"search_{tag}_np{npb}_s"] = time.perf_counter() - t0
+            got = spark.read.parquet(out)
+            # planted recall@10: partner vec_id-1 among the neighbors
+            results[f"search_{tag}_np{npb}_planted_recall"] = round(
+                got.filter(
+                    (F.col("query_id") % 500 == 1)
+                    & (F.col("neighbor_id") == F.col("query_id") - 1)
+                ).count() / max(results["search_planted_queries"], 1),
+                4,
+            )
+
+    # exhaustive truth on a subset: same code path, every cell probed
+    qsub = vectors.filter(F.col("vec_id") % 37_500 == 1).select(
+        "vec_id", "embedding"
+    )
+    results["search_truth_queries"] = qsub.count()
+    truth_dir = os.path.join(CORPUS, "search_truth")
+    t0 = time.perf_counter()
+    semdedup_index_search(
+        spark, qsub, idx_by_store["f32"], k=10, nprobe=1 << 20,
+        exclude_self=True,
+    ).write.mode("overwrite").parquet(truth_dir)
+    results["search_truth_exhaustive_s"] = time.perf_counter() - t0
+    truth = spark.read.parquet(truth_dir)
+    n_truth_rows = truth.count()
+    for npb in (1, 2, 4):
+        sub_out = os.path.join(CORPUS, f"search_sub_np{npb}")
+        semdedup_index_search(
+            spark, qsub, idx_by_store["f32"], k=10, nprobe=npb,
+            exclude_self=True,
+        ).write.mode("overwrite").parquet(sub_out)
+        hit = truth.join(
+            spark.read.parquet(sub_out),
+            on=["query_id", "neighbor_id"],
+            how="left_semi",
+        ).count()
+        results[f"search_np{npb}_overlap_at10"] = round(
+            hit / max(n_truth_rows, 1), 4
+        )
+
+    _search_prune_leg(spark, vectors, results, timed)
+
+
+def _search_prune_leg(spark, vectors, results: dict, timed) -> None:
+    """The cid-pruning proof in isolation: 10-query serving batch
+    against the f32 search index, JVM bytes read (rchar) + wall for
+    prune_cells on/off. The query batch is LANDED in its own small
+    parquet first — reading queries out of the 3M-row vectors table
+    inside the measured window would bill a ~600 MB query-side scan
+    to both forms and bury the index-side difference (the first cut
+    of this leg did exactly that). Rebuilds the index only if the
+    sweep leg hasn't already."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    idx = os.path.join(CORPUS, "sem_index_search_f32")
+    if not os.path.exists(os.path.join(idx, "cells")):
+        _sh.rmtree(idx, ignore_errors=True)
+        semdedup_index_build(
+            vectors, idx, k=256, sample=100_000, iters=10
+        )
+    qdir = os.path.join(CORPUS, "search_queries10")
+    vectors.filter(F.col("vec_id") % 300_000 == 7).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("overwrite").parquet(qdir)
+    q10 = spark.read.parquet(qdir)
+    results["search_prune_queries"] = q10.count()
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(idx, "cells"))
+        for f in fs
+    )
+    results["search_index_cells_mb"] = round(idx_bytes / (1 << 20))
+    for label, prune in (("pruned", True), ("fullscan", False)):
+        def lookup():
+            return semdedup_index_search(
+                spark, q10, idx, k=10, nprobe=2,
+                exclude_self=True, prune_cells=prune,
+            )
+
+        timed(lookup())  # pay listing/codegen once; rchar counts
+        # page-cache reads too, so warm data stays visible
+        b0 = _jvm_rchar(spark)
+        t0 = time.perf_counter()
+        lookup().write.format("noop").mode("overwrite").save()
+        results[f"search_prune_{label}_s"] = time.perf_counter() - t0
+        results[f"search_prune_{label}_read_mb"] = round(
+            (_jvm_rchar(spark) - b0) / (1 << 20)
+        )
+
+
+def _gate_leg(spark, results: dict, timed) -> None:
+    """r13 (verdict ask #4): the streaming daily gate PRICED. Drains
+    an 8-micro-batch backlog (availableNow, maxFilesPerTrigger=1)
+    of the 768-dim admit slice through ``semdedup_gate_writer``
+    against a copy of the same index, vs the identical rows as ONE
+    plain batch admit -> keep -> land -> append. The feed files are
+    id-range-ordered (mtime-sequenced), so the gate's sequential
+    semantics — later batches see earlier survivors in the index —
+    and the one-shot admit's smaller-id-wins rule agree; survivor
+    parity is recorded, not assumed. The delta / 8 is the per-micro-
+    batch overhead the gate adds (ledger read, survivors re-read,
+    staged append + recount)."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        incremental_semdedup_keep,
+        semdedup_index_append,
+        semdedup_index_build,
+    )
+    from siskin_spark.streaming.gate import semdedup_gate_writer
+
+    vecs = _vectors768(spark)
+    is_admit = F.col("vec_id") % 4 == 3
+    admit = vecs.filter(is_admit).select("vec_id", "embedding")
+    corpus = vecs.filter(~is_admit).select("vec_id", "embedding")
+    n_admit = admit.count()
+    results["gate_admit_rows"] = n_admit
+    n_batches = 8
+    results["gate_batches"] = n_batches
+
+    idx_base = os.path.join(CORPUS, "sem_index_gate_base")
+    _sh.rmtree(idx_base, ignore_errors=True)
+    t0 = time.perf_counter()
+    semdedup_index_build(corpus, idx_base, k=128, sample=50_000, iters=8)
+    results["gate_index_build_s"] = time.perf_counter() - t0
+
+    # id-range feed files, mtime-sequenced so the file source drains
+    # them oldest-first in id order
+    feed = os.path.join(CORPUS, "gate_feed")
+    _sh.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed)
+    hi = 400_000
+    step = hi // n_batches
+    now = time.time() - n_batches
+    for i in range(n_batches):
+        tmp = os.path.join(CORPUS, "gate_feed_tmp")
+        admit.filter(
+            (F.col("vec_id") >= i * step) & (F.col("vec_id") < (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"batch-{i:02d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+    _sh.rmtree(os.path.join(CORPUS, "gate_feed_tmp"), ignore_errors=True)
+
+    # streaming drain against a COPY of the index (appends mutate it)
+    idx_gate = os.path.join(CORPUS, "sem_index_gate_stream")
+    _sh.rmtree(idx_gate, ignore_errors=True)
+    _sh.copytree(idx_base, idx_gate)
+    out_gate = os.path.join(CORPUS, "gate_out_stream")
+    ckpt = os.path.join(CORPUS, "gate_ckpt")
+    for d in (out_gate, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    gate = semdedup_gate_writer(idx_gate, out_gate, threshold=0.95)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    results["gate_stream_total_s"] = time.perf_counter() - t0
+    results["gate_stream_survivors"] = (
+        spark.read.parquet(out_gate).count()
+    )
+
+    # plain batch path: same rows, one admit + keep + land + append
+    idx_plain = os.path.join(CORPUS, "sem_index_gate_plain")
+    _sh.rmtree(idx_plain, ignore_errors=True)
+    _sh.copytree(idx_base, idx_plain)
+    out_plain = os.path.join(CORPUS, "gate_out_plain")
+    _sh.rmtree(out_plain, ignore_errors=True)
+    t0 = time.perf_counter()
+    pairs = incremental_semdedup(spark, admit, idx_plain, threshold=0.95)
+    incremental_semdedup_keep(admit, pairs).write.mode(
+        "overwrite"
+    ).parquet(out_plain)
+    survivors = spark.read.parquet(out_plain)
+    semdedup_index_append(survivors, idx_plain, batch_id="plain-0")
+    results["gate_plain_total_s"] = time.perf_counter() - t0
+    results["gate_plain_survivors"] = survivors.count()
+    results["gate_survivor_parity"] = (
+        results["gate_stream_survivors"] == results["gate_plain_survivors"]
+    )
+    results["gate_per_batch_overhead_s"] = round(
+        (results["gate_stream_total_s"] - results["gate_plain_total_s"])
+        / n_batches,
+        3,
     )
 
 
@@ -1050,6 +1334,41 @@ def _bm25_leg(spark, docs, results: dict, timed) -> None:
     top = bm25_topk(docs, terms, 1000, stats=stats).select("doc_id", "bm25_micro").collect()
     results["bm25_top1000_s"] = round(_time.perf_counter() - t0, 4)
     results["bm25_top_score"] = int(top[0]["bm25_micro"])
+
+    # r13 (verdict ask #2): the literal-vs-join crossover for topic
+    # LEXICONS — real corpus tokens so tf/df are nonzero. The literal
+    # form's tf vector costs O(|terms| x L) per row (the DSIR-measured
+    # blowup); the join form shuffles only matched (id, term) rows and
+    # should hold ~flat. The stats pass is timed separately per size
+    # (it switches form at 256 too).
+    from siskin_spark.operators.curation import vocab_table
+
+    lex = [
+        r["token"]
+        for r in vocab_table(docs, top=4_096).select("token").collect()
+    ]
+    for n_terms in (64, 256, 1024, 4096):
+        terms_n = lex[:n_terms]
+        t0 = _time.perf_counter()
+        stats_n = bm25_stats(docs, terms_n)
+        results[f"bm25x_{n_terms}_stats_s"] = round(
+            _time.perf_counter() - t0, 3
+        )
+
+        def score_form(lm: int):
+            return with_bm25(
+                docs, terms_n, stats=stats_n, literal_max=lm
+            ).select("doc_id", "bm25_micro", "bm25_hits")
+
+        if n_terms <= 1024:  # the blowup point is made by 1024
+            timed(score_form(1 << 20))
+            results[f"bm25x_{n_terms}_lit_s"] = min(
+                timed(score_form(1 << 20)) for _ in range(2)
+            )
+        timed(score_form(1))
+        results[f"bm25x_{n_terms}_join_s"] = min(
+            timed(score_form(1)) for _ in range(2)
+        )
 
 
 def _dsir_leg(spark, docs, results: dict, timed) -> None:
@@ -1395,6 +1714,7 @@ def main() -> None:
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
         "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25", "dsir",
+        "search", "searchprune", "gatebench",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1451,6 +1771,17 @@ def main() -> None:
         elif os.environ["SCALE_ONLY"] == "dailygate":
             _control_leg(spark, results, timed_only)
             _daily_gate_leg(spark, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "search":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _search_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "searchprune":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _search_prune_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "gatebench":
+            _control_leg(spark, results, timed_only)
+            _gate_leg(spark, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "r11":
             # round-11 additions: multi-chunk gemm admit, sub-centroid
             # recall curve, 100K-vocab unigram join form — controls first

@@ -35,6 +35,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
                             replay-safe micro-batch admits
   semdedup-drift VECS DIR   centroid-fit drift gauge: batch vs index
                             cosine-to-centroid stats (refit signal)
+  semdedup-search Q DIR OUT top-k cosine neighbors from the SAME index
+                            the gate maintains (RAG/eval serving; the
+                            scan is cid-pruned to the probed cells)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
                             without the ids (file table or literal list)
   neardup-remove IDS DIR    same for the near-dup index (both tables)
@@ -245,6 +248,25 @@ def main(argv: list[str] | None = None) -> int:
     p_drift.add_argument("vectors", help="new-batch vector table")
     p_drift.add_argument("index_dir")
     p_drift.add_argument("--sample", type=int, default=20_000)
+    p_ssearch = sub.add_parser("semdedup-search")
+    p_ssearch.add_argument(
+        "queries", help="query vector table (index id/vector columns)"
+    )
+    p_ssearch.add_argument("index_dir")
+    p_ssearch.add_argument(
+        "out_dir", help="writes (query_id, neighbor_id, cos_sim, rank)"
+    )
+    p_ssearch.add_argument("--k", type=int, default=5)
+    p_ssearch.add_argument(
+        "--nprobe", type=int, default=1,
+        help="probe the n nearest cells per query (recall lever; "
+             "bytes read scale ~linearly with n)",
+    )
+    p_ssearch.add_argument(
+        "--exclude-self", action="store_true",
+        help="drop neighbor rows whose id equals the query id "
+             "(lookups of vectors that are themselves indexed)",
+    )
     for verb in ("semdedup-remove", "neardup-remove"):
         p_rm = sub.add_parser(verb)
         p_rm.add_argument(
@@ -630,6 +652,16 @@ def main(argv: list[str] | None = None) -> int:
             _read(spark, args.vectors), args.index_dir, sample=args.sample
         )
         print(_json.dumps(got))
+    elif args.cmd == "semdedup-search":
+        from siskin_spark.functions.vectors import semdedup_index_search
+
+        out = semdedup_index_search(
+            spark, _read(spark, args.queries), args.index_dir,
+            k=args.k, nprobe=args.nprobe, exclude_self=args.exclude_self,
+        )
+        out.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"wrote {n} neighbor row(s) to {args.out_dir}")
     elif args.cmd in ("semdedup-remove", "neardup-remove"):
         import os as _os
 

@@ -1480,23 +1480,62 @@ def bm25_stats(
     *,
     text_col: str = "text",
     sep: str = " ",
+    literal_max: int = 256,
 ) -> tuple[int, int, dict[str, int]]:
-    """ONE corpus aggregate collecting the BM25 statistics for a small
-    query-term set: (N docs, total token count, per-term document
-    frequency). The result is O(|terms|) — bounded by the query, not
-    the corpus — and feeds :func:`bm25_idf6`.
+    """Corpus statistics for a BM25 term set: (N docs, total token
+    count, per-term document frequency). The result is O(|terms|) —
+    bounded by the query, not the corpus — and feeds
+    :func:`bm25_idf6`.
 
-    Plan: stage the lowercased token array once per row (HOFs are
-    interpreted — staging beats |terms| re-splits), then a single
-    map-side-combined global aggregate. No shuffle beyond the one
-    final reduce; at 1000 executors each task emits one partial row.
-    """
+    Plan, size-switched like the scorer: within ``literal_max`` it is
+    ONE global aggregate — stage the lowercased token array once per
+    row (HOFs are interpreted — staging beats |terms| re-splits), one
+    ``array_contains`` sum per term, map-side combined, no shuffle
+    beyond the final reduce. Beyond ``literal_max`` the per-term
+    expression column would cost O(|terms| x L) per row (and blow the
+    codegen method budget), so df switches to the join form: explode
+    tokens against the broadcast term list, one count_distinct(row)
+    per matched term — only MATCHED (row, term) pairs shuffle — while
+    N/totdl stay one bounded aggregate."""
     if not terms:
         raise ValueError("terms must be non-empty")
     tt = F.filter(
         tokens(F.lower(F.col(text_col)), sep), lambda t: F.length(t) > 0
     )
     staged = docs.select(tt.alias("_bm_toks"))
+    if len(terms) > literal_max:
+        base = staged.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.size("_bm_toks"), F.lit(0))).alias("_totdl"),
+        ).first()
+        n, totdl = int(base["_n"]), int(base["_totdl"] or 0)
+        if n == 0 or totdl == 0:
+            raise ValueError("bm25 over an empty / token-less corpus")
+        spark = docs.sparkSession
+        vt = F.broadcast(
+            spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "_bm_tok string"
+            )
+        )
+        # synthetic per-row id: distinct (row, term) within one job is
+        # all df needs, and task retries regenerate the same ids for
+        # the same partition
+        matched = (
+            docs.select(
+                F.monotonically_increasing_id().alias("_bm_rid"),
+                tt.alias("_bm_toks"),
+            )
+            .select("_bm_rid", F.explode("_bm_toks").alias("_bm_tok"))
+            .join(vt, "_bm_tok")
+        )
+        df = {t: 0 for t in terms}
+        for r in (
+            matched.groupBy("_bm_tok")
+            .agg(F.count_distinct("_bm_rid").alias("_df"))
+            .collect()
+        ):
+            df[r["_bm_tok"]] = int(r["_df"])
+        return n, totdl, df
     row = staged.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.coalesce(F.size("_bm_toks"), F.lit(0))).alias("_totdl"),
@@ -1541,6 +1580,7 @@ def with_bm25(
     hits_col: str = "bm25_hits",
     text_col: str = "text",
     sep: str = " ",
+    id_col: str = "doc_id",
     stats: tuple[int, int, dict[str, int]] | None = None,
     literal_max: int = 256,
 ) -> DataFrame:
@@ -1564,12 +1604,22 @@ def with_bm25(
     bit-reproducible in ANY engine (the DuckDB oracle replays it
     verbatim). ``hits_col`` counts matched distinct terms.
 
-    Plan: the stats pass is ONE bounded aggregate (or pass ``stats``
-    precomputed to amortize across calls); scoring is a PURE MAP — the
-    token array binds once per row (:func:`let_once`), each term costs
-    one O(L) filter inside the same interpreted projection, no
-    shuffle, no join, nothing corpus-sized leaves the executors. At
-    100 TB the whole operator is a scan.
+    Plan — size-switched like :func:`with_dsir`: a term set within
+    ``literal_max`` scores as a PURE MAP — the token array binds once
+    per row (:func:`let_once`), each term costs one O(L) filter
+    inside the same interpreted projection, no shuffle, no join,
+    nothing corpus-sized leaves the executors; at 100 TB the whole
+    operator is a scan. Beyond ``literal_max`` (a topic lexicon of
+    hundreds-thousands of seed terms) the inline tf vector would cost
+    O(|terms| x L) per row, so the scorer switches to the broadcast-
+    join form: explode tokens (dl carried per row), inner-join the
+    broadcast (term, idf6) table — only MATCHED (id, term) rows
+    survive the map-side join, so the shuffle is bounded by hits,
+    not corpus tokens — per-(doc, term) tf by count, the SAME fixed-
+    parse-shape floor per term, and one map-side-combined sum per
+    doc joined back on ``id_col``. Both forms produce bit-identical
+    scores (same IEEE double ops on the same operands in the same
+    association order), so the DuckDB oracle replay holds for either.
     """
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -1580,18 +1630,14 @@ def with_bm25(
             raise ValueError(f"bad query term: {t!r}")
         if lt not in canon:
             canon.append(lt)
-    if len(canon) > literal_max:
-        raise ValueError(
-            f"{len(canon)} query terms > literal_max={literal_max}: "
-            "a term list that size should be a broadcast-join scorer, "
-            "not an inline projection"
-        )
     if not (k1 > 0 and 0 <= b <= 1):
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
     n, totdl, df = (
         stats
         if stats is not None
-        else bm25_stats(docs, canon, text_col=text_col, sep=sep)
+        else bm25_stats(
+            docs, canon, text_col=text_col, sep=sep, literal_max=literal_max
+        )
     )
     idf6 = bm25_idf6(n, df)
     c_num = float(k1 + 1.0)  # tf multiplier
@@ -1601,6 +1647,51 @@ def with_bm25(
     tt = F.filter(
         tokens(F.lower(F.col(text_col)), sep), lambda t: F.length(t) > 0
     )
+
+    if len(canon) > literal_max:
+        spark = docs.sparkSession
+        vt = F.broadcast(
+            spark.createDataFrame(
+                sorted((t, float(idf6[t])) for t in canon),
+                "_bm_tok string, _idf6 double",
+            )
+        )
+        # stage the token array in its OWN projection (same trap as the
+        # literal form's struct: two references in one projection would
+        # duplicate the split+filter subtree per row)
+        tok_rows = docs.select(F.col(id_col), tt.alias("_bm_toks")).select(
+            id_col,
+            F.coalesce(F.size("_bm_toks"), F.lit(0))
+            .cast("double")
+            .alias("_bm_dl"),
+            F.explode("_bm_toks").alias("_bm_tok"),
+        )
+        per_term = (
+            tok_rows.join(vt, "_bm_tok")  # inner: non-query tokens die
+            .groupBy(id_col, "_bm_tok")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_bm_tf"),
+                F.first("_bm_dl").alias("_bm_dl"),
+                F.first("_idf6").alias("_idf6"),
+            )
+        )
+        # the SAME parenthesization as the literal form's zip_with
+        # lambda — bit-identical floors per (doc, term)
+        lennorm_j = (
+            F.lit(c2) * F.col("_bm_dl") * F.lit(float(n))
+        ) / F.lit(float(totdl))
+        per_doc = per_term.groupBy(id_col).agg(
+            F.sum(
+                F.floor(
+                    (F.col("_idf6") * F.col("_bm_tf") * F.lit(c_num))
+                    / (F.col("_bm_tf") + F.lit(c1) + lennorm_j)
+                )
+            ).alias(out_col),
+            F.count(F.lit(1)).cast("int").alias(hits_col),
+        )
+        return docs.join(per_doc, id_col, "left").fillna(
+            {out_col: 0, hits_col: 0}
+        )
 
     term_arr = F.array(*[F.lit(t) for t in canon])
     idf_arr = F.array(*[F.lit(float(idf6[t])) for t in canon])

@@ -113,6 +113,8 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    range_cluster: bool = False,
+    row_group_mb: int | None = None,
 ) -> dict:
     """Rewrite a parquet directory into ``target_file_mb``-sized parts
     via write-aside + two renames. Cures the small-files problem every
@@ -139,7 +141,8 @@ def compact_parquet(
     the test environment); the rename dance maps 1:1 onto the Hadoop
     FileSystem API for cluster storage."""
     return rewrite_parquet(
-        spark, path, target_file_mb=target_file_mb, cluster_by=cluster_by
+        spark, path, target_file_mb=target_file_mb, cluster_by=cluster_by,
+        range_cluster=range_cluster, row_group_mb=row_group_mb,
     )
 
 
@@ -149,6 +152,8 @@ def rewrite_parquet(
     transform=None,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    range_cluster: bool = False,
+    row_group_mb: int | None = None,
 ) -> dict:
     """The write-aside + two-rename rewrite :func:`compact_parquet` is
     built on, generalized with an optional ``transform(df) -> df``
@@ -159,7 +164,18 @@ def rewrite_parquet(
     is sized from the PRE-transform bytes: for compaction that is the
     exact target math, for deletes it over-estimates by the deleted
     fraction (files land smaller than target — the safe side; a
-    delete-heavy rewrite can pass ``target_file_mb`` accordingly)."""
+    delete-heavy rewrite can pass ``target_file_mb`` accordingly).
+
+    ``range_cluster=True`` lays ``cluster_by`` out as contiguous
+    sorted RANGES (repartitionByRange + sortWithinPartitions) instead
+    of hash partitions: hash clustering co-locates each key but mixes
+    RANDOM keys per file, so every file's min/max spans ~the whole
+    key domain and predicate pushdown skips nothing — range layout is
+    what makes key-pruned scans (the semdedup index's cid reads) skip
+    at row-group granularity. ``row_group_mb`` sets the parquet block
+    size of the rewritten files: the row group IS the skip granule,
+    so serving-read tables want it near the per-key byte size rather
+    than the 128 MB scan-oriented default."""
     import shutil
 
     parts = _dir_parts(path)
@@ -168,15 +184,22 @@ def rewrite_parquet(
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
-    rep = (
-        df.repartition(int(n_files), *[F.col(c) for c in cluster_by])
-        if cluster_by
-        else df.repartition(int(n_files))
-    )
+    if cluster_by and range_cluster:
+        cols = [F.col(c) for c in cluster_by]
+        rep = df.repartitionByRange(int(n_files), *cols).sortWithinPartitions(
+            *cols
+        )
+    elif cluster_by:
+        rep = df.repartition(int(n_files), *[F.col(c) for c in cluster_by])
+    else:
+        rep = df.repartition(int(n_files))
     tmp, old = path + "__compacting", path + "__old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    rep.write.mode("overwrite").parquet(tmp)
+    writer = rep.write.mode("overwrite")
+    if row_group_mb is not None:
+        writer = writer.option("parquet.block.size", row_group_mb << 20)
+    writer.parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     after = _dir_parts(path)

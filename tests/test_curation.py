@@ -1562,8 +1562,6 @@ def test_bm25_stats_reuse_and_validation(spark):
     with pytest.raises(ValueError):
         C.with_bm25(docs, ["two words"])
     with pytest.raises(ValueError):
-        C.with_bm25(docs, ["a", "b"], literal_max=1)
-    with pytest.raises(ValueError):
         C.with_bm25(docs, ["a"], k1=0.0)
     with pytest.raises(ValueError):
         C.bm25_stats(docs.limit(0), ["a"])
@@ -1600,6 +1598,88 @@ def test_bm25_scoring_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     # and the token array is materialized ONCE (one split per row)
     assert plan.count("split(lower(") == 1, plan
+
+
+def test_bm25_join_form_matches_literal(spark):
+    """Above literal_max the scorer switches to the broadcast-join
+    form — bit-identical scores AND hit counts vs the inline form
+    (same IEEE ops on the same operands in the same parse shape),
+    including token-less / null / unmatched docs (left join + 0
+    fill)."""
+    texts = [
+        "spark join join window agg",
+        "vector vector vector stream",
+        "the a of filter scan",       # zero matched terms
+        "",                            # token-less
+        "SPARK Spark spark",
+        None,                          # null text
+        "join " * 50 + "window",      # length norm bites
+    ]
+    terms = ["spark", "vector", "join", "window"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    lit = {
+        r["doc_id"]: (r["bm25_micro"], r["bm25_hits"])
+        for r in C.with_bm25(docs, terms).collect()
+    }
+    join = {
+        r["doc_id"]: (r["bm25_micro"], r["bm25_hits"])
+        for r in C.with_bm25(docs, terms, literal_max=1).collect()
+    }
+    assert join == lit == dict(enumerate(_naive_bm25(texts, terms)))
+    # join-form output keeps the input columns + the two score columns
+    cols = C.with_bm25(docs, terms, literal_max=1).columns
+    assert cols == ["doc_id", "text", "bm25_micro", "bm25_hits"]
+    # and bm25_topk rides the switch transparently
+    topl = [
+        (r["doc_id"], r["bm25_micro"])
+        for r in C.bm25_topk(docs, terms, 3).collect()
+    ]
+    topj = [
+        (r["doc_id"], r["bm25_micro"])
+        for r in C.bm25_topk(docs, terms, 3, literal_max=1).collect()
+    ]
+    assert topl == topj
+
+
+def test_bm25_stats_join_form_matches_literal(spark):
+    """Beyond literal_max the df pass switches to explode + broadcast
+    join + count_distinct — same (n, totdl, df) triple, including
+    zero-df terms (absent from every doc) and duplicate tokens within
+    one doc (df counts DOCS, not occurrences)."""
+    docs = spark.createDataFrame(
+        [(0, "a b spark spark"), (1, "spark c"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "b", "nope"]
+    lit = C.bm25_stats(docs, terms)
+    join = C.bm25_stats(docs, terms, literal_max=1)
+    assert join == lit == (4, 6, {"spark": 2, "b": 1, "nope": 0})
+    # end-to-end: with_bm25 beyond literal_max computes its own stats
+    # via the join form — scores still match the literal path
+    a = sorted(map(tuple, C.with_bm25(docs, terms).collect()))
+    b = sorted(map(tuple, C.with_bm25(docs, terms, literal_max=1).collect()))
+    assert a == b
+
+
+def test_bm25_join_form_plan(spark):
+    """The join form broadcast-joins the (term, idf6) table onto the
+    exploded tokens — the corpus-token stream never shuffles for the
+    probe; only matched (id, term) rows reach the two bounded
+    aggregates, plus the doc-keyed join back."""
+    docs = spark.createDataFrame(
+        [(0, "spark join"), (1, "join join")], "doc_id long, text string"
+    )
+    out = C.with_bm25(
+        docs, ["spark", "join"],
+        stats=(2, 4, {"spark": 1, "join": 2}), literal_max=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan  # the idf6-table probe
+    # exactly three hash exchanges: per-(doc, term) tf, per-doc sum,
+    # and the doc-keyed join back — never the raw token stream
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
 # ---------------------------------------------------------------------------

@@ -778,6 +778,19 @@ def test_cli_semdedup_index_and_batch(capsys, tmp_path, spark):
           for r in spark.read.parquet(out2 + "/pairs").collect()}
     assert (200, 101) in p2
 
+    # r13 serving verb: top-k neighbors from the same index — the
+    # batch's exact copy of corpus vec 5 retrieves 5 at rank 1
+    s_out = str(tmp_path / "search_out")
+    assert main([
+        "semdedup-search", b_path, idx, s_out, "--k", "2", "--nprobe", "2",
+    ]) == 0
+    assert "neighbor row(s)" in capsys.readouterr().out
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in spark.read.parquet(s_out).collect()
+    }
+    assert got[(100, 1)] == 5
+
 
 def test_cli_daily_oneliner_append_survivors_and_compact(capsys, tmp_path, spark):
     """r11: the daily-pipeline one-liner — `semdedup-batch
