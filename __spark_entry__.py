@@ -2176,6 +2176,20 @@ def _assert_planted_offset_free(emb: DataFrame, sf_dir: str) -> None:
         )
       ) WHERE rank <= 5
     ),
+    rrf AS (
+      SELECT probe_id, neighbor_id, CAST(s AS DOUBLE) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rank
+      FROM (
+        SELECT probe_id, neighbor_id,
+               SUM(CAST(floor(1000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                   AS BIGINT)) AS s
+        FROM (SELECT probe_id, neighbor_id, rank FROM brute
+              UNION ALL
+              SELECT probe_id, neighbor_id, rank FROM lsh)
+        GROUP BY 1, 2
+      )
+    ),
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
     assigned AS (
       SELECT vec_id, v, cid FROM (
@@ -2261,6 +2275,7 @@ def _assert_planted_offset_free(emb: DataFrame, sf_dir: str) -> None:
     )
     SELECT 'brute' AS part, *, CAST(-1 AS BIGINT) AS cid FROM brute
     UNION ALL SELECT 'lsh', *, CAST(-1 AS BIGINT) FROM lsh
+    UNION ALL SELECT 'rrf', *, CAST(-1 AS BIGINT) FROM rrf
     UNION ALL SELECT 'ivf', *, CAST(-1 AS BIGINT) FROM ivf
     UNION ALL SELECT 'sem', probe_id, neighbor_id, cos_sim, rank, cid FROM sem
     UNION ALL SELECT 'idx', *, CAST(-1 AS BIGINT) FROM idxs
@@ -2271,7 +2286,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.5 similarity search, all strategies over one probe set,
     tagged: 'brute' exact top-k (broadcast probes x index — the recall
     oracle), 'lsh' hyperplane-LSH buckets (md5-derived ±1 planes,
-    equi-join on bucket — the 100 TB path), 'ivf' IVF-flat (nearest of
+    equi-join on bucket — the 100 TB path), 'rrf' — r13 reciprocal-
+    rank fusion of the brute and lsh lists (curation.rrf_fuse, the
+    hybrid-retrieval blend; exact BIGINT micro scores ride cos_sim),
+    'ivf' IVF-flat (nearest of
     8 centroid cells, nprobe=1 equi-join), and 'sem' — the C13
     SemDeDup operator (functions/vectors.py:semantic_dedup_pairs):
     within-cell duplicate pairs over the SAME 8 centroids, with
@@ -2298,13 +2316,39 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     no_cid = F.lit(-1).cast("long").alias("cid")
-    brute = brute_force_topk(probes, emb, k=5).select(
+    brute_raw = brute_force_topk(probes, emb, k=5)
+    brute = brute_raw.select(
         F.lit("brute").alias("part"), "probe_id", "neighbor_id", "cos_sim",
         "rank", no_cid,
     )
-    lsh = bucketed_ann_topk(probes, emb, k=5, dims=6).select(
+    lsh_raw = bucketed_ann_topk(probes, emb, k=5, dims=6)
+    lsh = lsh_raw.select(
         F.lit("lsh").alias("part"), "probe_id", "neighbor_id", "cos_sim",
         "rank", no_cid,
+    )
+    # 'rrf' — r13: reciprocal-rank fusion of the exact and LSH top-5
+    # lists (operators/curation.py:rrf_fuse — the hybrid-retrieval
+    # blend; here the two systems rank the SAME probe set, so the
+    # fusion, dedup-by-(query,id) and deterministic tie-break are all
+    # oracle-checked). The fused score is the exact BIGINT micro sum
+    # floor(1e6/(60+rank)) per system — carried in the cos_sim column
+    # cast to double (exact < 2^53; the union schema is fixed).
+    from siskin_spark.operators.curation import rrf_fuse
+
+    rrf = rrf_fuse(
+        [
+            brute_raw.select("probe_id", "neighbor_id", "rank"),
+            lsh_raw.select("probe_id", "neighbor_id", "rank"),
+        ],
+        query_col="probe_id",
+        id_col="neighbor_id",
+    ).select(
+        F.lit("rrf").alias("part"),
+        "probe_id",
+        "neighbor_id",
+        F.col("rrf_micro").cast("double").alias("cos_sim"),
+        "rank",
+        no_cid,
     )
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -2371,6 +2415,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brute.unionByName(lsh)
+        .unionByName(rrf)
         .unionByName(ivf)
         .unionByName(sem)
         .unionByName(idxp)

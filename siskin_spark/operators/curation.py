@@ -1480,7 +1480,7 @@ def bm25_stats(
     *,
     text_col: str = "text",
     sep: str = " ",
-    literal_max: int = 256,
+    literal_max: int = 64,
 ) -> tuple[int, int, dict[str, int]]:
     """Corpus statistics for a BM25 term set: (N docs, total token
     count, per-term document frequency). The result is O(|terms|) —
@@ -1582,7 +1582,7 @@ def with_bm25(
     sep: str = " ",
     id_col: str = "doc_id",
     stats: tuple[int, int, dict[str, int]] | None = None,
-    literal_max: int = 256,
+    literal_max: int = 64,
 ) -> DataFrame:
     """Append a query-seeded BM25 relevance score — the lexical member
     of the targeted-corpus-selection family (pick the slice of a web
@@ -1609,18 +1609,21 @@ def with_bm25(
     per row (:func:`let_once`), each term costs one O(L) filter
     inside the same interpreted projection, no shuffle, no join,
     nothing corpus-sized leaves the executors; at 100 TB the whole
-    operator is a scan. Beyond ``literal_max`` (a topic lexicon of
-    hundreds-thousands of seed terms) the inline tf vector would cost
-    O(|terms| x L) per row, so the scorer switches to the broadcast-
-    join form: explode tokens (dl carried per row), inner-join the
-    broadcast (term, idf6) table — only MATCHED (id, term) rows
-    survive the map-side join, so the shuffle is bounded by hits,
-    not corpus tokens — per-(doc, term) tf by count, the SAME fixed-
-    parse-shape floor per term, and one map-side-combined sum per
-    doc joined back on ``id_col``. Both forms produce bit-identical
-    scores (same IEEE double ops on the same operands in the same
-    association order), so the DuckDB oracle replay holds for either.
-    """
+    operator is a scan. Beyond ``literal_max`` (a topic lexicon)
+    the inline tf vector costs O(|terms| x L) per row, so the scorer
+    switches to the broadcast-join form: explode tokens (dl carried
+    per row), inner-join the broadcast (term, idf6) table — only
+    MATCHED (id, term) rows survive the map-side join, so the shuffle
+    is bounded by hits, not corpus tokens — per-(doc, term) tf by
+    count, the SAME fixed-parse-shape floor per term, and one
+    map-side-combined sum per doc joined back on ``id_col``. Both
+    forms produce bit-identical scores (same IEEE double ops on the
+    same operands in the same association order), so the DuckDB
+    oracle replay holds for either. The 64 default sits at the
+    measured crossover (`SCALE_r13_bm25.json`, 3 M docs: literal
+    11.0 / 40.2 / 156.8 s at 64 / 256 / 1,024 terms vs join
+    ~9-14 s flat — the old 256 default ran the literal at 3.2x the
+    join form's cost at its own limit)."""
     if not terms:
         raise ValueError("terms must be non-empty")
     canon: list[str] = []
@@ -1768,6 +1771,67 @@ def bm25_topk(
     return scored.orderBy(
         F.col(out_col).desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+    out_col: str = "rrf_micro",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N per-query top-k rankings into one hybrid ranking — the standard
+    way to combine :func:`bm25_topk`'s lexical list with
+    ``semdedup_index_search``'s vector list (RAG hybrid retrieval),
+    or any other mix of retrieval systems, WITHOUT score calibration:
+    only ranks are read, so incomparable score scales (BM25 micro
+    units vs cosines) cannot skew the blend.
+
+    Contribution per (system, row) is the exact BIGINT
+    ``floor(1e6 / (k + rank))`` — one correctly-rounded IEEE division
+    of small integers, then an integer floor — so the fused score is
+    an integer SUM, immune to float summation order across systems
+    and bit-identical in any engine (same fixed-point posture as
+    :func:`bm25_idf6` / the lp6 tables). ``k=60`` is the paper's
+    constant. Output: (query_col, id_col, out_col, rank) with a
+    deterministic row_number (score DESC, id ASC); ``topk`` trims
+    per query.
+
+    Scale: inputs are top-k LISTS, so everything here is bounded by
+    systems x queries x k rows — never corpus-sized. One hash
+    aggregate on (query, id) plus a per-query window over <=
+    systems x k rows."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.floor(
+                F.lit(1e6) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            )
+            .cast("long")
+            .alias("_rrf"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(F.sum("_rrf").alias(out_col))
+    w = Window.partitionBy(query_col).orderBy(F.desc(out_col), F.asc(id_col))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= int(topk))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1682,6 +1682,61 @@ def test_bm25_join_form_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
+def test_rrf_fuse(spark):
+    """Hand-computed RRF on two rankings: shared ids sum their
+    reciprocal contributions, singletons keep one, ties break by id
+    ASC, topk trims per query."""
+    import math
+
+    def contrib(r, k=60):
+        return math.floor(1e6 / (k + r))
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {
+        (r["query_id"], r["neighbor_id"]): (r["rrf_micro"], r["rank"])
+        for r in C.rrf_fuse([a, b]).collect()
+    }
+    want_scores = {
+        (1, 10): contrib(1),
+        (1, 11): contrib(2) + contrib(1),
+        (1, 12): contrib(3),
+        (1, 13): contrib(2),
+        (2, 20): contrib(1) + contrib(1),
+        (2, 21): contrib(2),
+    }
+    assert {q: s for q, (s, _) in out.items()} == want_scores
+    # fused order for query 1: 11 (both lists) > 10 > 13 (= score of
+    # rank-2 in one list; 10's rank-1 beats it) > 12
+    order1 = sorted(
+        ((rk, nid) for (q, nid), (_, rk) in out.items() if q == 1)
+    )
+    assert [nid for _, nid in order1] == [11, 10, 13, 12]
+    # topk trims per query; every surviving rank is <= topk
+    top = C.rrf_fuse([a, b], topk=2).collect()
+    assert all(r["rank"] <= 2 for r in top)
+    assert len([r for r in top if r["query_id"] == 1]) == 2
+    # ties (same score) break by id ASC: two singleton rank-1 lists
+    c1 = spark.createDataFrame(
+        [(1, 7, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    c2 = spark.createDataFrame(
+        [(1, 3, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    tie = {(r["neighbor_id"]): r["rank"] for r in C.rrf_fuse([c1, c2]).collect()}
+    assert tie == {3: 1, 7: 2}
+    with pytest.raises(ValueError):
+        C.rrf_fuse([])
+    with pytest.raises(ValueError):
+        C.rrf_fuse([a], k=0)
+
+
 # ---------------------------------------------------------------------------
 # C24: DSIR importance log-ratio
 
