@@ -38,6 +38,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   semdedup-search Q DIR OUT top-k cosine neighbors from the SAME index
                             the gate maintains (RAG/eval serving; the
                             scan is cid-pruned to the probed cells)
+  neardup-search Q DIR OUT  top-k exact-Jaccard neighbors from the
+                            near-dup index (find near-copies of a
+                            document: provenance, takedown triage)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
                             without the ids (file table or literal list)
   neardup-remove IDS DIR    same for the near-dup index (both tables)
@@ -248,6 +251,23 @@ def main(argv: list[str] | None = None) -> int:
     p_drift.add_argument("vectors", help="new-batch vector table")
     p_drift.add_argument("index_dir")
     p_drift.add_argument("--sample", type=int, default=20_000)
+    p_nsearch = sub.add_parser("neardup-search")
+    p_nsearch.add_argument(
+        "queries", help="query doc table (index id/text columns)"
+    )
+    p_nsearch.add_argument("index_dir")
+    p_nsearch.add_argument(
+        "out_dir", help="writes (query_id, neighbor_id, jaccard, rank)"
+    )
+    p_nsearch.add_argument("--k", type=int, default=5)
+    p_nsearch.add_argument(
+        "--min-jaccard", type=float, default=0.0,
+        help="trim incidental band collisions below this similarity",
+    )
+    p_nsearch.add_argument(
+        "--exclude-self", action="store_true",
+        help="drop the identity hit when querying indexed documents",
+    )
     p_ssearch = sub.add_parser("semdedup-search")
     p_ssearch.add_argument(
         "queries", help="query vector table (index id/vector columns)"
@@ -658,6 +678,17 @@ def main(argv: list[str] | None = None) -> int:
         out = semdedup_index_search(
             spark, _read(spark, args.queries), args.index_dir,
             k=args.k, nprobe=args.nprobe, exclude_self=args.exclude_self,
+        )
+        out.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"wrote {n} neighbor row(s) to {args.out_dir}")
+    elif args.cmd == "neardup-search":
+        from siskin_spark.operators.neardup import neardup_index_search
+
+        out = neardup_index_search(
+            spark, _read(spark, args.queries), args.index_dir,
+            k=args.k, min_jaccard=args.min_jaccard,
+            exclude_self=args.exclude_self,
         )
         out.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()

@@ -1002,6 +1002,108 @@ def incremental_neardup(
     )
 
 
+def neardup_index_search(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k most-similar INDEXED documents per query document, by
+    exact n-gram Jaccard over LSH band candidates — the lexical
+    serving twin of :func:`semdedup_index_search
+    <siskin_spark.functions.vectors.semdedup_index_search>` ("find
+    near-copies of this document" against the same persisted artifact
+    the daily near-dup gate maintains; provenance lookups, takedown
+    triage, retrieval-side dedup). Returns (query_id, neighbor_id,
+    jaccard, rank); rank is a deterministic per-query row_number
+    (jaccard DESC, neighbor_id ASC), only ``rank <= k`` survive.
+
+    Plan — the admit's economics re-oriented to retrieval: all
+    CPU-heavy work (shingling, hashing, banding; params from the
+    index meta) runs over the QUERY batch only; its band keys
+    broadcast-join the persisted ``bands/`` (the corpus-scale index
+    is scanned, never shuffled), exact-Jaccard verification reads
+    only the candidate docs' shingles via a broadcast semi-filter,
+    and the rank window runs over candidate-sized rows — everything
+    after the two narrow index scans is bounded by queries x band
+    collisions. Recall is the banding curve (same s-curve as the
+    dedup path): a neighbor sharing no band with the query is not a
+    candidate — raise k/bands at build time for higher-recall
+    serving, and use ``min_jaccard`` to trim the long tail of
+    incidental band collisions. A query id also present in the index
+    resolves to the QUERY text (same batch-wins rule as the admit);
+    its self-hit scores jaccard 1.0 at rank 1 unless
+    ``exclude_self``."""
+    import os
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    meta_n, meta_k, meta_bands, fam = _read_index_params(index_dir)
+    rows = meta_k // meta_bands
+    sh_q = shingle_table(queries, id_col, text_col, meta_n).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    sigs = minhash_table(
+        queries, id_col, text_col, meta_n, meta_k,
+        shingles=sh_q.withColumnRenamed("doc_id", id_col),
+        hash_family=fam,
+    )
+    q_bands = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_family_sentinel(fam))
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            lsh_band_keys(F.col("signature"), meta_bands, rows)
+        ).alias("band"),
+    )
+    old_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+    cand = (
+        old_bands.join(F.broadcast(q_bands), on="band")
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # verification shingles: the query batch's own, plus ONLY the
+    # candidate index docs' — query text wins for ids in both (the
+    # admit's batch-wins rule)
+    cand_old = (
+        cand.select(F.col("neighbor_id").alias("doc_id"))
+        .distinct()
+        .join(sh_q.select("doc_id").distinct(), on="doc_id", how="left_anti")
+    )
+    old_sh = spark.read.parquet(os.path.join(index_dir, "shingles")).join(
+        F.broadcast(cand_old), on="doc_id", how="left_semi"
+    )
+    sh_all = sh_q.unionByName(old_sh)
+    verified = exact_jaccard(
+        cand.select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+        ),
+        sh_all,
+        id_col="doc_id",
+        broadcast_candidates=False,
+    ).filter(F.col("jaccard") >= min_jaccard)
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "jaccard",
+            "rank",
+        )
+    )
+
+
 def _read_index_params(index_dir: str) -> tuple[int, int, int, str]:
     import json
 

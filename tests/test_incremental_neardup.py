@@ -394,3 +394,76 @@ def test_index_compact_refuses_inflight_append(spark, index_dir):
         neardup_index_compact(spark, index_dir)
     os.rmdir(os.path.join(index_dir, "_append_bands_stale"))
     neardup_index_compact(spark, index_dir)
+
+
+def test_neardup_index_search(spark, index_dir):
+    """The lexical serving twin: top-k most-similar indexed docs per
+    query by exact Jaccard over band candidates — identity hit at
+    rank 1 jaccard 1.0, the near-dup ranks its base first,
+    exclude_self drops the identity, min_jaccard trims, k bounds."""
+    from siskin_spark.operators.neardup import neardup_index_search
+
+    queries = spark.createDataFrame(
+        [
+            (200, _doc(3)),    # exact content of corpus doc 3
+            (201, _near(7)),   # near-dup of corpus doc 7
+            (202, "zz qq xx"), # shares no shingle with anything
+        ],
+        "doc_id long, text string",
+    )
+    got = neardup_index_search(spark, queries, index_dir, k=3)
+    rows = got.collect()
+    assert got.columns == ["query_id", "neighbor_id", "jaccard", "rank"]
+    by_qr = {(r["query_id"], r["rank"]): r for r in rows}
+    assert by_qr[(200, 1)]["neighbor_id"] == 3
+    assert by_qr[(200, 1)]["jaccard"] == 1.0
+    assert by_qr[(201, 1)]["neighbor_id"] == 7
+    assert 0.9 < by_qr[(201, 1)]["jaccard"] < 1.0
+    assert all(r["rank"] <= 3 for r in rows)
+    # the no-overlap query has no candidates at all
+    assert not [r for r in rows if r["query_id"] == 202]
+
+    # min_jaccard trims incidental band collisions
+    trimmed = neardup_index_search(
+        spark, queries, index_dir, k=3, min_jaccard=0.5
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in trimmed} == {
+        (200, 3), (201, 7),
+    }
+
+    # querying an INDEXED doc by its own id: query text wins the
+    # shingle namespace, the identity hit is rank 1 — and
+    # exclude_self drops exactly that row
+    selfq = spark.createDataFrame(
+        [(3, _doc(3))], "doc_id long, text string"
+    )
+    with_self = neardup_index_search(spark, selfq, index_dir, k=1).collect()
+    assert with_self[0]["neighbor_id"] == 3
+    no_self = neardup_index_search(
+        spark, selfq, index_dir, k=5, exclude_self=True
+    ).collect()
+    assert all(r["neighbor_id"] != 3 for r in no_self)
+
+    # validation
+    with pytest.raises(ValueError):
+        neardup_index_search(spark, queries, index_dir, k=0)
+
+
+def test_neardup_search_cli(capsys, tmp_path, spark, index_dir):
+    from siskin_spark.cli import main
+
+    q_path = str(tmp_path / "nq")
+    spark.createDataFrame(
+        [(300, _doc(5))], "doc_id long, text string"
+    ).write.parquet(q_path)
+    out = str(tmp_path / "nout")
+    assert main([
+        "neardup-search", q_path, index_dir, out, "--k", "2",
+        "--min-jaccard", "0.3",
+    ]) == 0
+    assert "neighbor row(s)" in capsys.readouterr().out
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(300, 1)] == 5
