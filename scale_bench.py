@@ -940,6 +940,61 @@ def _search_prune_leg(spark, vectors, results: dict, timed) -> None:
         )
 
 
+def _search_gemm_leg(spark, vectors, results: dict, timed) -> None:
+    """r13: the serving sweep on ``engine='gemm'`` — same 10 K-query
+    batch and index params as ``_search_leg``, the interpreted
+    per-row cosine fold replaced by per-(batch, cell) BLAS blocks
+    with local top-k pre-prune (ranking parity with expr is pinned
+    in tests/test_vectors.py; this leg prices the swap). The gemm
+    path is eager (Arrow probe collect + checkpointed scan), so
+    walls time construction + write together."""
+    import shutil as _sh
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    idx_by_store = {}
+    for store, tag in (("float32", "f32"), ("int8", "int8")):
+        idx = os.path.join(CORPUS, f"sem_index_search_{tag}")
+        if not os.path.exists(os.path.join(idx, "cells")):
+            _sh.rmtree(idx, ignore_errors=True)
+            semdedup_index_build(
+                vectors, idx, k=256, sample=100_000, iters=10, store=store
+            )
+        idx_by_store[tag] = idx
+    planted_q = F.col("vec_id") % 500 == 1
+    background_q = F.col("vec_id") % 750 == 7
+    queries = vectors.filter(planted_q | background_q).select(
+        "vec_id", "embedding"
+    )
+    results["sgemm_queries"] = queries.count()
+    n_planted = vectors.filter(planted_q).count()
+    for tag, idx in idx_by_store.items():
+        for npb in (1, 2, 4):
+            out = os.path.join(CORPUS, f"sgemm_topk_{tag}_np{npb}")
+
+            def run():
+                semdedup_index_search(
+                    spark, queries, idx, k=10, nprobe=npb,
+                    exclude_self=True, engine="gemm",
+                ).write.mode("overwrite").parquet(out)
+
+            run()  # warm-up: footer cache, Arrow path, codegen
+            t0 = time.perf_counter()
+            run()
+            results[f"sgemm_{tag}_np{npb}_s"] = time.perf_counter() - t0
+            got = spark.read.parquet(out)
+            results[f"sgemm_{tag}_np{npb}_planted_recall"] = round(
+                got.filter(
+                    (F.col("query_id") % 500 == 1)
+                    & (F.col("neighbor_id") == F.col("query_id") - 1)
+                ).count() / max(n_planted, 1),
+                4,
+            )
+
+
 def _gate_leg(spark, results: dict, timed) -> None:
     """r13 (verdict ask #4): the streaming daily gate PRICED. Drains
     an 8-micro-batch backlog (availableNow, maxFilesPerTrigger=1)
@@ -1714,7 +1769,7 @@ def main() -> None:
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
         "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25", "dsir",
-        "search", "searchprune", "gatebench",
+        "search", "searchprune", "searchgemm", "gatebench",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1779,6 +1834,10 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _search_prune_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "searchgemm":
+            _control_leg(spark, results, timed_only)
+            vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
+            _search_gemm_leg(spark, vecs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "gatebench":
             _control_leg(spark, results, timed_only)
             _gate_leg(spark, results, timed_only)

@@ -1541,6 +1541,9 @@ def semdedup_index_search(
     exclude_self: bool = False,
     broadcast_queries: bool = True,
     prune_cells: bool = True,
+    engine: str = "expr",
+    sim_buffer_bytes: int = 64 << 20,
+    gemm_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Top-k cosine retrieval FROM the persisted cell index — the
     serving half of the index family (build/append/compact/remove/
@@ -1574,6 +1577,22 @@ def semdedup_index_search(
     per-query row_number over (cos_sim DESC, vec_id) — deterministic
     under score ties — and only ``rank <= k`` survive the window.
 
+    ``engine='gemm'`` is the THROUGHPUT path for batch serving
+    (mirrors the admit's engine split): the probe table is Arrow-
+    collected (guarded by ``gemm_budget_bytes`` — serving batches
+    are driver-sized by definition; chunk the query set yourself or
+    use expr beyond it), packed per cid, broadcast, and each Arrow
+    batch of the cells scan computes one BLAS block per co-probed
+    cell (``sim_buffer_bytes`` tiles the query axis) — replacing
+    the interpreted per-row cosine fold, measured 6-10x on the 3M
+    sweep. Each (batch, cell) block emits only its LOCAL top-k per
+    query (stable argsort over id-ordered columns, so score ties
+    keep the smaller id — exactly the global rule), which ALSO cuts
+    the rank-window shuffle from scored-rows to <= partitions x
+    queries x k. Same RANKING as the expr engine (ties included);
+    cosine VALUES differ in the last ulps (float64 GEMM vs the
+    expression fold), so the oracle-checked slot keeps expr.
+
     An ``store='int8'`` index searches transparently: the stored
     tinyint vector preserves DIRECTION (unit vector x 127, rounded),
     so the norm is recomputed from the stored values and the cosine
@@ -1587,6 +1606,8 @@ def semdedup_index_search(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if engine not in ("expr", "gemm"):
+        raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
     meta = _sem_meta_read(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -1594,9 +1615,13 @@ def semdedup_index_search(
         queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe
     )
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if prune_cells or engine == "gemm":
+        # materialize the assignment once: the cid collect (prune),
+        # the budget count and the Arrow collect (gemm) would each
+        # re-run the GEMM assignment otherwise
+        probes = probes.localCheckpoint(eager=True)
     if prune_cells:
-        # materialize the assignment once (query-batch-sized x nprobe),
-        # then one bounded collect of the touched cids. The filter is
+        # one bounded collect of the touched cids. The filter is
         # pushed as an OR of contiguous-cid RANGES, not isin: beyond
         # spark.sql.parquet.pushdown.inFilterThreshold (10) an In
         # degrades to one [min,max] range at the parquet layer, which
@@ -1604,7 +1629,6 @@ def semdedup_index_search(
         # (measured: 198 of 432 MB read where ~8% was touched); the
         # range-OR tree pushes losslessly and the cid-clustered
         # layout turns it into row-group/page skips.
-        probes = probes.localCheckpoint(eager=True)
         touched = sorted(
             int(r["cid"]) for r in probes.select("cid").distinct().collect()
         )
@@ -1629,6 +1653,12 @@ def semdedup_index_search(
             cells = cells.filter(pred)
         else:
             cells = cells.filter(F.lit(False))
+    if engine == "gemm":
+        return _index_search_gemm(
+            spark, probes, cells, k, exclude_self,
+            sim_buffer_bytes, gemm_budget_bytes,
+            dim=meta.get("dim"),
+        )
     if meta.get("store", "float32") == "int8":
         # stored norm is the ORIGINAL float norm (diagnostics); the
         # quantized direction needs its own magnitude for the cosine
@@ -1986,6 +2016,125 @@ def incremental_semdedup(
         .filter(F.col("cos_sim") >= threshold)
     )
     return vs_index.unionByName(vs_batch)
+
+
+def _index_search_gemm(
+    spark, probes, cells: DataFrame, k: int, exclude_self: bool,
+    sim_buffer_bytes: int, gemm_budget_bytes: int, dim: int | None,
+) -> DataFrame:
+    """Batch-serving half of :func:`semdedup_index_search`: the probe
+    table is Arrow-collected (driver residency guarded by
+    ``gemm_budget_bytes``), packed per cid, broadcast, and each Arrow
+    batch of the (pruned) cells scan computes one BLAS block per
+    co-probed cell — the ``_incremental_vs_index_gemm`` shape pointed
+    at retrieval. Each (batch, cell) block emits only its LOCAL
+    top-k(+self slack) rows per query, selected by a STABLE argsort
+    over id-ascending columns so score ties keep the smaller
+    neighbor id — the same rule the global rank window applies — and
+    the window then runs over <= partitions x queries x k rows
+    instead of every scored pair. Eagerly materialized so the packed
+    broadcast can be destroyed before returning."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if dim is None:
+        first = probes.select(F.size("embedding").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 1
+    n_probes = probes.count()
+    need = n_probes * max(1, dim) * 8
+    if need > gemm_budget_bytes:
+        raise ValueError(
+            f"engine='gemm' would collect {need >> 20} MB of probes "
+            f"(> gemm_budget_bytes={gemm_budget_bytes >> 20} MB): gemm "
+            "is the SERVING path for driver-sized query batches — "
+            "chunk the query set across calls or use engine='expr'"
+        )
+    _AK = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(_AK, "false")
+    spark.conf.set(_AK, "true")
+    try:
+        qpdf = probes.select("vec_id", "cid", "embedding").toPandas()
+    finally:
+        spark.conf.set(_AK, prev)
+    packed: dict[int, tuple] = {}
+    if len(qpdf):
+        cid_arr = qpdf["cid"].to_numpy()
+        for cid in np.unique(cid_arr):
+            m = cid_arr == cid
+            Q = np.array(list(qpdf["embedding"][m]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            Qn = Q / np.where(qn == 0.0, 1.0, qn)[:, None]
+            packed[int(cid)] = (qpdf["vec_id"][m].to_numpy(), Qn)
+    bc = spark.sparkContext.broadcast(packed)
+    out_schema = StructType(
+        [
+            StructField("query_id", probes.schema["vec_id"].dataType),
+            StructField("neighbor_id", cells.schema["vec_id"].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    kk = k + (1 if exclude_self else 0)  # self rows dropped post-hoc
+
+    def emit(batches):
+        import pandas as pd
+
+        table = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cid"].to_numpy()
+            out = []
+            for cid in np.unique(cids):
+                blk = table.get(int(cid))
+                if blk is None:
+                    continue
+                qids, Qn = blk
+                m = cids == cid
+                iid = pdf["vec_id"][m].to_numpy()
+                X = np.array(list(pdf["embedding"][m]), dtype=np.float64)
+                # id-ascending columns: a stable argsort of -sims then
+                # resolves score ties toward the smaller neighbor id,
+                # matching the global (cos DESC, id ASC) window rule
+                order = np.argsort(iid, kind="stable")
+                iid, X = iid[order], X[order]
+                xn = np.linalg.norm(X, axis=1)
+                Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
+                take = min(kk, len(iid))
+                step = max(1, sim_buffer_bytes // (8 * max(1, len(iid))))
+                for t0 in range(0, len(qids), step):
+                    S = Qn[t0:t0 + step] @ Xn.T  # (query tile, cell rows)
+                    top = np.argsort(-S, axis=1, kind="stable")[:, :take]
+                    rows = np.repeat(qids[t0:t0 + step], take)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": rows,
+                                "neighbor_id": iid[top].ravel(),
+                                "cos_sim": np.take_along_axis(
+                                    S, top, axis=1
+                                ).ravel(),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = (
+        cells.select("vec_id", "cid", "embedding")
+        .mapInPandas(emit, out_schema)
+        .localCheckpoint(eager=True)
+    )
+    bc.destroy()
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def _incremental_vs_index_gemm(

@@ -1703,3 +1703,69 @@ def test_semdedup_index_search(tmp_path, spark):
     pushed_un = "".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan_un))
     assert "EqualTo(cid" not in pushed_un, plan_un
     assert "GreaterThanOrEqual(cid" not in pushed_un, plan_un
+
+
+def test_semdedup_index_search_gemm_engine(tmp_path, spark):
+    """engine='gemm' (the batch-serving BLAS path) returns the SAME
+    ranking as the expr engine — ties included — on float32 and int8
+    indexes, with and without exclude_self; cosine values agree to
+    float64 GEMM precision. The driver-residency guard refuses
+    over-budget probe collects."""
+    import numpy as np
+    import pytest
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    rows, X = _sem_corpus(spark, 150, seed=29)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrng = np.random.default_rng(11)
+    Q = qrng.normal(size=(6, DIM))
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    queries = spark.createDataFrame(
+        [(2000 + i, [float(x) for x in Q[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    ).unionByName(
+        # an exact copy of an indexed vector: the identity hit at
+        # cos == 1.0 plus any duplicate-tie neighbors exercise the
+        # tie-break agreement between the engines
+        corpus.filter(F.col("vec_id") == 5).select(
+            (F.col("vec_id") + 3000).alias("vec_id"), "embedding"
+        )
+    )
+    for store in ("float32", "int8"):
+        idx = str(tmp_path / f"gidx_{store}")
+        semdedup_index_build(
+            corpus, idx, k=3, sample=150, iters=5, seed=3, store=store
+        )
+        for xself in (False, True):
+            key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+            e = {
+                key(r): (r["neighbor_id"], r["cos_sim"])
+                for r in semdedup_index_search(
+                    spark, queries, idx, k=4, nprobe=2, exclude_self=xself
+                ).collect()
+            }
+            g = {
+                key(r): (r["neighbor_id"], r["cos_sim"])
+                for r in semdedup_index_search(
+                    spark, queries, idx, k=4, nprobe=2, exclude_self=xself,
+                    engine="gemm",
+                ).collect()
+            }
+            assert set(e) == set(g)
+            for kq in e:
+                assert e[kq][0] == g[kq][0], (store, xself, kq, e[kq], g[kq])
+                assert abs(e[kq][1] - g[kq][1]) < 1e-9
+    with pytest.raises(ValueError, match="gemm_budget_bytes"):
+        semdedup_index_search(
+            spark, queries, str(tmp_path / "gidx_float32"), k=2,
+            engine="gemm", gemm_budget_bytes=8,
+        )
+    with pytest.raises(ValueError, match="engine"):
+        semdedup_index_search(
+            spark, queries, str(tmp_path / "gidx_float32"), k=2,
+            engine="nope",
+        )
