@@ -940,6 +940,50 @@ def _search_prune_leg(spark, vectors, results: dict, timed) -> None:
         )
 
 
+def _ndsearch_leg(spark, docs, results: dict, timed) -> None:
+    """r13: the lexical serving twin priced — `neardup_index_search`
+    over the persisted 3 M-doc signature index. Queries are ~3 K
+    planted near-dups (id%990==33: one-token perturbations of their
+    id-3 base doc, exact Jaccard ~0.86) + ~3 K background docs;
+    recall is the banding s-curve's prediction for the default
+    k=16/bands=4 scheme (~0.95 at j=0.86) made measurable."""
+    from siskin_spark.operators.neardup import (
+        neardup_index_build,
+        neardup_index_search,
+    )
+
+    idx = os.path.join(CORPUS, "nd_index_search")
+    if not os.path.exists(os.path.join(idx, "bands")):
+        t0 = time.perf_counter()
+        neardup_index_build(docs, idx)
+        results["ndsearch_build_s"] = time.perf_counter() - t0
+    planted_q = F.col("doc_id") % 990 == 33
+    queries = docs.filter(planted_q | (F.col("doc_id") % 1000 == 7))
+    results["ndsearch_queries"] = queries.count()
+    n_planted = docs.filter(planted_q).count()
+    results["ndsearch_planted_queries"] = n_planted
+    out = os.path.join(CORPUS, "ndsearch_topk")
+
+    def run():
+        neardup_index_search(
+            spark, queries, idx, k=5, min_jaccard=0.2, exclude_self=True
+        ).write.mode("overwrite").parquet(out)
+
+    run()  # warm-up
+    t0 = time.perf_counter()
+    run()
+    results["ndsearch_s"] = time.perf_counter() - t0
+    got = spark.read.parquet(out)
+    results["ndsearch_rows"] = got.count()
+    results["ndsearch_planted_recall"] = round(
+        got.filter(
+            (F.col("query_id") % 990 == 33)
+            & (F.col("neighbor_id") == F.col("query_id") - 3)
+        ).count() / max(n_planted, 1),
+        4,
+    )
+
+
 def _search_gemm_leg(spark, vectors, results: dict, timed) -> None:
     """r13: the serving sweep on ``engine='gemm'`` — same 10 K-query
     batch and index params as ``_search_leg``, the interpreted
@@ -1769,7 +1813,7 @@ def main() -> None:
     if os.environ.get("SCALE_ONLY") in (
         "neardup_incremental", "curation", "r9", "r10", "semincr", "r11",
         "sq8", "tokbudget", "nprobe", "dim768", "dailygate", "bm25", "dsir",
-        "search", "searchprune", "searchgemm", "gatebench",
+        "search", "searchprune", "searchgemm", "gatebench", "ndsearch",
     ):
         # iterate on this one leg without the ~25-minute full suite;
         # emits a partial JSON with only the leg's keys
@@ -1838,6 +1882,9 @@ def main() -> None:
             _control_leg(spark, results, timed_only)
             vecs_only = spark.read.parquet(os.path.join(CORPUS, "vectors"))
             _search_gemm_leg(spark, vecs_only, results, timed_only)
+        elif os.environ["SCALE_ONLY"] == "ndsearch":
+            _control_leg(spark, results, timed_only)
+            _ndsearch_leg(spark, docs_only, results, timed_only)
         elif os.environ["SCALE_ONLY"] == "gatebench":
             _control_leg(spark, results, timed_only)
             _gate_leg(spark, results, timed_only)
