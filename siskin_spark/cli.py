@@ -41,6 +41,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   neardup-search Q DIR OUT  top-k exact-Jaccard neighbors from the
                             near-dup index (find near-copies of a
                             document: provenance, takedown triage)
+  rrf A B [C...] OUT        reciprocal-rank fusion of ranking tables
+                            (hybrid retrieval: vector x lexical lists
+                            blend by rank, no score calibration)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
                             without the ids (file table or literal list)
   neardup-remove IDS DIR    same for the near-dup index (both tables)
@@ -367,6 +370,18 @@ def main(argv: list[str] | None = None) -> int:
                            help="keep tailing the feed (default: "
                            "availableNow — drain the backlog and exit; "
                            "the cron-friendly mode)")
+    p_rrf = sub.add_parser("rrf")
+    p_rrf.add_argument(
+        "rankings", nargs="+",
+        help="two or more ranking tables (query_id, neighbor_id, rank) "
+             "— e.g. a semdedup-search output and a BM25 top-k list",
+    )
+    p_rrf.add_argument("out_dir", help="writes (query_id, neighbor_id, "
+                       "rrf_micro, rank)")
+    p_rrf.add_argument("--k", type=int, default=60,
+                       help="RRF constant (Cormack et al. 2009)")
+    p_rrf.add_argument("--topk", type=int, default=None,
+                       help="trim the fused list per query")
     p_cur = sub.add_parser("curate")
     p_cur.add_argument("docs", help="doc table (doc_id, text, ...)")
     p_cur.add_argument(
@@ -700,6 +715,19 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(f"wrote {n} neighbor row(s) to {args.out_dir}")
+    elif args.cmd == "rrf":
+        from siskin_spark.operators.curation import rrf_fuse
+
+        fused = rrf_fuse(
+            [_read(spark, p) for p in args.rankings],
+            k=args.k, topk=args.topk,
+        )
+        fused.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(
+            f"fused {len(args.rankings)} ranking(s): {n} row(s) "
+            f"to {args.out_dir}"
+        )
     elif args.cmd in ("semdedup-remove", "neardup-remove"):
         import os as _os
 

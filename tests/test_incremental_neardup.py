@@ -467,3 +467,27 @@ def test_neardup_search_cli(capsys, tmp_path, spark, index_dir):
         for r in spark.read.parquet(out).collect()
     }
     assert got[(300, 1)] == 5
+
+
+def test_rrf_cli(capsys, tmp_path, spark):
+    """The rrf verb fuses two ranking parquet tables (the outputs of
+    the search verbs) into one hybrid list."""
+    from siskin_spark.cli import main
+
+    a = str(tmp_path / "rank_a")
+    b = str(tmp_path / "rank_b")
+    spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rank int"
+    ).write.parquet(b)
+    out = str(tmp_path / "fused")
+    assert main(["rrf", a, b, out, "--topk", "2"]) == 0
+    assert "fused 2 ranking(s)" in capsys.readouterr().out
+    got = {
+        r["rank"]: r["neighbor_id"] for r in spark.read.parquet(out).collect()
+    }
+    # 11 appears in both lists -> fused rank 1; 10 (rank 1 in one
+    # list) beats 12 (rank 2 in one list)
+    assert got == {1: 11, 2: 10}
