@@ -1515,6 +1515,14 @@ _CLF_BUCKET_SQL = (
              t -> {_DSIR_CASE_SQL})), 0) AS BIGINT) AS dsir_lr6,
            CAST({_BM25_SCORE} AS BIGINT) AS bm25_micro,
            CAST({_BM25_HITS} AS INT) AS bm25_hits,
+           CASE WHEN len(list_filter(toks, x -> len(x) > 0)) > 0
+                THEN CAST(floor((greatest(len(list_filter(toks, x -> len(x) > 0)) - 32, 0) + 23) / 24.0) AS INT) + 1
+                ELSE 0 END AS n_chunks,
+           CASE WHEN len(list_filter(toks, x -> len(x) > 0)) > 0
+                THEN CAST(least(len(list_filter(toks, x -> len(x) > 0))
+                           - CAST(floor((greatest(len(list_filter(toks, x -> len(x) > 0)) - 32, 0) + 23) / 24.0) AS INT) * 24,
+                           32) AS INT)
+                ELSE 0 END AS tail_chunk_tokens,
            CASE WHEN len(toks) <=
                   (SELECT CASE WHEN abs(q - round(q)) < 0.000001
                                THEN round(q) + 0.5 ELSE q END FROM
@@ -1669,6 +1677,40 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dsir_lr6"),
         "bm25_micro",
         "bm25_hits",
+        # r13 chunker boundary legs (operators/curation.py:
+        # chunk_documents): per-doc window count and tail-window token
+        # count at chunk=32/overlap=8 (stride 24) — the same integer
+        # arithmetic the chunker's sequence/slice plan evaluates,
+        # replayed exactly by the oracle; the exploded chunk rows are
+        # pytest-covered (a cardinality-changing op can't ride a
+        # per-doc slot). let_once: the filtered token count is an O(L)
+        # HOF read 2-3 times per column otherwise.
+        X.let_once(
+            F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0)),
+            lambda nf: F.when(
+                nf > 0,
+                F.floor(
+                    (F.greatest(nf - F.lit(32), F.lit(0)) + F.lit(23))
+                    / F.lit(24)
+                ).cast("int")
+                + F.lit(1),
+            ).otherwise(F.lit(0)).cast("int"),
+        ).alias("n_chunks"),
+        X.let_once(
+            F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0)),
+            lambda nf: F.when(
+                nf > 0,
+                F.least(
+                    nf
+                    - F.floor(
+                        (F.greatest(nf - F.lit(32), F.lit(0)) + F.lit(23))
+                        / F.lit(24)
+                    ).cast("int")
+                    * F.lit(24),
+                    F.lit(32),
+                ),
+            ).otherwise(F.lit(0)).cast("int"),
+        ).alias("tail_chunk_tokens"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
@@ -1698,6 +1740,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_lr6",
         "bm25_micro",
         "bm25_hits",
+        "n_chunks",
+        "tail_chunk_tokens",
         quality_bucket_mark("n_tokens", len_th).alias("len_bucket"),
     )
 

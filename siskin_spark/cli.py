@@ -44,6 +44,9 @@ Usage:  python -m siskin_spark.cli <cmd> ...
   rrf A B [C...] OUT        reciprocal-rank fusion of ranking tables
                             (hybrid retrieval: vector x lexical lists
                             blend by rank, no score calibration)
+  chunk DOCS OUT            token-window chunking with overlap (RAG
+                            ingestion: chunk -> embed -> semdedup
+                            index -> search)
   semdedup-remove IDS DIR   retraction/GDPR delete: rewrite cells/
                             without the ids (file table or literal list)
   neardup-remove IDS DIR    same for the near-dup index (both tables)
@@ -370,6 +373,16 @@ def main(argv: list[str] | None = None) -> int:
                            help="keep tailing the feed (default: "
                            "availableNow — drain the backlog and exit; "
                            "the cron-friendly mode)")
+    p_chunk = sub.add_parser("chunk")
+    p_chunk.add_argument("docs", help="doc table (doc_id, text, ...)")
+    p_chunk.add_argument(
+        "out_dir", help="writes (doc_id, chunk_id, chunk_text, "
+                        "n_chunk_tokens)"
+    )
+    p_chunk.add_argument("--tokens", type=int, default=512,
+                         help="window size in whitespace tokens")
+    p_chunk.add_argument("--overlap", type=int, default=64,
+                         help="tokens shared by successive windows")
     p_rrf = sub.add_parser("rrf")
     p_rrf.add_argument(
         "rankings", nargs="+",
@@ -715,6 +728,16 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(f"wrote {n} neighbor row(s) to {args.out_dir}")
+    elif args.cmd == "chunk":
+        from siskin_spark.operators.curation import chunk_documents
+
+        out = chunk_documents(
+            _read(spark, args.docs),
+            chunk_tokens=args.tokens, overlap=args.overlap,
+        )
+        out.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"wrote {n} chunk(s) to {args.out_dir}")
     elif args.cmd == "rrf":
         from siskin_spark.operators.curation import rrf_fuse
 

@@ -1773,6 +1773,75 @@ def bm25_topk(
     ).limit(int(k))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Token-window chunking with overlap — the stage between a
+    curated corpus and an embedding/index pipeline (RAG ingestion:
+    chunk -> embed -> ``semdedup_index_build`` -> ``semdedup-search``;
+    also long-document training prep). Each document yields
+    ``ceil(max(0, n - chunk_tokens) / stride) + 1`` windows of up to
+    ``chunk_tokens`` whitespace tokens, successive windows sharing
+    ``overlap`` tokens (stride = chunk_tokens - overlap); token-less
+    and NULL docs yield no chunks. Returns (id_col, chunk_id,
+    chunk_text, n_chunk_tokens) — chunk_id is the 0-based window
+    index, so (doc, chunk) is a stable key for downstream embedding
+    ids.
+
+    Plan: stage the token array once, ``posexplode`` a
+    per-row ``sequence`` of window starts, ``slice`` +
+    ``concat_ws`` per window — a pure map + generate, no shuffle at
+    any scale; output rows ≈ corpus tokens / stride. The boundary
+    arithmetic is integer-exact (oracle legs on the per-doc chunk
+    count and tail-window size ride ``text_quality``)."""
+    chunk_tokens = int(chunk_tokens)
+    overlap = int(overlap)
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), sep), lambda t: F.length(t) > 0
+    )
+    staged = docs.select(F.col(id_col), toks.alias("_ck_toks")).select(
+        id_col,
+        "_ck_toks",
+        F.coalesce(F.size("_ck_toks"), F.lit(0)).alias("_ck_n"),
+    )
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.col("_ck_n") - F.lit(chunk_tokens), F.lit(0))
+             + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        + F.lit(1)
+    )
+    exploded = staged.filter(F.col("_ck_n") > 0).select(
+        id_col,
+        "_ck_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+        ).alias("chunk_id", "_ck_start"),
+    )
+    window = F.slice(
+        F.col("_ck_toks"), F.col("_ck_start") + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(sep, window).alias("chunk_text"),
+        F.size(window).alias("n_chunk_tokens"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

@@ -1682,6 +1682,75 @@ def test_bm25_join_form_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
+def _naive_chunks(text, chunk, overlap, sep=" "):
+    toks = [t for t in (text or "").split(sep) if t]
+    if not toks:
+        return []
+    stride = chunk - overlap
+    n_chunks = max(0, -(-(len(toks) - chunk) // stride)) + 1
+    return [
+        (i, sep.join(toks[i * stride:i * stride + chunk]),
+         len(toks[i * stride:i * stride + chunk]))
+        for i in range(n_chunks)
+    ]
+
+
+def test_chunk_documents_matches_naive(spark):
+    """Window boundaries vs a list-slicing reference across the edge
+    cases: shorter-than-window, exact window, window+1, multi-window,
+    zero overlap, empty and NULL docs (no chunks)."""
+    texts = {
+        0: " ".join(f"t{i}" for i in range(3)),    # < chunk
+        1: " ".join(f"t{i}" for i in range(8)),    # == chunk
+        2: " ".join(f"t{i}" for i in range(9)),    # chunk + 1
+        3: " ".join(f"t{i}" for i in range(30)),   # many windows
+        4: "",
+        5: None,
+        6: "  a   b  ",                            # empty-token filter
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for chunk, ov in ((8, 3), (8, 0), (5, 4)):
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+            for r in C.chunk_documents(
+                docs, chunk_tokens=chunk, overlap=ov
+            ).collect()
+        }
+        want = {
+            (d, i): (txt, n)
+            for d, t in texts.items()
+            for i, txt, n in _naive_chunks(t, chunk, ov)
+        }
+        assert got == want, (chunk, ov)
+    # successive windows share exactly `overlap` tokens
+    two = {
+        r["chunk_id"]: r["chunk_text"].split(" ")
+        for r in C.chunk_documents(
+            docs.filter(F.col("doc_id") == 3), chunk_tokens=8, overlap=3
+        ).collect()
+    }
+    assert two[0][-3:] == two[1][:3]
+    with pytest.raises(ValueError):
+        C.chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        C.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_plan_is_mapside(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )
+    plan = (
+        C.chunk_documents(docs, chunk_tokens=2, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_rrf_fuse(spark):
     """Hand-computed RRF on two rankings: shared ids sum their
     reciprocal contributions, singletons keep one, ties break by id
@@ -1804,3 +1873,25 @@ def test_dsir_join_form_plan(spark):
     # doc-keyed join back — the probe itself must not shuffle the
     # token rows
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_chunk_cli(capsys, tmp_path, spark):
+    from siskin_spark.cli import main
+
+    d = str(tmp_path / "chunk_docs")
+    spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    ).write.parquet(d)
+    out = str(tmp_path / "chunks")
+    assert main(["chunk", d, out, "--tokens", "4", "--overlap", "1"]) == 0
+    assert "chunk(s)" in capsys.readouterr().out
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["n_chunk_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        0: ("t0 t1 t2 t3", 4),
+        1: ("t3 t4 t5 t6", 4),
+        2: ("t6 t7 t8 t9", 4),
+    }
