@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # the Janino compiled-class cache holds 100 codegen units by
+        # default; a session that cycles through the 50-query suite
+        # (several WholeStageCodegen + expression units per query)
+        # evicts constantly, so every re-run of a query regenerates and
+        # recompiles its classes — churning the JIT code cache and
+        # re-triggering C2 tier-up (the measured bimodal 1.3s/4.5s
+        # flips on the hash-heavy queries). Process-level JVM health,
+        # not a scale tunable: ~5000 entries is a few hundred MB of
+        # metaspace at worst and is far above any one pipeline's
+        # distinct-plan count.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # 512m ReservedCodeCacheSize: the JVM default (~240m) fills after
         # a few dozen distinct whole-stage-codegen'd queries in one
         # application; once full the JIT stops compiling (or flushes hot
