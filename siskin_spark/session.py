@@ -62,6 +62,16 @@ def get_spark(
         # metaspace at worst and is far above any one pipeline's
         # distinct-plan count.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # AQE coalesces post-shuffle partitions by BYTES (parallelism-
+        # first down to minPartitionSize=1m). Text/token stages here are
+        # CPU-dense per byte: a window/group stage whose shuffle input
+        # is a few MB coalesces to a handful of tasks and serializes
+        # interpreted expression work while the rest of the cores idle.
+        # A 64k floor only changes stages with < ~cores MB of shuffle
+        # data (at real scale partitions are far above 1m either way);
+        # measured −10..20% on every shuffle-bearing doc query at sf0.1
+        # with no effect on large stages.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # 512m ReservedCodeCacheSize: the JVM default (~240m) fills after
         # a few dozen distinct whole-stage-codegen'd queries in one
         # application; once full the JIT stops compiling (or flushes hot
