@@ -138,22 +138,24 @@ _ALL_TABLES = (
 )
 
 #: r13 opt: queries whose PLAN must be rebuilt on every call. Their
-#: plans embed a ``localCheckpoint`` of computed corpus data (exact
+#: builders embed a ``localCheckpoint`` of computed corpus data (exact
 #: dedup's packing layout, the near-dup verified pairs, the semdedup
 #: admit, the index-search probe assignment) — a memoized plan would
 #: reuse those materialized blocks across passes, i.e. cache RESULTS,
-#: which the bench contract forbids — or a formally nondeterministic
-#: expression (monotonically_increasing_id salts/buckets) that the
-#: plan-memo contract excludes. Verified by a plan audit: these are
-#: exactly the registered queries whose optimized plan contains a
-#: LogicalRDD not born from a literal createDataFrame, or mono_id.
+#: which the bench contract forbids. These builders instead memoize
+#: their checkpoint-free plan PREFIX explicitly (see each) and re-run
+#: the eager materialization per call. mono_id users (doc_signatures'
+#: benchmark-side synthetic ids, skew_safe_agg's salt) stay in the
+#: blanket memo: the nondeterministic values are partitioning-only and
+#: never reach output, and a reused plan re-executes them exactly like
+#: a fresh build. Verified by a plan audit: these four are exactly the
+#: registered queries whose optimized plan contains a LogicalRDD not
+#: born from a literal createDataFrame.
 _NO_PLAN_MEMO = frozenset({
     "exact_dedup_documents",
     "neardup_keep_canonical",
     "semdedup_incremental",
     "similarity_topk",
-    "doc_signatures",
-    "skew_safe_agg",
 })
 
 
@@ -534,13 +536,24 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb_kept = token_budget_sample(
         out.select("doc_id", "text"), 20_000, seed=3, hash_family="md5"
     ).select("doc_id", F.lit(True).alias("tb_keep"))
-    capped = domain_cap_mark(
-        out, cap=15, domain_col="source", key_col="doc_id", exact=True
+    # r13 opt: the dedup-window + cap-window plan and the vocab
+    # aggregate plan are checkpoint-free — memoize their CONSTRUCTION
+    # (the layout and budget legs checkpoint internally and stay
+    # per-call; the vocab collect below still runs its corpus
+    # aggregate on every pass)
+    capped = _memo_df(
+        spark, sf_dir, "exact_dedup_capped", ("documents",),
+        lambda: domain_cap_mark(
+            out, cap=15, domain_col="source", key_col="doc_id", exact=True
+        ),
     )
     packed = token_sequence_layout(
         capped.select("doc_id", "text", "cap_keep"), budget=1024
     )
-    vrows = vocab_table(docs, top=64).collect()  # 64 rows, one job
+    vrows = _memo_df(
+        spark, sf_dir, "exact_dedup_vocab", ("documents",),
+        lambda: vocab_table(docs, top=64),
+    ).collect()  # 64 rows, one job per pass
     vocab = spark.createDataFrame(
         [(r["token"], r["rank"], r["cum_frac"]) for r in vrows],
         "_t1 string, tok1_rank int, tok1_cum double",
@@ -1641,10 +1654,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = ordered.select(
         "doc_id", "lang", "text", X.tokens("text").alias("_toks")
     ).withColumn("_counts", X.stopword_counts(F.col("_toks")))
+    # r13 opt: stage the nonempty-token array and its size ONCE —
+    # uni_lp, dsir_lr6, n_chunks, tail_chunk_tokens and dup_token_frac
+    # each re-filtered the token array per column before (5 extra O(L)
+    # interpreted passes per row)
+    staged = staged.withColumn(
+        "_fnz", F.filter(F.col("_toks"), lambda t: F.length(t) > 0)
+    ).withColumn("_nf", F.size(F.col("_fnz")))
     # staged DataFrame form of the top-bigram signal: the Column fold
     # is JIT-bimodal at scale (52s vs 11s over 3M docs on the same
-    # box); the staged run-length shape is the stable-fast one
-    staged = X.with_top_ngram_frac(staged)
+    # box); the staged run-length shape is the stable-fast one.
+    # r13 opt: grams come from the staged _toks (the oracle's own
+    # concat formula) instead of the overlapping-lookahead regex.
+    staged = X.with_top_ngram_frac(staged, toks_col="_toks")
     # C23 BM25 topical relevance rides the same per-doc slot (≤50-query
     # registry policy): fixed topic seed, stats from ONE bounded
     # aggregate (eager at construction, same posture as len_th), exact
@@ -1687,8 +1709,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Gopher repetition signals, row-local forms: the synthetic
         # corpus has no newlines, so the duplicate-line rule is
         # exercised at token granularity here (newline splitting is
-        # pytest-covered, tests/test_curation.py)
-        X.dup_line_fraction("text", sep=" ").alias("dup_token_frac"),
+        # pytest-covered, tests/test_curation.py). r13 opt: computed
+        # from the staged _fnz/_nf columns (same value as
+        # dup_line_fraction(text, sep=' ') — that form re-split and
+        # re-filtered the text per row)
+        F.when(
+            F.col("_nf") > 0,
+            (F.col("_nf") - F.size(F.array_distinct(F.col("_fnz"))))
+            .cast("double") / F.col("_nf").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
         "top_2gram_frac",
         # within-doc duplicate-line removal (token granularity here —
         # the synthetic corpus has no newlines), surfaced as the
@@ -1703,23 +1732,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", _CLF_W, seed=0, toks=F.col("_toks")
         ).alias("clf_logit"),
         # CCNet unigram-LM log-likelihood (fixed-point lp6 table, exact
-        # in any engine) over the staged tokens — the score the
-        # len_bucket percentile machinery consumes on real corpora.
-        # let_once: the mark reads its array three times (fold + two
-        # size guards) and HOF projections are interpreted — unbound,
-        # the O(L) filter would re-run per reference site
-        X.let_once(
-            F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
-            lambda tt: cur_uni(tt, _UNI_LP6, _UNI_OOV),
-        ).alias("uni_lp"),
+        # in any engine) over the staged nonempty tokens — the score
+        # the len_bucket percentile machinery consumes on real corpora.
+        # r13 opt: _fnz is a staged attribute reference (O(1) in every
+        # read site), replacing the per-column let_once re-filter
+        cur_uni(F.col("_fnz"), _UNI_LP6, _UNI_OOV).alias("uni_lp"),
         # C24 DSIR importance log-ratio (curation.dsir_logratio_mark):
         # target-vs-source lp6 diff table, exact BIGINT fold over the
         # same staged tokens — zero float ops anywhere in the column
         F.coalesce(
-            X.let_once(
-                F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
-                lambda tt: cur_dsir(tt, _DSIR_DIFF6, _DSIR_OOV),
-            ),
+            cur_dsir(F.col("_fnz"), _DSIR_DIFF6, _DSIR_OOV),
             F.lit(0).cast("long"),
         ).alias("dsir_lr6"),
         "bm25_micro",
@@ -1730,34 +1752,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # arithmetic the chunker's sequence/slice plan evaluates,
         # replayed exactly by the oracle; the exploded chunk rows are
         # pytest-covered (a cardinality-changing op can't ride a
-        # per-doc slot). let_once: the filtered token count is an O(L)
-        # HOF read 2-3 times per column otherwise.
-        X.let_once(
-            F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0)),
-            lambda nf: F.when(
-                nf > 0,
-                F.floor(
-                    (F.greatest(nf - F.lit(32), F.lit(0)) + F.lit(23))
+        # per-doc slot). r13 opt: reads the staged _nf count.
+        F.when(
+            F.col("_nf") > 0,
+            F.floor(
+                (F.greatest(F.col("_nf") - F.lit(32), F.lit(0)) + F.lit(23))
+                / F.lit(24)
+            ).cast("int")
+            + F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("n_chunks"),
+        F.when(
+            F.col("_nf") > 0,
+            F.least(
+                F.col("_nf")
+                - F.floor(
+                    (F.greatest(F.col("_nf") - F.lit(32), F.lit(0)) + F.lit(23))
                     / F.lit(24)
                 ).cast("int")
-                + F.lit(1),
-            ).otherwise(F.lit(0)).cast("int"),
-        ).alias("n_chunks"),
-        X.let_once(
-            F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0)),
-            lambda nf: F.when(
-                nf > 0,
-                F.least(
-                    nf
-                    - F.floor(
-                        (F.greatest(nf - F.lit(32), F.lit(0)) + F.lit(23))
-                        / F.lit(24)
-                    ).cast("int")
-                    * F.lit(24),
-                    F.lit(32),
-                ),
-            ).otherwise(F.lit(0)).cast("int"),
-        ).alias("tail_chunk_tokens"),
+                * F.lit(24),
+                F.lit(32),
+            ),
+        ).otherwise(F.lit(0)).cast("int").alias("tail_chunk_tokens"),
     ).withColumn(
         # Gopher repetition gate over the two fractions (published
         # 2-gram thresholds); rides the same projection chain
@@ -1964,15 +1979,26 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs)
-    cands = lsh_candidates(docs, shingles=sh)
-    verified = exact_jaccard(
-        cands, sh, corpus_docs=_rowcount(spark, sf_dir, "documents")
-    ).filter(F.col("jaccard") >= 0.5)
+    # r13 opt: the shingle/LSH/verify PLAN is checkpoint-free — build
+    # it once per session (construction only; the pipeline itself
+    # still executes per pass, see below)
+    pre = _memo_df(
+        spark, sf_dir, "neardup_verified_pre", ("documents",),
+        lambda: exact_jaccard(
+            lsh_candidates(docs, shingles=shingle_table(docs)),
+            shingle_table(docs),
+            corpus_docs=_rowcount(spark, sf_dir, "documents"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b"),
+    )
     # the pair list feeds THREE consumers (closure probe, split join,
-    # keep-first anti-join); materialize the LSH+verify pipeline once —
-    # the same persist-the-pairs shape the scale bench uses
-    verified = verified.select("id_a", "id_b").localCheckpoint(eager=True)
+    # keep-first anti-join); materialize the LSH+verify pipeline once
+    # PER PASS — the `select` clones the memoized plan into a fresh
+    # QueryExecution so the checkpoint recomputes from parquet every
+    # call (checkpointing the memoized frame itself would pin the
+    # first pass's blocks = result caching)
+    verified = pre.select("id_a", "id_b").localCheckpoint(eager=True)
     labeled = leakage_safe_split(docs, verified, _SPLIT_FR, seed=_SPLIT_SEED)
     return keep_canonical(labeled, verified).select(
         "doc_id", "source", "split"
@@ -2404,6 +2430,48 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # r13 opt: the five pure legs (brute/lsh/rrf/ivf/sem) are
+    # checkpoint-free — memoize their unioned PLAN (construction cost
+    # only; execution recomputes per pass). Only the idx leg, whose
+    # serving-path probe assignment localCheckpoints eagerly, is
+    # rebuilt per call below.
+    pure = _memo_df(
+        spark, sf_dir, "similarity_topk_pure", ("embeddings",),
+        lambda: _similarity_topk_pure(spark, sf_dir),
+    )
+    _assert_planted_offset_free(emb, sf_dir)
+    from siskin_spark.functions.vectors import semdedup_index_search
+
+    no_cid = F.lit(-1).cast("long").alias("cid")
+    iqueries = emb.filter(
+        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
+    ).select("vec_id", "embedding")
+    idxp = semdedup_index_search(
+        spark, iqueries, _sem_oracle_index(spark, sf_dir, emb), k=3, nprobe=2
+    ).select(
+        F.lit("idx").alias("part"),
+        F.col("query_id").alias("probe_id"),
+        "neighbor_id",
+        "cos_sim",
+        "rank",
+        no_cid,
+    )
+    return pure.unionByName(idxp)
+
+
+def _similarity_topk_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-free legs of :func:`similarity_topk` (everything
+    but 'idx'), split out so their expression-heavy plan builds once
+    per session (see the memo call above)."""
+    from siskin_spark.functions.vectors import (
+        brute_force_topk,
+        bucketed_ann_topk,
+        ivf_assign,
+        ivf_topk,
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     no_cid = F.lit(-1).cast("long").alias("cid")
     brute_raw = brute_force_topk(probes, emb, k=5)
@@ -2479,36 +2547,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("rank"),
         "cid",
     )
-    # 'idx' — r12: top-k retrieval FROM the persisted cell index
-    # (functions/vectors.py:semdedup_index_search), the serving half
-    # of the C21 family, against the SAME memoized on-disk artifact
-    # the semdedup_incremental slot admits into (one index, two jobs).
-    # 100 fixed queries (%3==2, vec_id<300 — disjoint from the indexed
-    # %3 in (0,1) slices), k=3, nprobe=2: cell assignment, multi-probe
-    # admission AND ranking all hash-checked; the build/append is
-    # memoized out of the timed passes (the recurring path a serving
-    # deployment pays is the search, not the build).
-    from siskin_spark.functions.vectors import semdedup_index_search
-
-    iqueries = emb.filter(
-        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
-    ).select("vec_id", "embedding")
-    idxp = semdedup_index_search(
-        spark, iqueries, _sem_oracle_index(spark, sf_dir, emb), k=3, nprobe=2
-    ).select(
-        F.lit("idx").alias("part"),
-        F.col("query_id").alias("probe_id"),
-        "neighbor_id",
-        "cos_sim",
-        "rank",
-        no_cid,
-    )
     return (
         brute.unionByName(lsh)
         .unionByName(rrf)
         .unionByName(ivf)
         .unionByName(sem)
-        .unionByName(idxp)
     )
 
 
@@ -3292,11 +3335,18 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
 
-    batch = (
-        emb.filter(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
-        .unionByName(planted(0, 1_000_000))
-        .unionByName(planted(10, 2_000_000))
-        .unionByName(planted(20, 3_000_000))
+    # r13 opt: the batch-union plan is checkpoint-free — memoize its
+    # construction; incremental_semdedup derives a FRESH assignment
+    # frame from it per call, so its internal eager checkpoint still
+    # recomputes from parquet on every pass
+    batch = _memo_df(
+        spark, sf_dir, "semdedup_inc_batch", ("embeddings",),
+        lambda: (
+            emb.filter(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+            .unionByName(planted(0, 1_000_000))
+            .unionByName(planted(10, 2_000_000))
+            .unionByName(planted(20, 3_000_000))
+        ),
     )
     return incremental_semdedup(
         spark, batch, idx_dir, threshold=0.35, engine="expr"

@@ -539,6 +539,7 @@ def with_top_ngram_frac(
     text_col: str = "text",
     n: int = 2,
     out_col: str = "top_2gram_frac",
+    toks_col: str | None = None,
 ):
     """DataFrame-level top-n-gram char fraction (same value as
     :func:`top_ngram_char_fraction`, different physical shape): stages
@@ -559,16 +560,35 @@ def with_top_ngram_frac(
 
     Appends ``out_col``; all other columns pass through. Intermediate
     ``_tng_*`` columns are dropped.
+
+    ``toks_col`` (r13 opt): when the caller has already staged the
+    single-space token split, build the grams by concatenating
+    consecutive tokens (the oracle's own formula: ``toks[i] || ' ' ||
+    toks[i+1]``) instead of re-scanning the text with the overlapping
+    regex — one array transform versus a backtracking lookahead regex
+    per row, same values wherever token separators are single spaces
+    (which is what the regex form assumed too).
     """
     c = F.col(text_col)
     pat = "(?=((" + r"\S+ " * (n - 1) + r"\S+)))\S+ ?"
     g = F.col("_tng_g")
     st = F.col("_tng_starts")
     runs = F.col("_tng_runs")
+    if toks_col is not None:
+        toks = F.col(toks_col)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        grams = F.regexp_extract_all(c, F.lit(pat), 1)
     staged = (
-        df.withColumn(
-            "_tng_g", F.array_sort(F.regexp_extract_all(c, F.lit(pat), 1))
-        )
+        df.withColumn("_tng_g", F.array_sort(grams))
         .withColumn(
             "_tng_starts",
             # sequence(1, 0) DESCENDS in Spark — guard the empty case

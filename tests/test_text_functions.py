@@ -522,3 +522,33 @@ def test_canonical_url_dedup_key(spark):
     }
     for i, (u, want) in enumerate(cases.items()):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_with_top_ngram_frac_toks_col_matches_regex_form(spark):
+    """r13 opt: the staged-tokens gram path (toks_col=) must equal the
+    regex-extraction path wherever token separators are single spaces
+    (the corpus contract both forms assume)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from siskin_spark.functions.text import tokens, with_top_ngram_frac
+
+    rows = [
+        Row(i=0, t="spam spam spam spam"),
+        Row(i=1, t="one two three two three two"),
+        Row(i=2, t="single"),
+        Row(i=3, t=""),
+        Row(i=4, t="a b"),
+        Row(i=5, t=" ".join(f"w{k % 3}" for k in range(25))),
+    ]
+    df = spark.createDataFrame(rows).withColumn("_toks", tokens("t"))
+    a = {
+        r["i"]: r["top_2gram_frac"]
+        for r in with_top_ngram_frac(df, text_col="t").collect()
+    }
+    b = {
+        r["i"]: r["top_2gram_frac"]
+        for r in with_top_ngram_frac(df, text_col="t", toks_col="_toks").collect()
+    }
+    assert a == b
+    assert a[0] > 0.0  # the repeated bigram really registers
