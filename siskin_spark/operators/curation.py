@@ -494,20 +494,20 @@ def drop_duplicate_spans(
     - the join back to occurrences is an equi-join on the gram (AQE
       skew-splits a hot gram's occurrence side);
     - coverage expands ONLY duplicated occurrences by k positions
-      (bounded by k x dup-occurrence count, not corpus tokens), then
-      one distinct and a uniform (id, pos) anti-join;
-    - the token explode + groupBy(id) reassembly runs over AFFECTED
-      documents only (``cover``'s distinct doc ids semi-join the
-      token table): a document no duplicated span touches — the large
-      majority of a real corpus at k=50 — flows through as the
-      whitespace-normalized map column and never enters the rebuild
-      shuffle, which was the dominant stage (r9 verdict: 83.7 s of
-      the 3 M-doc leg rebuilt every doc). The same semi-join does NOT
-      pay for :func:`drop_duplicate_lines`: its duplicated unit is
-      boilerplate LINES, which in practice occur in most web
-      documents (nav/footer text), so the affected set approaches the
-      corpus and the extra distinct+join would be pure overhead —
-      span dedup's k-token verbatim runs are the rare-touch case.
+      (bounded by k x dup-occurrence count, not corpus tokens);
+    - r13 opt: the covered positions aggregate into ONE per-doc
+      position set (``collect_set`` — rows bounded as above, and the
+      set is at most the doc's own token count), which joins back and
+      the document rebuilds ROW-LOCALLY: ``array_except`` over the
+      position sequence hashes the cover set once per row, so the
+      rebuild is O(tokens + cover) with no token explosion. A
+      document no duplicated span touches — the large majority of a
+      real corpus at k=50 — has a NULL cover set and flows through as
+      the whitespace-normalized map column. This replaced the
+      posexplode + (id, pos) anti-join + collect_list groupBy
+      reassembly (two more shuffles for the identical string; the r9
+      form before THAT rebuilt every doc — 83.7 s of the 3 M-doc
+      leg).
     """
     norm = F.concat_ws(
         " ", F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
@@ -537,42 +537,50 @@ def drop_duplicate_spans(
                 & (F.col("_pos") == F.col("_first")["_pos"])
             )
         )
-    # no distinct: the coverage rows feed a left_anti join, where
-    # duplicate right-side keys (overlapping spans covering the same
-    # token) change nothing — a distinct would be one more shuffle
-    cover = occ.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
-        ).alias("_pos"),
+    # r13 opt: collect each affected doc's COVERED POSITION SET (one
+    # bounded aggregate — rows are k x duplicated occurrences, never
+    # corpus tokens) and rebuild ROW-LOCALLY with array_except, which
+    # hashes the cover set once per row (O(tokens + cover)). The
+    # previous shape posexploded every affected doc's tokens, anti-
+    # joined on (id, pos) and re-sorted them through a collect_list
+    # groupBy — two more shuffles plus a full token explosion for the
+    # identical string (the 3-shuffle plan diff is pinned in
+    # tests/test_curation.py).
+    coverpos = (
+        occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+            ).alias("_pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_cov"))
     )
-    # rebuild ONLY the documents some duplicated span touches; everyone
-    # else keeps the whitespace-normalized text via a pure map below
-    affected = cover.select(id_col).distinct()
-    toks = staged.join(affected, id_col, "left_semi").select(
-        id_col, F.posexplode(F.split(F.col("_sdt"), " ")).alias("_pos", "_tok")
-    )
-    kept = toks.join(cover, [id_col, "_pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                lambda s: s["_tok"],
+    # an affected doc whose every token is covered rebuilds to ''
+    # naturally (array_except leaves nothing); unaffected docs have a
+    # NULL _cov and keep the whitespace-normalized text
+    from siskin_spark.functions.text import let_once
+
+    rebuilt = F.concat_ws(
+        " ",
+        let_once(
+            F.split(F.col(text_col), " "),
+            lambda tks: F.transform(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size(tks) - 1), F.col("_cov")
+                ),
+                lambda p: F.element_at(tks, p + 1),
             ),
-        ).alias("_rb")
-    )
-    # an affected doc whose every token was covered has NO kept rows
-    # (groupBy emits nothing) — it must become '', not fall back to
-    # its normalized text, so the affected set itself anchors the join
-    rebuilt_all = affected.join(rebuilt, id_col, "left").withColumn(
-        "_rb", F.coalesce(F.col("_rb"), F.lit(""))
+        ),
     )
     return (
         docs.withColumn(text_col, norm)
-        .join(rebuilt_all, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("_rb"), F.col(text_col)))
-        .drop("_rb")
+        .join(coverpos, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_cov").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .drop("_cov")
     )
 
 

@@ -1895,3 +1895,32 @@ def test_chunk_cli(capsys, tmp_path, spark):
         1: ("t3 t4 t5 t6", 4),
         2: ("t6 t7 t8 t9", 4),
     }
+
+
+def test_drop_duplicate_spans_rowlocal_rebuild_plan_and_edges(spark):
+    """r13 opt: the rebuild is row-local (array_except over a per-doc
+    cover set) — the plan must carry NO (id, pos) anti-join and no
+    collect_list reassembly aggregate, and a fully-covered document
+    must still rebuild to ''."""
+    from pyspark.sql import Row
+
+    from siskin_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),        # fully covered (dup of 2)
+            Row(doc_id=2, text="a b c d"),
+            Row(doc_id=3, text="x y z w only once here"),
+        ]
+    )
+    out = C.drop_duplicate_spans(df, k=4)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "x y z w only once here"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the old reassembly's signature nodes must be gone: the (id, pos)
+    # anti-join and the collect_list sort-rebuild aggregate
+    assert "LeftAnti" not in plan
+    assert "collect_list" not in plan
+    # the row-local rebuild is present
+    assert "array_except" in plan
