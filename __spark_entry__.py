@@ -1203,7 +1203,9 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from siskin_spark.operators import transforms as T
     from siskin_spark.operators.transforms import doi_sniff
 
-    docs = _t(spark, sf_dir, "documents")
+    # r13 opt: regex/PII-heavy pure map over a one-split bench scan —
+    # spread to core count (no-op at real scale)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     d = F.col("doc_id")
     hay = F.concat(
@@ -1640,12 +1642,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.size(F.split("text", " ")).alias("nt")), "nt",
         snap_integral=True,
     )
-    # r13 opt: the terminal sort is gone entirely — the driver's check
-    # is order-insensitive (rows sorted by all columns before hashing,
-    # tests/oracle.py), so the query is now a ZERO-shuffle scan->map
-    # (the former narrow-input orderBy still paid a range exchange and
-    # its sampling pass over the scan).
-    ordered = docs.select("doc_id", "lang", "text")
+    # r13 opt: the terminal sort is gone (the driver's check is
+    # order-insensitive — rows sorted by all columns before hashing,
+    # tests/oracle.py). That also removed the exchange that used to
+    # spread the scan, and a bench-sized documents.parquet arrives as
+    # ONE split — _spread repartitions the narrow input to core count
+    # so the interpreted feature map parallelizes (no-op at real
+    # scale where the scan already splits; see _spread).
+    ordered = _spread(docs.select("doc_id", "lang", "text"), "doc_id")
     # stage the token array AND the per-language stopword-counts array
     # once: stopword_counts is the single interpreted pass over the
     # corpus tokens (replaces 12 independent HOF filters); language id,
@@ -2601,7 +2605,9 @@ def licensing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from siskin_spark.operators.licensing import attach_labels
 
-    orders = _t(spark, sf_dir, "orders")
+    # r13 opt: rule evaluation is a per-row map over a one-split bench
+    # scan — spread (no-op at real scale)
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     rec = orders.select(
         F.col("o_orderkey"),
         F.col("o_orderpriority").alias("finc_source_id"),
@@ -3162,7 +3168,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is covered by pytest instead."""
     from siskin_spark.operators.multimodal import extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    # r13 opt: mapInPandas on a one-split bench scan ran in a single
+    # Python worker — spread to core count (no-op at real scale)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -3530,6 +3538,9 @@ def oa_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow, exclude override — run through the real apply_oa_flag."""
     from siskin_spark.operators.licensing import apply_oa_flag
 
+    # r13 opt note: _spread was measured here and REVERTED — the oa
+    # rule map is light enough that the repartition exchange costs
+    # more than the parallelism saves (0.54s vs 0.71s isolated)
     orders = _t(spark, sf_dir, "orders")
     rec = orders.select(
         F.col("o_orderkey"),
