@@ -586,9 +586,6 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = dedup.snapshot_earliest(docs, ["text"], ["doc_id"])
-    tb_kept = token_budget_sample(
-        out.select("doc_id", "text"), 20_000, seed=3, hash_family="md5"
-    ).select("doc_id", F.lit(True).alias("tb_keep"))
     # r13 opt: the dedup-window + cap-window plan and the vocab
     # aggregate plan are checkpoint-free — memoize their CONSTRUCTION
     # (the layout and budget legs checkpoint internally and stay
@@ -600,13 +597,34 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             out, cap=15, domain_col="source", key_col="doc_id", exact=True
         ),
     )
-    packed = token_sequence_layout(
-        capped.select("doc_id", "text", "cap_keep"), budget=1024
-    )
-    vrows = _memo_df(
+    vocab_plan = _memo_df(
         spark, sf_dir, "exact_dedup_vocab", ("documents",),
         lambda: vocab_table(docs, top=64),
-    ).collect()  # 64 rows, one job per pass
+    )
+    # r13 opt: the budget, layout and vocab legs each run bounded
+    # driver-synchronized jobs (prefix-sum totals / bounds / top-64
+    # collect) that are mutually independent — submit them from
+    # concurrent driver threads so the per-pass wall time is the MAX
+    # leg, not the sum. Same plans, same jobs, same results; only the
+    # driver-side serialization goes away.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as _pool:
+        _f_tb = _pool.submit(
+            token_budget_sample,
+            out.select("doc_id", "text"), 20_000,
+            seed=3, hash_family="md5",
+        )
+        _f_packed = _pool.submit(
+            token_sequence_layout,
+            capped.select("doc_id", "text", "cap_keep"), 1024,
+        )
+        _f_vrows = _pool.submit(vocab_plan.collect)  # 64 rows per pass
+    tb_kept = _f_tb.result().select(
+        "doc_id", F.lit(True).alias("tb_keep")
+    )
+    packed = _f_packed.result()
+    vrows = _f_vrows.result()
     vocab = spark.createDataFrame(
         [(r["token"], r["rank"], r["cum_frac"]) for r in vrows],
         "_t1 string, tok1_rank int, tok1_cum double",
@@ -4092,8 +4110,15 @@ def order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value list — single pass, no distinct-scan (generalizes the
     reference's per-pair membership matrices, J5/A2)."""
     orders = _t(spark, sf_dir, "orders")
+    # r13 opt: the exact-percentile partial aggregate BUFFERS every
+    # o_totalprice value per (task, group); on the one-split bench scan
+    # that serializes 150K buffer inserts through one core — spread the
+    # scan so the buffering parallelizes (0.76 -> 0.53 s isolated;
+    # no-op at real scale, see _spread). The pivot leg is a plain
+    # count and stays on the cheap unspread scan.
     pct = (
-        orders.groupBy(F.col("o_orderstatus").alias("key"))
+        _spread(orders, "o_orderkey")
+        .groupBy(F.col("o_orderstatus").alias("key"))
         .agg(
             F.expr("percentile(o_totalprice, 0.25)").alias("v1"),
             F.expr("percentile(o_totalprice, 0.50)").alias("v2"),
@@ -4208,9 +4233,20 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
         F.count("*").alias("n_rows"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # r13 opt: one agg with TWO countDistincts plans as an Expand that
+    # triples every input row (one replica per distinct column + one
+    # for plain aggs); two single-column distinct aggs joined on the
+    # tiny group key shuffle only each column's own distinct keys —
+    # measured 0.76 -> 0.58 s at sf0.1, identical counts by definition
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+        .join(
+            li.groupBy("l_returnflag").agg(
+                F.countDistinct("l_partkey").alias("exact_parts")
+            ),
+            "l_returnflag",
+        )
     )
     return (
         sketch.join(exact, "l_returnflag")
