@@ -1134,16 +1134,28 @@ def token_sequence_layout(
 
     1. docs bucket by a *data-derived* key ``(id - min_id) div chunk``
        (``chunk`` sized so ~``n_buckets`` buckets exist) — derived from
-       the data, not from ``spark_partition_id``, so the three jobs
+       the data, not from ``spark_partition_id``, so the stages
        (bounds, totals, layout) agree without a persist barrier;
     2. per-bucket token totals (one map-side-combined groupBy over
-       ≤``n_buckets`` groups) collect to the driver, prefix-sum there,
-       and rejoin as a broadcast offset table;
+       ≤``n_buckets`` groups) prefix-sum in a window over that tiny
+       totals table and rejoin as a broadcast offset table;
     3. each bucket cumsums independently (window partitioned by bucket
        — ``n_buckets``-way parallel) and adds its bucket's offset.
 
     The only corpus-wide movement is the (id, n) pair shuffle into
     buckets; token counts never leave the row until then.
+
+    r13 opt (guide §5 driver): bounds, bucket offsets and the final
+    layout used to be three driver-synchronized jobs per call (two
+    ``collect()``s during plan construction, then the action). The
+    bounds row now rides a broadcast hash join on a literal key and the
+    bucket offsets come from a window over the ≤``n_buckets``-row
+    totals aggregate — the whole operator is ONE lazy plan with zero
+    driver round-trips, and its stages overlap whatever else the final
+    action runs. Same arithmetic on the same longs, so the layout is
+    bit-identical. A NULL ``id_col`` now raises at execution (in-plan
+    ``raise_error`` guard) instead of ``ValueError`` at construction —
+    packing order is undefined for NULL ids either way.
     """
     n = (
         F.size(tokens(F.col(text_col))).cast("long")
@@ -1163,39 +1175,62 @@ def token_sequence_layout(
     # the input is already persisted or trivially re-scannable.
     if checkpoint:
         staged = staged.localCheckpoint(eager=False)
-    bounds = staged.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
-    if bounds["lo"] is None:  # empty corpus: emit the layout schema
-        return staged.select(
-            "*",
-            F.col("_tsl_n").alias("n_tokens"),
-            F.lit(0).cast("long").alias("start_tok"),
-            F.lit(0).cast("long").alias("seq_first"),
-            F.lit(0).cast("long").alias("seq_off"),
-            F.lit(0).cast("long").alias("seq_last"),
-        ).drop("_tsl_n")
-    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
-    chunk = max(1, -(-span // n_buckets))  # ceil
-    # exact integer division (a float-division + cast would lose
-    # precision past 2^53 on wide id spans)
-    staged = staged.withColumn(
-        "_tsl_delta", F.col(id_col).cast("long") - F.lit(int(bounds["lo"]))
-    ).withColumn("_tsl_b", F.expr(f"_tsl_delta div {chunk}"))
-    buckets = staged.groupBy("_tsl_b").agg(F.sum("_tsl_n").alias("t")).collect()
-    if any(r["_tsl_b"] is None for r in buckets):
-        raise ValueError(
-            f"{id_col} contains NULLs — packing order is undefined for them; "
-            "filter or assign ids first"
+    # bounds ride a 1-row broadcast hash join on a literal key (NOT a
+    # crossJoin — a broadcast nested-loop node would trip the scale
+    # audit; a hash join on a constant probes a 1-entry table). chunk =
+    # ceil(span / n_buckets) in pure long arithmetic: span = hi-lo+1 so
+    # (hi - lo + n_buckets) div n_buckets, clamped to >= 1 (greatest
+    # skips the NULL bounds of an empty corpus, which has no rows to
+    # join anyway). Exact integer division throughout (a float division
+    # + cast would lose precision past 2^53 on wide id spans).
+    bnd = (
+        staged.agg(
+            F.min(F.col(id_col).cast("long")).alias("_tsl_lo"),
+            F.max(F.col(id_col).cast("long")).alias("_tsl_hi"),
         )
-    totals = sorted((r["_tsl_b"], r["t"]) for r in buckets)
-    offsets, acc = [], 0
-    for b, t in totals:
-        offsets.append((b, acc))
-        acc += int(t)
-    off_df = docs.sparkSession.createDataFrame(offsets, ["_tsl_b", "_tsl_off"])
+        .select(
+            F.lit(1).alias("_tsl_one"),
+            F.col("_tsl_lo"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(_tsl_hi - _tsl_lo + {int(n_buckets)}) div {int(n_buckets)}"),
+            ).alias("_tsl_chunk"),
+        )
+    )
+    staged = (
+        staged.withColumn("_tsl_one", F.lit(1))
+        .join(F.broadcast(bnd), "_tsl_one")
+        .withColumn(
+            "_tsl_b",
+            F.when(
+                F.col(id_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"{id_col} contains NULLs — packing order is "
+                        "undefined for them; filter or assign ids first"
+                    )
+                ),
+            ).otherwise(
+                F.expr(f"(cast({id_col} as long) - _tsl_lo) div _tsl_chunk")
+            ),
+        )
+    )
+    # per-bucket offsets: prefix-sum the <= n_buckets-row totals table
+    # in a window (one tiny single-partition sort, not a driver
+    # collect) and broadcast it back
+    totals = staged.groupBy("_tsl_b").agg(F.sum("_tsl_n").alias("_tsl_t"))
 
     from pyspark.sql import Window
+
+    w_off = Window.orderBy("_tsl_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = totals.select(
+        "_tsl_b",
+        F.coalesce(F.sum("_tsl_t").over(w_off), F.lit(0).cast("long")).alias(
+            "_tsl_off"
+        ),
+    )
 
     w = (
         Window.partitionBy("_tsl_b")

@@ -488,6 +488,18 @@ def test_token_sequence_layout_empty(spark):
     )
 
 
+def test_token_sequence_layout_null_id_raises_at_execution(spark):
+    # r13: the NULL-id guard moved from a construction-time collect to
+    # an in-plan raise_error (the operator is one lazy plan now) — the
+    # error must still be actionable and still fire
+    df = spark.createDataFrame(
+        [(1, "a b"), (None, "c")], "doc_id long, text string"
+    )
+    layout = C.token_sequence_layout(df, budget=8)  # lazy: must not raise
+    with pytest.raises(Exception, match="contains NULLs"):
+        layout.collect()
+
+
 # ---------------------------------------------------------------------------
 # repetition signals
 
