@@ -3627,10 +3627,13 @@ def oa_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array((F.col("o_custkey") % 20).cast("string")).alias("rft_issn"),
         F.array((F.col("o_custkey") % 11 + 20).cast("string")).alias("rft_eissn"),
     )
-    oa_issns = spark.createDataFrame([("3",), ("7",), ("25",)], "issn string")
+    # r13 opt: the issn list is bounded config — pass it in-memory so
+    # apply_oa_flag compiles a row-local overlap literal instead of the
+    # explode/join/distinct/join-back (which re-executes the scan and
+    # shuffles the full stream by finc_id); guide §2.1 remove shuffles
     out = apply_oa_flag(
         rec,
-        oa_issns=oa_issns,
+        oa_issns=["3", "7", "25"],
         free_collections=["P"],
         oa_source_ids=["4-NOT SPECIFIED"],
         excluded_source_ids=["5-LOW"],
@@ -4735,12 +4738,14 @@ def _ai_update_export_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- A6 union -> OA flag -> J6 licensing (drop) -> D5 -> M10 -> export
     u = is49.unionByName(is28).unionByName(is210)
-    oa_issns = spark.createDataFrame(
-        [("0003-443X",), ("0007-443X",), ("0013-443X",), ("0021-443X",)], "issn string"
-    )
+    # r13 opt: bounded config list passed in-memory — the row-local
+    # overlap literal keeps the 3-source union evaluated ONCE (the join
+    # form re-executed the entire normalize union, snapshot window
+    # included, for the hit set and SMJ'd it back by finc_id);
+    # guide §2.1 remove shuffles
     flagged = apply_oa_flag(
         u,
-        oa_issns=oa_issns,
+        oa_issns=["0003-443X", "0007-443X", "0013-443X", "0021-443X"],
         free_collections=["DOAJ Directory of Open Access Journals"],
         oa_source_ids=["210"],
     )

@@ -30,7 +30,7 @@ corpus (span-tag iterates filters per record in one pass too).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -492,7 +492,7 @@ def attach_labels(
 
 def apply_oa_flag(
     records: DataFrame,
-    oa_issns: DataFrame | None = None,
+    oa_issns: "DataFrame | Sequence[str] | None" = None,
     free_collections: list[str] | None = None,
     oa_source_ids: list[str] | None = None,
     excluded_source_ids: list[str] | None = None,
@@ -502,10 +502,37 @@ def apply_oa_flag(
     x_oa = (ISSN in OA-KBART list) OR (collection in free-content list)
     OR (source in -oasid allowlist), unless source in -xsid excludes.
 
-    The ISSN list is joined broadcast (it is KBART-derived config data);
-    everything else is literal predicates — one pass, no extra shuffle.
+    ``oa_issns`` may be a DataFrame (KBART-scale lists: exploded
+    broadcast join on the ISSN, distinct hit set joined back by id) or
+    an in-memory sequence (the reference tool loads its ISSN file into
+    a process-local set — the same bounded-config shape). A sequence of
+    <= ISSN_JOIN_MAX entries compiles to a row-local ``arrays_overlap``
+    literal, which keeps the whole operator a pure map: the input plan
+    is evaluated ONCE and never re-keyed by id, where the join form
+    re-executes the entire upstream plan for the hit set and shuffles
+    the full record stream through a join-back (Spark does not reuse
+    unexchanged subtrees). Larger sequences fall back to the join —
+    ``arrays_overlap`` rebuilds the literal hash set per record (see
+    ISSN_JOIN_MAX), so big lists belong on the build side of a hash
+    join. Everything else is literal predicates.
     """
-    if oa_issns is not None:
+    inline_issn: Column | None = None
+    if oa_issns is not None and not isinstance(oa_issns, DataFrame):
+        lst = sorted({str(s) for s in oa_issns if s is not None})
+        if not lst:
+            inline_issn = F.lit(False)
+        elif len(lst) <= ISSN_JOIN_MAX:
+            inline_issn = F.coalesce(
+                F.arrays_overlap(issns_all(), F.array(*[F.lit(v) for v in lst])),
+                F.lit(False),
+            )
+        else:
+            oa_issns = records.sparkSession.createDataFrame(
+                [(s,) for s in lst], "issn string"
+            )
+    if inline_issn is not None:
+        records = records.withColumn("_oa_issn", inline_issn)
+    elif oa_issns is not None:
         hit = (
             records.select(F.col("finc_id").alias("_rk"), F.explode(issns_all()).alias("_i"))
             .join(broadcast(oa_issns.select(F.col("issn").alias("_i")).distinct()), on="_i")

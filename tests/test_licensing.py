@@ -63,6 +63,48 @@ def test_oa_flag(spark):
     }
 
 
+def test_oa_flag_list_input_matches_dataframe_input(spark):
+    # r13: a bounded in-memory issn list compiles to a row-local
+    # overlap literal (no explode/join/join-back) — same verdicts as
+    # the DataFrame join path on every record, including null-element
+    # issn arrays and records with no issns at all
+    recs = is_records(spark)
+    df_out = {
+        r["finc_id"]: r["x_oa"]
+        for r in apply_oa_flag(
+            recs,
+            oa_issns=spark.createDataFrame([("5555-6666",)], "issn string"),
+            free_collections=["Crossref General"],
+            oa_source_ids=["105"],
+            excluded_source_ids=["55"],
+        ).collect()
+    }
+    list_out = {
+        r["finc_id"]: r["x_oa"]
+        for r in apply_oa_flag(
+            recs,
+            oa_issns=["5555-6666", None],  # None entries are dropped
+            free_collections=["Crossref General"],
+            oa_source_ids=["105"],
+            excluded_source_ids=["55"],
+        ).collect()
+    }
+    assert list_out == df_out
+    # above ISSN_JOIN_MAX the sequence falls back to the join path
+    from siskin_spark.operators.licensing import ISSN_JOIN_MAX
+
+    big = ["5555-6666"] + [f"{i:04d}-0000" for i in range(ISSN_JOIN_MAX + 1)]
+    big_out = {
+        r["finc_id"]: r["x_oa"]
+        for r in apply_oa_flag(recs, oa_issns=big).collect()
+    }
+    small_out = {
+        r["finc_id"]: r["x_oa"]
+        for r in apply_oa_flag(recs, oa_issns=["5555-6666"]).collect()
+    }
+    assert big_out == small_out  # the padding issns match no record
+
+
 def test_doi_groupcover_chain(spark):
     """D5+J3 over domain rows: case-insensitive DOI grouping, preferred
     source keeps the label."""
