@@ -1175,9 +1175,14 @@ def token_sequence_layout(
     # the input is already persisted or trivially re-scannable.
     if checkpoint:
         staged = staged.localCheckpoint(eager=False)
-    # bounds ride a 1-row broadcast hash join on a literal key (NOT a
-    # crossJoin — a broadcast nested-loop node would trip the scale
-    # audit; a hash join on a constant probes a 1-entry table). chunk =
+    # bounds ride a 1-row broadcast hash join on a constant-valued key
+    # (NOT a crossJoin — a broadcast nested-loop node would trip the
+    # scale audit; a hash join on a constant probes a 1-entry table).
+    # The key must be NON-FOLDABLE on both sides: a plain lit(1)=lit(1)
+    # condition constant-folds to `true` and the join degrades to
+    # BroadcastNestedLoopJoin, so each side derives its zero from its
+    # own columns (coalesce(x - x, 0) — x is nullable, so x - x cannot
+    # be simplified away). chunk =
     # ceil(span / n_buckets) in pure long arithmetic: span = hi-lo+1 so
     # (hi - lo + n_buckets) div n_buckets, clamped to >= 1 (greatest
     # skips the NULL bounds of an empty corpus, which has no rows to
@@ -1189,7 +1194,9 @@ def token_sequence_layout(
             F.max(F.col(id_col).cast("long")).alias("_tsl_hi"),
         )
         .select(
-            F.lit(1).alias("_tsl_one"),
+            F.coalesce(
+                F.col("_tsl_lo") - F.col("_tsl_lo"), F.lit(0).cast("long")
+            ).alias("_tsl_one"),
             F.col("_tsl_lo"),
             F.greatest(
                 F.lit(1).cast("long"),
@@ -1198,7 +1205,13 @@ def token_sequence_layout(
         )
     )
     staged = (
-        staged.withColumn("_tsl_one", F.lit(1))
+        staged.withColumn(
+            "_tsl_one",
+            F.coalesce(
+                F.col(id_col).cast("long") - F.col(id_col).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
         .join(F.broadcast(bnd), "_tsl_one")
         .withColumn(
             "_tsl_b",
