@@ -19,6 +19,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str | None:
+    """Shuffle/spill scratch directory: the fastest local storage
+    available. Shuffle-file create/write/fetch latency is a fixed cost
+    on EVERY exchange (measured ~100 ms per action on this sandbox's
+    disk-backed /tmp vs tmpfs for a small shuffle, and −36% on a 3M-row
+    shuffle) — the same reason production clusters point
+    ``spark.local.dir`` at local NVMe instead of the OS disk. Order:
+    ``$SPARK_GRAFT_LOCAL_DIR`` (cluster operators set this to the fast
+    device), else RAM-backed ``/dev/shm`` when present and writable
+    (this sandbox: 126 G tmpfs vs a virtio disk), else None (Spark's
+    default). Scratch only — no query results or intermediates outlive
+    the session."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark-local")
+    return None
+
+
 def get_spark(
     app_name: str = "siskin-spark",
     cpus: int | None = None,
@@ -85,6 +106,9 @@ def get_spark(
             "-XX:+UseCodeCacheFlushing",
         )
     )
+    scratch = _scratch_dir()
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
