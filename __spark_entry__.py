@@ -2528,8 +2528,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iqueries = emb.filter(
         (F.col("vec_id") % 3 == 2) & (F.col("vec_id") < 300)
     ).select("vec_id", "embedding")
+    # r13 opt: the 100-query serving batch is driver-sized — assign it
+    # on the driver (one Arrow collect; bit-identical kernel+norms) so
+    # the GEMM stage, eager checkpoint and cid collect collapse into
+    # the final action (guide §5 driver round-trips)
     idxp = semdedup_index_search(
-        spark, iqueries, _sem_oracle_index(spark, sf_dir, emb), k=3, nprobe=2
+        spark, iqueries, _sem_oracle_index(spark, sf_dir, emb), k=3, nprobe=2,
+        driver_assign=True,
     ).select(
         F.lit("idx").alias("part"),
         F.col("query_id").alias("probe_id"),

@@ -1068,6 +1068,51 @@ def _sem_assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> 
     )
 
 
+def _centroid_matrix(cents: DataFrame):
+    """Collect the k-bounded centroid table and return the
+    (cids, unit-row matrix) pair every GEMM assignment kernel uses —
+    sorted by cid so a stable argmax lands on the smaller cid on
+    ties. Shared by the distributed closures and the driver-side
+    fast path so the two can never drift."""
+    import numpy as np
+
+    rows = cents.select("cid", "cv").collect()
+    rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    return cids, Cn
+
+
+def _probe_order(X, Cn, npb: int):
+    """The multi-probe kernel of :func:`_sem_assign_probes`, factored
+    out: rows normalized (zero-norm rows kept, sims all 0), one GEMM,
+    stable argsort of the negated sims (equal values in index order =
+    smaller cid first). Returns the (n, npb) column-index matrix."""
+    import numpy as np
+
+    xn = np.linalg.norm(X, axis=1)
+    Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
+    sims = Xn @ Cn.T
+    return np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+
+
+def _fold_norms(X):
+    """Vector norms with EXACTLY the Catalyst fold's float64 result:
+    ``norm()`` folds ``0.0 + x1*x1 + x2*x2 + ...`` left-to-right, and
+    ``np.cumsum`` accumulates the same sequence in the same order (a
+    square is never -0.0, so the 0.0 seed adds nothing) — the values
+    are bit-identical to the expression path, which the oracle-checked
+    prenormed cosines require. Used by the driver-side assignment fast
+    path; parity with the expression column is pinned in tests."""
+    import numpy as np
+
+    if X.shape[1] == 0:
+        return np.zeros(len(X), dtype=np.float64)
+    return np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+
+
 def _sem_assign_probes(
     emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, nprobe: int
 ) -> DataFrame:
@@ -1083,12 +1128,7 @@ def _sem_assign_probes(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = cents.select("cid", "cv").collect()
-    rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    C = np.array([r["cv"] for r in rows], dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    cids, Cn = _centroid_matrix(cents)
     npb = max(1, min(int(nprobe), len(cids)))
 
     src = emb.select(
@@ -1114,10 +1154,7 @@ def _sem_assign_probes(
                     "_sem_assign_probes: embedding must be fixed-width "
                     f"non-empty arrays; got batch array of shape {X.shape}"
                 )
-            xn = np.linalg.norm(X, axis=1)
-            Xn = X / np.where(xn == 0.0, 1.0, xn)[:, None]
-            sims = Xn @ Cn.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            order = _probe_order(X, Cn, npb)
             reps = []
             for r in range(npb):
                 part = pdf.copy()
@@ -1127,6 +1164,78 @@ def _sem_assign_probes(
             yield pd.concat(reps, ignore_index=True)
 
     return src.mapInPandas(assign, out_schema)
+
+
+def _assign_probes_local(
+    spark, queries: DataFrame, cents: DataFrame, id_col: str,
+    vec_col: str, nprobe: int,
+):
+    """Driver-side :func:`_sem_assign_probes` for BOUNDED query
+    batches: ONE Arrow collect of the queries, then the same numpy
+    kernel (:func:`_probe_order`) the distributed closure runs, with
+    the ``norm`` column via :func:`_fold_norms` (bit-identical to the
+    expression path). Returns ``(probes, touched)`` where ``probes``
+    is a local-relation DataFrame in the exact _sem_assign_probes
+    schema (vec_id, norm, embedding, cid, _rank) and ``touched`` is
+    the sorted distinct cid list — already driver-resident, so the
+    caller's cell pruning needs NO extra collect and the frame needs
+    no localCheckpoint (nothing to recompute). The distributed path
+    spends three driver-synchronized jobs on the same answer
+    (mapInPandas assignment -> eager checkpoint -> cid collect)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids, Cn = _centroid_matrix(cents)
+    npb = max(1, min(int(nprobe), len(cids)))
+    src = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    fields = {f.name: f for f in src.schema.fields}
+    out_schema = StructType([
+        fields["vec_id"],
+        StructField("norm", DoubleType(), True),
+        fields["embedding"],
+        StructField("cid", LongType(), False),
+        StructField("_rank", LongType(), False),
+    ])
+    # pin Arrow for both driver<->JVM conversions (vanilla sessions may
+    # have it off and would silently take the 10x Row path)
+    _AK = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(_AK, "false")
+    spark.conf.set(_AK, "true")
+    try:
+        pdf = src.toPandas()
+        if len(pdf) == 0:
+            empty = pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+            )
+            return spark.createDataFrame(empty, out_schema), []
+        X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] == 0:
+            raise ValueError(
+                "_assign_probes_local: embedding must be fixed-width "
+                f"non-empty arrays; got array of shape {X.shape}"
+            )
+        order = _probe_order(X, Cn, npb)
+        norms = _fold_norms(X)
+        base = pd.DataFrame({
+            "vec_id": pdf["vec_id"],
+            "norm": norms,
+            "embedding": pdf["embedding"],
+        })
+        reps = []
+        for r in range(npb):
+            part = base.copy()
+            part["cid"] = cids[order[:, r]]
+            part["_rank"] = r
+            reps.append(part)
+        out = pd.concat(reps, ignore_index=True)
+        touched = sorted(int(c) for c in pd.unique(out["cid"]))
+        return spark.createDataFrame(out, out_schema), touched
+    finally:
+        spark.conf.set(_AK, prev)
 
 
 def _sem_recount_cells(spark, index_dir: str, meta: dict) -> None:
@@ -1544,6 +1653,7 @@ def semdedup_index_search(
     engine: str = "expr",
     sim_buffer_bytes: int = 64 << 20,
     gemm_budget_bytes: int = 256 << 20,
+    driver_assign: bool = False,
 ) -> DataFrame:
     """Top-k cosine retrieval FROM the persisted cell index — the
     serving half of the index family (build/append/compact/remove/
@@ -1599,7 +1709,17 @@ def semdedup_index_search(
     sees the quantized direction — the same ~1e-3 cosine error bound
     the admit documents. Returns (query_id, neighbor_id, cos_sim,
     rank); ``exclude_self`` drops neighbor rows whose id equals the
-    query id (lookups of vectors that are themselves indexed)."""
+    query id (lookups of vectors that are themselves indexed).
+
+    ``driver_assign=True`` runs the probe assignment on the DRIVER in
+    one Arrow collect of the query batch (same numpy kernel, norms
+    bit-identical to the expression fold — `_assign_probes_local`),
+    so the eager checkpoint and the touched-cid collect disappear:
+    three driver-synchronized round-trips become one. Opt-in because
+    it collects the query batch whole; use it when the batch is
+    driver-sized (the gemm engine's own posture), keep the default
+    for query streams you would not ``toPandas``. Results are
+    identical either way (pinned in tests)."""
     import os
 
     from pyspark.sql import Window
@@ -1611,11 +1731,23 @@ def semdedup_index_search(
     meta = _sem_meta_read(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    probes = _sem_assign_probes(
-        queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe
-    )
+    touched = None
+    if driver_assign:
+        # serving batches are driver-sized by definition (the gemm
+        # engine collects them whole anyway): assign on the driver in
+        # ONE Arrow collect — same kernel, same norms (bit-identical,
+        # see _assign_probes_local) — which makes the checkpoint AND
+        # the prune collect below free
+        probes, touched = _assign_probes_local(
+            spark, queries.select(id_col, vec_col), cents, id_col,
+            vec_col, nprobe,
+        )
+    else:
+        probes = _sem_assign_probes(
+            queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe
+        )
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    if prune_cells or engine == "gemm":
+    if (prune_cells or engine == "gemm") and touched is None:
         # materialize the assignment once: the cid collect (prune),
         # the budget count and the Arrow collect (gemm) would each
         # re-run the GEMM assignment otherwise
@@ -1629,9 +1761,10 @@ def semdedup_index_search(
         # (measured: 198 of 432 MB read where ~8% was touched); the
         # range-OR tree pushes losslessly and the cid-clustered
         # layout turns it into row-group/page skips.
-        touched = sorted(
-            int(r["cid"]) for r in probes.select("cid").distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                int(r["cid"]) for r in probes.select("cid").distinct().collect()
+            )
         if touched:
             runs: list[tuple[int, int]] = []
             lo = prev = touched[0]
@@ -1808,6 +1941,14 @@ def incremental_semdedup(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    # gemm: the checkpoint MUST be eager — the cid-count collect and
+    # the per-range Arrow collects each drive their own job against
+    # it. expr: every consumer (vs-index broadcast, the self-join's
+    # two sides) lives inside the ONE final action, so a lazy
+    # checkpoint materializes on first touch and is shared from block
+    # storage — same reuse, one fewer driver-synchronized job per
+    # admit (r13 opt, guide §5 driver round-trips)
+    eager = engine == "gemm"
     if nprobe > 1:
         # one GEMM pass emits every probe rank; rank 0 IS the primary
         # assignment (same argmax/tie rules as _sem_assign)
@@ -1819,7 +1960,7 @@ def incremental_semdedup(
             F.col("norm").alias("_bn"),
             F.col("embedding").alias("_bv"),
             "_rank",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager)
         batch = probes.filter(F.col("_rank") == 0).drop("_rank")
         probes = probes.drop("_rank")
     else:
@@ -1828,7 +1969,7 @@ def incremental_semdedup(
             "cid",
             F.col("norm").alias("_bn"),
             F.col("embedding").alias("_bv"),
-        ).localCheckpoint(eager=True)  # one GEMM pass for all consumers
+        ).localCheckpoint(eager=eager)  # one GEMM pass for all consumers
         probes = batch
 
     def guard(touched) -> None:
@@ -1974,7 +2115,18 @@ def incremental_semdedup(
         )
         return vs_index.unionByName(vs_batch)
 
-    guard({int(r["cid"]) for r in probes.select("cid").distinct().collect()})
+    # the probe-cid collect exists only to feed the hot-cell guard; if
+    # the meta's persisted histogram proves NO cell in the index
+    # exceeds the bound, the guard cannot fire for any touched set —
+    # skip the per-admit job entirely (r13 opt). A pre-histogram index
+    # or an actually-hot index keeps the exact collect-then-check path
+    # (including its construction-time ValueError, pinned in tests).
+    _counts = meta.get("cell_counts")
+    if max_batch_cell_rows is not None and not (
+        _counts is not None
+        and all(int(n) <= max_batch_cell_rows for n in _counts.values())
+    ):
+        guard({int(r["cid"]) for r in probes.select("cid").distinct().collect()})
     zero_safe = F.when(
         F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
     ).otherwise(

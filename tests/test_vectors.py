@@ -1705,6 +1705,94 @@ def test_semdedup_index_search(tmp_path, spark):
     assert "GreaterThanOrEqual(cid" not in pushed_un, plan_un
 
 
+def test_semdedup_index_search_driver_assign(tmp_path, spark):
+    """driver_assign=True (one Arrow collect + the numpy kernel on
+    the driver) is BYTE-identical to the distributed assignment path —
+    ids, ranks AND cos_sim doubles (the driver-computed fold norms
+    feed the prenormed cosines, so a single ulp of drift would show) —
+    including nprobe 1/2, an empty query frame, and the cid predicate
+    still pushed into the cells scan. The fast path must also remove
+    the Python stage from the plan. (Zero-norm QUERIES are out of
+    scope either way: the search's prenormed cosine divides by the
+    query norm on both paths — ANSI raises; the admit is the
+    zero-safe surface.)"""
+    import re
+
+    from siskin_spark.functions.vectors import (
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    rows, X = _sem_corpus(spark, 150, seed=23)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "daidx")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=150, iters=5, seed=3)
+
+    qrng = np.random.default_rng(9)
+    Q = qrng.normal(size=(6, DIM))
+    qrows = [(1000 + i, [float(x) for x in Q[i]]) for i in range(6)]
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<float>"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    for npb in (1, 2):
+        a = sorted(
+            semdedup_index_search(
+                spark, queries, idx_dir, k=3, nprobe=npb
+            ).collect(),
+            key=key,
+        )
+        b = sorted(
+            semdedup_index_search(
+                spark, queries, idx_dir, k=3, nprobe=npb, driver_assign=True
+            ).collect(),
+            key=key,
+        )
+        assert a == b  # Row equality: exact doubles, not approx
+
+    fast = semdedup_index_search(
+        spark, queries, idx_dir, k=3, nprobe=2, driver_assign=True
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan, plan
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any(
+        ("EqualTo(cid" in p) or ("GreaterThanOrEqual(cid" in p)
+        for p in pushed
+    ), plan
+
+    empty = queries.filter(F.col("vec_id") < 0)
+    assert (
+        semdedup_index_search(
+            spark, empty, idx_dir, k=3, driver_assign=True
+        ).count()
+        == 0
+    )
+
+
+def test_fold_norms_matches_expression_norm(spark):
+    """_fold_norms (np.cumsum) is bit-identical to the Catalyst
+    sequential-fold norm() column — the contract that lets the driver
+    assignment reuse the oracle-checked prenormed cosines."""
+    from siskin_spark.functions.vectors import _fold_norms, norm
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(50, DIM)).astype(np.float32)
+    X[7] = 0.0  # zero vector
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["n"]
+        for r in df.select(
+            "vec_id", norm(F.col("embedding")).alias("n")
+        ).collect()
+    }
+    want = _fold_norms(np.array(X, dtype=np.float64))
+    for i in range(len(X)):
+        assert got[i] == float(want[i]), (i, got[i], float(want[i]))
+
+
 def test_semdedup_index_search_gemm_engine(tmp_path, spark):
     """engine='gemm' (the batch-serving BLAS path) returns the SAME
     ranking as the expr engine — ties included — on float32 and int8
