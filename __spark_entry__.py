@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from siskin_spark.operators import aggregates, dedup, joins
+from siskin_spark.session import local_table
 from siskin_spark.sources.readers import read_table
 
 # ---------------------------------------------------------------------------
@@ -625,7 +626,8 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = _f_packed.result()
     vrows = _f_vrows.result()
-    vocab = spark.createDataFrame(
+    vocab = local_table(
+        spark,
         [(r["token"], r["rank"], r["cum_frac"]) for r in vrows],
         "_t1 string, tok1_rank int, tok1_cum double",
     )
@@ -1052,7 +1054,8 @@ def coverage_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
     orders = _t(spark, sf_dir, "orders")
-    holdings = spark.createDataFrame(
+    holdings = local_table(
+        spark,
         [
             ("1-URGENT", datetime.date(1996, 1, 1), datetime.date(1998, 12, 31)),
             ("1-URGENT", datetime.date(2000, 1, 1), None),
@@ -2079,8 +2082,11 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PER PASS — the `select` clones the memoized plan into a fresh
     # QueryExecution so the checkpoint recomputes from parquet every
     # call (checkpointing the memoized frame itself would pin the
-    # first pass's blocks = result caching)
-    verified = pre.select("id_a", "id_b").localCheckpoint(eager=True)
+    # first pass's blocks = result caching). LAZY: the closure probe's
+    # bounded collect is the first consumer and materializes the
+    # blocks itself — an eager checkpoint would run the same pipeline
+    # as its own extra driver-blocking job first (r13 opt, guide §5)
+    verified = pre.select("id_a", "id_b").localCheckpoint(eager=False)
     labeled = leakage_safe_split(docs, verified, _SPLIT_FR, seed=_SPLIT_SEED)
     return keep_canonical(labeled, verified).select(
         "doc_id", "source", "split"
@@ -2702,7 +2708,8 @@ def licensing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("finc_record_id"),
         F.col("o_orderdate").alias("x_date"),
     )
-    holdings = spark.createDataFrame(
+    holdings = local_table(
+        spark,
         [
             ("f1", "3", None, datetime.date(1996, 1, 1), datetime.date(1999, 12, 31)),
             ("f1", "7", None, None, datetime.date(1997, 6, 30)),
@@ -3857,7 +3864,8 @@ def prefix_publisher(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string"),
         ).alias("doi"),
     ).withColumn("prefix", F.substring_index("doi", "/", 1))
-    members = spark.createDataFrame(
+    members = local_table(
+        spark,
         [
             ("10.1000", "Alpha Press"),
             ("10.1001", "Beta Journals"),

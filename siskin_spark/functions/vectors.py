@@ -568,9 +568,12 @@ def ivf_fit_centroids(
         raise ValueError(f"need >= k={k} sample vectors, got {len(X)}")
     C = _spherical_kmeans(X, k, iters, seed)
     spark = index.sparkSession
-    return spark.createDataFrame(
+    from siskin_spark.session import local_table
+
+    return local_table(
+        spark,
         [(int(j), [float(x) for x in C[j]]) for j in range(k)],
-        f"cid int, cv array<float>",
+        "cid int, cv array<float>",
     )
 
 
@@ -801,8 +804,10 @@ def semantic_dedup_pairs(
 
         counts = {int(r["cid"]): int(r["_cn"]) for r in hist}
         spark = v.sparkSession
-        sizes = spark.createDataFrame(
-            [(c, counts[c]) for c in sorted(hot)], "cid long, _hc_n long"
+        from siskin_spark.session import local_table
+
+        sizes = local_table(
+            spark, [(c, counts[c]) for c in sorted(hot)], "cid long, _hc_n long"
         )
         # one bounded per-cell sample in a single pass: the seeded-hash
         # threshold admits ~subcentroid_sample of each hot cell's rows
@@ -838,8 +843,10 @@ def semantic_dedup_pairs(
     hash_cells = {c: s for c, s in hot.items() if c not in sub_cents}
     if hash_cells:
         spark = v.sparkSession
-        splits = spark.createDataFrame(
-            [(c, s) for c, s in sorted(hash_cells.items())], "cid long, _ns long"
+        from siskin_spark.session import local_table
+
+        splits = local_table(
+            spark, sorted(hash_cells.items()), "cid long, _ns long"
         )
         rest = (
             v.join(broadcast(splits), "cid", "left")
@@ -918,7 +925,10 @@ def semantic_dedup_pairs(
             .collect()
         )
         if rhist:
-            resid = spark.createDataFrame(
+            from siskin_spark.session import local_table
+
+            resid = local_table(
+                spark,
                 [
                     (int(r["cid"]), int(r["_sub"]),
                      -(-int(r["_cn"]) // max_cell_rows))
@@ -1982,8 +1992,10 @@ def incremental_semdedup(
             # silently skip the guard (a missing key reading as
             # "count 0" would launch exactly the skewed compare the
             # guard exists to prevent)
-            tdf = spark.createDataFrame(
-                [(int(c),) for c in sorted(touched)], "cid long"
+            from siskin_spark.session import local_table
+
+            tdf = local_table(
+                spark, [(int(c),) for c in sorted(touched)], "cid long"
             )
             live = (
                 cells.join(F.broadcast(tdf), "cid", "left_semi")

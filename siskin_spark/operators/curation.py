@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siskin_spark.functions.similarity import seeded_hash
+from siskin_spark.session import local_table
 from siskin_spark.functions.text import let_once as let_once_col
 from siskin_spark.functions.text import tokens
 from siskin_spark.operators.neardup import shingle_table
@@ -827,7 +828,7 @@ def with_oov_fraction(
         return docs.withColumn(out_col, oov_fraction(vocab, text_col, sep))
     spark = docs.sparkSession
     vt = F.broadcast(
-        spark.createDataFrame([(t,) for t in vocab], "_ovf_tok string")
+        local_table(spark, [(t,) for t in vocab], "_ovf_tok string")
         .withColumn("_ovf_in", F.lit(1))
     )
     toks = docs.select(
@@ -957,8 +958,8 @@ def with_unigram_logprob(
         )
     spark = docs.sparkSession
     vt = F.broadcast(
-        spark.createDataFrame(
-            sorted(lp6.items()), "_ulp_tok string, _lp6 long"
+        local_table(
+            spark, sorted(lp6.items()), "_ulp_tok string, _lp6 long"
         )
     )
     tok_rows = docs.select(
@@ -1498,7 +1499,8 @@ def token_budget_sample(
     # offset — a per-stratum CASE expression would be an N-way coalesce
     # that Catalyst evaluates per row (O(strata) per row at 10K strata);
     # the join-carried column is one lookup regardless of cardinality
-    off_df = docs.sparkSession.createDataFrame(
+    off_df = local_table(
+        docs.sparkSession,
         [(s, b, off, budgets[s]) for s, b, off in offsets],
         "_tbs_s string, _tbs_b long, _tbs_off long, _tbs_budget long",
     )
@@ -1569,8 +1571,8 @@ def bm25_stats(
             raise ValueError("bm25 over an empty / token-less corpus")
         spark = docs.sparkSession
         vt = F.broadcast(
-            spark.createDataFrame(
-                [(t,) for t in sorted(set(terms))], "_bm_tok string"
+            local_table(
+                spark, [(t,) for t in sorted(set(terms))], "_bm_tok string"
             )
         )
         # synthetic per-row id: distinct (row, term) within one job is
@@ -1710,7 +1712,8 @@ def with_bm25(
     if len(canon) > literal_max:
         spark = docs.sparkSession
         vt = F.broadcast(
-            spark.createDataFrame(
+            local_table(
+                spark,
                 sorted((t, float(idf6[t])) for t in canon),
                 "_bm_tok string, _idf6 double",
             )
@@ -2062,8 +2065,8 @@ def with_dsir(
         )
     spark = docs.sparkSession
     vt = F.broadcast(
-        spark.createDataFrame(
-            sorted(diff6.items()), "_dsir_tok string, _diff6 long"
+        local_table(
+            spark, sorted(diff6.items()), "_dsir_tok string, _diff6 long"
         )
     )
     tok_rows = docs.select(

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from siskin_spark.session import local_table
+
 
 def blacklist_filter(
     df: DataFrame, blacklist: DataFrame, on: str, bl_col: str | None = None
@@ -288,6 +290,6 @@ def enrich_lookup_with_resolver(
             f"more than {max_misses} unresolved keys; resolve via a batch job"
         )
     if keys:
-        resolved = df.sparkSession.createDataFrame(resolver(keys), dim.schema)
+        resolved = local_table(df.sparkSession, resolver(keys), dim.schema)
         dim = dim.unionByName(resolved)
     return df.join(broadcast(dim), on=on, how="left")

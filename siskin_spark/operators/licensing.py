@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from siskin_spark.schema import issns_all
+from siskin_spark.session import local_table
 
 HOLDINGS_FLAG_PREFIX = "_hold_"
 CONTENT_FLAG_PREFIX = "_cont_"
@@ -389,8 +390,8 @@ class LicensingCompiler:
                 )
             spark_ = records.sparkSession
             for issn_list, flag in self._issn_leaves.items():
-                lst = spark_.createDataFrame(
-                    [(v,) for v in issn_list], "_ident string"
+                lst = local_table(
+                    spark_, [(v,) for v in issn_list], "_ident string"
                 )
                 m = (
                     issn_ids.join(broadcast(lst), on="_ident")
@@ -400,8 +401,8 @@ class LicensingCompiler:
 
         id_type = records.schema[id_col].dataType.simpleString()
         for content_ids, flag in self._content_leaves.items():
-            c = spark.createDataFrame(
-                [(str(i),) for i in content_ids], "_id string"
+            c = local_table(
+                spark, [(str(i),) for i in content_ids], "_id string"
             ).select(
                 F.col("_id").cast(id_type).alias("_rk"),
                 self._flag_lit(flag).alias("_flag"),
@@ -527,8 +528,8 @@ def apply_oa_flag(
                 F.lit(False),
             )
         else:
-            oa_issns = records.sparkSession.createDataFrame(
-                [(s,) for s in lst], "issn string"
+            oa_issns = local_table(
+                records.sparkSession, [(s,) for s in lst], "issn string"
             )
     if inline_issn is not None:
         records = records.withColumn("_oa_issn", inline_issn)

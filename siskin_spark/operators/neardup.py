@@ -24,6 +24,7 @@ from siskin_spark.functions.similarity import (
     word_shingles,
 )
 from siskin_spark.functions.text import tokens
+from siskin_spark.session import local_table
 
 
 def shingle_table(
@@ -625,8 +626,8 @@ def connected_components(
             schema = StructType(
                 [StructField("node", t), StructField("component", t)]
             )
-            return pairs.sparkSession.createDataFrame(
-                [(n, find(n)) for n in parent], schema
+            return local_table(
+                pairs.sparkSession, [(n, find(n)) for n in parent], schema
             )
     edges = edges0
     edges = edges.unionAll(

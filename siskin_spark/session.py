@@ -114,6 +114,37 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_table(spark: SparkSession, rows, schema):
+    """Literal driver-side rows as a JVM LocalRelation (LocalTableScan).
+
+    ``spark.createDataFrame(list, schema)`` routes literals through a
+    defaultParallelism-sliced Python RDD: every materialization
+    occupies (and under concurrency, forks) one Python worker per
+    slice just to unpickle a handful of rows — measured ~330 ms per
+    pass at 32 cores, and thread dumps showed bench queries blocked in
+    ``createPythonWorker``. The pandas/Arrow path costs ~50 ms, plans
+    as ``LocalTableScan`` and executes JVM-only with zero Python
+    workers. Values are identical (object-dtype columns keep None as
+    NULL; lists/arrays ride Arrow) — pinned by tests. Arrow is pinned
+    on around the conversion (vanilla sessions may have it off); an
+    empty list keeps the classic path (nothing executes either way)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=st.names, dtype=object)
+    ak = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(ak, "false")
+    spark.conf.set(ak, "true")
+    try:
+        return spark.createDataFrame(pdf, st)
+    finally:
+        spark.conf.set(ak, prev)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the driver's synthetic parquet tables as a dict of DataFrames.
 
