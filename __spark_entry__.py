@@ -775,8 +775,18 @@ def groupcover_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 groupcover (reference: workflows/ai.py:250-342, Go groupcover
     with preference list ai.py:300 and -lower). Synthetic local-data
     table derived from orders: id/source/case-mixed key/label set;
-    preference order '3','1','5','0','2','4' ('6' unranked)."""
-    orders = _t(spark, sf_dir, "orders")
+    preference order '3','1','5','0','2','4' ('6' unranked).
+
+    r13 opt: the winner min_by(struct) plans as a SortAggregate whose
+    PARTIAL phase runs on the scan side — a single-row-group file
+    scans as one task, serializing the explode+sort. _spread
+    parallelizes it: isolated A/B 0.87 -> 0.53 s (suite 0.84 -> 0.51),
+    identical rows (guide §2.4). The same probe on the OTHER four
+    dedup-family sites (snapshot_latest_order, argmax_latest_event,
+    latest_file_per_member, ai_doi_list) measured strictly WORSE
+    (e.g. snapshot 0.51 -> 1.00): their per-row work is too light to
+    amortize the exchange, so they stay on the serial scan."""
+    orders = _spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     local = orders.select(
         F.col("o_orderkey").alias("id"),
         (F.col("o_custkey") % 7).cast("string").alias("src"),
