@@ -2283,11 +2283,21 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01). The oracle replays the full pipeline — normalize,
     k-gram table, corpus count, coverage expansion, anti-join,
     rebuild — in SQL; merged per the ≤50-query registry policy,
-    same per-document grain."""
+    same per-document grain.
+
+    r13 opt: the documents scan is one task (single row group) and
+    every md5 in the signature fan-out (16 minhash functions x every
+    shingle, plus the simhash token hashes) pipelines into that scan
+    stage — _spread moves the hash work onto all cores: isolated A/B
+    1.89 -> 1.10 s, identical rows (guide §2.4). The same probe on
+    minhash_lsh_candidates / neardup_keep_canonical /
+    exact_dedup_documents / ngram_jaccard_pairs measured wash-or-worse
+    (their md5 work already sits post-shuffle), so they keep the
+    serial scan."""
     from siskin_spark.operators.curation import drop_duplicate_spans
     from siskin_spark.operators.neardup import signature_panel, simhash_table
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
     panel = signature_panel(docs.select("doc_id", "text"), benchmark=bench, n=3)
     spans = drop_duplicate_spans(docs.select("doc_id", "text"), k=4).select(
