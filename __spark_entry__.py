@@ -4177,7 +4177,17 @@ def order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("v4"),
         )
     )
-    return pct.unionByName(pivot).orderBy("part", "key")
+    # r13 opt: a global orderBy range-samples its child to pick sort
+    # boundaries, which RE-EXECUTES the exact-percentile merge (the
+    # suite's two heaviest stages ran twice, back to back, in the UI
+    # timeline). The report is 8 rows, so sort it in ONE shuffled
+    # partition: same deterministic global order, a real Sort operator
+    # (this slot's §2.7 coverage), no sampling pass (guide §2.1).
+    return (
+        pct.unionByName(pivot)
+        .repartition(1)
+        .sortWithinPartitions("part", "key")
+    )
 
 
 @_q(
