@@ -439,6 +439,7 @@ def ivf_assign_gemm(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    matrix=None,
 ) -> DataFrame:
     """Scale-path IVF cell assignment: one numpy GEMM per Arrow batch
     against the broadcast centroid matrix, instead of one Catalyst
@@ -462,16 +463,17 @@ def ivf_assign_gemm(
 
     ``centroids`` (cid, cv) is collected to the driver — it is k-means
     output, inherently bounded (thousands of cells, not records) — and
-    rebroadcast inside the closure as a dense ndarray.
+    rebroadcast inside the closure as a dense ndarray. ``matrix``
+    short-circuits that collect with a precomputed
+    :func:`_centroid_matrix` pair (r13 opt: recurring admits/searches
+    against a persisted index reuse the artifact-memoized matrix
+    instead of re-collecting the same frozen centroids every call).
     """
     import numpy as np
 
-    rows = centroids.select("cid", "cv").collect()
-    rows.sort(key=lambda r: r["cid"])  # argmax hits the smaller cid on ties
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    C = np.array([r["cv"] for r in rows], dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    cids, Cn = matrix if matrix is not None else _centroid_matrix(
+        centroids.select(F.col("cid"), F.col("cv"))
+    )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1059,7 +1061,59 @@ def _sem_meta_read(index_dir: str) -> dict:
     return meta
 
 
-def _sem_assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+_INDEX_ARTIFACTS: dict = {}
+
+
+def _index_artifacts(spark, index_dir: str) -> dict:
+    """Construction-side memo of ONE meta version of a persisted
+    index: the parsed meta, the two parquet reader plans
+    (``centroids``/``cells``) and — added lazily under the ``matrix``
+    key — the k-bounded centroid matrix every assignment kernel
+    needs. The index's economics are a one-time build and RECURRING
+    admits/searches; before this memo each recurring call re-paid two
+    reader setups (footer/schema jobs) and the same k-row centroid
+    collect (~0.2 s of driver round-trips per admit at any scale —
+    guide §5).
+
+    Execution is untouched: the memoized plans are plain parquet
+    scans that every action re-executes from disk; only their
+    CONSTRUCTION is reused, and the matrix is k-means metadata of the
+    artifact (bounded by k_cells, never corpus rows). ``meta.json``
+    is the index's batch ledger AND write-ahead log — every mutation
+    (build, append mark/commit, compact, remove) rewrites it, so the
+    (mtime_ns, size) key rotates and a stale entry can never serve a
+    mutated index; older versions' entries are dropped on rotation.
+    Mutation paths keep their direct reads (they run once and must
+    see their own in-flight state, not a memo)."""
+    import os
+
+    st = os.stat(_sem_meta_path(index_dir))
+    base = (spark.sparkContext.applicationId, os.path.abspath(index_dir))
+    key = base + (st.st_mtime_ns, st.st_size)
+    ent = _INDEX_ARTIFACTS.get(key)
+    if ent is None:
+        for k in [k for k in _INDEX_ARTIFACTS if k[:2] == base]:
+            del _INDEX_ARTIFACTS[k]
+        ent = {
+            "meta": _sem_meta_read(index_dir),
+            "cents": spark.read.parquet(os.path.join(index_dir, "centroids")),
+            "cells": spark.read.parquet(os.path.join(index_dir, "cells")),
+        }
+        _INDEX_ARTIFACTS[key] = ent
+    return ent
+
+
+def _index_matrix(ent: dict):
+    """The artifact entry's centroid matrix, collected once per meta
+    version (see :func:`_index_artifacts`)."""
+    if "matrix" not in ent:
+        ent["matrix"] = _centroid_matrix(ent["cents"])
+    return ent["matrix"]
+
+
+def _sem_assign(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, matrix=None
+) -> DataFrame:
     """Cell assignment in the canonical ``cells/`` schema — shared by
     build, append and admit so the three can never drift field-wise.
     ALWAYS the GEMM engine: the index's cell space must come from ONE
@@ -1069,7 +1123,8 @@ def _sem_assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> 
     silently never join in the expr admit — was a reviewed bug, not a
     feature."""
     return ivf_assign_gemm(
-        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
+        emb.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col,
+        matrix=matrix,
     ).select(
         F.col(id_col).alias("vec_id"),
         F.col("cid").cast("long").alias("cid"),
@@ -1124,7 +1179,8 @@ def _fold_norms(X):
 
 
 def _sem_assign_probes(
-    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, nprobe: int
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, nprobe: int,
+    matrix=None,
 ) -> DataFrame:
     """Multi-probe cell assignment for the ADMIT side: up to
     ``nprobe`` (vec_id, cid, _rank) rows per vector, nearest cells
@@ -1138,7 +1194,7 @@ def _sem_assign_probes(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cids, Cn = _centroid_matrix(cents)
+    cids, Cn = matrix if matrix is not None else _centroid_matrix(cents)
     npb = max(1, min(int(nprobe), len(cids)))
 
     src = emb.select(
@@ -1178,7 +1234,7 @@ def _sem_assign_probes(
 
 def _assign_probes_local(
     spark, queries: DataFrame, cents: DataFrame, id_col: str,
-    vec_col: str, nprobe: int,
+    vec_col: str, nprobe: int, matrix=None,
 ):
     """Driver-side :func:`_sem_assign_probes` for BOUNDED query
     batches: ONE Arrow collect of the queries, then the same numpy
@@ -1197,7 +1253,7 @@ def _assign_probes_local(
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    cids, Cn = _centroid_matrix(cents)
+    cids, Cn = matrix if matrix is not None else _centroid_matrix(cents)
     npb = max(1, min(int(nprobe), len(cids)))
     src = queries.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -1738,9 +1794,13 @@ def semdedup_index_search(
         raise ValueError(f"k must be >= 1, got {k}")
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
-    meta = _sem_meta_read(index_dir)
+    # r13 opt: per-meta-version artifact memo (see _index_artifacts) —
+    # recurring lookups stop re-paying reader setup + centroid collect
+    _art = _index_artifacts(spark, index_dir)
+    meta = _art["meta"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cents = _art["cents"]
+    _mat = _index_matrix(_art)
     touched = None
     if driver_assign:
         # serving batches are driver-sized by definition (the gemm
@@ -1750,13 +1810,14 @@ def semdedup_index_search(
         # the prune collect below free
         probes, touched = _assign_probes_local(
             spark, queries.select(id_col, vec_col), cents, id_col,
-            vec_col, nprobe,
+            vec_col, nprobe, matrix=_mat,
         )
     else:
         probes = _sem_assign_probes(
-            queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe
+            queries.select(id_col, vec_col), cents, id_col, vec_col, nprobe,
+            matrix=_mat,
         )
-    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    cells = _art["cells"]
     if (prune_cells or engine == "gemm") and touched is None:
         # materialize the assignment once: the cid collect (prune),
         # the budget count and the Arrow collect (gemm) would each
@@ -1933,7 +1994,11 @@ def incremental_semdedup(
 
     if engine not in ("expr", "gemm"):
         raise ValueError(f"engine must be 'expr' or 'gemm', got {engine!r}")
-    meta = _sem_meta_read(index_dir)
+    # r13 opt: meta/reader plans/centroid matrix come from the per-
+    # meta-version artifact memo — recurring admits stop re-paying the
+    # reader setup and the k-row centroid collect (guide §5)
+    _art = _index_artifacts(spark, index_dir)
+    meta = _art["meta"]
     if meta.get("store", "float32") == "int8" and engine != "gemm":
         # the expr folds compute prenormed cosine from the RAW stored
         # embedding + the stored (original) norm — on a quantized index
@@ -1949,8 +2014,8 @@ def incremental_semdedup(
     if int(nprobe) < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    cents, cells = _art["cents"], _art["cells"]
+    _mat = _index_matrix(_art)
     # gemm: the checkpoint MUST be eager — the cid-count collect and
     # the per-range Arrow collects each drive their own job against
     # it. expr: every consumer (vs-index broadcast, the self-join's
@@ -1963,7 +2028,7 @@ def incremental_semdedup(
         # one GEMM pass emits every probe rank; rank 0 IS the primary
         # assignment (same argmax/tie rules as _sem_assign)
         probes = _sem_assign_probes(
-            new_emb, cents, id_col, vec_col, nprobe
+            new_emb, cents, id_col, vec_col, nprobe, matrix=_mat
         ).select(
             F.col("vec_id").alias("_bid"),
             "cid",
@@ -1974,7 +2039,7 @@ def incremental_semdedup(
         batch = probes.filter(F.col("_rank") == 0).drop("_rank")
         probes = probes.drop("_rank")
     else:
-        batch = _sem_assign(new_emb, cents, id_col, vec_col).select(
+        batch = _sem_assign(new_emb, cents, id_col, vec_col, matrix=_mat).select(
             F.col("vec_id").alias("_bid"),
             "cid",
             F.col("norm").alias("_bn"),

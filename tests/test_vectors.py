@@ -1857,3 +1857,56 @@ def test_semdedup_index_search_gemm_engine(tmp_path, spark):
             spark, queries, str(tmp_path / "gidx_float32"), k=2,
             engine="nope",
         )
+
+
+def test_index_artifact_memo_rotates_on_mutation(tmp_path, spark):
+    """The per-meta-version artifact memo (r13: _index_artifacts) must
+    never serve a mutated index: a search after an append sees the
+    appended vector, and the memo entry for the old meta version is
+    gone. Also pins that repeated reads reuse ONE entry (the memo's
+    whole point) and that the centroid matrix rides the entry."""
+    import numpy as np
+
+    from siskin_spark.functions import vectors as V
+    from siskin_spark.functions.vectors import (
+        semdedup_index_append,
+        semdedup_index_build,
+        semdedup_index_search,
+    )
+
+    rows, X = _sem_corpus(spark, 120, seed=23)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "memoidx")
+    semdedup_index_build(corpus, idx_dir, k=3, sample=120, iters=5, seed=3)
+
+    # a query that is an exact copy of a vector NOT yet in the index
+    rng = np.random.default_rng(41)
+    nv = rng.normal(size=DIM)
+    nv = nv / np.linalg.norm(nv)
+    new_vec = [float(x) for x in nv]
+    q = spark.createDataFrame(
+        [(5000, new_vec)], "vec_id long, embedding array<float>"
+    )
+
+    before = semdedup_index_search(spark, q, idx_dir, k=1, nprobe=3).collect()
+    keys_before = {k for k in V._INDEX_ARTIFACTS if k[1].endswith("memoidx")}
+    assert len(keys_before) == 1
+    ent = V._INDEX_ARTIFACTS[next(iter(keys_before))]
+    assert "matrix" in ent  # the k-row collect happened once, on entry
+
+    # repeated search: same entry object, no new key
+    semdedup_index_search(spark, q, idx_dir, k=1, nprobe=3).collect()
+    assert {k for k in V._INDEX_ARTIFACTS if k[1].endswith("memoidx")} == keys_before
+    assert V._INDEX_ARTIFACTS[next(iter(keys_before))] is ent
+
+    # mutate: append the query vector itself as a new index row
+    newrow = spark.createDataFrame(
+        [(999, new_vec)], "vec_id long, embedding array<float>"
+    )
+    semdedup_index_append(newrow, idx_dir, batch_id="memo-probe")
+
+    after = semdedup_index_search(spark, q, idx_dir, k=1, nprobe=3).collect()
+    keys_after = {k for k in V._INDEX_ARTIFACTS if k[1].endswith("memoidx")}
+    assert len(keys_after) == 1 and keys_after != keys_before  # rotated
+    assert after[0]["neighbor_id"] == 999 and after[0]["cos_sim"] > 0.999
+    assert before[0]["neighbor_id"] != 999
