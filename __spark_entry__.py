@@ -3465,8 +3465,15 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(planted(20, 3_000_000))
         ),
     )
+    # r13 opt: the admit batch is driver-sized — assign it on the
+    # driver (one Arrow collect; bit-identical kernel+norms, equality
+    # pinned in tests/test_vectors.py) so the mapInPandas assignment
+    # stage, its Python workers, the checkpoint and the guard collect
+    # collapse into the final action (guide §5 driver round-trips;
+    # same pattern as similarity_topk's idx leg)
     return incremental_semdedup(
-        spark, batch, idx_dir, threshold=0.35, engine="expr"
+        spark, batch, idx_dir, threshold=0.35, engine="expr",
+        driver_assign=True,
     )
 
 

@@ -1909,6 +1909,7 @@ def incremental_semdedup(
     batch_chunk_rows: int | None = None,
     batch_budget_bytes: int = 256 << 20,
     nprobe: int = 1,
+    driver_assign: bool = False,
 ) -> DataFrame:
     """Semantic-duplicate pairs between a NEW embedding batch and
     (index corpus + batch), without re-comparing the corpus: returns
@@ -1989,7 +1990,16 @@ def incremental_semdedup(
     Batch-INTERNAL pairs stay primary-cell-only: their miss class is
     the same boundary trade the corpus-wide operator accepts, and a
     multi-probe self-join would double-count pairs whose members
-    probe each other's cells."""
+    probe each other's cells.
+
+    ``driver_assign=True`` (opt-in, mirrors
+    :func:`semdedup_index_search`): assign the batch on the DRIVER in
+    one Arrow collect — same numpy kernel, norms bit-identical to the
+    expression fold — so the mapInPandas assignment stage, its Python
+    workers, the checkpoint, and the guard's cid collect all
+    disappear. Use it when the batch is driver-sized (the gemm
+    engine's own posture); results are identical either way (pinned
+    in tests)."""
     import os
 
     if engine not in ("expr", "gemm"):
@@ -2024,7 +2034,30 @@ def incremental_semdedup(
     # storage — same reuse, one fewer driver-synchronized job per
     # admit (r13 opt, guide §5 driver round-trips)
     eager = engine == "gemm"
-    if nprobe > 1:
+    touched_local = None
+    if driver_assign:
+        # driver-sized batches (the gemm engine's own posture —
+        # opt-in, mirrors semdedup_index_search): ONE Arrow collect +
+        # the shared numpy kernel assigns on the driver, so the
+        # mapInPandas assignment stage, its Python workers, AND the
+        # checkpoint disappear (a local relation has nothing to
+        # recompute). Norms/assignment are bit-identical to the
+        # distributed path (see _assign_probes_local); the touched-cid
+        # set rides along, making the guard collect free too.
+        probes, touched_local = _assign_probes_local(
+            spark, new_emb.select(id_col, vec_col), cents, id_col,
+            vec_col, nprobe, matrix=_mat,
+        )
+        probes = probes.select(
+            F.col("vec_id").alias("_bid"),
+            "cid",
+            F.col("norm").alias("_bn"),
+            F.col("embedding").alias("_bv"),
+            "_rank",
+        )
+        batch = probes.filter(F.col("_rank") == 0).drop("_rank")
+        probes = probes.drop("_rank")
+    elif nprobe > 1:
         # one GEMM pass emits every probe rank; rank 0 IS the primary
         # assignment (same argmax/tie rules as _sem_assign)
         probes = _sem_assign_probes(
@@ -2203,7 +2236,11 @@ def incremental_semdedup(
         _counts is not None
         and all(int(n) <= max_batch_cell_rows for n in _counts.values())
     ):
-        guard({int(r["cid"]) for r in probes.select("cid").distinct().collect()})
+        guard(
+            set(touched_local)
+            if touched_local is not None
+            else {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
+        )
     zero_safe = F.when(
         F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
     ).otherwise(
@@ -2221,7 +2258,13 @@ def incremental_semdedup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    a, b = batch.alias("a"), batch.alias("b")
+    if driver_assign:
+        # the local-relation batch scans as ONE partition; spread the
+        # self-join's STREAM side so the pair cosine folds use every
+        # core (the build side stays the cheap local relation)
+        a, b = _parallel(batch, "_bid").alias("a"), broadcast(batch.alias("b"))
+    else:
+        a, b = batch.alias("a"), batch.alias("b")
     batch_cos = F.when(
         F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
     ).otherwise(

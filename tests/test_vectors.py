@@ -1910,3 +1910,40 @@ def test_index_artifact_memo_rotates_on_mutation(tmp_path, spark):
     assert len(keys_after) == 1 and keys_after != keys_before  # rotated
     assert after[0]["neighbor_id"] == 999 and after[0]["cos_sim"] > 0.999
     assert before[0]["neighbor_id"] != 999
+
+
+def test_incremental_semdedup_driver_assign_equal(tmp_path, spark):
+    """driver_assign=True (r13: driver-side batch assignment for the
+    expr admit) returns EXACTLY the distributed path's pairs — ids and
+    cosine values — at nprobe 1 and 2."""
+    from siskin_spark.functions.vectors import (
+        incremental_semdedup,
+        semdedup_index_build,
+    )
+
+    rows, X = _sem_corpus(spark, 160, seed=29)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "drvidx")
+    semdedup_index_build(corpus, idx_dir, k=4, sample=160, iters=5, seed=3)
+
+    brows, _ = _sem_corpus(spark, 60, seed=31)
+    batch = spark.createDataFrame(
+        [(vid + 10_000, v) for vid, v in brows],
+        "vec_id long, embedding array<float>",
+    )
+    for npb in (1, 2):
+        base = sorted(
+            (r["vec_id"], r["dup_of"], r["cos_sim"])
+            for r in incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.2, engine="expr",
+                nprobe=npb,
+            ).collect()
+        )
+        drv = sorted(
+            (r["vec_id"], r["dup_of"], r["cos_sim"])
+            for r in incremental_semdedup(
+                spark, batch, idx_dir, threshold=0.2, engine="expr",
+                nprobe=npb, driver_assign=True,
+            ).collect()
+        )
+        assert base == drv and len(base) > 0
