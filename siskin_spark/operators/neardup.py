@@ -283,11 +283,21 @@ def exact_jaccard(
     id_col: str = "doc_id",
     broadcast_candidates: bool | str = "auto",
     corpus_docs: int | None = None,
+    broadcast_pairs: bool | str = "auto",
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over shingle sets.
-    Join-based: |A∩B| from a shingle equi-join restricted to candidate
-    pairs, |A|,|B| from per-doc counts; jaccard = inter/(|A|+|B|-inter)
-    as a single IEEE division (engine-portable exact).
+    Set-based (r13, guide §2.1/§2.3): each candidate doc's shingle set
+    is collected ONCE into a per-doc array (one doc-keyed aggregate —
+    the only corpus-sized shuffle), the pair list is attached by id_a
+    and id_b, and |A∩B| / |A| / |B| are computed ROW-LOCALLY with
+    ``array_intersect``/``count``; jaccard = inter/(|A|+|B|-inter) as
+    a single IEEE division (engine-portable exact). Identical output
+    to the former join form (|A∩B| from a shingle equi-join, counts
+    from a second aggregate, three joins back) — pinned by the naive-
+    equality property test — but the shingle rows cross the network
+    once instead of three times and the (id_a, id_b) re-aggregate,
+    the counts aggregate and both count joins disappear: 5 exchanges
+    → 2 at any scale.
 
     Only CANDIDATE docs' shingles matter — non-candidates affect
     neither the intersection nor the |A|/|B| counts — so with
@@ -311,12 +321,18 @@ def exact_jaccard(
     given, since the at-scale downside of skipping dwarfs the
     small-input overhead of filtering.
 
-    The count-only aggregate here is deliberately NOT fused into the
-    minhash signature aggregate: fusing (count alongside the 16 min()
-    hashes, counts branch reusing that exchange) was measured ~25%
-    SLOWER end-to-end — the reused exchange carries 16 hex partials
-    per row where this one shuffles bare counts, and the signature's
-    join-back to ``docs`` rides along. Cheap separate pass wins.
+    ``broadcast_pairs`` (default on) broadcasts the pair list into the
+    id_a attach so the per-doc sets stream map-side — the same
+    near-dup-rate size argument as the candidate-id broadcast, and the
+    pair plan is only evaluated once either way (the id_b attach joins
+    the OUTPUT of the first join, not ``pairs`` again). Pass False
+    together with ``broadcast_candidates=False`` for the pathological
+    mostly-duplicates corpus; the id_b attach then reuses the set
+    aggregate's hash partitioning, so only the pair rows shuffle.
+
+    Memory: one doc's distinct shingle set per row — bounded by
+    document length, the same rows the join form materialized in its
+    per-pair aggregate buffers.
 
     See README.md "Operator selection at scale" for the full
     small-vs-large-input decision table across operators."""
@@ -324,6 +340,8 @@ def exact_jaccard(
         broadcast_candidates = (
             corpus_docs is None or corpus_docs >= BROADCAST_CANDIDATES_MIN_DOCS
         )
+    if broadcast_pairs == "auto":
+        broadcast_pairs = True
     if broadcast_candidates:
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))
@@ -333,25 +351,36 @@ def exact_jaccard(
         shingles = shingles.join(
             F.broadcast(cand_ids), on=id_col, how="left_semi"
         )
-    counts = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sa, on="id_a")
-        .join(sb, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # one corpus-sized aggregate: the doc's distinct shingle set plus
+    # its row count (count("*"), not size(set): a NULL shingle row —
+    # outer shingle tables — counts toward |A| but can never match,
+    # exactly as in the join form)
+    sets = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_sh"),
+        F.count("*").alias("_n"),
     )
-    out = (
-        pairs.join(inter, on=["id_a", "id_b"], how="left")
-        .na.fill({"n_inter": 0})
-        .join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), on="id_a")
-        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), on="id_b")
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_n").alias("n_a"),
     )
-    return out.withColumn(
-        "jaccard",
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("_n").alias("n_b"),
+    )
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    out = a.join(p, on="id_a").join(b, on="id_b")
+    return (
+        out.withColumn(
+            "n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .drop("_sh_a", "_sh_b")
     )
 
 
