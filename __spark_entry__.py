@@ -187,11 +187,15 @@ _ALL_TABLES = (
 )
 
 #: r13 opt: queries whose PLAN must be rebuilt on every call. Their
-#: builders embed a ``localCheckpoint`` of computed corpus data (exact
-#: dedup's packing layout, the near-dup verified pairs, the semdedup
-#: admit, the index-search probe assignment) — a memoized plan would
-#: reuse those materialized blocks across passes, i.e. cache RESULTS,
-#: which the bench contract forbids. These builders instead memoize
+#: builders embed a ``localCheckpoint`` of computed corpus data (the
+#: near-dup verified pairs, the semdedup admit, the index-search probe
+#: assignment) — a memoized plan would reuse those materialized blocks
+#: across passes, i.e. cache RESULTS, which the bench contract forbids.
+#: exact_dedup_documents is checkpoint-free since the budget/layout
+#: legs went pure (checkpoint=False) but stays here because its plan
+#: embeds the per-pass top-64 vocab COLLECT as literals (InSet + the
+#: vocab local table) — memoizing the full plan would freeze computed
+#: corpus data; its heavy sub-plans are memoized individually instead. These builders instead memoize
 #: their checkpoint-free plan PREFIX explicitly (see each) and re-run
 #: the eager materialization per call. mono_id users (doc_signatures'
 #: benchmark-side synthetic ids, skew_safe_agg's salt) stay in the
@@ -602,30 +606,35 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exact_dedup_vocab", ("documents",),
         lambda: vocab_table(docs, top=64),
     )
-    # r13 opt: the budget, layout and vocab legs each run bounded
-    # driver-synchronized jobs (prefix-sum totals / bounds / top-64
-    # collect) that are mutually independent — submit them from
-    # concurrent driver threads so the per-pass wall time is the MAX
-    # leg, not the sum. Same plans, same jobs, same results; only the
-    # driver-side serialization goes away.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(3) as _pool:
-        _f_tb = _pool.submit(
-            token_budget_sample,
-            out.select("doc_id", "text"), 20_000,
-            seed=3, hash_family="md5",
-        )
-        _f_packed = _pool.submit(
-            token_sequence_layout,
-            capped.select("doc_id", "text", "cap_keep"), 1024,
-        )
-        _f_vrows = _pool.submit(vocab_plan.collect)  # 64 rows per pass
-    tb_kept = _f_tb.result().select(
-        "doc_id", F.lit(True).alias("tb_keep")
+    # r13 opt: the budget and layout legs are now fully lazy (their
+    # prefix-sum offsets/bounds fold into the plan — see
+    # token_budget_sample / token_sequence_layout) and run with
+    # checkpoint=False: their inputs are memoized plans over the
+    # parquet scan (trivially re-scannable — the documented opt-out),
+    # which makes both legs PURE plans, so their expression-heavy
+    # construction (0.2 s + 0.4 s of Py4J round-trips per pass) is
+    # memoized too. Every action still executes the full chain from
+    # parquet. The only driver-synchronized job left per pass is the
+    # bounded top-64 vocab collect (needed driver-side: oov_fraction
+    # compiles the vocab into a literal InSet, measured 2x faster per
+    # token than a joined-array contains — and per-pass by design: a
+    # memoized literal would freeze computed corpus data). The former
+    # three-thread pool is gone with the collects it parallelized.
+    tb_kept = _memo_df(
+        spark, sf_dir, "exact_dedup_tb", ("documents",),
+        lambda: token_budget_sample(
+            out.select("doc_id", "text"), 20_000, seed=3,
+            hash_family="md5", checkpoint=False,
+        ).select("doc_id", F.lit(True).alias("tb_keep")),
     )
-    packed = _f_packed.result()
-    vrows = _f_vrows.result()
+    packed = _memo_df(
+        spark, sf_dir, "exact_dedup_packed", ("documents",),
+        lambda: token_sequence_layout(
+            capped.select("doc_id", "text", "cap_keep"), 1024,
+            checkpoint=False,
+        ),
+    )
+    vrows = vocab_plan.collect()  # 64 rows per pass
     vocab = local_table(
         spark,
         [(r["token"], r["rank"], r["cum_frac"]) for r in vrows],

@@ -1346,6 +1346,7 @@ def token_budget_sample(
     include_partial: bool = False,
     n_buckets: int = 4096,
     hash_family: str = "xxhash64",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic TOKEN-budget sampling: admit documents in seeded
     hash order until the cumulative token count reaches ``budget`` —
@@ -1383,9 +1384,14 @@ def token_budget_sample(
     truncating-division buckets of the hash (monotone in the hash, so
     bucket order = admission order): per-(stratum, bucket) totals
     (one map-side-combined groupBy, ≤ strata x ``n_buckets`` rows)
-    collect to the driver, prefix-sum there, rejoin as a broadcast
-    offset table, and each bucket cumsums independently. The corpus
-    shuffles once, as (row, count) into rank order. The driver-side
+    prefix-sum into a broadcast offset table, and each bucket cumsums
+    independently. The corpus shuffles once, as (row, count) into
+    rank order. Without ``strata_col`` the offsets are computed
+    IN-PLAN (an exclusive-prefix window over the bounded totals
+    aggregate — one tiny single-partition sort, no driver round-trip;
+    r13, guide §5); with strata they collect to the driver so the
+    budget keys can be validated with clean construction-time errors
+    before any admission runs. The driver-side
     offsets collect is strata x ``n_buckets`` rows — sized for
     BOUNDED strata (languages/domains: tens to thousands); a
     million-value strata column belongs in :func:`domain_cap_mark`'s
@@ -1464,48 +1470,85 @@ def token_budget_sample(
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    staged = staged.localCheckpoint(eager=False)  # 2 jobs share the scan
-    totals = (
-        staged.groupBy("_tbs_s", "_tbs_b")
-        .agg(F.sum("_tbs_n").alias("t"))
-        .collect()
-    )
-    seen_strata = {r["_tbs_s"] for r in totals}
-    if None in seen_strata:
-        raise ValueError(
-            f"token_budget_sample: strata_col {strata_col!r} contains "
-            "NULLs — budgets are keyed by string, so a NULL stratum can "
-            "never match one; coalesce the column to an explicit label "
-            "(e.g. 'unknown') if NULL rows are a legitimate stratum"
-        )
-    missing = sorted(seen_strata - set(budgets))
-    if missing:
-        shown = missing[:20]
-        more = f" (+{len(missing) - 20} more)" if len(missing) > 20 else ""
-        raise ValueError(
-            f"token_budget_sample: strata with no budget: {shown}{more} "
-            "— every stratum present in the corpus needs an entry "
-            "(0 to drop it explicitly)"
-        )
-    offsets, acc = [], {}
-    for s, b, t in sorted((r["_tbs_s"], r["_tbs_b"], int(r["t"])) for r in totals):
-        offsets.append((s, b, acc.get(s, 0)))
-        acc[s] = acc.get(s, 0) + t
-    if not offsets:  # empty corpus: emit the output schema, zero rows
-        return docs.limit(0).withColumn(
-            "n_tokens", F.lit(0).cast("long")
-        )
-    # the stratum's budget rides the SAME broadcast row as its bucket
-    # offset — a per-stratum CASE expression would be an N-way coalesce
-    # that Catalyst evaluates per row (O(strata) per row at 10K strata);
-    # the join-carried column is one lookup regardless of cardinality
-    off_df = local_table(
-        docs.sparkSession,
-        [(s, b, off, budgets[s]) for s, b, off in offsets],
-        "_tbs_s string, _tbs_b long, _tbs_off long, _tbs_budget long",
-    )
-
+    # the totals subtree and the rank-shuffle probe both read `staged`;
+    # the lazy localCheckpoint lets the second consumer reuse the first
+    # materialization instead of re-running everything upstream of
+    # ``docs``. checkpoint=False opts out when the input is trivially
+    # re-scannable (a parquet scan + cheap maps) — tokenizing twice is
+    # then cheaper than materializing corpus blocks, and the operator
+    # becomes a PURE plan (safe to build once and execute per batch).
+    if checkpoint:
+        staged = staged.localCheckpoint(eager=False)
     from pyspark.sql import Window
+
+    if strata_col is None:
+        # r13 opt (guide §5 driver): single stratum — the validation
+        # collect has nothing to validate (the stratum is the literal
+        # '_all', the budget is already typed), so the bucket offsets
+        # fold INTO the plan: an exclusive-prefix-sum window over the
+        # <= n_buckets-row totals aggregate (one tiny single-partition
+        # sort) broadcast back onto the rows. Same arithmetic on the
+        # same longs as the driver fold below — no collect, the whole
+        # operator is one lazy plan. The join key is the computed
+        # bucket ONLY: joining on the literal '_all' column would
+        # constant-fold to `true` and silently degrade the broadcast
+        # hash join to a nested-loop join (see token_sequence_layout's
+        # bounds join note).
+        totals = staged.groupBy("_tbs_b").agg(F.sum("_tbs_n").alias("_tbs_t"))
+        _woff = Window.orderBy("_tbs_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off_df = totals.select(
+            F.col("_tbs_b"),
+            F.coalesce(F.sum("_tbs_t").over(_woff), F.lit(0))
+            .cast("long")
+            .alias("_tbs_off"),
+            F.lit(int(budgets["_all"])).cast("long").alias("_tbs_budget"),
+        )
+        join_keys = ["_tbs_b"]
+    else:
+        totals = (
+            staged.groupBy("_tbs_s", "_tbs_b")
+            .agg(F.sum("_tbs_n").alias("t"))
+            .collect()
+        )
+        seen_strata = {r["_tbs_s"] for r in totals}
+        if None in seen_strata:
+            raise ValueError(
+                f"token_budget_sample: strata_col {strata_col!r} contains "
+                "NULLs — budgets are keyed by string, so a NULL stratum can "
+                "never match one; coalesce the column to an explicit label "
+                "(e.g. 'unknown') if NULL rows are a legitimate stratum"
+            )
+        missing = sorted(seen_strata - set(budgets))
+        if missing:
+            shown = missing[:20]
+            more = f" (+{len(missing) - 20} more)" if len(missing) > 20 else ""
+            raise ValueError(
+                f"token_budget_sample: strata with no budget: {shown}{more} "
+                "— every stratum present in the corpus needs an entry "
+                "(0 to drop it explicitly)"
+            )
+        offsets, acc = [], {}
+        for s, b, t in sorted(
+            (r["_tbs_s"], r["_tbs_b"], int(r["t"])) for r in totals
+        ):
+            offsets.append((s, b, acc.get(s, 0)))
+            acc[s] = acc.get(s, 0) + t
+        if not offsets:  # empty corpus: emit the output schema, zero rows
+            return docs.limit(0).withColumn(
+                "n_tokens", F.lit(0).cast("long")
+            )
+        # the stratum's budget rides the SAME broadcast row as its bucket
+        # offset — a per-stratum CASE expression would be an N-way coalesce
+        # that Catalyst evaluates per row (O(strata) per row at 10K strata);
+        # the join-carried column is one lookup regardless of cardinality
+        off_df = local_table(
+            docs.sparkSession,
+            [(s, b, off, budgets[s]) for s, b, off in offsets],
+            "_tbs_s string, _tbs_b long, _tbs_off long, _tbs_budget long",
+        )
+        join_keys = ["_tbs_s", "_tbs_b"]
 
     w = (
         Window.partitionBy("_tbs_s", "_tbs_b")
@@ -1518,7 +1561,7 @@ def token_budget_sample(
         (cum - F.col("_tbs_n")) < bcol if include_partial else cum <= bcol
     )
     return (
-        staged.join(F.broadcast(off_df), ["_tbs_s", "_tbs_b"])
+        staged.join(F.broadcast(off_df), join_keys)
         .withColumn("_tbs_keep", keep)
         .where(F.col("_tbs_keep"))
         .select(

@@ -1480,10 +1480,14 @@ def test_token_budget_sample_md5_family(spark):
 
 
 def test_token_budget_sample_plan_single_shuffle(spark):
-    """Plan guard: the two-phase prefix sum must hold the corpus to
-    ONE hash exchange (the rank shuffle) plus the broadcast offset
-    table — a regression to a global window would show as an extra
-    single-partition exchange."""
+    """Plan guard: the two-phase prefix sum must hold the CORPUS to
+    ONE hash exchange (the rank shuffle). The no-strata in-plan
+    offsets (r13) add one bounded hash exchange (the <=n_buckets
+    totals aggregate) and one bounded single-partition exchange (the
+    exclusive-prefix window over those totals) INSIDE the broadcast
+    build side — a regression to a global corpus window would show as
+    a single-partition exchange OUTSIDE the broadcast subtree, or as
+    extra corpus-keyed hash exchanges."""
     import re
 
     from pyspark.sql import functions as F
@@ -1497,9 +1501,15 @@ def test_token_budget_sample_plan_single_shuffle(spark):
         .executedPlan().toString()
     hash_ex = re.findall(r"Exchange hashpartitioning", plan)
     single = re.findall(r"Exchange SinglePartition", plan)
-    assert len(hash_ex) == 1, plan
-    assert not single, plan
+    # corpus rank shuffle + bounded totals aggregate, nothing else
+    assert len(hash_ex) == 2, plan
+    # exactly one single-partition exchange: the <=n_buckets offsets
+    # window, and it must live under the broadcast build side
+    assert len(single) == 1, plan
     assert "BroadcastExchange" in plan
+    assert plan.index("BroadcastExchange") < plan.index(
+        "Exchange SinglePartition"
+    ), plan
 
 
 # ---------------------------------------------------------------------------
