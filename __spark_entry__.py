@@ -3337,12 +3337,6 @@ def _sem_oracle_index(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
         semdedup_index_build,
     )
 
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("embedding").alias("cv"),
-    )
-    corpus = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
-    appended = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     idx_dir = os.path.join(
@@ -3354,6 +3348,19 @@ def _sem_oracle_index(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
         mtime = None
     key = (sf_dir, mtime)
     if key not in _SEM_IDX_READY:
+        # slice frames built only on the build path: constructing them
+        # unconditionally cost ~0.13 s of Py4J round-trips per CALL on
+        # the memoized no-op path (r13 opt, guide §5)
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+        corpus = emb.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", "embedding"
+        )
+        appended = emb.filter(F.col("vec_id") % 3 == 1).select(
+            "vec_id", "embedding"
+        )
         semdedup_index_build(corpus, idx_dir, centroids=cents)
         semdedup_index_append(appended, idx_dir, batch_id="oracle-append")
         _SEM_IDX_READY.add(key)
@@ -4299,7 +4306,11 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triples every input row (one replica per distinct column + one
     # for plain aggs); two single-column distinct aggs joined on the
     # tiny group key shuffle only each column's own distinct keys —
-    # measured 0.76 -> 0.58 s at sf0.1, identical counts by definition
+    # measured 0.76 -> 0.58 s at sf0.1, identical counts by definition.
+    # (A column-tagged union through ONE distinct agg + pivot was also
+    # measured and REJECTED: 0.53 -> 0.66 s — it funnels both columns
+    # into a single two-exchange pipeline where the split aggs'
+    # independent pipelines overlap under AQE.)
     exact = (
         li.groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").alias("exact_orders"))

@@ -46,6 +46,19 @@ def _parallel(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def _memo_col(name: str, build):
+    """Memoize a pure Column expression per JVM gateway epoch: the HOF
+    cosine trees cost ~40 ms of Py4J round-trips each to construct, and
+    the per-pass admit/search builders re-derive the SAME expression
+    over fixed column names on every call (r13 opt, guide §5 driver).
+    Only valid for expressions built from column NAMES (no captured
+    DataFrame references) — a Column is an immutable JVM expression
+    tree, freely reusable across plans within one gateway."""
+    from siskin_spark.memo import gateway_epoch, memo
+
+    return memo(("vec_col", gateway_epoch(), name), build)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -1884,8 +1897,11 @@ def semdedup_index_search(
     scored = p.join(i, on="cid").select(
         "query_id",
         "neighbor_id",
-        _cosine_prenormed(
-            F.col("_qv"), F.col("_iv"), F.col("_qn"), F.col("_in")
+        _memo_col(
+            "idxsearch_cos",
+            lambda: _cosine_prenormed(
+                F.col("_qv"), F.col("_iv"), F.col("_qn"), F.col("_in")
+            ),
         ).alias("cos_sim"),
     )
     if exclude_self:
@@ -2241,12 +2257,15 @@ def incremental_semdedup(
             if touched_local is not None
             else {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
         )
-    zero_safe = F.when(
-        F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
-    ).otherwise(
-        _cosine_prenormed(
-            F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
-        )
+    zero_safe = _memo_col(
+        "incsem_vs_index_cos",
+        lambda: F.when(
+            F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
+        ).otherwise(
+            _cosine_prenormed(
+                F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
+            )
+        ),
     )
     vs_index = (
         cells.join(F.broadcast(probes), "cid")
@@ -2265,12 +2284,15 @@ def incremental_semdedup(
         a, b = _parallel(batch, "_bid").alias("a"), broadcast(batch.alias("b"))
     else:
         a, b = batch.alias("a"), batch.alias("b")
-    batch_cos = F.when(
-        F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
-    ).otherwise(
-        _cosine_prenormed(
-            F.col("a._bv"), F.col("b._bv"), F.col("a._bn"), F.col("b._bn")
-        )
+    batch_cos = _memo_col(
+        "incsem_vs_batch_cos",
+        lambda: F.when(
+            F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
+        ).otherwise(
+            _cosine_prenormed(
+                F.col("a._bv"), F.col("b._bv"), F.col("a._bn"), F.col("b._bn")
+            )
+        ),
     )
     vs_batch = (
         a.join(
