@@ -1479,6 +1479,66 @@ def test_token_budget_sample_md5_family(spark):
     assert per["web"] > 60 and per["code"] > 25
 
 
+def test_token_budget_sample_checkpoint_optout_equality(spark):
+    """r13: checkpoint=False (pure-plan opt-out for re-scannable
+    inputs) must keep the kept set and token counts identical to the
+    default lazy-checkpoint form in both hash families."""
+    from pyspark.sql import functions as F
+
+    from siskin_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i % 9) + 1))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    for fam in ("xxhash64", "md5"):
+        base = sorted(
+            (r["doc_id"], r["n_tokens"])
+            for r in token_budget_sample(
+                docs, 180, seed=7, hash_family=fam
+            ).collect()
+        )
+        pure = sorted(
+            (r["doc_id"], r["n_tokens"])
+            for r in token_budget_sample(
+                docs, 180, seed=7, hash_family=fam, checkpoint=False
+            ).collect()
+        )
+        assert base == pure and base
+
+
+def test_exact_jaccard_no_broadcast_pairs_equality(spark):
+    """r13: the broadcast_pairs escape hatch (pathological mostly-
+    duplicates corpora) must produce the same verified pairs as the
+    default broadcast form, including n_inter/n_a/n_b values."""
+    from siskin_spark.operators.neardup import exact_jaccard, shingle_table
+
+    texts = [
+        "a b c d e f g", "a b c d e x y", "p q r s t u v",
+        "a b c d e f g h", "p q r s t z z",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sh = shingle_table(docs)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))],
+        "id_a long, id_b long",
+    )
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    base = {
+        key(r): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in exact_jaccard(pairs, sh, broadcast_candidates=False).collect()
+    }
+    plain = {
+        key(r): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in exact_jaccard(
+            pairs, sh, broadcast_candidates=False, broadcast_pairs=False
+        ).collect()
+    }
+    assert base == plain and base
+
+
 def test_token_budget_sample_plan_single_shuffle(spark):
     """Plan guard: the two-phase prefix sum must hold the CORPUS to
     ONE hash exchange (the rank shuffle). The no-strata in-plan
