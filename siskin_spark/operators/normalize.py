@@ -120,7 +120,7 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         return F.array_sort(F.array_distinct(F.array_compact(mapped)))
     if kind == "regex":
         hit = F.regexp_extract(_src(arg), arg["pattern"], arg.get("group", 1))
-        return F.when(hit != "", hit)
+        return F.nullif(hit, F.lit(""))
     if kind == "truncate":
         out = F.substring(_src(arg), 1, int(arg["len"]))
         if "suffix" in arg:
@@ -268,13 +268,13 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         # delimiter=..>, e.g. the arxiv morph's abstract rule); empty
         # array / all-null joins to null, not ""
         out = F.array_join(_src(arg), arg.get("sep", " "))
-        return F.when(out != "", out)
+        return F.nullif(out, F.lit(""))
     if kind == "concat_rules":
         # join sub-rule outputs, skipping nulls (concat_ws semantics);
         # all-null collapses to null, not "" — e.g. crossref's
         # title+subtitle combination where either side may be absent
         out = F.concat_ws(arg.get("sep", ""), *[_compile_rule(r) for r in arg["rules"]])
-        return F.when(out != "", out)
+        return F.nullif(out, F.lit(""))
     if kind == "unescape_trim":
         # span's UnescapeTrim (Quality.md #49): html-unescape + trim.
         # Spark has no builtin entity decoder; the five XML entities
@@ -290,7 +290,14 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
             ("&amp;", "&"),
         ):
             v = F.replace(v, F.lit(ent), F.lit(ch))
-        return F.when(v != "", v)  # empty trims to null (composes with coalesce)
+        # empty trims to null (composes with coalesce). nullif, not
+        # when(v != '', v): the CaseWhen form embeds the whole unescape
+        # chain TWICE (condition + value) and e.g. crossref's
+        # title:subtitle combination doubles it again — 4x of the same
+        # subtree in every analyzed plan, paid in per-pass analysis and
+        # plan serialization. NullIf holds the chain once (value-
+        # identical: '' -> NULL, NULL -> NULL); r13 opt, guide §1/§5.
+        return F.nullif(v, F.lit(""))
     if kind == "coalesce_rules":
         return F.coalesce(*[_compile_rule(r) for r in arg["rules"]])
     if kind == "date_parts":
@@ -333,7 +340,7 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         out = F.regexp_replace(_src(arg), arg["pattern"], arg.get("replacement", ""))
         if arg.get("trim"):
             out = F.trim(out)
-        return F.when(out != "", out)
+        return F.nullif(out, F.lit(""))
     if kind == "array_filter":
         # drop offending array elements (NOT the record): ceeol's
         # too-short / blacklisted authors (Quality.md #53 -> span
@@ -399,7 +406,7 @@ def _compile_rule(rule: dict[str, Any]) -> Column:
         cols = [_compile_rule(r) for r in arg["rules"]]
         arr = F.array_compact(F.array_distinct(F.array(*cols)))
         out = F.array_join(F.filter(arr, lambda x: x != ""), arg.get("sep", " : "))
-        return F.when(out != "", out)
+        return F.nullif(out, F.lit(""))
     if kind == "issn_norm":
         # ISSN canonicalization (Quality.md #55 -> span formats/jstor/
         # article.go:146-150): strip separators, uppercase the check
