@@ -39,7 +39,9 @@ def doi_sniff(*cols: Column | str) -> Column:
     parts = [F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols]
     hay = F.concat_ws(" ", *parts)
     hit = F.regexp_extract(hay, DOI_PATTERN, 1)
-    return F.when(hit != "", hit)
+    # nullif, not when(hit != '', hit): the CaseWhen form embeds the
+    # regex-over-concat twice (r13, see normalize._compile_rule)
+    return F.nullif(hit, F.lit(""))
 
 
 def redact(df: DataFrame, cols: Sequence[str] = ("x_fulltext",)) -> DataFrame:
@@ -61,7 +63,7 @@ def extract_year(col: Column | str) -> Column:
     (reference: regex in sources/base.py:209-211)."""
     c = F.col(col) if isinstance(col, str) else col
     y = F.regexp_extract(c.cast("string"), r"(1[0-9]{3}|20[0-9]{2})", 1)
-    return F.when(y != "", y.cast("int"))
+    return F.nullif(y, F.lit("")).cast("int")  # '' -> NULL, same values
 
 
 def jour_fixe(date_col: Column | str) -> Column:
