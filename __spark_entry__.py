@@ -195,15 +195,17 @@ _ALL_TABLES = (
 #: legs went pure (checkpoint=False) but stays here because its plan
 #: embeds the per-pass top-64 vocab COLLECT as literals (InSet + the
 #: vocab local table) — memoizing the full plan would freeze computed
-#: corpus data; its heavy sub-plans are memoized individually instead. These builders instead memoize
-#: their checkpoint-free plan PREFIX explicitly (see each) and re-run
-#: the eager materialization per call. mono_id users (doc_signatures'
-#: benchmark-side synthetic ids, skew_safe_agg's salt) stay in the
-#: blanket memo: the nondeterministic values are partitioning-only and
-#: never reach output, and a reused plan re-executes them exactly like
-#: a fresh build. Verified by a plan audit: these four are exactly the
+#: corpus data; its heavy sub-plans are memoized individually instead.
+#: These builders instead memoize their checkpoint-free plan PREFIX
+#: explicitly (see each) and re-run the eager materialization per
+#: call. mono_id users (doc_signatures' benchmark-side synthetic ids,
+#: skew_safe_agg's salt) stay in the blanket memo: the
+#: nondeterministic values are partitioning-only and never reach
+#: output, and a reused plan re-executes them exactly like a fresh
+#: build. Verified by a plan audit: the other three are exactly the
 #: registered queries whose optimized plan contains a LogicalRDD not
-#: born from a literal createDataFrame.
+#: born from a literal createDataFrame (exact_dedup_documents no
+#: longer carries one — it is here for the vocab literals alone).
 _NO_PLAN_MEMO = frozenset({
     "exact_dedup_documents",
     "neardup_keep_canonical",
