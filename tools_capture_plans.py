@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for every declared query into
-plans/r13/<query>_<tag>.txt. Usage: python tools_capture_plans.py <tag> [query ...]
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (round dir defaults to
+r14). Usage: python tools_capture_plans.py <tag> [query ...]
 """
 import os
 import sys
@@ -18,7 +19,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark("siskin-plans", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     qs = entry_mod.queries()
     for name in sorted(qs):
