@@ -312,36 +312,80 @@ def ivf_assign(
     scale), so it broadcasts; the index never shuffles for assignment.
     Ties broken by cid. Returns the index columns plus ``cid``.
 
-    Argmax via ``max_by`` (hash aggregate with map-side partials)
-    rather than a row_number window — no per-partition sort, and the
-    shuffle carries one pre-reduced row per vector.
+    r14: row-local argmax over a broadcast centroid LIST. The previous
+    shape (k-way crossJoin explode -> groupBy(id) max_by) multiplied
+    every index row k-fold and — because a struct-valued max_by buffer
+    is not hash-aggregable — planned a full-corpus Exchange feeding
+    SortAggregates on BOTH sides. Now the k centroids aggregate to ONE
+    sorted array row that rides a broadcast hash join on a
+    non-foldable constant key (the token_sequence_layout idiom; a
+    crossJoin would plan the forbidden BroadcastNestedLoopJoin), and
+    each row picks its cell inside the projection: zero shuffle of the
+    index, no sort, no row multiplication (guide §2.1/§2.4). The fold
+    keeps max_by(struct(csim, -cid)) semantics exactly: the array is
+    cid-ascending and only a STRICTLY greater score replaces the
+    incumbent, so ties keep the lowest cid; a NULL score (NULL input
+    vector) never replaces a real one and real scores replace NULL
+    ones, mirroring max_by's nulls-first ordering (parity pinned in
+    tests incl. the tie case; zero-norm vectors are out of contract
+    for both shapes — ANSI double division throws).
     """
     cols = index.columns
-    normed_centroids = centroids.select(
-        F.col("cid"),
-        as_double(F.col("cv")).alias("_cvd"),
-        norm(F.col("cv")).alias("_cn"),
-    )
-    scored = (
-        _parallel(index, id_col)
-        .withColumns({
-            "_vd": as_double(F.col(vec_col)),
-            "_vn": norm(F.col(vec_col)),
-        })
-        .crossJoin(broadcast(normed_centroids))
-        .withColumn(
-            "_csim",
-            _cosine_prenormed(
-                F.col("_vd"), F.col("_cvd"), F.col("_vn"), F.col("_cn")
-            ),
+    clist = (
+        centroids.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"),
+                        as_double(F.col("cv")).alias("_cvd"),
+                        norm(F.col("cv")).alias("_cn"),
+                    )
+                )
+            ).alias("_ivf_cents")
+        )
+        # empty centroid input joins zero rows (the old crossJoin shape
+        # produced an empty output there too)
+        .where(F.size("_ivf_cents") > 0)
+        .select(
+            F.coalesce(
+                F.size("_ivf_cents") - F.size("_ivf_cents"), F.lit(0)
+            ).alias("_ivf_one"),
+            "_ivf_cents",
         )
     )
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in cols], F.col("cid")),
-        F.struct(F.col("_csim"), (-F.col("cid")).alias("_nc")),
-    ).alias("_w")
-    out = scored.groupBy(id_col).agg(winner)
-    return out.select(*[F.col(f"_w.{c}").alias(c) for c in [*cols, "cid"]])
+    staged = _parallel(index, id_col).withColumns({
+        "_vd": as_double(F.col(vec_col)),
+        "_vn": norm(F.col(vec_col)),
+        "_ivf_one": F.coalesce(
+            F.size(F.col(vec_col)) - F.size(F.col(vec_col)), F.lit(0)
+        ),
+    })
+    scored = staged.join(broadcast(clist), "_ivf_one")
+    # score once per centroid (transform), then fold for the argmax —
+    # a when() that recomputed the cosine in both branches would embed
+    # the fold twice per step
+    mapped = F.transform(
+        F.col("_ivf_cents"),
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            _cosine_prenormed(
+                F.col("_vd"), c["_cvd"], F.col("_vn"), c["_cn"]
+            ).alias("_s"),
+        ),
+    )
+    best = F.aggregate(
+        F.slice(mapped, 2, F.greatest(F.size(mapped) - 1, F.lit(0))),
+        F.element_at(mapped, 1),
+        lambda acc, x: F.when(
+            F.coalesce(
+                (x["_s"] > acc["_s"])
+                | (acc["_s"].isNull() & x["_s"].isNotNull()),
+                F.lit(False),
+            ),
+            x,
+        ).otherwise(acc),
+    )
+    return scored.withColumn("cid", best["cid"]).select(*cols, "cid")
 
 
 def ivf_probe_cells(

@@ -148,6 +148,76 @@ def test_ivf_assign_gemm_tie_breaks_to_smaller_cid(spark):
         assert got == {(1, 3), (2, 5)}, fn.__name__
 
 
+def test_ivf_assign_rowlocal_matches_maxby_and_plan_shape(spark):
+    """r14: ivf_assign's row-local argmax over the broadcast centroid
+    list must (a) agree with the former crossJoin+max_by shape row for
+    row — including exact ties (duplicate centroids -> smaller cid) —
+    and (b) plan with NO shuffle Exchange, NO SortAggregate and NO
+    BroadcastNestedLoopJoin (the non-foldable constant join key must
+    survive optimization as a real equi-join). Zero-norm vectors are
+    out of contract for BOTH shapes: ANSI-mode double division throws
+    on a zero divisor, so neither form ever yields NaN scores."""
+    from pyspark.sql import functions as F
+
+    from siskin_spark.functions.vectors import (
+        _cosine_prenormed,
+        as_double,
+        ivf_assign,
+        norm,
+    )
+
+    df, _, _ = _mk_embeddings(spark)
+    cents = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    # duplicate centroid under a larger cid forces an exact tie
+    cents = cents.unionByName(
+        df.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 99).alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    out = ivf_assign(df, cents)
+    got = {(r.vec_id, r.cid) for r in out.collect()}
+    # reference: the former explode + max_by(struct(csim, -cid)) shape
+    nc = cents.select(
+        "cid", as_double(F.col("cv")).alias("_cvd"), norm("cv").alias("_cn")
+    )
+    scored = (
+        df.withColumns(
+            {"_vd": as_double(F.col("embedding")), "_vn": norm("embedding")}
+        )
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "_csim",
+            _cosine_prenormed(
+                F.col("_vd"), F.col("_cvd"), F.col("_vn"), F.col("_cn")
+            ),
+        )
+    )
+    ref = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("vec_id", "cid"),
+                F.struct(F.col("_csim"), (-F.col("cid")).alias("_nc")),
+            ).alias("_w")
+        )
+        .select(F.col("_w.vec_id").alias("vec_id"), F.col("_w.cid").alias("cid"))
+    )
+    want = {(r.vec_id, r.cid) for r in ref.collect()}
+    assert got == want
+    assert (0, 0) in got  # vector 0 ties its duplicate centroid 99 -> 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # empty centroid input still yields an empty assignment (the old
+    # crossJoin shape's behavior)
+    empty = cents.filter(F.lit(False))
+    assert ivf_assign(df, empty).count() == 0
+
+
 def test_ivf_fit_centroids_spherical(spark):
     """Fitted centroids: k rows, unit-norm, deterministic across runs,
     and usable as a drop-in for the assignment paths."""
