@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from siskin_spark.functions.similarity import seeded_hash
 from siskin_spark.session import local_table
 from siskin_spark.functions.text import let_once as let_once_col
-from siskin_spark.functions.text import tokens
+from siskin_spark.functions.text import sep_token_count, tokens
 from siskin_spark.operators.neardup import shingle_table
 
 # ---------------------------------------------------------------------------
@@ -1159,7 +1159,10 @@ def token_sequence_layout(
     packing order is undefined for NULL ids either way.
     """
     n = (
-        F.size(tokens(F.col(text_col))).cast("long")
+        # r14: sep_token_count — same value as size(split) without the
+        # per-row token-array allocation (the count is re-executed by
+        # every consumer of the staged frame when checkpoint=False)
+        sep_token_count(F.col(text_col)).cast("long")
         if n_tokens is None
         else n_tokens.cast("long")
     )
@@ -1413,7 +1416,10 @@ def token_budget_sample(
     ``n_tokens`` column with the counted tokens.
     """
     n = (
-        F.size(tokens(F.col(text_col))).cast("long")
+        # r14: sep_token_count — same value as size(split) without the
+        # per-row token-array allocation (the count is re-executed by
+        # every consumer of the staged frame when checkpoint=False)
+        sep_token_count(F.col(text_col)).cast("long")
         if n_tokens is None
         else n_tokens.cast("long")
     )
